@@ -1,0 +1,590 @@
+"""Relational operator suite over the TPC-H-ish fixtures.
+
+The reference implements no joins/aggregations/windows/sorts (SURVEY.md §2.9;
+verified against ``/root/reference/src`` — the only relational logic is
+metadata SQL pushed to the source server, ``src/extract/extractor.rs:54-83``).
+Per the north star, this module supplies that entire classical operator
+surface Spark-first: declarative DataFrame plans that Catalyst optimizes
+(pushdown, pruning, join selection) and Tungsten executes (whole-stage
+codegen, vectorized parquet reads).
+
+Oracle-parity discipline
+------------------------
+Floating-point SUM/AVG over doubles is order-dependent, and Spark's partial
+aggregation order differs run-to-run; DuckDB's differs again. Every additive
+aggregate therefore accumulates in DECIMAL (exact, associative, commutative)
+and casts the final value back to DOUBLE — bit-identical in both engines,
+still fully parallel (decimal partial aggregation is a Tungsten fast path).
+Per-row double arithmetic (e.g. ``price * (1 - disc)``) is identical IEEE-754
+in both engines and needs no such treatment.
+
+Scale notes (100 TB)
+--------------------
+- Dimension joins (region/nation, and supplier/customer at fixed SF) are
+  explicitly ``F.broadcast`` so no shuffle materializes on the fact side.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key once; AQE
+  handles skew splitting.
+- Top-k per group uses window row_number, which is a single shuffle on the
+  partition key; global top-k uses ``orderBy().limit(k)`` which Spark
+  executes as per-partition top-k + driver merge (TakeOrderedAndProject) —
+  no global sort materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+
+
+def _dsum(col: Column | str, prec: str = "25,6") -> Column:
+    """Order-independent exact sum, surfaced as DOUBLE.
+
+    DECIMAL accumulation keeps the aggregation associative so map-side
+    partial aggregation stays enabled; the final cast restores the column
+    type users expect.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({prec})")).cast("double")
+
+
+def _davg(col: Column | str, prec: str = "25,6") -> Column:
+    """Exact-sum / count average (double division is deterministic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({prec})")).cast("double") / F.count(F.lit(1))
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: wide multi-aggregate groupBy with filter pushdown.
+
+    Plan shape: parquet scan (shipdate predicate + 7-column pruning pushed
+    to the reader) -> partial hash agg -> shuffle on 2 low-cardinality keys
+    -> final hash agg. At 100 TB the shuffle carries only
+    |groups| x |partitions| rows — negligible.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge, "30,8").alias("sum_charge"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: pure filter + scalar aggregate.
+
+    All three predicates push into the parquet scan; only 3 columns are
+    read. The aggregate is a single partial+final sum — no group keys, so
+    the shuffle is |partitions| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) aggregates: Spark expands to a two-phase distinct
+    aggregation (partial distinct per partition, then final) — no row
+    explosion to the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — Catalyst expands to a single Expand+Aggregate,
+    one pass over the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+def q_cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys (4 grouping sets, single Expand pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(_dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (conditional aggregation): groupBy().pivot() compiles to the
+    same single-pass conditional-agg plan as the SQL CASE form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(_dsum("l_quantity"))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: selective fact-fact join + group + top-10.
+
+    customer is filtered then joined to orders (shuffle on custkey; at
+    fixed-ratio scale both sides are large, so sort-merge/shuffled-hash is
+    correct), then lineitem joins on orderkey. The final top-10 is
+    TakeOrderedAndProject — per-partition heap, no global sort.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-01")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 6-table join with broadcast dimensions.
+
+    region/nation are broadcast (tiny at any SF); supplier/customer join
+    keys are co-partitioned with the fact shuffle. The local-supplier
+    condition (c_nationkey = s_nationkey) rides on the join, not a filter
+    afterward, so Catalyst keeps it in the join condition.
+    """
+    region = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one high-value order.
+    Semi join never duplicates the left side and only ships the join key of
+    the right side through the shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no order since 1998-06."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1998-06-01")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+def q_outer_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + null-handling aggregate: order count per customer
+    including zero-order customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.coalesce(_dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"))
+        .orderBy("c_custkey")
+    )
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: fact -> broadcast dims, revenue by region name.
+    Explicit broadcast on nation/region removes both shuffles."""
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(_dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number window — the scalable top-k
+    pattern (single shuffle on the partition key; no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer ordered by order date (cumulative frame).
+    DECIMAL accumulation keeps the prefix sums exact and engine-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double").alias("running_spent"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+def q_lag_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: per-part price change between consecutive shipments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    prev = F.lag("l_extendedprice").over(w)
+    return (
+        li.select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            "l_extendedprice",
+            (F.col("l_extendedprice") - prev).alias("price_delta"),
+        )
+        .orderBy("l_partkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    )
+
+
+def q_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank()/dense_rank() over an aggregated frame: suppliers ranked by
+    shipped revenue within their nation."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey", "s_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = W.partitionBy("s_nationkey").orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
+    return (
+        rev.select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_name",
+            "revenue",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .orderBy("s_nationkey", "rnk", "s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / set operations
+# --------------------------------------------------------------------------
+
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy + limit compiles to TakeOrderedAndProject
+    (per-partition heaps merged on the driver) — never a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+        .limit(25)
+    )
+
+
+def q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT composition: nations that have customers but no
+    suppliers, plus nations with both (tagged)."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).withColumn("tag", F.lit("both"))
+    cust_only = cust.subtract(supp).withColumn("tag", F.lit("customers_only"))
+    return both.unionByName(cust_only).orderBy("tag", "nationkey")
+
+
+def q_union_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of heterogeneous entities into one ledger, then aggregate."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("bal")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("bal")
+    )
+    return (
+        cust.unionByName(supp)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("bal").alias("total_bal"))
+        .orderBy("kind")
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q_distinct_aggregates": q_distinct_aggregates,
+    "q_rollup_revenue": q_rollup_revenue,
+    "q_cube_quantity": q_cube_quantity,
+    "q_pivot_status": q_pivot_status,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_outer_join_coalesce": q_outer_join_coalesce,
+    "q_broadcast_dim_join": q_broadcast_dim_join,
+    "q_topk_orders_per_customer": q_topk_orders_per_customer,
+    "q_running_total": q_running_total,
+    "q_lag_price_delta": q_lag_price_delta,
+    "q_rank_suppliers": q_rank_suppliers,
+    "q_global_topk": q_global_topk,
+    "q_set_ops_nations": q_set_ops_nations,
+    "q_union_accounts": q_union_accounts,
+}
+
+ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-01'
+          AND l_shipdate > TIMESTAMP '1997-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q_distinct_aggregates": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q_rollup_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "q_cube_quantity": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "q_pivot_status": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS qty_f,
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE) AS qty_o
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q_semi_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        ORDER BY c_custkey
+    """,
+    "q_anti_join": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-06-01')
+        ORDER BY c_custkey
+    """,
+    "q_outer_join_coalesce": """
+        SELECT c_custkey, c_name,
+               COUNT(o_orderkey) AS n_orders,
+               COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 0.0) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY c_custkey
+    """,
+    "q_broadcast_dim_join": """
+        SELECT r_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """,
+    "q_topk_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders) t
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn
+    """,
+    "q_running_total": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent
+        FROM orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    "q_lag_price_delta": """
+        SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+               l_extendedprice - LAG(l_extendedprice) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS price_delta
+        FROM lineitem
+        ORDER BY l_partkey, l_shipdate, l_orderkey, l_linenumber
+    """,
+    "q_rank_suppliers": """
+        WITH rev AS (
+            SELECT s_nationkey, s_suppkey, s_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey, s_suppkey, s_name)
+        SELECT s_nationkey, s_suppkey, s_name, revenue,
+               RANK() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS drnk
+        FROM rev
+        ORDER BY s_nationkey, rnk, s_suppkey
+    """,
+    "q_global_topk": """
+        SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 25
+    """,
+    "q_set_ops_nations": """
+        WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+             s AS (SELECT s_nationkey AS nationkey FROM supplier)
+        SELECT nationkey, 'both' AS tag
+        FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s) b
+        UNION ALL
+        SELECT nationkey, 'customers_only' AS tag
+        FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s) e
+        ORDER BY tag, nationkey
+    """,
+    "q_union_accounts": """
+        SELECT kind, COUNT(*) AS n, CAST(SUM(CAST(bal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+        FROM (
+            SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
+            UNION ALL
+            SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier
+        ) ledger
+        GROUP BY kind
+        ORDER BY kind
+    """,
+}
