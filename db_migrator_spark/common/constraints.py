@@ -68,7 +68,14 @@ def parse_constraint(s: str) -> Constraint | None:
     if s == "UNIQUE":
         return Unique()
     if s.startswith("CHECK"):
-        return Check(s.strip("()"))
+        # Store the bare predicate. (The reference's parser keeps the
+        # "CHECK (" prefix — constraints.rs:48 trim_matches only strips the
+        # outer parens from the string ends — which renders doubled DDL at
+        # query.rs:79; we implement the intended semantics instead.)
+        clause = s.removeprefix("CHECK").strip()
+        if clause.startswith("(") and clause.endswith(")"):
+            clause = clause[1:-1].strip()
+        return Check(clause)
     if s.startswith("DEFAULT"):
         return Default(s.removeprefix("DEFAULT "))
     return None

@@ -21,7 +21,8 @@ from db_migrator_spark.common.constraints import (
         ("FOREIGN KEY,Users,Id", ForeignKey("Users", "Id")),
         ("FOREIGN KEY, Users , Id ", ForeignKey("Users", "Id")),
         ("UNIQUE", Unique()),
-        ("CHECK (Quantity > 0)", Check("CHECK (Quantity > 0")),  # trim_matches semantics
+        ("CHECK (Quantity > 0)", Check("Quantity > 0")),
+        ("CHECK (age > 0)", Check("age > 0")),
         ("DEFAULT getdate()", Default("getdate()")),
         ("", None),
         ("   ", None),
