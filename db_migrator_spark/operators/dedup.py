@@ -1,0 +1,270 @@
+"""Deduplication operators over the ``documents`` table.
+
+The reference has no dedup (it is a 1:1 table copier); these are the
+north-star training-data-pipeline operators (BASELINE.json), built
+Spark-first:
+
+- exact dedup: single hash groupBy — one shuffle on the text hash;
+- n-gram Jaccard: exact pairwise similarity restricted to pairs sharing at
+  least one shingle (inverted-index self-join) — never a cartesian product;
+- MinHash-LSH: signature + banding so candidate generation is a bucket
+  groupBy; only bucket-mates are compared;
+- SimHash: 64-bit fingerprint + banded Hamming candidate join.
+
+Scale notes (100 TB): every operator here is shuffle-bounded by
+|shingles| or |buckets|, not |docs|². The shingle inverted index is the
+classic skew risk (a stop-shingle shared by millions of docs explodes the
+join); ``MAX_SHINGLE_DF`` drops shingles with document frequency above a
+cap — standard practice (a shingle shared by >K docs carries no dedup
+signal) and it bounds the per-key join fan-out, which AQE skew-split then
+handles comfortably.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+
+# Shingles occurring in more than this many docs carry no signal and only
+# explode the pair join; dropped before pairing (tuned for fixture scale —
+# raise proportionally with corpus size).
+MAX_SHINGLE_DF = 1000
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # bands of r = K/BANDS rows each
+
+
+def _word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column (built-ins only: split +
+    sequence + transform — no UDF, stays in whole-stage codegen)."""
+    words = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]))
+    return F.array_distinct(grams)
+
+
+def _shingle_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) inverted index with frequency capping."""
+    sh = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle"))
+    )
+    hot = (
+        sh.groupBy("shingle").count().filter(F.col("count") > MAX_SHINGLE_DF).select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content. One shuffle keyed by the text
+    hash; the kept id is the minimum doc_id per group (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over candidate pairs sharing >= 1 shingle.
+
+    shared(a,b) comes from the inverted-index self-join (shuffle on
+    shingle); |a| and |b| are per-doc distinct-shingle counts. Jaccard is
+    integer arithmetic until the final double division — deterministic in
+    both engines.
+    """
+    sh = _shingle_index(load_table(spark, sf_dir, "documents")).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        shared.join(s1, "d1").join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("shared").cast("double") / (F.col("n1") + F.col("n2") - F.col("shared"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("d1", "d2")
+    )
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h{K-1}) — K independent min-hashes per doc.
+
+    K permutations are simulated with K seeded xxhash64s of the shingle;
+    the groupBy computes all K mins in one shuffle pass (map-side partial
+    min, so the shuffle carries K longs per doc per partition).
+    """
+    sh = _shingle_index(load_table(spark, sf_dir, "documents"))
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: near-dup candidate pairs with estimated
+    Jaccard = fraction of matching minhashes.
+
+    Pipeline: signatures -> explode into (band, band_hash) keys -> groupBy
+    bucket -> pairs within bucket -> dedupe pairs -> estimate similarity
+    from the signatures. All joins are key-equi joins; nothing is O(n^2).
+    Not SQL-expressible for the DuckDB oracle (hash functions differ) ->
+    rows-only check; the exact-Jaccard twin (dedup_ngram_jaccard) is the
+    oracle-checked ground truth these candidates are validated against in
+    tests.
+    """
+    r = MINHASH_K // LSH_BANDS
+    sig = _minhash_signatures(spark, sf_dir).cache()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(*[F.col(f"h{band * r + j}") for j in range(r)]).alias("bhash"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
+    )
+    l, rgt = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            rgt,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2"))
+        .distinct()
+    )
+    sl = sig.select(F.col("doc_id").alias("d1"), *[F.col(f"h{i}").alias(f"l{i}") for i in range(MINHASH_K)])
+    sr = sig.select(F.col("doc_id").alias("d2"), *[F.col(f"h{i}").alias(f"r{i}") for i in range(MINHASH_K)])
+    matches = sum(
+        F.when(F.col(f"l{i}") == F.col(f"r{i}"), 1).otherwise(0) for i in range(MINHASH_K)
+    )
+    return (
+        cand.join(sl, "d1").join(sr, "d2")
+        .select("d1", "d2", (matches / F.lit(float(MINHASH_K))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("d1", "d2")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints + banded Hamming-distance candidates.
+
+    Fingerprint: per word-token hash, each of the 64 bits votes +1/-1; the
+    sign of the vote sum is the fingerprint bit. Computed as 64 conditional
+    sums in a single groupBy pass (map-side combine keeps the shuffle at 64
+    longs per doc per partition). Candidates share at least one of 4
+    16-bit bands (Hamming <= 3 guarantees a shared band by pigeonhole).
+    Rows-only check (hash-dependent).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).withColumn("wh", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("wh"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    voted = words.groupBy("doc_id").agg(*votes)
+    # Assemble the fingerprint with bitwise OR (addition would overflow the
+    # sign bit under ANSI arithmetic when bit 63 is set).
+    from functools import reduce
+
+    bit_terms = [
+        F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    fingerprint = reduce(lambda a, b: a.bitwiseOR(b), bit_terms)
+    fp = voted.select("doc_id", fingerprint.alias("simhash")).cache()
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), band * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bits"),
+            )
+            for band in range(4)
+        ]
+    )
+    buckets = fp.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", "b.band", "b.bits"
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2"))
+        .distinct()
+    )
+    f1 = fp.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
+    f2 = fp.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
+    return (
+        cand.join(f1, "d1").join(f2, "d2")
+        .select("d1", "d2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .orderBy("d1", "d2")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY keep_doc_id
+    """,
+    "dedup_ngram_jaccard": """
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+        sh0 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+                      FROM words)),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+        SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+        FROM shared
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.2
+        ORDER BY d1, d2
+    """,
+}

@@ -1,0 +1,152 @@
+"""Batch analytics over the ``events`` stream table.
+
+Batch twins of the Structured Streaming operators (tumbling / sliding
+windows, sessionization) plus JSON property extraction — each with an
+exact SQL oracle. The streaming forms live in ``db_migrator_spark.streaming``;
+keeping the same column logic in both places is what makes the streaming
+results testable against these batch results.
+
+Timestamps: events.ts is nanosecond parquet; ``io.load_table`` truncates to
+microseconds exactly like DuckDB's ``CAST(ts AS TIMESTAMP)``, so boundary
+arithmetic (window assignment, 30-minute session gaps) is integer-equal in
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count + exact value sum.
+    ``F.window`` compiles to pure timestamp arithmetic in the groupBy key —
+    a single shuffle on (hour, type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
+        .orderBy("w_start", "event_type")
+    )
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 15 min step): each event lands in 4
+    windows. Spark's Expand produces the 4 copies map-side; the shuffle is
+    keyed on (window, type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+              / F.count(F.lit(1))).alias("avg_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "avg_value")
+        .orderBy("w_start")
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation: parse ``props`` (regex-based
+    so the oracle needs no JSON extension), bucket k, aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        ev.select("event_type", (k % 10).alias("k_bucket"), "value")
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"))
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
+    session ids, then per-session aggregates. One shuffle on user_id; the
+    windows reuse that partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(order)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.unix_micros(F.max("ts").cast("timestamp"))
+              - F.unix_micros(F.min("ts").cast("timestamp"))).cast("double") / 1e6).alias("duration_sec"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+QUERIES = {
+    "events_tumbling_hourly": events_tumbling_hourly,
+    "events_sliding_windows": events_sliding_windows,
+    "events_json_extract": events_json_extract,
+    "events_sessionization": events_sessionization,
+}
+
+ORACLES = {
+    "events_tumbling_hourly": """
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY w_start, event_type
+    """,
+    "events_sliding_windows": """
+        WITH expanded AS (
+            SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                       - unnest(range(4)) * INTERVAL '15 minutes' AS w_start,
+                   value
+            FROM events)
+        SELECT w_start, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_value
+        FROM expanded
+        GROUP BY w_start
+        ORDER BY w_start
+    """,
+    "events_json_extract": """
+        SELECT event_type,
+               CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) % 10 AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, k_bucket
+    """,
+    "events_sessionization": """
+        WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        g AS (SELECT *, epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM e),
+        s AS (SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1e6 AS duration_sec,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM s
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+}

@@ -1,0 +1,129 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so *decoding* is stubbed (a
+deterministic arithmetic fake, or ``NotImplementedError`` for the real
+libraries behind an import-try) — but everything Spark-side is real:
+binary columns flowing through Arrow into ``mapInPandas`` batches, schema
+declaration, per-batch iteration, and one-to-many frame expansion.
+
+The fixture corpus has no binary column, so payloads are synthesized
+deterministically from ``documents.text`` (UTF-8 bytes) — which also makes
+the whole path oracle-checkable in SQL.
+
+Scale notes: binary payloads dominate row size; ``mapInPandas`` streams
+Arrow batches so peak memory is one batch per core, and
+``spark.sql.files.maxPartitionBytes`` keeps scan partitions bounded no
+matter how large the blobs are. Decode parallelism == partition count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+try:  # real decoders, absent in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - env-dependent
+    """Real image decode — requires PIL, which this environment lacks."""
+    if not HAVE_PIL:
+        raise NotImplementedError("image decoding requires PIL (not in this container)")
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload))
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), "source"
+    )
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over a binary column: size, content digest, and the
+    deterministic fake decode's width/height (pure column arithmetic —
+    stays in codegen, no Python)."""
+    df = _with_payload(spark, sf_dir)
+    n_bytes = F.length(F.col("payload")).cast("bigint")
+    return df.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.md5(F.col("payload")).alias("digest"),
+        (64 + n_bytes % 512).alias("width"),
+        (64 + (n_bytes * 7) % 512).alias("height"),
+        "source",
+    ).orderBy("doc_id")
+
+
+# Output schema of the frame-sampling stub: one row per sampled frame.
+_FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_offset bigint, frame_bytes int"
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: deterministic fake frame sampler.
+
+    Emits ``n_bytes % 3 + 1`` frames per payload at 1024-byte strides —
+    stand-in for a video keyframe extractor; the Arrow batch iteration,
+    bytes handling, and 1:N output shape are the real plumbing a codec
+    UDF needs.
+    """
+    for pdf in batches:
+        n = pdf["payload"].str.len().astype("int64")
+        n_frames = (n % 3 + 1).to_numpy()
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy().repeat(n_frames),
+                "frame_idx": [i for k in n_frames for i in range(k)],
+                "frame_bytes": n.to_numpy().repeat(n_frames).astype("int32"),
+            }
+        )
+        out["frame_offset"] = (out["frame_idx"] * 1024).astype("int64")
+        out["frame_idx"] = out["frame_idx"].astype("int32")
+        yield out[["doc_id", "frame_idx", "frame_offset", "frame_bytes"]]
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through mapInPandas over binary payloads (real Arrow
+    path, deterministic fake decode — oracle-checkable)."""
+    df = _with_payload(spark, sf_dir)
+    return df.mapInPandas(_sample_frames, schema=_FRAMES_SCHEMA).orderBy("doc_id", "frame_idx")
+
+
+QUERIES = {
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLES = {
+    "multimodal_metadata": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS digest,
+               64 + octet_length(encode(text)) % 512 AS width,
+               64 + (octet_length(encode(text)) * 7) % 512 AS height,
+               source
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "multimodal_frame_sample": """
+        SELECT doc_id,
+               CAST(unnest(range(octet_length(encode(text)) % 3 + 1)) AS INT) AS frame_idx,
+               unnest(range(octet_length(encode(text)) % 3 + 1)) * 1024 AS frame_offset,
+               CAST(octet_length(encode(text)) AS INT) AS frame_bytes
+        FROM documents
+        ORDER BY doc_id, frame_idx
+    """,
+}

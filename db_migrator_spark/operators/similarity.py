@@ -1,0 +1,179 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Brute-force cosine is the exactness baseline: the dot product is a
+built-in ``zip_with`` + ``aggregate`` fold over the array — JVM-side, no
+UDF, accumulated in double (cast from float is exact; the sequential fold
+order matches DuckDB's ``list_dot_product``, giving bit-identical oracle
+results with ``cos = dot / sqrt(|a|^2 * |b|^2)``).
+
+The scale path is sign-random-projection LSH: 16 fixed hyperplanes hash
+every vector into a bucket; only bucket-mates are compared. At 100 TB the
+brute-force form is a broadcast of the (small) query set against a scan of
+the corpus — linear, embarrassingly parallel — while all-pairs similarity
+must go through bucketing to avoid |corpus|^2.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+
+EMBEDDING_DIM = 64
+# Multi-table sign-LSH (OR-of-ANDs): T tables of r hyperplanes each. A pair
+# collides if ALL r sign bits match in AT LEAST ONE table. For a pair at
+# angle theta, p = 1 - theta/pi per plane; recall = 1 - (1 - p^r)^T.
+# r=6, T=8: cos 0.5 -> ~50% recall, random pair -> ~1.5% per table (keeps
+# the candidate set ~linear, not quadratic).
+LSH_TABLES = 8
+LSH_PLANES_PER_TABLE = 6
+_SEED = 42
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cosine(a, b) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors of a single query vector (vec_id = 0).
+
+    Plan: the 1-row query side is broadcast; cosine evaluates inside the
+    corpus scan; TakeOrderedAndProject keeps the global top-k without a
+    full sort. Linear in corpus size, no shuffle of vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", _cosine(F.col("embedding"), F.col("query_vec")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: top-3 neighbors for each of the first 5 query vectors.
+
+    The query set broadcasts; per-query top-k is a row_number window on
+    the query id — one shuffle keyed by query id, never |corpus|^2.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _cosine(F.col("embedding"), F.col("query_vec")).alias("cos_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    )
+
+
+def _hyperplanes(n: int) -> list[list[float]]:
+    rng = random.Random(_SEED)
+    return [[rng.gauss(0.0, 1.0) for _ in range(EMBEDDING_DIM)] for _ in range(n)]
+
+
+def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs similar embeddings via multi-table sign-projection LSH.
+
+    Each vector gets one bucket key per table (r sign bits of fixed seeded
+    Gaussian hyperplane projections); candidates are pairs sharing a bucket
+    in any table (explode tables -> equi-join on (table, bucket) ->
+    distinct pairs); exact cosine is computed only for candidates, then
+    thresholded. Approximate by construction (recall math in the constants
+    above) -> rows-only driver check; recall vs the exact cross join is
+    asserted in tests/test_llm_ops.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(LSH_TABLES * LSH_PLANES_PER_TABLE)
+    vec = _as_double(F.col("embedding"))
+    tables = []
+    for t in range(LSH_TABLES):
+        bits = [
+            F.when(
+                _dot(vec, F.array(*[F.lit(c) for c in planes[t * LSH_PLANES_PER_TABLE + j]])) >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for j in range(LSH_PLANES_PER_TABLE)
+        ]
+        tables.append(F.struct(F.lit(t).alias("t"), F.concat(*bits).alias("bucket")))
+    bucketed = (
+        emb.select("vec_id", "embedding", F.explode(F.array(*tables)).alias("b"))
+        .select("vec_id", "embedding", F.col("b.t").alias("t"), F.col("b.bucket").alias("bucket"))
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("v1"),
+            F.col("r.vec_id").alias("v2"),
+            F.col("l.embedding").alias("e1"),
+            F.col("r.embedding").alias("e2"),
+        )
+        .dropDuplicates(["v1", "v2"])
+    )
+    return (
+        cand.select("v1", "v2", _cosine(F.col("e1"), F.col("e2")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+        .orderBy("v1", "v2")
+    )
+
+
+QUERIES = {
+    "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "similarity_knn_join": similarity_knn_join,
+    "similarity_lsh_pairs": similarity_lsh_pairs,
+}
+
+ORACLES = {
+    "similarity_topk_bruteforce": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ae FROM embeddings)
+        SELECT vec_id,
+               list_dot_product(ae, qe)
+                   / sqrt(list_dot_product(ae, ae) * list_dot_product(qe, qe)) AS cos_sim
+        FROM e, q
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """,
+    "similarity_knn_join": """
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 5),
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ae FROM embeddings),
+             scored AS (
+                 SELECT q_id, vec_id,
+                        list_dot_product(ae, qe)
+                            / sqrt(list_dot_product(ae, ae) * list_dot_product(qe, qe)) AS cos_sim
+                 FROM e, q WHERE vec_id != q_id),
+             ranked AS (
+                 SELECT q_id, vec_id, cos_sim,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY cos_sim DESC, vec_id) AS rn
+                 FROM scored)
+        SELECT q_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= 3
+        ORDER BY q_id, rn
+    """,
+}

@@ -1,0 +1,149 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All hot-path logic is built-in column expressions (split / filter /
+regexp / md5) — JVM-side, whole-stage-codegen'd, no Python in the loop —
+so throughput scales with cores exactly like any projection. Each operator
+has an exact ANSI-SQL oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+# Per-language marker words for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "y", "de"],
+    "de": ["der", "und", "die", "das"],
+}
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: char/word counts, lexical diversity,
+    average word length."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        (F.size(F.array_distinct(words)).cast("double") / n_words).alias("lexical_diversity"),
+        ((F.length("text") - n_words + 1).cast("double") / n_words).alias("avg_word_len"),
+    ).orderBy("doc_id")
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: count marker-word hits per language,
+    argmax with a fixed priority order (en > fr > es > de > unknown)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scores = {
+        lang: F.size(F.filter(words, lambda w: w.isin(*marks))).alias(f"score_{lang}")
+        for lang, marks in LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", "lang", *scores.values())
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    predicted = (
+        F.when(best == 0, "unknown")
+        .when(F.col("score_en") == best, "en")
+        .when(F.col("score_fr") == best, "fr")
+        .when(F.col("score_es") == best, "es")
+        .otherwise("de")
+    )
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[f"score_{lang}" for lang in LANG_MARKERS],
+        predicted.alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (the canonical near-exact-dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(normalized.cast("binary")).alias("fingerprint"),
+        F.length(normalized).alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish word/number
+    fragments via regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    re_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+"), 0))
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("n_ws_tokens"),
+        re_tokens.alias("n_re_tokens"),
+        (F.col("n_chars").cast("double") / re_tokens).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_language_id": text_language_id,
+    "text_fingerprint": text_fingerprint,
+    "text_token_count": text_token_count,
+}
+
+ORACLES = {
+    "text_stats": """
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS lexical_diversity,
+               CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_word_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "text_language_id": """
+        WITH scored AS (
+            SELECT doc_id, lang AS labeled_lang,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the', 'a', 'and', 'of'))) AS score_en,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w IN ('le', 'la', 'et', 'les'))) AS score_fr,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w IN ('el', 'los', 'y', 'de'))) AS score_es,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w IN ('der', 'und', 'die', 'das'))) AS score_de
+            FROM documents)
+        SELECT doc_id, labeled_lang, score_en, score_fr, score_es, score_de,
+               CASE WHEN greatest(score_en, score_fr, score_es, score_de) = 0 THEN 'unknown'
+                    WHEN score_en = greatest(score_en, score_fr, score_es, score_de) THEN 'en'
+                    WHEN score_fr = greatest(score_en, score_fr, score_es, score_de) THEN 'fr'
+                    WHEN score_es = greatest(score_en, score_fr, score_es, score_de) THEN 'es'
+                    ELSE 'de' END AS predicted_lang
+        FROM scored
+        ORDER BY doc_id
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+               length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "text_token_count": """
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+               CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '[a-z0-9]+'))
+                   AS chars_per_token
+        FROM documents
+        ORDER BY doc_id
+    """,
+}
