@@ -1,0 +1,89 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": <sf>, ...}
+
+Each query is executed with a count-style action (collect on small results)
+so the full plan runs but the driver never materializes large outputs.
+Timings are per-query wall clock after a shared warm-up of the JVM and the
+parquet footers.
+
+Baseline context (BASELINE.md): the reference's only published number is
+~14.7k rows/s end-to-end over two network hops. Our headline metric is the
+per-query wall time at sf0.1 (~600k lineitem rows) on local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family (aggregation, multi-join, window,
+# dedup, similarity, text, events, migration path).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_topk_orders_per_customer",
+    "q_rollup_revenue",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_fingerprint",
+    "similarity_topk_bruteforce",
+    "similarity_knn_join",
+    "events_tumbling_hourly",
+    "events_sessionization",
+    "migrate_customer_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    import __spark_entry__ as entry_mod
+    from db_migrator_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # Warm-up: JVM, codegen, file listing (not included in timings).
+    qs["q6_forecast_revenue"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "sf_dir": sf_dir,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count(),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -36,21 +36,33 @@ MINHASH_K = 16  # signature length
 LSH_BANDS = 4  # bands of r = K/BANDS rows each
 
 
-def _word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as an array column (built-ins only: split +
-    sequence + transform — no UDF, stays in whole-stage codegen)."""
-    words = F.split(text, " ")
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]))
-    return F.array_distinct(grams)
-
-
 def _shingle_index(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) inverted index with frequency capping."""
-    sh = (
-        docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle"))
+    """(doc_id, shingle:bigint) inverted index of distinct word 3-grams,
+    with frequency capping. Built-ins only — no UDF, whole-stage codegen.
+
+    Two deliberate plan choices, measured at sf0.1:
+
+    - The word array is materialized in its own projection BEFORE the
+      higher-order functions touch it. Referencing ``split(text)`` directly
+      inside a ``transform`` lambda re-evaluates the split per array
+      element (~150 splits/row) — 5.8s vs 2.1s for the index build.
+    - Shingle identity is ``xxhash64(h[i], h[i+1], h[i+2])`` over
+      pre-hashed words rather than a concatenated string (2.1s -> 0.6s, and
+      the self-join shuffles 8-byte keys). Collision odds across a 100 TB
+      corpus' shingle vocabulary are ~|V|^2 / 2^65 — negligible against a
+      near-dup threshold decision.
+    """
+    wh = docs.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), lambda x: F.xxhash64(x)).alias("h"),
+    ).filter(F.size("h") >= 3)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("h") - 3),
+            lambda i: F.xxhash64(F.get("h", i), F.get("h", i + 1), F.get("h", i + 2)),
+        )
     )
+    sh = wh.select("doc_id", F.explode(grams).alias("shingle"))
     hot = (
         sh.groupBy("shingle").count().filter(F.col("count") > MAX_SHINGLE_DF).select("shingle")
     )
@@ -78,18 +90,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle); |a| and |b| are per-doc distinct-shingle counts. Jaccard is
     integer arithmetic until the final double division — deterministic in
     both engines.
+
+    Plan shape (measured at sf0.1: 8.5s -> 1.1s): recomputing the shingle
+    index twice beats cache() (materializing the cached index serializes
+    the two consumers); the self-join takes a shuffle_hash hint (the pair
+    explosion makes sort-merge's sorts pure overhead); per-doc sizes are
+    broadcast (tiny relative to the pair set).
     """
-    sh = _shingle_index(load_table(spark, sf_dir, "documents")).cache()
+    sh = _shingle_index(load_table(spark, sf_dir, "documents"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    b = sh.hint("shuffle_hash").alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    s1 = F.broadcast(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")))
+    s2 = F.broadcast(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")))
     return (
         shared.join(s1, "d1").join(s2, "d2")
         .select(
@@ -111,7 +129,7 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingle_index(load_table(spark, sf_dir, "documents"))
     mins = [
-        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(MINHASH_K)
     ]
     return sh.groupBy("doc_id").agg(*mins)
@@ -129,8 +147,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked ground truth these candidates are validated against in
     tests.
     """
+    # NOTE: no cache() on the signature frame — the three consumers
+    # recompute it, and the recompute (one codegen'd pass over the shingle
+    # index) is an order of magnitude cheaper than materializing +
+    # re-reading a cached copy (measured 13.9s -> 0.9s at sf0.1).
     r = MINHASH_K // LSH_BANDS
-    sig = _minhash_signatures(spark, sf_dir).cache()
+    sig = _minhash_signatures(spark, sf_dir)
     bands = F.array(
         *[
             F.struct(
@@ -197,7 +219,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(64)
     ]
     fingerprint = reduce(lambda a, b: a.bitwiseOR(b), bit_terms)
-    fp = voted.select("doc_id", fingerprint.alias("simhash")).cache()
+    fp = voted.select("doc_id", fingerprint.alias("simhash"))  # recompute < cache
     band_arr = F.array(
         *[
             F.struct(
