@@ -1,0 +1,221 @@
+"""Structured Streaming: windowed aggregation, watermark late-data
+handling, sessionization, and custom stateful processing over ``events``.
+
+The reference has no stream semantics at all (its "streaming" is a
+pull-based row iterator, SURVEY.md §2.9); this module supplies the
+streaming operator surface Spark-natively:
+
+- ``stream_events``   — file-source stream with the ns-timestamp decode;
+- ``tumbling_counts`` — windowed agg, complete/update modes;
+- ``tumbling_with_watermark`` — append mode: a window emits only once the
+  watermark (max event time - delay) passes its end; later-than-delay
+  events are dropped. Scale: the watermark bounds state size — without it
+  windowed state grows forever on an unbounded stream;
+- ``session_windows`` — native ``session_window`` gap sessionization;
+- ``user_milestones`` — ``applyInPandasWithState``: arbitrary per-key
+  state (running per-user totals emitting threshold crossings).
+
+The batch twins in ``operators/events.py`` are the ground truth these are
+tested against (tests/test_streaming.py): one-batch complete-mode runs must
+equal the batch results exactly.
+
+Scale notes: streaming state lives in the state store keyed by
+(group, window); shuffle partitioning rules match batch groupBy. On a real
+cluster use RocksDB state store + checkpointing to object storage; file
+sources here stand in for Kafka — swap ``readStream.format``.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState
+
+from ..session import configure
+
+_mem_counter = itertools.count()
+
+# Raw file-source schema: ts kept as nanosecond bigint (what the parquet
+# holds under nanosAsLong) and decoded after load, so hand-written late
+# batches in tests can use plain longs.
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def decode_ts(df: DataFrame) -> DataFrame:
+    """ns-since-epoch bigint -> microsecond timestamp (same truncation as
+    the batch loader / DuckDB cast)."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp"))
+
+
+def stream_events(spark: SparkSession, source: str) -> DataFrame:
+    """File-source stream of events (one file per micro-batch by default).
+
+    ``source`` may be a directory of parquet files or a single ``.parquet``
+    file (the file source requires a directory base path, so a file is
+    expressed as parent dir + glob filter).
+    """
+    configure(spark)
+    import os
+
+    reader = spark.readStream.schema(RAW_SCHEMA).option("maxFilesPerTrigger", "1")
+    if source.endswith(".parquet") and os.path.isfile(source):
+        reader = reader.option("pathGlobFilter", os.path.basename(source))
+        source = os.path.dirname(source)
+    raw = reader.parquet(source)
+    return decode_ts(raw)
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event type (complete/update modes)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
+    )
+
+
+def tumbling_with_watermark(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """Append-mode watermarked windows: emitted once closed, late events
+    beyond ``delay`` dropped. State is bounded by the watermark horizon."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows: per-user sessions split on inactivity gap."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+MILESTONE_STEP = 10
+
+_MILESTONE_OUT = "user_id bigint, milestone bigint, at_count bigint"
+_MILESTONE_STATE = "total bigint"
+
+
+def _milestones_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit a row each time a user's cumulative event count crosses a
+    multiple of MILESTONE_STEP. State = running total per user."""
+    (user_id,) = key
+    total = state.get[0] if state.exists else 0
+    rows: list[dict[str, Any]] = []
+    for pdf in batches:
+        for _ in range(len(pdf)):
+            total += 1
+            if total % MILESTONE_STEP == 0:
+                rows.append({"user_id": user_id, "milestone": total // MILESTONE_STEP,
+                             "at_count": total})
+    state.update((total,))
+    yield pd.DataFrame(rows, columns=["user_id", "milestone", "at_count"])
+
+
+def user_milestones(events: DataFrame) -> DataFrame:
+    """Arbitrary-state streaming operator (applyInPandasWithState)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _milestones_fn,
+            outputStructType=_MILESTONE_OUT,
+            stateStructType=_MILESTONE_STATE,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded execution helpers (tests + driver-contract entries)
+# ---------------------------------------------------------------------------
+
+def run_bounded(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming frame to exhaustion into a memory sink; return the
+    result as a static DataFrame. File streams over a finite directory
+    terminate once all files are processed."""
+    spark = df.sparkSession
+    name = f"stream_out_{next(_mem_counter)}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the tumbling agg executed AS A STREAM over
+    the fixture directory, complete mode — must equal the batch twin
+    (events_tumbling_hourly), and is oracle-checked by the same SQL."""
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    out = run_bounded(tumbling_counts(ev), "complete")
+    return out.orderBy("w_start", "event_type")
+
+
+def streaming_user_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: custom-stateful milestone op over the stream.
+    Not SQL-expressible (arbitrary per-key state) -> rows-only check; the
+    SQL-equivalent invariant is asserted in tests/test_streaming.py."""
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    out = run_bounded(user_milestones(ev), "append")
+    return out.orderBy("user_id", "milestone")
+
+
+QUERIES = {
+    "streaming_tumbling_hourly": streaming_tumbling_hourly,
+    "streaming_user_milestones": streaming_user_milestones,
+}
+
+ORACLES = {
+    "streaming_tumbling_hourly": """
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY w_start, event_type
+    """,
+}
