@@ -26,6 +26,7 @@ from db_migrator_spark.session import configure  # noqa: E402
 _MODULES = [
     "db_migrator_spark.operators.relational",
     "db_migrator_spark.operators.relational2",
+    "db_migrator_spark.operators.relational3",
     "db_migrator_spark.operators.dedup",
     "db_migrator_spark.operators.text",
     "db_migrator_spark.operators.similarity",

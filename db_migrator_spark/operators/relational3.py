@@ -1,0 +1,255 @@
+"""Coverage extensions: unpivot, multiset ops, date spine, string
+aggregation, range window frames, ntile, systematic sampling, JSON filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) via stack(): per-metric totals. stack() is a
+    generator projection — map-side only, no shuffle beyond the final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+            "'discount', l_discount) AS (metric, value)"
+        ),
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total"))
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (multiset semantics, duplicates kept):
+    order-year multiplicity overlap between two customer segments' orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    seg = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.year("o_orderdate").alias("y"), "c_mktsegment"
+    )
+    building = seg.filter(F.col("c_mktsegment") == "BUILDING").select("y")
+    machinery = seg.filter(F.col("c_mktsegment") == "MACHINERY").select("y")
+    inter = building.intersectAll(machinery).groupBy("y").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("op", F.lit("intersect_all"))
+    exc = building.exceptAll(machinery).groupBy("y").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("op", F.lit("except_all"))
+    return inter.unionByName(exc).orderBy("op", "y")
+
+
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine generation (sequence + explode) left-joined to monthly
+    revenue — months with no orders appear with zero. The spine is tiny and
+    broadcast; generation is driver-free."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month")
+    )
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        spine.join(monthly, "month", "left")
+        .select(
+            "month",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): region -> csv of its nations."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per customer, revenue in the trailing 30 days
+    (value-range frame over epoch days, not row counts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = W.partitionBy("o_custkey").orderBy(days.cast("long")).rangeBetween(-30, 0)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w)
+            .cast("double")
+            .alias("trailing_30d_revenue"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) price quartiles (fully tie-broken ordering for
+    determinism) + per-bucket aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("quartile")
+    )
+
+
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sampling (key mod N) — the reproducible
+    cross-engine sampling pattern (TABLESAMPLE is engine-random)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_orderkey") % 20 == 0) & (F.col("l_linenumber") == 1))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey")
+    )
+
+
+def q_json_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property predicate + conditional aggregation over events."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high_k"),
+            F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_high_value"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "q_unpivot_metrics": q_unpivot_metrics,
+    "q_multiset_ops": q_multiset_ops,
+    "q_date_spine": q_date_spine,
+    "q_string_agg": q_string_agg,
+    "q_range_frame_window": q_range_frame_window,
+    "q_ntile_buckets": q_ntile_buckets,
+    "q_systematic_sample": q_systematic_sample,
+    "q_json_filter_agg": q_json_filter_agg,
+}
+
+ORACLES = {
+    "q_unpivot_metrics": """
+        SELECT l_returnflag, metric,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        FROM (
+            SELECT l_returnflag, 'quantity' AS metric, l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        ) long
+        GROUP BY l_returnflag, metric
+        ORDER BY l_returnflag, metric
+    """,
+    "q_multiset_ops": """
+        WITH seg AS (
+            SELECT year(o_orderdate) AS y, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey),
+        b AS (SELECT y FROM seg WHERE c_mktsegment = 'BUILDING'),
+        m AS (SELECT y FROM seg WHERE c_mktsegment = 'MACHINERY')
+        SELECT y, COUNT(*) AS n, 'intersect_all' AS op
+        FROM (SELECT y FROM b INTERSECT ALL SELECT y FROM m) GROUP BY y
+        UNION ALL
+        SELECT y, COUNT(*) AS n, 'except_all' AS op
+        FROM (SELECT y FROM b EXCEPT ALL SELECT y FROM m) GROUP BY y
+        ORDER BY op, y
+    """,
+    "q_date_spine": """
+        WITH bounds AS (
+            SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+                   date_trunc('month', MAX(o_orderdate)) AS hi
+            FROM orders),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM bounds),
+        monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1)
+        SELECT spine.month,
+               COALESCE(revenue, 0.0) AS revenue,
+               COALESCE(n_orders, 0) AS n_orders
+        FROM spine LEFT JOIN monthly ON spine.month = monthly.month
+        ORDER BY spine.month
+    """,
+    "q_string_agg": """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """,
+    "q_range_frame_window": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS trailing_30d_revenue
+        FROM orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    "q_ntile_buckets": """
+        SELECT quartile, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        FROM (SELECT o_totalprice,
+                     NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+              FROM orders)
+        GROUP BY quartile
+        ORDER BY quartile
+    """,
+    "q_systematic_sample": """
+        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey % 20 = 0 AND l_linenumber = 1
+        ORDER BY l_orderkey
+    """,
+    "q_json_filter_agg": """
+        SELECT event_type,
+               COUNT(*) AS n_high_k,
+               SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high_value,
+               MAX(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS max_k
+        FROM events
+        WHERE CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) > 50
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}
