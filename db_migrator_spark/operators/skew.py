@@ -1,0 +1,73 @@
+"""Skew-aware join utilities.
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+default in our sessions) handles most skew at runtime by splitting
+oversized partitions. Salting is the *plan-level* fallback for the cases
+AQE can't fix — e.g. a single hot key on BOTH sides of a sort-merge join,
+or aggregations where one group dominates:
+
+- ``salted_join``: replicate the small side SALT_N times, spray the big
+  side's hot key across SALT_N sub-keys, join on (key, salt). The hot
+  key's rows now land on SALT_N different reducers.
+- ``two_phase_agg``: pre-aggregate on (key, salt) then re-aggregate on key
+  — the classic partial-combine rescue for one-dominant-group sums.
+
+Result-equivalence to the naive plans is pinned by tests/test_skew.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_SALT_N = 16
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_n: int = DEFAULT_SALT_N,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to hot keys on the big side.
+
+    The big side gets a random-but-deterministic salt derived from a
+    high-entropy row fingerprint (xxhash64 over all columns), so a hot
+    key's rows split across ``salt_n`` reducers; the small side is
+    replicated ``salt_n`` times (explode of a literal range — tiny, and
+    usually broadcast anyway). Output equals ``big.join(small, key, how)``
+    exactly.
+    """
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt_n).alias("__salt")
+    big_salted = big.withColumn("__salt", salt)
+    small_replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
+    out = big_salted.join(small_replicated, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    agg_col: str,
+    salt_n: int = DEFAULT_SALT_N,
+) -> DataFrame:
+    """Skew-safe exact sum+count per key: partial agg on (key, salt), final
+    agg on key. DECIMAL accumulation keeps both phases order-independent."""
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % salt_n).alias("__salt")
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(
+            F.sum(F.col(agg_col).cast("decimal(25,6)")).alias("__psum"),
+            F.count(F.lit(1)).alias("__pcnt"),
+        )
+    )
+    return (
+        partial.groupBy(key)
+        .agg(
+            F.sum("__psum").cast("double").alias("total"),
+            F.sum("__pcnt").alias("n"),
+        )
+    )
