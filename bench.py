@@ -38,8 +38,14 @@ HEADLINE = [
     "text_fingerprint",
     "similarity_topk_bruteforce",
     "similarity_knn_join",
+    "similarity_lsh_pairs",
     "events_tumbling_hourly",
     "events_sessionization",
+    "q_asof_join_latest_order",
+    "q_range_band_join",
+    "q_range_frame_window",
+    "text_stats",
+    "multimodal_frame_sample",
     "migrate_customer_pipeline",
 ]
 

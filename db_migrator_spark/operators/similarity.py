@@ -17,7 +17,11 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from ..io import load_table
@@ -101,23 +105,28 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholded. Approximate by construction (recall math in the constants
     above) -> rows-only driver check; recall vs the exact cross join is
     asserted in tests/test_llm_ops.py.
+
+    The 48 projections are ONE Arrow-batched pandas_udf doing a numpy
+    matmul per batch (embeddings x planes^T -> packed sign bits). The
+    column-expression alternative (48 dot-product folds over 64-element
+    literal arrays) costs ~8s of codegen compile alone — the canonical
+    "vectorized UDF beats built-ins" case of a dense constant matrix.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes(LSH_TABLES * LSH_PLANES_PER_TABLE)
-    vec = _as_double(F.col("embedding"))
-    tables = []
-    for t in range(LSH_TABLES):
-        bits = [
-            F.when(
-                _dot(vec, F.array(*[F.lit(c) for c in planes[t * LSH_PLANES_PER_TABLE + j]])) >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for j in range(LSH_PLANES_PER_TABLE)
-        ]
-        tables.append(F.struct(F.lit(t).alias("t"), F.concat(*bits).alias("bucket")))
+    planes = np.array(_hyperplanes(LSH_TABLES * LSH_PLANES_PER_TABLE))  # (T*r, dim)
+    r = LSH_PLANES_PER_TABLE
+    weights = np.array([1 << j for j in range(r)])  # pack r sign bits per table
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_keys(embeddings: pd.Series) -> pd.Series:
+        mat = np.stack(embeddings.to_numpy()).astype(np.float64)  # (batch, dim)
+        signs = (mat @ planes.T) >= 0  # (batch, T*r)
+        packed = signs.reshape(len(mat), LSH_TABLES, r) @ weights  # (batch, T)
+        return pd.Series(list(packed.astype(np.int64)))
+
     bucketed = (
-        emb.select("vec_id", "embedding", F.explode(F.array(*tables)).alias("b"))
-        .select("vec_id", "embedding", F.col("b.t").alias("t"), F.col("b.bucket").alias("bucket"))
+        emb.select("vec_id", "embedding", F.posexplode(bucket_keys("embedding")))
+        .withColumnsRenamed({"pos": "t", "col": "bucket"})
     )
     l, r = bucketed.alias("l"), bucketed.alias("r")
     cand = (
