@@ -1,0 +1,123 @@
+"""Incremental-load patterns: merge/upsert (CDC apply) and change capture.
+
+Without a table format that supports MERGE INTO (Delta/Iceberg jars absent
+in this image), upsert over immutable parquet is the classic anti-join +
+union: new snapshot = updates ∪ (current ▷ update-keys). That IS how CDC
+application works at scale on raw parquet lakes; the anti-join shuffles on
+the key once and the union is free.
+
+The "delta" here is derived deterministically from the fixture data itself
+(every 100th order re-priced +10%, plus synthetic new orders) so the
+operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+
+def _delta(orders: DataFrame) -> DataFrame:
+    """Deterministic change set: updates for orderkey % 100 == 0 (price
+    +10%), inserts with keys above the current max."""
+    updates = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 100 == 7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    return updates.unionByName(inserts)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) emulation: delta rows win, untouched current rows
+    survive — one shuffle on the key (left_anti), union is shuffle-free."""
+    orders = load_table(spark, sf_dir, "orders")
+    delta = _delta(orders)
+    untouched = orders.join(delta.select("o_orderkey"), "o_orderkey", "left_anti")
+    merged = untouched.unionByName(delta)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_change_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC extraction): full-outer join of two snapshots
+    keyed on the PK, classifying rows insert/update/delete/unchanged and
+    counting per class. At scale both sides shuffle once on the key."""
+    old = load_table(spark, sf_dir, "orders")
+    new = _delta(old).unionByName(
+        old.join(_delta(old).select("o_orderkey"), "o_orderkey", "left_anti")
+    )
+    o = old.select("o_orderkey", F.col("o_totalprice").alias("old_price"))
+    n = new.select("o_orderkey", F.col("o_totalprice").alias("new_price"))
+    classified = o.join(n, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.when(F.col("old_price").isNull(), "insert")
+        .when(F.col("new_price").isNull(), "delete")
+        .when(F.col("old_price") != F.col("new_price"), "update")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return classified.groupBy("change").agg(F.count(F.lit(1)).alias("n")).orderBy("change")
+
+
+QUERIES = {
+    "q_merge_upsert": q_merge_upsert,
+    "q_change_capture": q_change_capture,
+}
+
+_DELTA_SQL = """
+    delta AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice * 1.1, 2) AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 100 = 7)
+"""
+
+ORACLES = {
+    "q_merge_upsert": f"""
+        WITH {_DELTA_SQL},
+        merged AS (
+            SELECT * FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+            UNION ALL
+            SELECT * FROM delta)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        FROM merged
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "q_change_capture": f"""
+        WITH {_DELTA_SQL},
+        new_snap AS (
+            SELECT * FROM delta
+            UNION ALL
+            SELECT * FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)),
+        o AS (SELECT o_orderkey, o_totalprice AS old_price FROM orders),
+        n AS (SELECT o_orderkey, o_totalprice AS new_price FROM new_snap),
+        classified AS (
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                        WHEN n.o_orderkey IS NULL THEN 'delete'
+                        WHEN old_price != new_price THEN 'update'
+                        ELSE 'unchanged' END AS change
+            FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        SELECT change, COUNT(*) AS n FROM classified
+        GROUP BY change ORDER BY change
+    """,
+}
