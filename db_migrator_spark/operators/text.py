@@ -89,14 +89,91 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus quality gate: compose the stats into keep/drop with
+    a reason column (the shape of every production corpus filter: cheap
+    column predicates, single scan, no shuffle until the final ordering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    diversity = F.size(F.array_distinct(words)).cast("double") / n_words
+    reason = (
+        F.when(n_words < 20, "too_short")
+        .when(n_words > 2000, "too_long")
+        .when(diversity < 0.08, "low_diversity")
+        .otherwise("keep")
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        diversity.alias("diversity"),
+        reason.alias("verdict"),
+        (reason == "keep").alias("kept"),
+    ).orderBy("doc_id")
+
+
+def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep: exact-dedup (keep min doc_id per normalized
+    fingerprint) then quality-filter — the composed pipeline a training-data
+    run executes, as one declarative plan (dedup shuffle on the hash, filter
+    fused into the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    w = F.split(F.col("text"), " ")
+    keep = (
+        docs.withColumn("fp", F.md5(normalized.cast("binary")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(keep, "doc_id", "left_semi")
+        .filter((F.size(w) >= 20) & (F.size(w) <= 2000))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
+    "text_quality_filter": text_quality_filter,
+    "dedup_filtered_corpus": dedup_filtered_corpus,
 }
 
 ORACLES = {
+    "text_quality_filter": """
+        WITH s AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS diversity
+            FROM documents)
+        SELECT doc_id, n_words, diversity,
+               CASE WHEN n_words < 20 THEN 'too_short'
+                    WHEN n_words > 2000 THEN 'too_long'
+                    WHEN diversity < 0.08 THEN 'low_diversity'
+                    ELSE 'keep' END AS verdict,
+               (CASE WHEN n_words < 20 THEN 'too_short'
+                     WHEN n_words > 2000 THEN 'too_long'
+                     WHEN diversity < 0.08 THEN 'low_diversity'
+                     ELSE 'keep' END) = 'keep' AS kept
+        FROM s
+        ORDER BY doc_id
+    """,
+    "dedup_filtered_corpus": """
+        WITH keep AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))))
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM keep)
+          AND len(string_split(d.text, ' ')) BETWEEN 20 AND 2000
+        ORDER BY d.doc_id
+    """,
     "text_stats": """
         SELECT doc_id,
                length(text) AS n_chars_calc,

@@ -44,6 +44,14 @@ def configure(spark: SparkSession) -> SparkSession:
             # Non-fatal: a locked-down session may refuse; queries that do
             # not touch the affected feature still work.
             pass
+    try:
+        # A vanilla session ships 200 shuffle partitions — pure overhead on
+        # a single-node driver run. Right-size once to the local cores
+        # (AQE still coalesces below this at runtime).
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
+    except Exception:
+        pass
     return spark
 
 
