@@ -55,11 +55,14 @@ def test_semi_and_anti_join_operators(spark):
     assert "LeftAnti" in plan_string(q_anti_join(spark, SF))
 
 
-def test_range_band_join_broadcasts(spark):
+def test_range_band_join_is_equi_not_nlj(spark):
+    """Bucketize-then-equi-join: the band attach must be a hash join, never
+    a nested-loop probe of every band per row."""
     from db_migrator_spark.operators.relational2 import q_range_band_join
 
     plan = plan_string(q_range_band_join(spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_migration_projection_prunes_columns(spark):
