@@ -35,6 +35,7 @@ _MODULES = [
     "db_migrator_spark.operators.events",
     "db_migrator_spark.migrate.queries",
     "db_migrator_spark.streaming.windows",
+    "db_migrator_spark.streaming.joins",
 ]
 
 

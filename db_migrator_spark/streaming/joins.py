@@ -1,0 +1,87 @@
+"""Stream-stream joins: watermarked interval join between two event streams.
+
+The canonical attribution join — purchases matched to the same user's
+clicks in the preceding hour — as a true stream-stream inner join: both
+sides are unbounded, both carry watermarks, and the time-range predicate in
+the join condition is what lets Spark expire join state (a click older than
+max(purchase watermark) - 1h can never match again and is evicted).
+
+Without the time bound the state store would grow forever — THE
+correctness-at-scale rule for stream-stream joins. Inner-join matches emit
+as soon as both rows are present (no watermark wait).
+
+The batch twin is plain SQL, so the streaming execution is oracle-checked
+through the driver contract like any other operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .windows import run_bounded, stream_events
+
+
+def clicks_to_purchases(events: DataFrame, attribution_window: str = "1 hour") -> DataFrame:
+    """Purchases attributed to the same user's clicks within the window."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + interval {attribution_window}"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "amount",
+        (F.unix_micros(F.col("p_ts").cast("timestamp"))
+         - F.unix_micros(F.col("c_ts").cast("timestamp"))).alias("latency_us"),
+    )
+
+
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the interval join executed AS TWO STREAMS over
+    the fixture events; oracle-checked against the batch SQL."""
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    out = run_bounded(clicks_to_purchases(ev), "append")
+    return out.orderBy("click_id", "purchase_id")
+
+
+QUERIES = {
+    "streaming_click_attribution": streaming_click_attribution,
+}
+
+ORACLES = {
+    "streaming_click_attribution": """
+        WITH e AS (SELECT event_id, user_id, event_type, value,
+                          CAST(ts AS TIMESTAMP) AS ts FROM events),
+        c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+              FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts, value AS amount
+              FROM e WHERE event_type = 'purchase')
+        SELECT c.user_id, click_id, purchase_id, amount,
+               epoch_us(p_ts) - epoch_us(c_ts) AS latency_us
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND p_ts > c_ts
+                     AND p_ts <= c_ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
+}
