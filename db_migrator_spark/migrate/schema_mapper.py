@@ -81,6 +81,11 @@ def map_schema(
                 scale = src_scale
             else:
                 scale = entry.default_scale
+            # scale > precision is invalid DDL in MySQL (and an invalid
+            # DecimalType in Spark) — can't come from a real MSSQL source,
+            # but degrade safely for hand-written sidecar metadata.
+            if precision is not None and scale is not None and scale > precision:
+                scale = min(entry.default_scale or 0, precision)
 
         constraint = column.constraint
         if isinstance(constraint, ForeignKey) and format_names:
