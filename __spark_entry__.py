@@ -32,6 +32,7 @@ _MODULES = [
     "db_migrator_spark.operators.similarity",
     "db_migrator_spark.operators.multimodal",
     "db_migrator_spark.operators.incremental",
+    "db_migrator_spark.operators.grouped",
     "db_migrator_spark.operators.events",
     "db_migrator_spark.migrate.queries",
     "db_migrator_spark.streaming.windows",
