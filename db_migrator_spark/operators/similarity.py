@@ -34,6 +34,12 @@ EMBEDDING_DIM = 64
 # the candidate set ~linear, not quadratic).
 LSH_TABLES = 8
 LSH_PLANES_PER_TABLE = 6
+# Buckets above this size are dropped from pairwise comparison: a giant
+# bucket means near-identical vectors (pairs grow quadratically in bucket
+# size — measured 4s -> 102s on a corpus with 10x duplicated vectors), and
+# that degenerate case belongs to exact dedup (dedup_exact on content /
+# identical bucket keys across ALL tables), not pairwise LSH.
+MAX_LSH_BUCKET = 64
 _SEED = 42
 
 
@@ -128,6 +134,13 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding", F.posexplode(bucket_keys("embedding")))
         .withColumnsRenamed({"pos": "t", "col": "bucket"})
     )
+    hot = (
+        bucketed.groupBy("t", "bucket")
+        .count()
+        .filter(F.col("count") > MAX_LSH_BUCKET)
+        .select("t", "bucket")
+    )
+    bucketed = bucketed.join(F.broadcast(hot), ["t", "bucket"], "left_anti")
     l, r = bucketed.alias("l"), bucketed.alias("r")
     cand = (
         l.join(
