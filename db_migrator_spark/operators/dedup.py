@@ -35,6 +35,19 @@ MAX_SHINGLE_DF = 1000
 MINHASH_K = 16  # signature length
 LSH_BANDS = 4  # bands of r = K/BANDS rows each
 
+# Band buckets above this size are excluded from pairwise candidate
+# generation: within-bucket pairing is quadratic in bucket size, and a
+# giant bucket = a cluster of (near-)identical docs, which exact dedup
+# already collapses (see docs/SCALING.md for the measured blowup).
+MAX_BAND_BUCKET = 64
+
+
+def _cap_buckets(buckets: DataFrame, keys: list[str]) -> DataFrame:
+    hot = (
+        buckets.groupBy(*keys).count().filter(F.col("count") > MAX_BAND_BUCKET).select(*keys)
+    )
+    return buckets.join(F.broadcast(hot), keys, "left_anti")
+
 
 def _shingle_index(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle:bigint) inverted index of distinct word 3-grams,
@@ -165,6 +178,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
     )
+    buckets = _cap_buckets(buckets, ["band", "bhash"])
     l, rgt = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(
@@ -234,6 +248,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = fp.select("doc_id", F.explode(band_arr).alias("b")).select(
         "doc_id", "b.band", "b.bits"
     )
+    buckets = _cap_buckets(buckets, ["band", "bits"])
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(
