@@ -120,6 +120,15 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id: duplicates arriving within the
+    watermark horizon are dropped; the watermark bounds the dedup state
+    (ids older than it are evicted — an id reappearing later than ``delay``
+    would pass, which is the explicit state/completeness trade-off every
+    streaming dedup makes)."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: applyInPandasWithState
 # ---------------------------------------------------------------------------
