@@ -30,6 +30,7 @@ _MODULES = [
     "db_migrator_spark.operators.dedup",
     "db_migrator_spark.operators.text",
     "db_migrator_spark.operators.similarity",
+    "db_migrator_spark.operators.similarity_ivf",
     "db_migrator_spark.operators.multimodal",
     "db_migrator_spark.operators.incremental",
     "db_migrator_spark.operators.grouped",
