@@ -93,7 +93,62 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase per user:
+    each stage's timestamp must follow the previous stage's. Three
+    dependent conditional-min aggregations; the two rejoins are on the
+    already-partitioned user key."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts")
+    )
+    c = (
+        ev.join(s, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    funnel = (
+        s.join(c, "user_id", "left").join(p, "user_id", "left")
+    )
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("s_ts").alias("n_signup"),
+        F.count("c_ts").alias("n_click_after_signup"),
+        F.count("p_ts").alias("n_purchase_after_click"),
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted distinct per (cohort, weeks-since) offset — the standard
+    retention triangle, two shuffles (first-seen agg + distinct count)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),  # match DATE output
+            ((F.unix_micros(F.col("active_week").cast("timestamp"))
+              - F.unix_micros(F.col("cohort_week").cast("timestamp")))
+             / (7 * 86400 * 1_000_000)).cast("int").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
 QUERIES = {
+    "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_windows": events_sliding_windows,
     "events_json_extract": events_json_extract,
@@ -101,6 +156,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel": """
+        WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        s AS (SELECT user_id,
+                     MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+              FROM e GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+              FROM e JOIN s ON e.user_id = s.user_id
+              WHERE e.event_type = 'click' AND e.ts > s.s_ts
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+              FROM e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+              GROUP BY e.user_id)
+        SELECT COUNT(*) AS n_users,
+               COUNT(s.s_ts) AS n_signup,
+               COUNT(c.c_ts) AS n_click_after_signup,
+               COUNT(p.p_ts) AS n_purchase_after_click
+        FROM s
+        LEFT JOIN c ON s.user_id = c.user_id
+        LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    "events_retention_cohorts": """
+        WITH e AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events),
+        first AS (SELECT user_id, MIN(w) AS cohort_week FROM e GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, w AS active_week FROM e)
+        SELECT cohort_week,
+               CAST((epoch_us(active_week) - epoch_us(cohort_week))
+                    / (7 * 86400 * CAST(1000000 AS BIGINT)) AS INT) AS weeks_since,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM active a JOIN first f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+        ORDER BY cohort_week, weeks_since
+    """,
     "events_tumbling_hourly": """
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
                event_type,
