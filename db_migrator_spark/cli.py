@@ -72,13 +72,12 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         cfg = resolve_config(args)
-    except (ConfigError, OSError) as e:
+        registry = TypeRegistry.with_defaults()
+        if os.path.exists(args.mappings):
+            registry = registry.with_user_overrides(UserOverrides.from_file(args.mappings))
+    except (ConfigError, OSError, ValueError) as e:
         log.error("%s", e)
         return 1
-
-    registry = TypeRegistry.with_defaults()
-    if os.path.exists(args.mappings):
-        registry = registry.with_user_overrides(UserOverrides.from_file(args.mappings))
 
     from .session import get_spark
 
@@ -107,6 +106,9 @@ def main(argv: list[str] | None = None) -> int:
 
         options = MigrationOptions(
             whitelisted_tables=whitelist,
+            # local parquet mode without --tables = explicit whole-directory
+            # migration; database mode always requires a whitelist
+            all_tables=bool(args.source_dir) and not whitelist,
             format_names=args.format,
             create_constraints=args.constraints,
             drop=args.drop,

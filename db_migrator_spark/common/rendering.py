@@ -189,7 +189,15 @@ def decode_datetimeoffset(
     days: int | None, increments: int, scale: int, offset_minutes: int
 ) -> str:
     """V14: decode the datetime2 part, SUBTRACT the offset, emit UTC naive —
-    the offset is intentionally discarded (format.rs:140-161)."""
+    the offset is intentionally discarded (format.rs:140-161).
+
+    Deliberate divergence from the reference: when the subtraction crosses
+    midnight we carry into the date (2023-01-01 00:30 +01:00 ->
+    2022-12-31 23:30 UTC). The reference's chrono ``NaiveTime`` arithmetic
+    wraps within the day and keeps the original date (format.rs:152-156),
+    producing a UTC timestamp that is off by a day for such values — a
+    wall-clock bug we fix rather than reproduce (same policy as the CHECK
+    parse in constraints.py)."""
     if days is None:
         return NULL
     d = from_days(days, 1)

@@ -82,6 +82,11 @@ class PacketSizeExceeded(MigrationRunError):
 @dataclass
 class MigrationOptions:
     whitelisted_tables: list[str] = field(default_factory=list)
+    #: Explicit opt-in for migrating the whole catalog. The reference always
+    #: filters to the whitelist and errors when nothing remains
+    #: (migrator.rs:107-111) — silently treating an empty whitelist as
+    #: "everything" would make a config typo TRUNCATE every target table.
+    all_tables: bool = False
     format_names: bool = True
     create_constraints: bool = False
     drop: bool = False
@@ -141,8 +146,13 @@ class DatabaseMigrator:
             for t in missing:
                 log.warning("Whitelisted table '%s' does not exist in the source", t)
             selected = [t for t in available if t in wl]
-        else:
+        elif self.options.all_tables:
             selected = list(available)
+        else:
+            raise NoTablesToMigrate(
+                "No tables whitelisted. Pass whitelisted_tables, or set "
+                "all_tables=True to migrate the entire catalog explicitly."
+            )
         if not selected:
             raise NoTablesToMigrate("No tables to migrate (empty catalog or whitelist mismatch)")
         return {

@@ -299,7 +299,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(10):  # diameter bound; fixture clusters converge in <=3
+    changed = -1
+    for _ in range(50):  # diameter bound; fixture clusters converge in <=3
         neighbor_min = (
             edges.join(labels, edges.d2 == labels.node)
             .groupBy(F.col("d1").alias("node"))
@@ -322,6 +323,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_clusters: label propagation did not converge within the "
+            "iteration bound (%d labels still changing) — a duplicate chain "
+            "longer than the bound exists; returned components may be split.",
+            changed,
+        )
     return (
         labels.groupBy("label")
         .agg(F.collect_set("node").alias("members"), F.count(F.lit(1)).alias("size"))

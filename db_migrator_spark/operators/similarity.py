@@ -120,14 +120,14 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     planes = np.array(_hyperplanes(LSH_TABLES * LSH_PLANES_PER_TABLE))  # (T*r, dim)
-    r = LSH_PLANES_PER_TABLE
-    weights = np.array([1 << j for j in range(r)])  # pack r sign bits per table
+    n_planes = LSH_PLANES_PER_TABLE
+    weights = np.array([1 << j for j in range(n_planes)])  # pack sign bits per table
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bucket_keys(embeddings: pd.Series) -> pd.Series:
         mat = np.stack(embeddings.to_numpy()).astype(np.float64)  # (batch, dim)
         signs = (mat @ planes.T) >= 0  # (batch, T*r)
-        packed = signs.reshape(len(mat), LSH_TABLES, r) @ weights  # (batch, T)
+        packed = signs.reshape(len(mat), LSH_TABLES, n_planes) @ weights  # (batch, T)
         return pd.Series(list(packed.astype(np.int64)))
 
     bucketed = (

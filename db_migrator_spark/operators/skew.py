@@ -36,8 +36,17 @@ def salted_join(
     key's rows split across ``salt_n`` reducers; the small side is
     replicated ``salt_n`` times (explode of a literal range — tiny, and
     usually broadcast anyway). Output equals ``big.join(small, key, how)``
-    exactly.
+    exactly for the supported join types.
+
+    Only joins that preserve each small-side row's *matched* multiplicity
+    are supported: right/full outer would surface ``salt_n`` null-padded
+    copies of every unmatched small-side row (it was replicated per salt).
     """
+    if how.replace("_", "").lower() not in {"inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti", "cross"}:
+        raise ValueError(
+            f"salted_join does not support how='{how}': unmatched replicated "
+            "small-side rows would appear salt_n times in right/full outer joins"
+        )
     salt = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt_n).alias("__salt")
     big_salted = big.withColumn("__salt", salt)
     small_replicated = small.withColumn(

@@ -47,18 +47,21 @@ def assemble_batches(
 ) -> Iterator[tuple[str, int]]:
     """Yield ``(statement, n_rows)`` packets.
 
-    Flush rule (reference parity): flush the buffer when
-    ``RESERVED_BYTES + len(buffer) + len(next_row) > max_packet_bytes``;
-    a final partial packet is always flushed (table_migrator.rs:128-166).
-    A single row larger than the budget still goes out alone.
+    Flush rule (reference parity): the byte count is seeded with the INSERT
+    prefix length — the reference initializes ``total_bytes`` with
+    ``insert_statement.len()`` (table_migrator.rs:128-144) — and a packet
+    flushes when ``RESERVED_BYTES + total + len(next_row) > max_packet_bytes``;
+    a final partial packet is always flushed. A single row that alone busts
+    the budget still goes out (as the reference does).
     """
+    base = len(insert_prefix) + 1  # prefix + the space before the values
     buffer: list[str] = []
-    total = 0
+    total = base
     for row in rendered_rows:
         extra = len(row) + (2 if buffer else 0)  # ", " separator
         if buffer and RESERVED_BYTES + total + extra > max_packet_bytes:
             yield insert_prefix + " " + ", ".join(buffer), len(buffer)
-            buffer, total = [], 0
+            buffer, total = [], base
             extra = len(row)
         buffer.append(row)
         total += extra

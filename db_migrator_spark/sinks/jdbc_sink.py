@@ -54,14 +54,18 @@ class MySqlJdbcInserter:
         self.batchsize = batchsize
 
     # -- driver-side statement execution ------------------------------------
-    def _execute(self, sql: str) -> None:
-        """Run one or more ';'-separated statements on a driver-side JDBC
-        connection (DDL and session toggles — never row data)."""
+    def _execute(self, statements: str | list[str]) -> None:
+        """Run statements on one driver-side JDBC connection (DDL and
+        session toggles — never row data). Pass a LIST for multiple
+        statements; splitting SQL text on ';' would corrupt statements
+        containing literal semicolons (e.g. CHECK (x IN ('a;b')))."""
+        if isinstance(statements, str):
+            statements = [statements]
         jvm = self.spark._jvm  # public py4j gateway to java.sql
         conn = jvm.java.sql.DriverManager.getConnection(self.url, self.user, self.password)
         try:
             stmt = conn.createStatement()
-            for part in filter(None, (p.strip() for p in sql.split(";"))):
+            for part in statements:
                 stmt.execute(part)
             stmt.close()
         finally:
@@ -105,10 +109,11 @@ class MySqlJdbcInserter:
 
     def reset_tables(self, tables: list[str], action: TableAction) -> None:
         if tables:
+            resets = [s for s in ddl.build_reset_query(tables, action).split("\n") if s]
             self._execute(
-                "SET FOREIGN_KEY_CHECKS=0; "
-                + ddl.build_reset_query(tables, action)
-                + " SET FOREIGN_KEY_CHECKS=1"
+                ["SET FOREIGN_KEY_CHECKS=0"]
+                + [s.rstrip(";") for s in resets]
+                + ["SET FOREIGN_KEY_CHECKS=1"]
             )
 
     def create_table(self, table: str, schema: list[TargetColumn]) -> None:
@@ -136,8 +141,12 @@ class MySqlJdbcInserter:
         stmt = ddl.build_create_constraints(table, schema, migrated_tables)
         if stmt is None:
             return
+        # The builder emits a known "SET FOREIGN_KEY_CHECKS=0; ALTER ..."
+        # pair; split ONCE at that fixed boundary (the ALTER body may
+        # contain literal semicolons inside CHECK/DEFAULT text).
+        head, _, alter = stmt.partition("; ")
         try:
-            self._execute(stmt)
+            self._execute([head, alter])
         except Exception as e:  # best-effort, like inserter.rs:47-86
             log.warning("Constraint creation failed for %s: %s", table, e)
 

@@ -26,15 +26,28 @@ def write_partitioned(
     """Partition-pruned, row-group-skippable parquet dataset.
 
     repartition on the partition key routes each output directory's rows to
-    ``files_per_partition`` tasks (avoids the every-task-writes-every-
-    partition small-file explosion); sortWithinPartitions orders rows so
-    parquet row-group stats are tight on the sort key.
+    a bounded number of tasks (avoids the every-task-writes-every-partition
+    small-file explosion); ``files_per_partition > 1`` adds a row-fingerprint
+    salt to the repartition key so a hot partition value genuinely splits
+    across that many tasks/files (hashing only the partition columns would
+    still send each value to a single task). sortWithinPartitions orders
+    rows so parquet row-group stats are tight on the sort key.
     """
-    out = df.repartition(*partition_by) if files_per_partition == 1 else df.repartition(
-        files_per_partition, *partition_by
-    )
+    from pyspark.sql import functions as F
+
+    if files_per_partition == 1:
+        out = df.repartition(*partition_by)
+        drop_cols: list[str] = []
+    else:
+        salt = (
+            F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % files_per_partition
+        ).alias("__file_split")
+        out = df.withColumn("__file_split", salt).repartition(*partition_by, "__file_split")
+        drop_cols = ["__file_split"]
     if sort_by:
         out = out.sortWithinPartitions(*partition_by, *sort_by)
+    if drop_cols:
+        out = out.drop(*drop_cols)
     out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
 
 

@@ -24,17 +24,18 @@ def test_single_batch_content():
 
 
 def test_multi_batch_split_at_tiny_budget():
-    """The reference's max_packet_bytes=50 scenario: rows split across
-    multiple packets, all rows delivered, order preserved."""
+    """The reference's tiny-budget scenario: rows split across multiple
+    packets, all rows delivered, order preserved, and every multi-row
+    packet's FULL statement (prefix included, reference parity) fits the
+    budget."""
     prefix = "INSERT INTO `t` (`x`) VALUES"
+    budget = len(prefix) + 1 + 10 + 12  # room for ~2 tiny rows of values
     rows = [render_row([i]) for i in range(10)]
-    batches = list(assemble_batches(prefix, rows, 50))
+    batches = list(assemble_batches(prefix, rows, budget))
     assert len(batches) > 1
     assert sum(n for _, n in batches) == 10
-    # every packet respects the budget (prefix excluded, as in the reference)
-    for stmt, _ in batches:
-        body = stmt.removeprefix(prefix + " ")
-        assert 10 + len(body) <= 50 or "," not in body
+    for stmt, n in batches:
+        assert 10 + len(stmt) <= budget or n == 1
     # reassembled order preserved
     joined = ", ".join(s.removeprefix(prefix + " ") for s, _ in batches)
     assert joined == ", ".join(f"({i})" for i in range(10))
@@ -79,6 +80,6 @@ def test_foreach_partition_write(spark, tmp_path):
     for p in out.iterdir():
         stmt = p.read_text()
         assert stmt.startswith("INSERT INTO `t` (`id`, `name`) VALUES ")
-        assert 10 + len(stmt.removeprefix("INSERT INTO `t` (`id`, `name`) VALUES ")) <= 200
+        assert 10 + len(stmt) <= 200  # full statement fits the budget
         rows_seen.update(int(m) for m in re.findall(r"\((\d+), ", stmt))
     assert rows_seen == set(range(100))

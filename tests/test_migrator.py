@@ -57,7 +57,7 @@ def dirs(tmp_path):
 def migrate(spark, src, tgt, **opts):
     extractor = ParquetExtractor(spark, src)
     inserter = ParquetInserter(spark, tgt)
-    options = MigrationOptions(**{"format_names": False, "parallelism": 2, **opts})
+    options = MigrationOptions(**{"format_names": False, "parallelism": 2, "all_tables": True, **opts})
     migrator = DatabaseMigrator(extractor, inserter, TypeRegistry.with_defaults(), options)
     return migrator.run(), inserter
 
@@ -104,7 +104,7 @@ def test_packet_size_abort(spark, dirs):
     extractor = ParquetExtractor(spark, src)
     inserter = ParquetInserter(spark, tgt, max_packet=1024)
     with pytest.raises(PacketSizeExceeded):
-        DatabaseMigrator(extractor, inserter, options=MigrationOptions()).run()
+        DatabaseMigrator(extractor, inserter, options=MigrationOptions(all_tables=True)).run()
 
 
 def test_nonempty_target_is_error(spark, dirs):
@@ -119,7 +119,7 @@ def test_nonempty_target_is_error(spark, dirs):
     inserter = ParquetInserter(spark, tgt)
     # no reset applies because drop/truncate resets it; simulate the guard by
     # pointing at a non-whitelisted existing table: use reset with empty list
-    migrator = DatabaseMigrator(extractor, inserter, options=MigrationOptions(format_names=False))
+    migrator = DatabaseMigrator(extractor, inserter, options=MigrationOptions(format_names=False, all_tables=True))
     migrator._reset_existing_targets = lambda tables: None  # keep rows in place
     with pytest.raises(TableAlreadyHasRows):
         migrator.run()
@@ -172,7 +172,7 @@ def test_fail_fast_reports_skipped(spark, dirs):
     inserter = ParquetInserter(spark, tgt)
     migrator = DatabaseMigrator(
         extractor, inserter,
-        options=MigrationOptions(format_names=False, parallelism=1),
+        options=MigrationOptions(format_names=False, parallelism=1, all_tables=True),
     )
     with pytest.raises(MigrationRunError, match="boom on A1") as ei:
         migrator.run()
@@ -272,7 +272,7 @@ def test_unused_override_reported(spark, dirs, caplog):
     inserter = ParquetInserter(spark, tgt)
     with caplog.at_level("WARNING"):
         DatabaseMigrator(extractor, inserter, registry,
-                         MigrationOptions(format_names=False)).run()
+                         MigrationOptions(format_names=False, all_tables=True)).run()
     assert any("ordres.id" in rec.message for rec in caplog.records)
 
 

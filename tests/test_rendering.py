@@ -128,6 +128,17 @@ def test_decode_datetimeoffset_strips_offset_to_utc():
     assert decode_datetimeoffset(days, incr, 7, -60) == "'2023-01-01 11:00:00'"
 
 
+def test_decode_datetimeoffset_carries_across_midnight():
+    """Documented divergence from the reference: the date shifts when the
+    offset subtraction crosses midnight (chrono NaiveTime would wrap and
+    keep 2023-01-01 — a wrong UTC value we deliberately correct)."""
+    days = (dt.date(2023, 1, 1) - dt.date(1, 1, 1)).days
+    half_past_midnight = (30 * 60) * 10**7
+    assert decode_datetimeoffset(days, half_past_midnight, 7, 60) == "'2022-12-31 23:30:00'"
+    late_evening = (23 * 3600 + 30 * 60) * 10**7
+    assert decode_datetimeoffset(days, late_evening, 7, -60) == "'2023-01-02 00:30:00'"
+
+
 def test_render_literal_dispatch():
     assert render_literal(None) == "NULL"
     assert render_literal(True) == "1"

@@ -93,7 +93,7 @@ def test_typezoo_end_to_end(spark, tmp_path):
     extractor = ParquetExtractor(spark, src)
     inserter = ParquetInserter(spark, tgt)
     results = DatabaseMigrator(
-        extractor, inserter, options=MigrationOptions(format_names=False)
+        extractor, inserter, options=MigrationOptions(format_names=False, all_tables=True)
     ).run()
     assert results[0].rows_migrated == 1
 
@@ -120,5 +120,5 @@ def test_unsupported_type_hard_errors(spark, tmp_path):
     with pytest.raises(MigrationRunError, match="geometry"):
         DatabaseMigrator(
             ParquetExtractor(spark, src), ParquetInserter(spark, tgt),
-            options=MigrationOptions(format_names=False),
+            options=MigrationOptions(format_names=False, all_tables=True),
         ).run()
