@@ -154,7 +154,48 @@ def q_json_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family windows in one pass: percent_rank,
+    cume_dist, nth_value, first/last_value over a running frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    running = w.rowsBetween(W.unboundedPreceding, 0)
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.nth_value("o_orderkey", 2).over(running).alias("second_key"),
+            F.first("o_orderkey").over(running).alias("first_key"),
+            F.last("o_orderkey").over(running).alias("last_key"),
+        )
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    )
+
+
+def q_string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string library: pad/trim/translate/reverse/replace/split
+    indexing — all codegen built-ins with ANSI twins."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.lpad("n_name", 15, ".").alias("padded"),
+        F.rpad("n_name", 15, "_").alias("rpadded"),
+        F.reverse(F.col("n_name")).alias("reversed"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("translated"),
+        F.replace(F.col("n_name"), F.lit("AN"), F.lit("@")).alias("replaced"),
+        F.left(F.col("n_name"), F.lit(3)).alias("first3"),
+        F.right(F.col("n_name"), F.lit(3)).alias("last3"),
+        F.length(F.trim(F.lit("  x  "))).alias("trimmed_len"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+    ).orderBy("n_nationkey")
+
+
 QUERIES = {
+    "q_window_rank_suite": q_window_rank_suite,
+    "q_string_functions2": q_string_functions2,
     "q_unpivot_metrics": q_unpivot_metrics,
     "q_multiset_ops": q_multiset_ops,
     "q_date_spine": q_date_spine,
@@ -166,6 +207,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_window_rank_suite": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               nth_value(o_orderkey, 2) OVER running AS second_key,
+               first_value(o_orderkey) OVER running AS first_key,
+               last_value(o_orderkey) OVER running AS last_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+               running AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderpriority, o_totalprice, o_orderkey
+    """,
+    "q_string_functions2": """
+        SELECT n_nationkey,
+               lpad(n_name, 15, '.') AS padded,
+               rpad(n_name, 15, '_') AS rpadded,
+               reverse(n_name) AS reversed,
+               translate(n_name, 'AEIOU', 'aeiou') AS translated,
+               replace(n_name, 'AN', '@') AS replaced,
+               left(n_name, 3) AS first3,
+               right(n_name, 3) AS last3,
+               length(trim('  x  ')) AS trimmed_len,
+               repeat('ab', 3) AS repeated
+        FROM nation
+        ORDER BY n_nationkey
+    """,
     "q_unpivot_metrics": """
         SELECT l_returnflag, metric,
                CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
