@@ -66,22 +66,31 @@ def main() -> None:
     # Warm-up: JVM, codegen, file listing (not included in timings).
     qs["q6_forecast_revenue"](spark, sf_dir).collect()
 
+    # Two timed iterations per query, report the min: damps JVM/codegen
+    # warm-up variance so run-to-run numbers are comparable.
+    ITERS = 2
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best = None
+        n = 0
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     out = {
         "metric": "headline_query_wall_time",
         "value": round(total, 3),
         "unit": "sec",
+        "iterations": ITERS,
+        "aggregation": "min_per_query",
         "queries": timings,
         "sf": sf,
         "sf_dir": sf_dir,
