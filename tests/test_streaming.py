@@ -29,6 +29,25 @@ def test_streaming_tumbling_equals_batch(spark):
     assert got == want
 
 
+def test_streaming_sliding_windows_equal_batch(spark):
+    """Sliding-window streaming aggregation (complete mode over the finite
+    source) must equal the batch twin exactly."""
+    from db_migrator_spark.operators.events import events_sliding_windows
+    from pyspark.sql import functions as F
+
+    ev = stream_events(spark, f"{SF01}/events.parquet")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+              / F.count(F.lit(1))).alias("avg_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "avg_value")
+    )
+    got = {tuple(r) for r in run_bounded(agg, "complete").collect()}
+    want = {tuple(r) for r in events_sliding_windows(spark, SF01).collect()}
+    assert got == want
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Append mode with 30-min watermark: windows emit once closed; events
     later than the watermark are dropped."""
