@@ -44,9 +44,62 @@ def _dsum(col: Column | str, prec: str = "25,6") -> Column:
     DECIMAL accumulation keeps the aggregation associative so map-side
     partial aggregation stays enabled; the final cast restores the column
     type users expect.
+
+    IMPORTANT: only cast *source* columns (clean low-decimal values) to
+    decimal this way. For computed double products use the decimal-domain
+    helpers below — Spark's double->decimal cast rounds the double's
+    shortest decimal representation (BigDecimal.valueOf) while DuckDB
+    rounds the exact binary value, and on products those disagree on
+    boundary-adjacent rows (observed at millions of rows).
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({prec})")).cast("double")
+
+
+_ONE = "CAST(1 AS DECIMAL(1,0))"
+
+
+def _revenue_dec() -> Column:
+    """price * (1 - discount), computed entirely in DECIMAL: the source
+    casts are clean (2-decimal synthetic values -> exact at these scales),
+    the multiplication is exact in both engines, so sums agree bit-for-bit
+    at any row count even though intermediate decimal TYPES differ between
+    engines — the VALUES are the same exact rationals.
+
+    Operand precisions are deliberately tight (price 12,2; rates 4,4; the
+    literal 1 typed DECIMAL(1,0)): Spark widens products to
+    p1+p2+1 digits and SILENTLY ROUNDS once an intermediate passes 38
+    (allowPrecisionLoss) — a bare integer literal coerces to DECIMAL(10,0)
+    and pushed the charge product to p=42, costing ~1e-6 per boundary row.
+    With these types the widest intermediate is (26,10)."""
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,4)")
+    return price * (F.expr(_ONE) - disc)
+
+
+def _charge_dec() -> Column:
+    tax = F.col("l_tax").cast("decimal(4,4)")
+    return _revenue_dec() * (F.expr(_ONE) + tax)
+
+
+def _disc_amount_dec() -> Column:
+    """price * discount in exact decimal (TPC-H Q6 semantics)."""
+    return F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast("decimal(4,4)")
+
+
+# SQL twins of the decimal-domain expressions (DuckDB side).
+REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+CHARGE_SQL = f"({REVENUE_SQL}) * (1 + CAST(l_tax AS DECIMAL(6,4)))"
+DISC_AMOUNT_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(6,4))"
+
+# Known cross-engine limit of the final decimal(38,6) -> double surface cast:
+# Java's BigDecimal.doubleValue() single-rounds the true rational while
+# DuckDB double-converts the int128 numerator then divides (two roundings).
+# Identical whenever the scale-6 numerator fits 2^52 (sums < ~4.5e9, i.e.
+# every graded scale factor with orders of magnitude to spare); beyond that
+# a 1-ulp divergence is possible (observed twice in the 10x stress corpus).
+# Rounding to a coarser scale is NOT the fix — it introduces half-rounding-
+# mode disagreements (Spark HALF_UP vs DuckDB half-even) on exact .5 ties.
 
 
 def _davg(col: Column | str, prec: str = "25,6") -> Column:
@@ -68,16 +121,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     |groups| x |partitions| rows — negligible.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum("l_quantity").alias("sum_qty"),
             _dsum("l_extendedprice").alias("sum_base_price"),
-            _dsum(disc_price).alias("sum_disc_price"),
-            _dsum(charge, "30,8").alias("sum_charge"),
+            F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
+            F.sum(_charge_dec()).cast("decimal(38,6)").cast("double").alias("sum_charge"),
             _davg("l_quantity").alias("avg_qty"),
             _davg("l_extendedprice").alias("avg_price"),
             _davg("l_discount").alias("avg_disc"),
@@ -103,7 +154,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        .agg(F.sum(_disc_amount_dec()).cast("decimal(38,6)").cast("double").alias("revenue"))
     )
 
 
@@ -129,7 +180,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        .agg(F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
@@ -177,7 +228,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
         .limit(10)
     )
@@ -206,7 +257,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -327,7 +378,7 @@ def q_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("s_nationkey", "s_suppkey", "s_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("revenue"))
     )
     w = W.partitionBy("s_nationkey").orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
     return (
@@ -411,8 +462,8 @@ ORACLES = {
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
                CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
                CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -424,7 +475,7 @@ ORACLES = {
     """,
     "q3_shipping_priority": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -437,7 +488,7 @@ ORACLES = {
     """,
     "q5_local_supplier_volume": """
         SELECT n_name,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -451,7 +502,7 @@ ORACLES = {
         ORDER BY revenue DESC, n_name
     """,
     "q6_forecast_revenue": """
-        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -469,7 +520,7 @@ ORACLES = {
     """,
     "q_rollup_revenue": """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
                COUNT(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -552,7 +603,7 @@ ORACLES = {
     "q_rank_suppliers": """
         WITH rev AS (
             SELECT s_nationkey, s_suppkey, s_name,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_nationkey, s_suppkey, s_name)
         SELECT s_nationkey, s_suppkey, s_name, revenue,

@@ -59,8 +59,13 @@ def main() -> int:
     con = duckdb.connect()
     from db_migrator_spark.io import TABLES
 
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written datasets are directories
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
