@@ -23,7 +23,6 @@ handles comfortably.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window as W
 
 from ..io import load_table
 
@@ -42,9 +41,11 @@ LSH_BANDS = 4  # bands of r = K/BANDS rows each
 MAX_BAND_BUCKET = 64
 
 
-def _cap_buckets(buckets: DataFrame, keys: list[str]) -> DataFrame:
+def _cap_buckets(buckets: DataFrame, keys: list[str], max_size: int = MAX_BAND_BUCKET) -> DataFrame:
+    """Drop candidate buckets larger than ``max_size`` — shared guard for
+    every group-then-pair operator (minhash/simhash bands, LSH tables)."""
     hot = (
-        buckets.groupBy(*keys).count().filter(F.col("count") > MAX_BAND_BUCKET).select(*keys)
+        buckets.groupBy(*keys).count().filter(F.col("count") > max_size).select(*keys)
     )
     return buckets.join(F.broadcast(hot), keys, "left_anti")
 
@@ -361,13 +362,20 @@ ORACLES = {
         GROUP BY md5(text)
         ORDER BY keep_doc_id
     """,
-    "dedup_ngram_jaccard": """
+    # NOTE: the oracle applies the SAME MAX_SHINGLE_DF frequency cap the
+    # Spark side does (kept CTE) so parity holds even on corpora where a
+    # shingle is shared by >MAX_SHINGLE_DF docs.
+    "dedup_ngram_jaccard": f"""
         WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
                        WHERE len(string_split(text, ' ')) >= 3),
         sh0 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
                 FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
                       FROM words)),
-        sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        sh_all AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        kept AS (SELECT shingle FROM sh_all GROUP BY shingle
+                 HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+        sh AS (SELECT sh_all.doc_id, sh_all.shingle
+               FROM sh_all JOIN kept ON sh_all.shingle = kept.shingle),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -20,13 +20,16 @@ from ..io import load_table
 
 def _delta(orders: DataFrame) -> DataFrame:
     """Deterministic change set: updates for orderkey % 100 == 0 (price
-    +10%), inserts with keys above the current max."""
+    +10%), inserts with keys strictly above the current max (offset by the
+    actual MAX(o_orderkey), not a constant, so synthetic inserts can never
+    collide with real keys at any scale factor)."""
+    max_key = orders.agg(F.max("o_orderkey")).first()[0] or 0
     updates = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
         "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
     )
     inserts = (
         orders.filter(F.col("o_orderkey") % 100 == 7)
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(max_key) + 1)
         .withColumn("o_orderstatus", F.lit("N"))
     )
     return updates.unionByName(inserts)
@@ -82,7 +85,8 @@ _DELTA_SQL = """
                o_orderdate, o_orderpriority
         FROM orders WHERE o_orderkey % 100 = 0
         UNION ALL
-        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+        SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders) + 1,
+               o_custkey, 'N', o_totalprice,
                o_orderdate, o_orderpriority
         FROM orders WHERE o_orderkey % 100 = 7)
 """

@@ -87,11 +87,6 @@ def _disc_amount_dec() -> Column:
     return F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast("decimal(4,4)")
 
 
-# SQL twins of the decimal-domain expressions (DuckDB side).
-REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
-CHARGE_SQL = f"({REVENUE_SQL}) * (1 + CAST(l_tax AS DECIMAL(6,4)))"
-DISC_AMOUNT_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(6,4))"
-
 # Known cross-engine limit of the final decimal(38,6) -> double surface cast:
 # Java's BigDecimal.doubleValue() single-rounds the true rational while
 # DuckDB double-converts the int128 numerator then divides (two roundings).

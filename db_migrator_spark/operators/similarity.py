@@ -130,17 +130,13 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed = signs.reshape(len(mat), LSH_TABLES, n_planes) @ weights  # (batch, T)
         return pd.Series(list(packed.astype(np.int64)))
 
+    from .dedup import _cap_buckets
+
     bucketed = (
         emb.select("vec_id", "embedding", F.posexplode(bucket_keys("embedding")))
         .withColumnsRenamed({"pos": "t", "col": "bucket"})
     )
-    hot = (
-        bucketed.groupBy("t", "bucket")
-        .count()
-        .filter(F.col("count") > MAX_LSH_BUCKET)
-        .select("t", "bucket")
-    )
-    bucketed = bucketed.join(F.broadcast(hot), ["t", "bucket"], "left_anti")
+    bucketed = _cap_buckets(bucketed, ["t", "bucket"], MAX_LSH_BUCKET)
     l, r = bucketed.alias("l"), bucketed.alias("r")
     cand = (
         l.join(

@@ -32,11 +32,13 @@ def start_exactly_once_parquet_sink(
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             batch_df.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
+            # writer-level option, NOT a session conf: mutating the shared
+            # session's partitionOverwriteMode would change unrelated
+            # writers' overwrite semantics behind their backs
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(path)
         )

@@ -57,8 +57,14 @@ RAW_SCHEMA = T.StructType(
 
 
 def decode_ts(df: DataFrame) -> DataFrame:
-    """ns-since-epoch bigint -> microsecond timestamp (same truncation as
-    the batch loader / DuckDB cast)."""
+    """ns-since-epoch bigint -> microsecond TimestampType.
+
+    NOT timestamp_ntz like the batch loader: Spark watermarks/session
+    windows require TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    otherwise). Stream/batch result parity therefore relies on the session
+    timezone being UTC — ``configure()`` pins it (and the driver-contract
+    wrapper always calls configure), making LTZ wall times equal NTZ ones.
+    """
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp"))
 
 
@@ -191,7 +197,11 @@ def run_bounded(df: DataFrame, output_mode: str = "complete") -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    # Materialize and drop the memory-sink view: otherwise every bounded
+    # run leaks a full result set in driver memory for the session's life.
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
