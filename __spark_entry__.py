@@ -40,6 +40,29 @@ _MODULES = [
     "db_migrator_spark.streaming.joins",
 ]
 
+# Queries with a green CORRECTNESS_r01 row (the external driver checks the
+# FIRST 50 registered queries per round). Everything NOT in this set —
+# r1-unchecked, r1-red (since fixed), and newly added queries — registers
+# first so each query accumulates driver-side evidence across rounds.
+_R1_DRIVER_GREEN = frozenset({
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q_distinct_aggregates", "q_rollup_revenue",
+    "q_cube_quantity", "q_pivot_status", "q_semi_join", "q_anti_join",
+    "q_outer_join_coalesce", "q_broadcast_dim_join",
+    "q_topk_orders_per_customer", "q_running_total", "q_lag_price_delta",
+    "q_rank_suppliers", "q_global_topk", "q_set_ops_nations",
+    "q_union_accounts", "q_asof_join_latest_order", "q_range_band_join",
+    "q_grouping_sets", "q_min_per_group_filter", "q_percentiles", "q_arg_max",
+    "q_scalar_functions", "q_approx_distinct", "q_sql_exists_subquery",
+    "q_window_rank_suite", "q_string_functions2", "q_unpivot_metrics",
+    "q_multiset_ops", "q_date_spine", "q_string_agg", "q_range_frame_window",
+    "q_systematic_sample", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "text_stats",
+    "text_language_id", "text_fingerprint", "text_token_count",
+    "text_quality_filter", "dedup_filtered_corpus",
+    "similarity_topk_bruteforce",
+})
+
 
 def _collect() -> tuple[dict, dict]:
     import importlib
@@ -53,7 +76,9 @@ def _collect() -> tuple[dict, dict]:
             continue
         qs.update(getattr(mod, "QUERIES", {}))
         os_.update(getattr(mod, "ORACLES", {}))
-    return qs, os_
+    ordered = {k: qs[k] for k in qs if k not in _R1_DRIVER_GREEN}
+    ordered.update({k: qs[k] for k in qs if k in _R1_DRIVER_GREEN})
+    return ordered, os_
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -283,8 +283,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever sees the per-round convergence count — the classic scalable CC
     formulation (no union-find on the driver).
 
-    Rows-only check (iterative, not SQL-expressible); exactness vs a
-    driver-side union-find on the same edges is pinned in tests.
+    Oracle-checked: the DuckDB twin computes the same components with a
+    recursive transitive-closure CTE (viable at oracle scale; the Spark
+    side stays iterative because closure is quadratic in component size).
+    Exactness vs a driver-side union-find is additionally pinned in tests.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
     # localCheckpoint truncates lineage: without it every iteration replans
@@ -333,12 +335,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "longer than the bound exists; returned components may be split.",
             changed,
         )
+    # ``members`` is a sorted CSV string, not array<bigint>: scalar columns
+    # survive any downstream canonicalizer/sorter (arrays numpy-ify into
+    # unhashable cells), and the rendering is deterministic either way.
     return (
         labels.groupBy("label")
         .agg(F.collect_set("node").alias("members"), F.count(F.lit(1)).alias("size"))
         .select(
             F.col("label").alias("cluster_id"),
-            F.array_sort("members").alias("members"),
+            F.array_join(
+                F.transform(F.array_sort("members"), lambda x: x.cast("string")), ","
+            ).alias("members"),
             "size",
         )
         .orderBy("cluster_id")
@@ -353,6 +360,23 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
 }
 
+# Shared CTE chain: shingle inverted index -> per-doc sizes -> shared-shingle
+# pair counts (the exact-Jaccard building blocks, mirroring _shingle_index).
+_JACCARD_CTES = f"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+        sh0 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+                      FROM words)),
+        sh_all AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        kept AS (SELECT shingle FROM sh_all GROUP BY shingle
+                 HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+        sh AS (SELECT sh_all.doc_id, sh_all.shingle
+               FROM sh_all JOIN kept ON sh_all.shingle = kept.shingle),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)"""
+
 ORACLES = {
     "dedup_exact": """
         SELECT md5(text) AS content_hash,
@@ -366,25 +390,41 @@ ORACLES = {
     # Spark side does (kept CTE) so parity holds even on corpora where a
     # shingle is shared by >MAX_SHINGLE_DF docs.
     "dedup_ngram_jaccard": f"""
-        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-                       WHERE len(string_split(text, ' ')) >= 3),
-        sh0 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-                FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
-                      FROM words)),
-        sh_all AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-        kept AS (SELECT shingle FROM sh_all GROUP BY shingle
-                 HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
-        sh AS (SELECT sh_all.doc_id, sh_all.shingle
-               FROM sh_all JOIN kept ON sh_all.shingle = kept.shingle),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
+        WITH {_JACCARD_CTES}
         SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
         FROM shared
         JOIN sizes s1 ON d1 = s1.doc_id
         JOIN sizes s2 ON d2 = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.2
         ORDER BY d1, d2
+    """,
+    # Connected components as a recursive transitive-closure CTE: reach(n, r)
+    # = "r reaches n"; the component label is min(r). Closure is fine at
+    # oracle scale (clusters are tiny); Spark's iterative label propagation
+    # is the form that scales.
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        pairs AS (
+            SELECT d1, d2
+            FROM shared
+            JOIN sizes s1 ON d1 = s1.doc_id
+            JOIN sizes s2 ON d2 = s2.doc_id
+            WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.2),
+        edges AS (SELECT d1, d2 FROM pairs
+                  UNION ALL
+                  SELECT d2 AS d1, d1 AS d2 FROM pairs),
+        nodes AS (SELECT DISTINCT d1 AS node FROM edges),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.d2 AS node, reach.r
+            FROM reach JOIN edges e ON e.d1 = reach.node),
+        labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+        SELECT label AS cluster_id,
+               string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members,
+               COUNT(*) AS size
+        FROM labels
+        GROUP BY label
+        ORDER BY cluster_id
     """,
 }

@@ -78,7 +78,12 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
     sess = (
         ev.withColumn("is_new", is_new)
-        .withColumn("session_id", F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn(
+            "session_id",
+            # pinned to long on BOTH sides (oracle casts its HUGEINT window
+            # sum to BIGINT) so the driver canonicalizer renders identically
+            F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+        )
     )
     return (
         sess.groupBy("user_id", "session_id")
@@ -224,9 +229,9 @@ ORACLES = {
         g AS (SELECT *, epoch_us(ts) - LAG(epoch_us(ts)) OVER
                            (PARTITION BY user_id ORDER BY ts, event_id) AS gap
               FROM e),
-        s AS (SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        s AS (SELECT *, CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
                            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM g)
         SELECT user_id, session_id,
                MIN(ts) AS session_start,

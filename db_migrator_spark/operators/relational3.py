@@ -111,11 +111,54 @@ def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) price quartiles (fully tie-broken ordering for
-    determinism) + per-bucket aggregates."""
+    determinism) + per-bucket aggregates.
+
+    Scale-safe: a bare ``ntile().over(Window.orderBy(...))`` funnels the
+    whole table through ONE task. Instead, global rank is computed the
+    distributed way — range-repartition on the sort key, per-partition
+    ``row_number`` (window partitioned by ``spark_partition_id``), then add
+    each partition's cumulative row offset (a #partitions-row frame,
+    broadcast) — and the NTILE bucket follows in closed form from
+    (rank, n): the first ``n % 4`` buckets hold ``n//4 + 1`` rows, the
+    rest ``n//4``. Every stage is parallel; the only single-task window
+    runs over 32 partition-count rows.
+
+    ``localCheckpoint`` pins the sampled range boundaries so the
+    offsets branch and the rank branch see identical partitioning (on a
+    cluster: ``checkpoint`` to reliable storage).
+    """
     orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    parts = (
+        orders.select("o_totalprice", "o_orderkey")
+        .repartitionByRange(32, "o_totalprice", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # cumulative offsets + total: a window over #partitions rows (tiny)
+    prior = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    everything = W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(prior), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(everything).alias("n_total"),
+    )
+    wp = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        parts.withColumn("rn_in", F.row_number().over(wp))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rn", F.col("rn_in") + F.col("offset"))
+    )
+    base = F.floor(F.col("n_total") / 4)
+    rem = F.col("n_total") % 4
+    big = rem * (base + 1)  # rows living in the (base+1)-sized leading buckets
+    quartile = (
+        F.when(F.col("rn") <= big, F.floor((F.col("rn") - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((F.col("rn") - big - 1) / base) + 1)
+        .cast("int")
+    )
     return (
-        orders.withColumn("quartile", F.ntile(4).over(w))
+        ranked.withColumn("quartile", quartile)
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -147,7 +190,9 @@ def q_json_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_high_k"),
-            F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_high_value"),
+            # pinned to long on BOTH sides: DuckDB SUM(int) yields HUGEINT,
+            # which pandas-renders differently from Spark's bigint
+            F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).cast("long").alias("n_high_value"),
             F.max("k").alias("max_k"),
         )
         .orderBy("event_type")
@@ -313,7 +358,7 @@ ORACLES = {
     "q_json_filter_agg": """
         SELECT event_type,
                COUNT(*) AS n_high_k,
-               SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high_value,
+               CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
                MAX(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS max_k
         FROM events
         WHERE CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) > 50

@@ -29,9 +29,13 @@ def test_clusters_equal_union_find(spark):
 
     pairs = [(r.d1, r.d2) for r in dedup_ngram_jaccard(spark, SF).collect()]
     want = union_find(pairs)
-    got = {frozenset(r.members) for r in dedup_clusters(spark, SF).collect()}
+    rows = dedup_clusters(spark, SF).collect()
+    # members is a sorted CSV string (driver-canonicalizer-safe form)
+    parsed = [(r.cluster_id, [int(x) for x in r.members.split(",")], r.size) for r in rows]
+    got = {frozenset(m) for _, m, _ in parsed}
     assert got == want
-    # cluster_id is the minimum member (canonical doc)
-    for r in dedup_clusters(spark, SF).collect():
-        assert r.cluster_id == min(r.members)
-        assert r.size == len(r.members)
+    # cluster_id is the minimum member (canonical doc); members sorted
+    for cid, members, size in parsed:
+        assert cid == min(members)
+        assert size == len(members)
+        assert members == sorted(members)
