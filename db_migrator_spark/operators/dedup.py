@@ -26,19 +26,30 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..io import load_table
 
-# Shingles occurring in more than this many docs carry no signal and only
-# explode the pair join; dropped before pairing (tuned for fixture scale —
-# raise proportionally with corpus size).
-MAX_SHINGLE_DF = 1000
+# Every "group then pair" operator needs a cap because within-group pairing
+# is QUADRATIC in group size. The caps are derived from per-group pair
+# budgets, not tuned per fixture — and deliberately do NOT grow with corpus
+# size: a cap proportional to |docs| would make the worst-case join output
+# grow as |docs|^2 (each hot key emits cap^2 pairs). What grows with the
+# corpus is the NUMBER of groups, which parallelizes; the per-group budget
+# is what bounds a single task. Measured sweep: docs/SCALING.md §"Dedup cap
+# sweep at 10x".
+
+# A shingle shared by > MAX_SHINGLE_DF docs is boilerplate (carries no
+# near-dup signal) AND would emit up to df^2/2 candidate pairs from one
+# join key. Budget: ~0.5M pairs per shingle -> df cap sqrt(2 * budget).
+SHINGLE_PAIR_BUDGET = 500_000
+MAX_SHINGLE_DF = int((2 * SHINGLE_PAIR_BUDGET) ** 0.5)  # = 1000
 
 MINHASH_K = 16  # signature length
 LSH_BANDS = 4  # bands of r = K/BANDS rows each
 
 # Band buckets above this size are excluded from pairwise candidate
-# generation: within-bucket pairing is quadratic in bucket size, and a
-# giant bucket = a cluster of (near-)identical docs, which exact dedup
-# already collapses (see docs/SCALING.md for the measured blowup).
-MAX_BAND_BUCKET = 64
+# generation: a giant bucket = a cluster of (near-)identical docs, which
+# exact dedup already collapses (see docs/SCALING.md for the measured
+# blowup). Budget: ~2k pairs per bucket -> bucket cap sqrt(2 * budget).
+BUCKET_PAIR_BUDGET = 2_048
+MAX_BAND_BUCKET = int((2 * BUCKET_PAIR_BUDGET) ** 0.5)  # = 64
 
 
 def _cap_buckets(buckets: DataFrame, keys: list[str], max_size: int = MAX_BAND_BUCKET) -> DataFrame:

@@ -38,8 +38,11 @@ LSH_PLANES_PER_TABLE = 6
 # bucket means near-identical vectors (pairs grow quadratically in bucket
 # size — measured 4s -> 102s on a corpus with 10x duplicated vectors), and
 # that degenerate case belongs to exact dedup (dedup_exact on content /
-# identical bucket keys across ALL tables), not pairwise LSH.
-MAX_LSH_BUCKET = 64
+# identical bucket keys across ALL tables), not pairwise LSH. Derived from
+# a per-bucket pair budget (see operators/dedup.py cap rationale); a cap
+# that grew with corpus size would re-open the quadratic blowup.
+LSH_PAIR_BUDGET = 2_048
+MAX_LSH_BUCKET = int((2 * LSH_PAIR_BUDGET) ** 0.5)  # = 64
 _SEED = 42
 
 

@@ -4,14 +4,22 @@ The query-time scale path for ANN: partition the corpus into K coarse
 cells (KMeans centroids), store each vector under its cell (the "inverted
 file"), and at query time score only the ``nprobe`` cells whose centroids
 are closest to the query — scanning nprobe/K of the corpus instead of all
-of it. Classic IVF-Flat (as in FAISS), built from public Spark parts:
+of it. Classic IVF-Flat (as in FAISS), built from public Spark parts,
+split the way a production index is:
 
-- index build: ``pyspark.ml.clustering.KMeans`` (seeded, deterministic)
-  + a cell-id column — at 100 TB the index is a cell-partitioned parquet
-  dataset (``write_partitioned(..., ["cell"])``) so a probe prunes cell
-  directories before any IO;
-- query: centroid ranking is driver-side numpy over K×dim (tiny), then a
-  Catalyst in-filter on the cell column + exact cosine + top-k.
+- **offline build** (``write_ivf_index``): KMeans is trained on a bounded
+  sample (never the full corpus), every vector is assigned a cell, and the
+  corpus is persisted as a *cell-partitioned parquet dataset*
+  (``sinks/layout.write_partitioned``) plus a K-row centroid sidecar;
+- **online query** (``ivf_query_index``): centroid ranking is driver-side
+  numpy over K x dim (tiny), then the cells dataset is read with an
+  ``IN``-filter on the partition column — Spark prunes the non-probed cell
+  *directories* before any IO (asserted in tests/test_ivf.py).
+
+``similarity_ivf_topk`` (the driver-contract entry) builds the index once
+per corpus into a cache directory and runs the online path — repeated
+queries pay only the pruned read, exactly the offline/online split a
+100 TB deployment uses.
 
 Approximate by construction -> rows-only driver check; recall@10 vs the
 brute-force oracle is pinned in tests/test_ivf.py.
@@ -19,26 +27,42 @@ brute-force oracle is pinned in tests/test_ivf.py.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
+from ..sinks.layout import write_partitioned
 from .similarity import _cosine
 
 IVF_CELLS = 16
 NPROBE = 4
 _SEED = 42
+# KMeans trains on at most this many sampled vectors: centroid quality
+# saturates long before the full corpus, and the full fit would be an
+# iterative all-data scan per KMeans round.
+TRAIN_SAMPLE_MAX = 100_000
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray]:
-    """(corpus with cell assignments, centroid matrix K x dim)."""
+    """(corpus with cell assignments, centroid matrix K x dim).
+
+    In-memory form of the index; ``write_ivf_index`` persists it. KMeans
+    fits on a seeded bounded sample; assignment (``model.transform``) is
+    the only full-corpus pass, and it is a single map-side pass.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
-    model = KMeans(k=IVF_CELLS, seed=_SEED, featuresCol="features", predictionCol="cell").fit(vecs)
+    n = vecs.count()  # parquet-footer metadata read, not a data scan
+    train = vecs if n <= TRAIN_SAMPLE_MAX else vecs.sample(TRAIN_SAMPLE_MAX / n, seed=_SEED)
+    model = KMeans(k=IVF_CELLS, seed=_SEED, featuresCol="features", predictionCol="cell").fit(train)
     indexed = model.transform(vecs).select("vec_id", "embedding", "label", "cell")
     centroids = np.array(
         [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
@@ -46,37 +70,71 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.nda
     return indexed, centroids
 
 
-def ivf_query(
-    indexed: DataFrame,
-    centroids: np.ndarray,
+def write_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Offline index build: cell-partitioned corpus + K-row centroid sidecar.
+
+    The cells dataset goes through ``write_partitioned`` so each cell is a
+    parquet directory (pruned at query time); centroids are a K x dim
+    parquet small enough to read driver-side in one shot.
+    """
+    indexed, centroids = build_ivf_index(spark, sf_dir)
+    write_partitioned(indexed, os.path.join(index_path, "cells"), ["cell"])
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+
+
+def ivf_query_index(
+    spark: SparkSession,
+    index_path: str,
     query_vec: list[float],
     k: int = 10,
     nprobe: int = NPROBE,
 ) -> DataFrame:
-    """Top-k cosine neighbors probing only the nprobe nearest cells."""
+    """Top-k cosine neighbors from a persisted index, probing nprobe cells.
+
+    The ``cell IN (...)`` filter lands on the dataset's partition column,
+    so Spark enumerates only the probed cell directories (PartitionFilters
+    in the scan node) — IO scales with nprobe/K of the corpus.
+    """
     q = np.asarray(query_vec, dtype=np.float64)
-    # rank cells by centroid cosine (K x dim — driver-side, microseconds)
+    cent_rows = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
+    centroids = np.zeros((len(cent_rows), len(q)))
+    for r in cent_rows:
+        centroids[r.cell] = r.centroid
     sims = centroids @ q / (np.linalg.norm(centroids, axis=1) * np.linalg.norm(q) + 1e-30)
     probe_cells = [int(c) for c in np.argsort(-sims)[:nprobe]]
     qcol = F.array(*[F.lit(float(x)) for x in q])
+    cells = spark.read.parquet(os.path.join(index_path, "cells"))
     return (
-        indexed.filter(F.col("cell").isin(probe_cells))
+        cells.filter(F.col("cell").isin(probe_cells))
         .select("vec_id", "cell", _cosine(F.col("embedding"), qcol).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
 
 
+def _index_cache_path(sf_dir: str, n_rows: int) -> str:
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_rows}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"db_migrator_spark_ivf_{key}")
+
+
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract entry: IVF ANN top-10 for the vec_id=0 query."""
-    indexed, centroids = build_ivf_index(spark, sf_dir)
-    query = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .first()[0]
-    )
-    return ivf_query(indexed, centroids, [float(x) for x in query])
+    """Driver-contract entry: IVF ANN top-10 for the vec_id=0 query.
+
+    Builds the persisted index once per (corpus path, row count) into a
+    cache directory; every invocation after the first runs only the online
+    pruned-read query path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    path = _index_cache_path(sf_dir, n)
+    if not os.path.exists(os.path.join(path, "centroids")):
+        write_ivf_index(spark, sf_dir, path)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_query_index(spark, path, [float(x) for x in query])
 
 
 QUERIES = {"similarity_ivf_topk": similarity_ivf_topk}

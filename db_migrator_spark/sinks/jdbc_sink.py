@@ -75,13 +75,22 @@ class MySqlJdbcInserter:
         jvm = self.spark._jvm
         conn = jvm.java.sql.DriverManager.getConnection(self.url, self.user, self.password)
         try:
-            rs = conn.createStatement().executeQuery(sql)
-            return rs.getLong(1) if rs.next() else None
+            stmt = conn.createStatement()
+            try:
+                rs = stmt.executeQuery(sql)
+                try:
+                    return rs.getLong(1) if rs.next() else None
+                finally:
+                    rs.close()
+            finally:
+                stmt.close()
         finally:
             conn.close()
 
     # -- Inserter protocol --------------------------------------------------
     def list_tables(self) -> list[str]:
+        from ..common.sqlgen import escape_sql_string
+
         df = (
             self.spark.read.format("jdbc")
             .option("url", self.url).option("user", self.user)
@@ -89,16 +98,19 @@ class MySqlJdbcInserter:
             .option(
                 "dbtable",
                 f"(SELECT TABLE_NAME FROM information_schema.tables "
-                f"WHERE TABLE_SCHEMA = '{self.database}') q",
+                f"WHERE TABLE_SCHEMA = '{escape_sql_string(self.database)}') q",
             )
             .load()
         )
         return [r[0] for r in df.collect()]
 
     def table_exists(self, table: str) -> bool:
+        from ..common.sqlgen import escape_sql_string
+
         n = self._query_scalar(
             "SELECT COUNT(*) FROM information_schema.tables "
-            f"WHERE TABLE_SCHEMA = '{self.database}' AND TABLE_NAME = '{table}'"
+            f"WHERE TABLE_SCHEMA = '{escape_sql_string(self.database)}'"
+            f" AND TABLE_NAME = '{escape_sql_string(table)}'"
         )
         return bool(n)
 

@@ -112,13 +112,16 @@ class MssqlJdbcExtractor:
         ]
 
     def read_table(self, table: str) -> DataFrame:
-        reader = self._reader(f"[{table.replace(']', ']]')}]")
+        safe_table = table.replace("]", "]]")
+        reader = self._reader(f"[{safe_table}]")
         pcol = self.partition_columns.get(table)
         if pcol:
             # Bounds queried once; Spark issues num_partitions range-sliced
-            # SELECTs in parallel.
+            # SELECTs in parallel. Identifiers escaped like the main read —
+            # catalog metadata is data, not trusted SQL text.
+            safe_pcol = pcol.replace("]", "]]")
             bounds = self._reader(
-                f"(SELECT MIN([{pcol}]) lo, MAX([{pcol}]) hi FROM [{table}]) q"
+                f"(SELECT MIN([{safe_pcol}]) lo, MAX([{safe_pcol}]) hi FROM [{safe_table}]) q"
             ).load().collect()[0]
             if bounds["lo"] is not None:
                 reader = (

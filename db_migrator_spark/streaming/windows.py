@@ -222,12 +222,45 @@ def streaming_user_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "milestone")
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: streaming exact dedup over a stream that
+    replays the fixture TWICE (two hardlinked files -> two micro-batches;
+    the second batch is 100% duplicates). Every duplicate is either matched
+    against in-state ids (within the watermark horizon) or dropped as
+    late data (behind it), so the output equals exactly one copy — which
+    is the SQL oracle."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    replay = os.path.join(
+        tempfile.gettempdir(),
+        f"db_migrator_spark_dedup_stream_{abs(hash(os.path.abspath(sf_dir)))}",
+    )
+    if not os.path.isdir(replay):
+        os.makedirs(replay, exist_ok=True)
+        for name in ("copy1.parquet", "copy2.parquet"):
+            dst = os.path.join(replay, name)
+            if not os.path.exists(dst):
+                os.link(src, dst)
+    ev = stream_events(spark, replay)
+    out = run_bounded(dedup_stream(ev), "append")
+    return out.orderBy("event_id")
+
+
 QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "streaming_user_milestones": streaming_user_milestones,
+    "streaming_dedup_events": streaming_dedup_events,
 }
 
 ORACLES = {
+    "streaming_dedup_events": """
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+               value, props
+        FROM events
+        ORDER BY event_id
+    """,
     "streaming_tumbling_hourly": """
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
                event_type,

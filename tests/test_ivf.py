@@ -31,3 +31,27 @@ def test_ivf_scans_subset(spark):
         indexed.filter(F.col("cell").isin(list(range(NPROBE)))).count()
     )
     assert probed < total  # probing genuinely subsets the corpus
+
+
+def test_ivf_online_query_prunes_cell_directories(spark, tmp_path):
+    """The persisted-index query path must hit the cells dataset with a
+    partition filter (directory pruning), not a full scan + row filter."""
+    from db_migrator_spark.operators.similarity_ivf import (
+        ivf_query_index,
+        write_ivf_index,
+    )
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.plans import plan_string
+
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(spark, SF, idx)
+    q = load_table(spark, SF, "embeddings").filter(F.col("vec_id") == 0).first().embedding
+    df = ivf_query_index(spark, idx, [float(x) for x in q])
+    plan = plan_string(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    # and the index really is laid out as one directory per cell
+    dirs = [d for d in __import__("os").listdir(f"{idx}/cells") if d.startswith("cell=")]
+    assert len(dirs) > 1

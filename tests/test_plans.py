@@ -82,6 +82,22 @@ def test_similarity_topk_is_broadcast_and_topk(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ntile_rewrite_is_distributed(spark):
+    """q_ntile_buckets must never funnel the table through one task: no
+    global NTILE window; the per-row rank window is partitioned (its
+    windowspec leads with a partition column, not an ORDER key)."""
+    import re
+
+    from db_migrator_spark.operators.relational3 import q_ntile_buckets
+
+    plan = plan_string(q_ntile_buckets(spark, SF))
+    assert "ntile(" not in plan
+    m = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert m, plan
+    first_arg = m.group(1).split(",")[0]
+    assert "ASC" not in first_arg and "DESC" not in first_arg, m.group(1)
+
+
 def test_approx_distinct_accuracy(spark):
     from db_migrator_spark.operators.relational2 import q_approx_distinct
     from db_migrator_spark.operators.relational import q_distinct_aggregates
