@@ -27,6 +27,8 @@ _MODULES = [
     "db_migrator_spark.operators.relational",
     "db_migrator_spark.operators.relational2",
     "db_migrator_spark.operators.relational3",
+    "db_migrator_spark.operators.relational4",
+    "db_migrator_spark.operators.bucketed",
     "db_migrator_spark.operators.dedup",
     "db_migrator_spark.operators.text",
     "db_migrator_spark.operators.similarity",
@@ -38,6 +40,7 @@ _MODULES = [
     "db_migrator_spark.migrate.queries",
     "db_migrator_spark.streaming.windows",
     "db_migrator_spark.streaming.joins",
+    "db_migrator_spark.streaming.foreach_batch",
 ]
 
 # Queries with a green CORRECTNESS_r01 row (the external driver checks the

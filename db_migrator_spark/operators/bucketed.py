@@ -1,0 +1,98 @@
+"""Bucketed-table co-located joins: the shuffle-free fact-to-fact join.
+
+At 100 TB the dominant cost of a fact-to-fact join (orders x lineitem) is
+the shuffle that hash-partitions both sides on the join key. Bucketing
+pays that shuffle ONCE at write time: ``bucketBy(N, key)`` +
+``sortBy(key)`` + ``saveAsTable`` persists each side pre-partitioned and
+pre-sorted, and every subsequent join on the bucket key compiles to a
+SortMergeJoin with NO Exchange on either side (asserted in
+tests/test_bucketed.py). This is Spark's native answer to co-located
+storage — the analytic equivalent of the reference keeping PK order
+end-to-end through its pipeline (src/migrate/table_migrator.rs:43-114
+moves tables whole; here the layout is chosen FOR the query).
+
+The bucket count is fixed at table-creation time: pick it for the target
+cluster (tasks-per-join-stage = bucket count), and keep both sides of a
+co-located join at the same count (or integer multiples, which Spark can
+coalesce).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from .relational import _revenue_dec
+
+N_BUCKETS = 8
+
+
+def _table_names(sf_dir: str) -> tuple[str, str]:
+    """Catalog names are per-corpus: one session may touch several scale
+    factors, and a global name would silently serve the wrong table."""
+    key = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_").replace("-", "_")
+    return (f"db_migrator_bucketed_orders_{key}", f"db_migrator_bucketed_lineitem_{key}")
+
+
+def create_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
+    """One-time layout step: persist orders + lineitem bucketed AND sorted
+    on the join key. The write shuffles each table once; every later join
+    on o_orderkey/l_orderkey is exchange-free."""
+    key = os.path.basename(os.path.abspath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"db_migrator_spark_buckets_{key}")
+    orders_tbl, lineitem_tbl = _table_names(sf_dir)
+    for table, name, col in (
+        ("orders", orders_tbl, "o_orderkey"),
+        ("lineitem", lineitem_tbl, "l_orderkey"),
+    ):
+        if spark.catalog.tableExists(name):
+            continue
+        (
+            load_table(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(N_BUCKETS, col)
+            .sortBy(col)
+            .saveAsTable(name)
+        )
+
+
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue over the bucketed orders x lineitem join.
+
+    ``hint("merge")`` pins SortMergeJoin (so AQE's broadcast choice at toy
+    scale doesn't mask the point); the bucketed layout then removes both
+    Exchanges AND both Sorts from the plan — the join reads co-located,
+    pre-sorted buckets directly."""
+    create_bucketed_tables(spark, sf_dir)
+    orders_tbl, lineitem_tbl = _table_names(sf_dir)
+    orders = spark.table(orders_tbl)
+    li = spark.table(lineitem_tbl).hint("merge")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES = {"q_bucketed_join_revenue": q_bucketed_join_revenue}
+
+ORACLES = {
+    "q_bucketed_join_revenue": """
+        SELECT o_orderpriority,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(6,4))))
+                    AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+}

@@ -1,0 +1,234 @@
+"""TPC-H-analog coverage extensions (SURVEY.md §2.9 relational surface):
+order-priority EXISTS counts (Q4), returned-item customer revenue (Q10),
+promo revenue share (Q14), top-revenue supplier (Q15), OR-of-ANDs band
+filters (Q19), idle high-balance customers (Q22).
+
+Adapted to the fixture schema (no partsupp / commitdate / shipmode
+columns). All money aggregates follow the decimal-domain discipline from
+``relational.py`` (exact decimal accumulation, double surface cast) so the
+DuckDB oracles hash-match at any row count.
+
+Scale notes: every query is shuffle-keyed on its natural join/group keys;
+dimension sides broadcast; the two "global scalar" queries (Q15's max
+revenue, Q22's average balance) attach the scalar via a broadcast
+cross-join of a 1-row aggregate — never a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from .relational import _davg, _dsum, _revenue_dec
+
+# the exact-decimal revenue SQL twin (matches _revenue_dec operand types)
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+)
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 analog: per-priority count of 1995-Q1 orders having at least one
+    line item shipped after the order date (EXISTS -> left-semi join)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 analog: top-20 customers by revenue lost to returned items
+    (l_returnflag = 'R'), with nation attached. Revenue shuffles on
+    custkey; nation broadcasts; top-20 via TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 analog: share of one month's revenue from PROMO parts. Both
+    sums accumulate in exact decimal; the final share divides the two
+    DOUBLE surfaces (IEEE-identical cross-engine)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-03-01") & (F.col("l_shipdate") < "1995-04-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type").startswith("PROMO"), _revenue_dec()).otherwise(
+        F.expr("CAST(0 AS DECIMAL(1,0))")
+    )
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("decimal(38,6)").cast("double")
+            / F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 analog: the supplier(s) with maximum quarterly revenue. The max
+    is a 1-row aggregate broadcast back onto the per-supplier revenues —
+    the scale-safe form of ``WHERE total = (SELECT MAX(...))``."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top.max_revenue)
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q19_band_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 analog: revenue from an OR of three (brand, size-band,
+    quantity-band) conjunctions. One broadcast join; the disjunction is a
+    single codegen'd predicate evaluated at the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 analog: per-nation count + total balance of customers whose
+    balance exceeds the global average positive balance AND who placed no
+    orders from 1998 on (lapsed customers). Global average: broadcast
+    1-row aggregate; "no recent orders": left-anti join on the
+    date-filtered orders (filter pushed to the scan)."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1998-01-01")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        _davg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_custs"), _dsum("c_acctbal").alias("total_bal"))
+        .orderBy("c_nationkey")
+    )
+
+
+QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_band_filters": q19_band_filters,
+    "q22_idle_customers": q22_idle_customers,
+}
+
+ORACLES = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q14_promo_revenue": f"""
+        SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                          THEN {_REV_SQL}
+                                          ELSE CAST(0 AS DECIMAL(1,0)) END)
+                             AS DECIMAL(38,6)) AS DOUBLE)
+                     / CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS DOUBLE)
+               AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1995-03-01' AND l_shipdate < DATE '1995-04-01'
+    """,
+    "q15_top_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "q19_band_filters": f"""
+        SELECT CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_idle_customers": """
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS a
+            FROM customer WHERE c_acctbal > 0)
+        SELECT c_nationkey, COUNT(*) AS n_custs,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+        FROM customer, avg_bal
+        WHERE c_acctbal > a
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= DATE '1998-01-01')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+}
