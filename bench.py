@@ -47,6 +47,9 @@ HEADLINE = [
     "text_stats",
     "multimodal_frame_sample",
     "migrate_customer_pipeline",
+    "q10_returned_items",
+    "q_bucketed_join_revenue",
+    "q_ntile_buckets",
 ]
 
 
