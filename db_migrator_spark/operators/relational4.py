@@ -156,8 +156,84 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 analog: shipping volume between two nations by year, both
+    directions. Supplier and customer nations attach via broadcast dims;
+    the fact joins shuffle on their natural keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("s_nk"))
+        .join(n2, cust.c_nationkey == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 analog: weekly-equivalent revenue from orders of less than half
+    a part's average quantity. The per-part average is a groupBy rejoined
+    on partkey (the scalable form of the correlated scalar subquery)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        _davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.p_key)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_weekly_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 analog: customers whose single orders total > 300 units
+    (HAVING over a per-order sum, rejoined to orders + customer)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "q7_nation_volume": q7_nation_volume,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
@@ -166,6 +242,46 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q7_nation_volume": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year, {_REV_SQL} AS rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q17_small_quantity_revenue": """
+        WITH avg_qty AS (
+            SELECT l_partkey AS p_key,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS aq
+            FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+                   AS avg_weekly_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN avg_qty ON l_partkey = p_key
+        WHERE l_quantity < 0.5 * aq
+    """,
+    "q18_large_volume_customers": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 300)
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders

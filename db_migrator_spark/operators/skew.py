@@ -80,3 +80,64 @@ def two_phase_agg(
             F.sum("__pcnt").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries: the skew paths must produce results identical to
+# the naive plans, so both get plain-SQL oracles.
+# ---------------------------------------------------------------------------
+
+
+def q_skew_twophase_agg(spark, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation over the events stream keyed on
+    event_type — a handful of giant groups, the exact shape where a naive
+    groupBy leaves one reducer holding most of the table."""
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return two_phase_agg(ev, "event_type", "value").orderBy("event_type")
+
+
+def q_skew_salted_join(spark, sf_dir: str) -> DataFrame:
+    """Salted lineitem x part join + per-brand revenue: result-identical
+    to the plain join (the salt only re-routes rows across reducers)."""
+    from ..io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey"
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES = {
+    "q_skew_twophase_agg": q_skew_twophase_agg,
+    "q_skew_salted_join": q_skew_salted_join,
+}
+
+ORACLES = {
+    "q_skew_twophase_agg": """
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q_skew_salted_join": """
+        SELECT p_brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+}
