@@ -116,13 +116,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic until the final double division — deterministic in
     both engines.
 
-    Plan shape (measured at sf0.1: 8.5s -> 1.1s): recomputing the shingle
-    index twice beats cache() (materializing the cached index serializes
-    the two consumers); the self-join takes a shuffle_hash hint (the pair
-    explosion makes sort-merge's sorts pure overhead); per-doc sizes are
-    broadcast (tiny relative to the pair set).
+    Plan shape: the shingle index feeds THREE consumers (sizes, both join
+    sides) — ``localCheckpoint`` materializes it once (2.35s -> 1.65s at
+    sf0.1; unlike cache(), which re-serializes through the block manager
+    per consumer and measured SLOWER than recompute in round 1, a local
+    checkpoint stores the computed partitions as-is). The self-join takes
+    a shuffle_hash hint (the pair explosion makes sort-merge's sorts pure
+    overhead); per-doc sizes are broadcast (tiny relative to the pair set).
     """
-    sh = _shingle_index(load_table(spark, sf_dir, "documents"))
+    sh = _shingle_index(load_table(spark, sf_dir, "documents")).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.hint("shuffle_hash").alias("b")
@@ -151,13 +153,19 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     K permutations are simulated with K seeded xxhash64s of the shingle;
     the groupBy computes all K mins in one shuffle pass (map-side partial
     min, so the shuffle carries K longs per doc per partition).
+
+    The signature frame (|docs| x K+1 longs — tiny) has three consumers
+    (banding + both similarity sides); ``localCheckpoint`` computes it
+    once (3.1s -> 2.35s at sf0.1). Checkpointing the much larger shingle
+    index here as well is a LOSS (2.9s) — it has one consumer, so the
+    materialization buys nothing.
     """
     sh = _shingle_index(load_table(spark, sf_dir, "documents"))
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(MINHASH_K)
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return sh.groupBy("doc_id").agg(*mins).localCheckpoint()
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,10 +180,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked ground truth these candidates are validated against in
     tests.
     """
-    # NOTE: no cache() on the signature frame — the three consumers
-    # recompute it, and the recompute (one codegen'd pass over the shingle
-    # index) is an order of magnitude cheaper than materializing +
-    # re-reading a cached copy (measured 13.9s -> 0.9s at sf0.1).
     r = MINHASH_K // LSH_BANDS
     sig = _minhash_signatures(spark, sf_dir)
     bands = F.array(
@@ -245,7 +249,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(64)
     ]
     fingerprint = reduce(lambda a, b: a.bitwiseOR(b), bit_terms)
-    fp = voted.select("doc_id", fingerprint.alias("simhash"))  # recompute < cache
+    # fp (|docs| x 2 longs) feeds banding + both Hamming sides: checkpoint
+    # computes the 64-sum groupBy once (4.25s -> 3.44s at sf0.1)
+    fp = voted.select("doc_id", fingerprint.alias("simhash")).localCheckpoint()
     band_arr = F.array(
         *[
             F.struct(

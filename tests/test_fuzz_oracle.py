@@ -1,0 +1,85 @@
+"""Property-based cross-engine fuzz: randomized filter/group/aggregate
+queries over lineitem must produce identical results in Spark and DuckDB.
+
+The hand-written contract queries pin specific shapes; this fuzzes the
+space between them — arbitrary predicate combinations, group keys, and
+aggregate columns — using the same decimal-accumulation discipline, so a
+regression in predicate semantics, null handling, or aggregate typing
+shows up on shapes nobody hand-picked.
+"""
+
+import duckdb
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF = "/root/testdata/sf0.001"
+
+# (name, spark predicate builder, SQL text) triples over lineitem columns
+_PREDICATES = [
+    ("qty_lo", lambda v: F.col("l_quantity") > v, "l_quantity > {}"),
+    ("qty_hi", lambda v: F.col("l_quantity") <= v, "l_quantity <= {}"),
+    ("disc", lambda v: F.col("l_discount") >= v / 100.0, "l_discount >= {} / 100.0"),
+    ("price", lambda v: F.col("l_extendedprice") < v * 1000.0, "l_extendedprice < {} * 1000.0"),
+    ("line", lambda v: F.col("l_linenumber") != (v % 7) + 1, "l_linenumber != {} % 7 + 1"),
+    ("tax", lambda v: F.col("l_tax") * 100 < v, "l_tax * 100 < {}"),
+]
+
+_GROUP_KEYS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+_AGG_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@st.composite
+def _query_shapes(draw):
+    picks = draw(
+        st.lists(st.sampled_from(range(len(_PREDICATES))), min_size=1, max_size=3, unique=True)
+    )
+    vals = [draw(st.integers(min_value=0, max_value=60)) for _ in picks]
+    key = draw(st.sampled_from(_GROUP_KEYS))
+    agg = draw(st.sampled_from(_AGG_COLS))
+    return picks, vals, key, agg
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(shape=_query_shapes())
+def test_random_filter_group_agg_matches_duckdb(spark, shape):
+    from db_migrator_spark.io import load_table
+
+    picks, vals, key, agg = shape
+    li = load_table(spark, SF, "lineitem")
+    cond = None
+    sql_parts = []
+    for idx, v in zip(picks, vals):
+        name, builder, sql = _PREDICATES[idx]
+        c = builder(v)
+        cond = c if cond is None else (cond & c)
+        sql_parts.append(sql.format(v))
+    got = {
+        (r.k, r.n, r.total)
+        for r in (
+            li.filter(cond)
+            .groupBy(F.col(key).alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(agg).cast("decimal(25,6)")).cast("double").alias("total"),
+            )
+        ).collect()
+    }
+    where = " AND ".join(sql_parts)
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            SELECT {key} AS k, COUNT(*) AS n,
+                   CAST(SUM(CAST({agg} AS DECIMAL(25,6))) AS DOUBLE) AS total
+            FROM read_parquet('{SF}/lineitem.parquet')
+            WHERE {where}
+            GROUP BY {key}
+            """
+        ).fetchall()
+    }
+    assert got == want
