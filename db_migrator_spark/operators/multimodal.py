@@ -102,9 +102,57 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.mapInPandas(_sample_frames, schema=_FRAMES_SCHEMA).orderBy("doc_id", "frame_idx")
 
 
+# Feature extraction: 4 deterministic per-payload features, computed with
+# batch numpy inside mapInPandas (the real shape of an encoder UDF: Arrow
+# in, dense matrix math, scalar columns out). Emitted as SCALAR columns,
+# not an array — array cells break downstream pandas canonicalizers.
+_FEATURES_SCHEMA = "doc_id bigint, f0 double, f1 double, f2 double, f3 double"
+_FEATURE_PRIMES = (31, 131, 523, 1031)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        n = pdf["payload"].str.len().astype("int64").to_numpy()
+        d = pdf["doc_id"].astype("int64").to_numpy()
+        out = {"doc_id": d}
+        for j, p in enumerate(_FEATURE_PRIMES):
+            out[f"f{j}"] = ((n * p + d * (j + 1)) % 1000).astype("float64") / 1000.0
+        yield pd.DataFrame(out)
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas: the
+    encoder is a deterministic arithmetic fake (container has no model
+    runtime); the Arrow batching, numpy matrix path, and output schema are
+    the real plumbing."""
+    df = _with_payload(spark, sf_dir)
+    return df.mapInPandas(_extract_features, schema=_FEATURES_SCHEMA).orderBy("doc_id")
+
+
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox-resize geometry for every payload's (fake-decoded)
+    dimensions: fit into 224x224 preserving aspect. Pure integer-exact
+    arithmetic (floor of a double ratio — IEEE-identical cross-engine), so
+    the whole op stays in codegen; the actual pixel resample would slot in
+    as a mapInPandas stage exactly like ``_extract_features``."""
+    meta = multimodal_metadata(spark, sf_dir)
+    longest = F.greatest(F.col("width"), F.col("height"))
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * 224 / longest).cast("bigint").alias("out_w"),
+        F.floor(F.col("height") * 224 / longest).cast("bigint").alias("out_h"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_feature_extract": multimodal_feature_extract,
+    "multimodal_resize_plan": multimodal_resize_plan,
 }
 
 ORACLES = {
@@ -125,5 +173,26 @@ ORACLES = {
                CAST(octet_length(encode(text)) AS INT) AS frame_bytes
         FROM documents
         ORDER BY doc_id, frame_idx
+    """,
+    "multimodal_feature_extract": """
+        SELECT doc_id,
+               ((octet_length(encode(text)) * 31 + doc_id * 1) % 1000) / 1000.0 AS f0,
+               ((octet_length(encode(text)) * 131 + doc_id * 2) % 1000) / 1000.0 AS f1,
+               ((octet_length(encode(text)) * 523 + doc_id * 3) % 1000) / 1000.0 AS f2,
+               ((octet_length(encode(text)) * 1031 + doc_id * 4) % 1000) / 1000.0 AS f3
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "multimodal_resize_plan": """
+        WITH meta AS (
+            SELECT doc_id,
+                   64 + octet_length(encode(text)) % 512 AS width,
+                   64 + (octet_length(encode(text)) * 7) % 512 AS height
+            FROM documents)
+        SELECT doc_id, width, height,
+               CAST(FLOOR(width * 224 / GREATEST(width, height)) AS BIGINT) AS out_w,
+               CAST(FLOOR(height * 224 / GREATEST(height, width)) AS BIGINT) AS out_h
+        FROM meta
+        ORDER BY doc_id
     """,
 }

@@ -134,16 +134,54 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction pass: long digit runs and email-shaped tokens
+    are replaced with placeholder tags; per-doc match counts + a digest of
+    the redacted text (raw redacted text stays executor-side — at 100 TB
+    the rewritten corpus is a sink, not a driver result). All regexp
+    built-ins — codegen, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    num_pat = r"\d{3,}"
+    email_pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_pat, "<EMAIL>"), num_pat, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(num_pat))).alias("n_num_runs"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email_pat))).alias("n_emails"),
+        F.md5(redacted.cast("binary")).alias("redacted_digest"),
+        F.length(redacted).alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
     "text_quality_filter": text_quality_filter,
+    "text_redact_pii": text_redact_pii,
     "dedup_filtered_corpus": dedup_filtered_corpus,
 }
 
 ORACLES = {
+    "text_redact_pii": r"""
+        WITH red AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                       '\d{3,}', '<NUM>', 'g') AS redacted,
+                   len(regexp_extract_all(text, '\d{3,}')) AS n_num_runs,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails
+            FROM documents)
+        SELECT doc_id, n_num_runs, n_emails,
+               md5(redacted) AS redacted_digest,
+               length(redacted) AS redacted_len
+        FROM red
+        ORDER BY doc_id
+    """,
     "text_quality_filter": """
         WITH s AS (
             SELECT doc_id,

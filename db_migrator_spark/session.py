@@ -35,8 +35,57 @@ _DYNAMIC_CONF = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``db_migrator_spark`` importable on Python workers.
+
+    An external driver may launch its session from any cwd; the driver-side
+    ``sys.path`` tweak in ``__spark_entry__`` does not reach the forked
+    Python workers, so any pandas_udf / mapInPandas that unpickles a
+    function from this package raises ModuleNotFoundError there. Shipping a
+    zip of the package via ``addPyFile`` fixes that for local and cluster
+    mode alike (workers get the archive on their sys.path).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_db_migrator_pkg_shipped", False):
+        return
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    members = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                members.append(os.path.join(root, f))
+    digest = hashlib.sha256()
+    for path in sorted(members):
+        digest.update(path.encode())
+        with open(path, "rb") as fh:
+            digest.update(fh.read())
+    # Content-hashed name: addPyFile refuses same-name-different-contents.
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"db_migrator_spark-{digest.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for path in members:
+                arcname = os.path.join(
+                    "db_migrator_spark", os.path.relpath(path, pkg_dir)
+                )
+                zf.write(path, arcname)
+        os.replace(tmp, zip_path)
+    try:
+        sc.addPyFile(zip_path)
+        sc._db_migrator_pkg_shipped = True
+    except Exception:
+        pass
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply required dynamic confs to an externally provided session."""
+    _ship_package(spark)
     for k, v in _DYNAMIC_CONF.items():
         try:
             spark.conf.set(k, v)
