@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "text_fingerprint",
     "similarity_topk_bruteforce",
     "similarity_knn_join",

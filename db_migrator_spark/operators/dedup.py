@@ -369,13 +369,99 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Embedding-cosine near-dup -------------------------------------------
+# Blocking: the sign pattern of the vector, split into EMB_BANDS bands of
+# EMB_BAND_BITS consecutive sign bits (a deterministic SimHash over the
+# identity "hyperplanes"). Near-identical vectors agree on almost all sign
+# bits, so they collide in at least one band; random pairs collide in a
+# given band with prob 2^-EMB_BAND_BITS. Deterministic (no RNG), so the
+# DuckDB oracle replicates the exact candidate set and the result
+# hash-matches — unlike the seeded-hyperplane LSH in similarity.py, which
+# trades determinism-in-SQL for better-conditioned projections.
+EMB_BANDS = 8
+EMB_BAND_BITS = 8
+EMB_COSINE_THRESHOLD = 0.40
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-band blocking + exact cosine.
+
+    Plan shape (scale notes): explode |corpus| x EMB_BANDS slim rows
+    (vec_id, band, bucket — 3 longs, no payload), cap hot buckets
+    (``_cap_buckets``: within-bucket pairing is quadratic), equi-join on
+    (band, bucket), distinct on bare (v1, v2) BEFORE rejoining the 64-float
+    payload, then one exact cosine per surviving candidate. Linear in
+    corpus size; never all-pairs. The cosine fold matches DuckDB's
+    list_dot_product evaluation order bit-for-bit.
+
+    Recall is a function of how far above the sign-agreement knee the
+    pairs sit: P(bit agree) = 1 - arccos(cos)/pi, so an 8-bit band
+    collides with p^8 — ~93% pair recall at cos 0.9 (the near-dup regime
+    this blocks for; pinned in tests/test_llm_ops.py with planted dups),
+    but only ~25% at cos 0.4 (measured 27% on the isotropic fixture,
+    whose max pair cosine is 0.51 — it contains no actual near-dups).
+    The candidate semantics themselves are exact and deterministic: the
+    oracle reproduces the same banded candidate set, so the driver
+    hash-match covers verify-stage correctness, not blocking recall.
+    """
+    from .similarity import MAX_LSH_BUCKET, _cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bands = [
+        sum(
+            F.when(F.element_at("embedding", EMB_BAND_BITS * b + i + 1) > 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(EMB_BAND_BITS)
+        )
+        for b in range(EMB_BANDS)
+    ]
+    bucketed = (
+        emb.select("vec_id", F.posexplode(F.array(*bands)))
+        .withColumnsRenamed({"pos": "t", "col": "bucket"})
+    )
+    keyed = _cap_buckets(bucketed, ["t", "bucket"], MAX_LSH_BUCKET)
+    l, r = keyed.alias("el"), keyed.alias("er")
+    cand = (
+        l.join(
+            r,
+            (F.col("el.t") == F.col("er.t"))
+            & (F.col("el.bucket") == F.col("er.bucket"))
+            & (F.col("el.vec_id") < F.col("er.vec_id")),
+        )
+        .select(F.col("el.vec_id").alias("v1"), F.col("er.vec_id").alias("v2"))
+        .distinct()
+    )
+    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1"))
+    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2"))
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .select("v1", "v2", _cosine(F.col("emb1"), F.col("emb2")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= EMB_COSINE_THRESHOLD)
+        .orderBy("v1", "v2")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
+
+_EMB_BAND_SQL = ", ".join(
+    "("
+    + " + ".join(
+        f"(CASE WHEN embedding[{8 * b + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(EMB_BAND_BITS)
+    )
+    + f") AS band{b}"
+    for b in range(EMB_BANDS)
+)
+_EMB_UNION_SQL = " UNION ALL ".join(
+    f"SELECT {b} AS t, band{b} AS bucket, vec_id FROM s" for b in range(EMB_BANDS)
+)
 
 # Shared CTE chain: shingle inverted index -> per-doc sizes -> shared-shingle
 # pair counts (the exact-Jaccard building blocks, mirroring _shingle_index).
@@ -395,6 +481,28 @@ _JACCARD_CTES = f"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM d
                    GROUP BY 1, 2)"""
 
 ORACLES = {
+    # Same deterministic sign-band blocking + bucket cap as the Spark side;
+    # cosine = list_dot_product fold on DOUBLE[] (bit-matches Spark's
+    # zip_with/aggregate fold — see similarity.py notes).
+    "dedup_embedding_cosine": f"""
+        WITH s AS (SELECT vec_id, {_EMB_BAND_SQL} FROM embeddings),
+        u AS ({_EMB_UNION_SQL}),
+        kept AS (SELECT t, bucket FROM u GROUP BY t, bucket HAVING COUNT(*) <= 64),
+        ku AS (SELECT u.t, u.bucket, u.vec_id FROM u JOIN kept USING (t, bucket)),
+        cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+                 FROM ku a JOIN ku b ON a.t = b.t AND a.bucket = b.bucket
+                                    AND a.vec_id < b.vec_id),
+        d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT v1, v2,
+               list_dot_product(x.v, y.v)
+                 / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v))
+                 AS cos_sim
+        FROM cand JOIN d x ON x.vec_id = v1 JOIN d y ON y.vec_id = v2
+        WHERE list_dot_product(x.v, y.v)
+                / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v))
+              >= {EMB_COSINE_THRESHOLD}
+        ORDER BY v1, v2
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash,
                MIN(doc_id) AS keep_doc_id,

@@ -1,7 +1,8 @@
 """TPC-H-analog coverage extensions (SURVEY.md §2.9 relational surface):
 order-priority EXISTS counts (Q4), returned-item customer revenue (Q10),
 promo revenue share (Q14), top-revenue supplier (Q15), OR-of-ANDs band
-filters (Q19), idle high-balance customers (Q22).
+filters (Q19), idle high-balance customers (Q22), customer order-count
+distribution (Q13).
 
 Adapted to the fixture schema (no partsupp / commitdate / shipmode
 columns). All money aggregates follow the decimal-domain discipline from
@@ -229,8 +230,36 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 analog: distribution of per-customer order counts, including
+    zero-order customers (fixture lacks o_comment, so the exclusion filter
+    drops '5-LOW' priority orders instead of the comment LIKE).
+
+    Plan shape: aggregate orders per custkey FIRST (map-side partial
+    combine shrinks the fact ~10:1 before any join), then left-join the
+    counts onto customer and re-aggregate by count value. The alternative
+    join-then-count shuffles every order row keyed by custkey — strictly
+    more data through the exchange for the same answer.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "q13_customer_distribution": q13_customer_distribution,
     "q7_nation_volume": q7_nation_volume,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
@@ -242,6 +271,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q13_customer_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COALESCE(n, 0) AS c_count
+            FROM customer
+            LEFT JOIN (
+                SELECT o_custkey, COUNT(*) AS n
+                FROM orders
+                WHERE o_orderpriority <> '5-LOW'
+                GROUP BY o_custkey) o
+            ON c_custkey = o_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
     "q7_nation_volume": f"""
         SELECT supp_nation, cust_nation, l_year,
                CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE) AS revenue

@@ -81,3 +81,40 @@ def test_decode_real_raises_without_pil():
     if not multimodal.HAVE_PIL:
         with pytest.raises(NotImplementedError):
             multimodal.decode_image_real(b"\x89PNG")
+
+def test_embedding_cosine_dedup_near_dup_regime(spark, tmp_path):
+    """Sign-band blocking recall in the regime it is designed for: planted
+    near-identical vectors (cos ~0.999) must be recovered; fixture-level
+    recall at cos 0.4 is expectedly low (~27%, see module docstring) and is
+    NOT the contract."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from db_migrator_spark.operators.dedup import dedup_embedding_cosine
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((100, 64)).astype(np.float32)
+    dup = (base[:20] + 0.005 * rng.standard_normal((20, 64)).astype(np.float32))
+    vecs = np.vstack([base, dup])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    rows = dedup_embedding_cosine(spark, str(tmp_path)).collect()
+    got = {(r.v1, r.v2) for r in rows}
+    planted = {(i, 100 + i) for i in range(20)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"near-dup recall {recall} ({sorted(planted - got)} missed)"
+    # exactness: every reported cosine matches numpy at double precision
+    v64 = vecs.astype(np.float64)
+    for r in rows:
+        a, b = v64[r.v1], v64[r.v2]
+        expect = float(a @ b / np.sqrt((a @ a) * (b @ b)))
+        assert abs(r.cos_sim - expect) < 1e-9
+        assert r.cos_sim >= 0.40
