@@ -414,9 +414,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(EMB_BANDS)
     ]
+    # Slim (vec_id, t, bucket) frame feeds three consumers (hot-bucket
+    # list + both self-join sides); localCheckpoint scans the parquet once
+    # instead of three times.
     bucketed = (
         emb.select("vec_id", F.posexplode(F.array(*bands)))
         .withColumnsRenamed({"pos": "t", "col": "bucket"})
+        .localCheckpoint()
     )
     keyed = _cap_buckets(bucketed, ["t", "bucket"], MAX_LSH_BUCKET)
     l, r = keyed.alias("el"), keyed.alias("er")
@@ -432,6 +436,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1"))
     e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2"))
+    # NOTE: the threshold filter gets pushed into the payload join and
+    # re-evaluates the cosine folds per surviving pair (6 folds/pair in
+    # the executed plan instead of 3). Measured A/B at sf0.1: a
+    # localCheckpoint barrier before the filter costs MORE than the
+    # duplicate folds (3.05s vs 2.9s warm) because candidates are a small
+    # fraction of the corpus — the duplication is a constant factor on an
+    # already-small set, while the barrier serializes the job.
     return (
         cand.join(e1, "v1")
         .join(e2, "v2")
