@@ -85,9 +85,10 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.source_dir:
             from .sinks.parquet_sink import ParquetInserter
-            from .sources.parquet_source import ParquetExtractor
+            from .sources.file_source import FileExtractor
 
-            extractor = ParquetExtractor(spark, args.source_dir)
+            # multi-format: parquet/orc/csv/json(l) files in the directory
+            extractor = FileExtractor(spark, args.source_dir)
             inserter = ParquetInserter(spark, args.target_dir or args.source_dir + "_out")
             whitelist = [t.strip() for t in (args.tables or "").split(",") if t.strip()]
         else:

@@ -134,6 +134,66 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash_bucket(col, buckets: int = 100):
+    """Deterministic content-hash bucket in [0, buckets): first 8 hex chars
+    of md5 parsed as an integer. Identical in Spark
+    (``conv(substr(md5(...)))``) and DuckDB (``('0x'||substr(...))::BIGINT``),
+    so hash-based splits/samples are reproducible cross-engine — unlike
+    TABLESAMPLE / ``.sample()``, whose RNG streams are engine-private.
+    Hashing (vs key mod N) decorrelates the split from key assignment
+    order, which for training data usually encodes time or source."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split of the corpus by
+    doc_id hash; per split x language doc and whitespace-token counts.
+    The split is a pure projection (no shuffle until the tiny aggregate)
+    and any row's assignment is recomputable from its key alone — the
+    property that lets a 100 TB corpus be split without a seed table."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing stratified sample: dominant 'en' keeps 10%,
+    rare 'zh' keeps 50%, the rest 25% — the standard corpus-rebalance
+    move, as a deterministic hash filter. Reproducible (same rows every
+    run, any engine), embarrassingly parallel (the per-row predicate
+    evaluates inside the scan — no shuffle, no seed table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(10))
+        .when(F.col("lang") == "zh", F.lit(50))
+        .otherwise(F.lit(25))
+    )
+    return (
+        docs.filter(_hash_bucket(F.col("doc_id")) < rate)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style redaction pass: long digit runs and email-shaped tokens
     are replaced with placeholder tags; per-doc match counts + a digest of
@@ -163,9 +223,33 @@ QUERIES = {
     "text_quality_filter": text_quality_filter,
     "text_redact_pii": text_redact_pii,
     "dedup_filtered_corpus": dedup_filtered_corpus,
+    "q_train_test_split": q_train_test_split,
+    "q_stratified_sample": q_stratified_sample,
 }
 
+# DuckDB twin of _hash_bucket: same md5-prefix integer, hex-parsed.
+_BUCKET_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
 ORACLES = {
+    "q_train_test_split": f"""
+        SELECT CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                    WHEN {_BUCKET_SQL} < 90 THEN 'valid'
+                    ELSE 'test' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY split, lang
+    """,
+    "q_stratified_sample": f"""
+        SELECT doc_id, source, lang, n_chars
+        FROM documents
+        WHERE {_BUCKET_SQL} < (CASE lang WHEN 'en' THEN 10
+                                         WHEN 'zh' THEN 50
+                                         ELSE 25 END)
+        ORDER BY doc_id
+    """,
     "text_redact_pii": r"""
         WITH red AS (
             SELECT doc_id,
