@@ -10,6 +10,62 @@ from pyspark.sql.window import Window as W
 from ..io import load_table
 
 
+# (column, min/max rendering expression) for the orders profile; doubles
+# route through DECIMAL(18,2) so both engines render identical strings
+# (raw double->string switches to E-notation at different thresholds).
+_PROFILE_COLS = {
+    "o_orderkey": lambda c: F.col(c),
+    "o_custkey": lambda c: F.col(c),
+    "o_orderstatus": lambda c: F.col(c),
+    "o_totalprice": lambda c: F.col(c).cast("decimal(18,2)"),
+    "o_orderdate": lambda c: F.col(c),
+    "o_orderpriority": lambda c: F.col(c),
+}
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass over ``orders``: per-column null count, exact
+    distinct count, and rendered min/max — the pre-ingest sanity report a
+    pipeline runs before training on a new table.
+
+    One scan: all metrics aggregate in a single groupBy-less agg (multiple
+    COUNT DISTINCTs expand the input x|cols| map-side — the standard
+    Expand plan), then stack() unpivots the 1-row wide result into one row
+    per column. At 100 TB swap the exact distincts for
+    approx_count_distinct to drop the Expand; the shape is otherwise scan
+    -> partial agg -> 1-row exchange.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c, render in _PROFILE_COLS.items():
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}_nn"),
+            F.countDistinct(F.col(c)).alias(f"{c}_nd"),
+            F.min(render(c)).cast("string").alias(f"{c}_min"),
+            F.max(render(c)).cast("string").alias(f"{c}_max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _n - {c}_nn, {c}_nd, {c}_min, {c}_max" for c in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+                "(column_name, n_nulls, n_distinct, min_val, max_val)"
+            )
+        )
+        .select(
+            "column_name",
+            F.col("n_nulls").cast("bigint").alias("n_nulls"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            "min_val",
+            "max_val",
+        )
+        .orderBy("column_name")
+    )
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (wide -> long) via stack(): per-metric totals. stack() is a
     generator projection — map-side only, no shuffle beyond the final agg."""
@@ -242,6 +298,7 @@ QUERIES = {
     "q_window_rank_suite": q_window_rank_suite,
     "q_string_functions2": q_string_functions2,
     "q_unpivot_metrics": q_unpivot_metrics,
+    "q_profile_columns": q_profile_columns,
     "q_multiset_ops": q_multiset_ops,
     "q_date_spine": q_date_spine,
     "q_string_agg": q_string_agg,
@@ -278,6 +335,50 @@ ORACLES = {
                repeat('ab', 3) AS repeated
         FROM nation
         ORDER BY n_nationkey
+    """,
+    "q_profile_columns": """
+        SELECT 'o_orderkey' AS column_name,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey' AS column_name,
+               CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+               CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus' AS column_name,
+               CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderstatus) AS VARCHAR) AS min_val,
+               CAST(MAX(o_orderstatus) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice' AS column_name,
+               CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_val,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate' AS column_name,
+               CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderdate) AS VARCHAR) AS min_val,
+               CAST(MAX(o_orderdate) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority' AS column_name,
+               CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderpriority) AS VARCHAR) AS min_val,
+               CAST(MAX(o_orderpriority) AS VARCHAR) AS max_val
+        FROM orders
+        ORDER BY column_name
     """,
     "q_unpivot_metrics": """
         SELECT l_returnflag, metric,

@@ -55,3 +55,51 @@ def read_partition_pruned(spark: SparkSession, path: str) -> DataFrame:
     """Read back a partitioned dataset (partition columns become virtual
     columns; filters on them prune directories before any IO)."""
     return spark.read.parquet(path)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    sort_by: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ~``target_file_bytes`` files, optionally range-sorted.
+
+    The small-file problem is the classic streaming/incremental-sink
+    pathology (a foreachBatch or per-batch append leaves thousands of tiny
+    files; driver memory and scan planning both degrade with file count).
+    Compaction = one distributed read + one write with a file count sized
+    from the dataset's actual on-disk bytes:
+
+    - file count = ceil(input_bytes / target); input bytes come from the
+      source file listing (driver-side metadata, no data read).
+    - with ``sort_by``: ``repartitionByRange`` on the sort key, so output
+      files are non-overlapping key ranges and parquet min/max row-group
+      stats give read-side range pruning (poor man's clustering).
+    - without: round-robin ``repartition(n)`` for even file sizes.
+
+    Returns the number of output files requested. Runs as a plain batch
+    job — on a real deployment this is the maintenance task scheduled
+    between streaming micro-batches (Delta OPTIMIZE's moral equivalent,
+    expressed with stock Spark).
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_by:
+        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files

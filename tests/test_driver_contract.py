@@ -1,0 +1,43 @@
+"""Drive __spark_entry__ the way the external correctness driver does:
+a subprocess with a *vanilla* SparkSession (no tuned configs) launched
+from a foreign cwd. Catches anything that only works under our tuned
+get_spark() — worker-side package imports (session._ship_package),
+nanos-timestamp repair, etc."""
+
+import subprocess
+import sys
+
+_PROBE = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+import __spark_entry__ as e
+
+df = e.entry(spark)
+assert df.count() >= 0
+qs = e.queries()
+# one pandas-UDF query (worker must import the package), one events query
+# (nanos-timestamp repair), one plain relational query.
+for key in ("q_grouped_mad", "events_tumbling_hourly", "q1_pricing_summary"):
+    n = qs[key](spark, "/root/testdata/sf0.001").count()
+    assert n > 0, key
+print("PROBE_OK")
+"""
+
+
+def test_vanilla_session_foreign_cwd():
+    proc = subprocess.run(
+        [sys.executable, "-c", _PROBE],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "PROBE_OK" in proc.stdout

@@ -64,3 +64,43 @@ def test_partitioned_write_prunes(spark, tmp_path):
 
     dirs = {d for d in os.listdir(path) if d.startswith("o_orderstatus=")}
     assert dirs == {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"}
+
+
+def test_compact_dataset_merges_small_files(spark, tmp_path):
+    """200 tiny files -> bytes-derived file count; rows survive; with
+    sort_by the output files hold non-overlapping key ranges."""
+    import os
+
+    from db_migrator_spark.sinks.layout import compact_dataset
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(20_000).selectExpr("id", "id % 97 AS k").repartition(200).write.parquet(src)
+    n_in = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_in == 200
+
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    target = max(1, total // 4)
+    n_req = compact_dataset(spark, src, dst, sort_by=["id"], target_file_bytes=target)
+    out_files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(out_files) == n_req <= 6
+    back = spark.read.parquet(dst)
+    assert back.count() == 20_000
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(20_000))
+    # non-overlapping ranges: per-file min/max from footers must not overlap
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in out_files:
+        md = pq.read_metadata(os.path.join(dst, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (spans,)
