@@ -1,5 +1,7 @@
 """Coverage extensions: unpivot, multiset ops, date spine, string
-aggregation, range window frames, ntile, systematic sampling, JSON filters.
+aggregation, range window frames, ntile, systematic sampling, JSON
+filters, column profiling, exact-reproducible correlation/covariance,
+equi-width histograms.
 """
 
 from __future__ import annotations
@@ -8,6 +10,64 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from ..io import load_table
+
+
+def q_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance of (quantity, extendedprice) per
+    return flag — computed from DECIMAL-domain moment sums, NOT the
+    engine-native corr()/covar_pop() (whose one-pass update algorithms
+    differ between engines and drift in the last ulps). The five moment
+    sums are exact decimals (order-independent), surfaced to double, and
+    combined with the identical closed-form expression both sides, so the
+    result is bit-reproducible at any parallelism — the property that
+    matters when a 100 TB stats job must be re-runnable to the same hash.
+    Moment precision: DECIMAL(38,4) holds ~1e21 of headroom over a 6e9-row
+    sum of price^2 (~2.5e11/row).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,2)")
+    dy = F.col("l_extendedprice").cast("decimal(18,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return g.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr"),
+    ).orderBy("l_returnflag")
+
+
+HIST_BUCKET_WIDTH = 25_000.0
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: one groupBy on the computed
+    bucket (map-side partial agg; |buckets| rows through the exchange).
+    floor(x / width) on doubles is IEEE-identical cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(HIST_BUCKET_WIDTH)).cast("bigint")
+    return (
+        o.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(HIST_BUCKET_WIDTH)).alias("lo"),
+            ((F.col("bucket") + 1) * F.lit(HIST_BUCKET_WIDTH)).alias("hi"),
+            "n_orders",
+        )
+        .orderBy("bucket")
+    )
 
 
 # (column, min/max rendering expression) for the orders profile; doubles
@@ -299,6 +359,8 @@ QUERIES = {
     "q_string_functions2": q_string_functions2,
     "q_unpivot_metrics": q_unpivot_metrics,
     "q_profile_columns": q_profile_columns,
+    "q_feature_correlations": q_feature_correlations,
+    "q_histogram": q_histogram,
     "q_multiset_ops": q_multiset_ops,
     "q_date_spine": q_date_spine,
     "q_string_agg": q_string_agg,
@@ -335,6 +397,36 @@ ORACLES = {
                repeat('ab', 3) AS repeated
         FROM nation
         ORDER BY n_nationkey
+    """,
+    "q_feature_correlations": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+            FROM lineitem
+            GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               (n * sxy - sx * sy) / (n * n) AS covar_pop,
+               (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+        FROM m
+        ORDER BY l_returnflag
+    """,
+    "q_histogram": """
+        SELECT bucket,
+               bucket * 25000.0 AS lo,
+               (bucket + 1) * 25000.0 AS hi,
+               n_orders
+        FROM (
+            SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY 1)
+        ORDER BY bucket
     """,
     "q_profile_columns": """
         SELECT 'o_orderkey' AS column_name,
