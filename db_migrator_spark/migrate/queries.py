@@ -41,12 +41,102 @@ def migrate_orders_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _migration_select(spark, sf_dir, "orders")
 
 
+def q_fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-migration referential-integrity audit: orphan counts for every
+    FK edge the fixture schema declares (order->customer, lineitem->order,
+    customer->nation). Each edge is one left-anti join shuffle-keyed on
+    the FK (dimension side broadcasts where small); the result is the
+    validation report a migrator runs before enabling constraints —
+    the reference's constraint phase (table_migrator.rs:96-114) assumes
+    the data already satisfies them, this query proves it."""
+    from pyspark.sql import functions as F
+
+    from ..io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(fk_name: str, child: DataFrame, key, parent: DataFrame, pkey) -> DataFrame:
+        return (
+            child.join(parent, child[key] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(fk_name).alias("fk_name"), "n_orphans")
+        )
+
+    return (
+        orphans("customer->nation", cust, "c_nationkey", F.broadcast(nation), "n_nationkey")
+        .unionByName(orphans("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"))
+        .unionByName(orphans("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+        .orderBy("fk_name")
+    )
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint of ``customer``: per-row md5
+    signature (rendered columns, doubles routed through DECIMAL so both
+    engines print identical strings) summed in the decimal domain. THE
+    source/target comparison primitive for a migration: run on both
+    sides, compare two scalars instead of 10^11 rows. Embarrassingly
+    parallel — per-row hash in the scan, one partial-agg exchange."""
+    from pyspark.sql import functions as F
+
+    from ..io import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    row_str = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        "c_name",
+        F.col("c_nationkey").cast("string"),
+        F.col("c_acctbal").cast("decimal(18,2)").cast("string"),
+        "c_mktsegment",
+    )
+    sig = F.conv(F.substring(F.md5(row_str.cast("binary")), 1, 8), 16, 10).cast("bigint")
+    return cust.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # decimal-domain sum: a bigint sum overflows at ~2e9 rows
+        # (2^63 / 2^32); DuckDB's BIGINT sum would go HUGEINT anyway.
+        F.sum(sig.cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )
+
+
 QUERIES = {
     "migrate_customer_pipeline": migrate_customer_pipeline,
     "migrate_orders_pipeline": migrate_orders_pipeline,
+    "q_fk_orphan_check": q_fk_orphan_check,
+    "q_table_checksum": q_table_checksum,
 }
 
 ORACLES = {
+    "q_fk_orphan_check": """
+        SELECT 'customer->nation' AS fk_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orphans
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        UNION ALL
+        SELECT 'lineitem->orders',
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'orders->customer',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        ORDER BY fk_name
+    """,
+    "q_table_checksum": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(
+                   concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+                             CAST(c_nationkey AS VARCHAR),
+                             CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),
+                             c_mktsegment)), 1, 8))::BIGINT AS DECIMAL(38,0)))
+                   AS VARCHAR) AS checksum
+        FROM customer
+    """,
     "migrate_customer_pipeline": """
         SELECT c_custkey, c_name, c_nationkey,
                CAST(c_acctbal AS REAL) AS c_acctbal,
