@@ -117,3 +117,40 @@ def test_approx_distinct_accuracy(spark):
     for flag, (ao, _) in approx.items():
         rel_err = abs(ao - exact_orders[flag]) / exact_orders[flag]
         assert rel_err < 0.10, (flag, ao, exact_orders[flag])  # rsd=0.02, ~5 sigma
+
+
+def test_embedding_cosine_never_cartesian(spark):
+    """Candidate generation must be an equi-join on (band, bucket) — any
+    CartesianProduct / BroadcastNestedLoop means the blocking broke."""
+    from db_migrator_spark.operators.dedup import dedup_embedding_cosine
+
+    plan = plan_string(dedup_embedding_cosine(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_stratified_sample_no_pre_sort_exchange(spark):
+    """The hash-split predicate is a pure per-row filter: exactly one
+    Exchange (the final orderBy rangepartitioning), nothing before it."""
+    from db_migrator_spark.operators.text import q_stratified_sample
+
+    plan = plan_string(q_stratified_sample(spark, SF), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" in plan
+
+
+def test_table_checksum_partial_aggregates(spark):
+    """Checksum must partial-aggregate map-side: two HashAggregates and a
+    single-row exchange, no shuffle of row-level hashes."""
+    from db_migrator_spark.migrate.queries import q_table_checksum
+
+    plan = plan_string(q_table_checksum(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "SinglePartition" in plan
+
+
+def test_fk_orphan_check_uses_anti_joins(spark):
+    from db_migrator_spark.migrate.queries import q_fk_orphan_check
+
+    plan = plan_string(q_fk_orphan_check(spark, SF), "simple")
+    assert plan.count("LeftAnti") == 3, plan
