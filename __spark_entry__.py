@@ -67,6 +67,18 @@ _R1_DRIVER_GREEN = frozenset({
     "similarity_topk_bruteforce",
 })
 
+# Queries added AFTER the round-2 driver window filled (49 evidence-needing
+# queries already occupy the 50-slot check window). These register LAST so
+# they don't evict queries still waiting on driver evidence; they are
+# oracle-checked locally this round and rotate into the window next round.
+_DEFERRED = frozenset({
+    "q8_market_share",
+    "q9_product_profit",
+    "text_tfidf_topterms",
+    "text_bm25_search",
+    "q_embedding_centroids",
+})
+
 
 def _collect() -> tuple[dict, dict]:
     import importlib
@@ -80,8 +92,9 @@ def _collect() -> tuple[dict, dict]:
             continue
         qs.update(getattr(mod, "QUERIES", {}))
         os_.update(getattr(mod, "ORACLES", {}))
-    ordered = {k: qs[k] for k in qs if k not in _R1_DRIVER_GREEN}
+    ordered = {k: qs[k] for k in qs if k not in _R1_DRIVER_GREEN and k not in _DEFERRED}
     ordered.update({k: qs[k] for k in qs if k in _R1_DRIVER_GREEN})
+    ordered.update({k: qs[k] for k in qs if k in _DEFERRED})
     return ordered, os_
 
 

@@ -230,6 +230,110 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 analog: NATION_1's share of ECONOMY-part revenue sold to ASIA
+    customers, by order year (conditional-sum ratio of two exact-decimal
+    revenue aggregates).
+
+    Plan shape: the selective dims reduce FIRST — part filtered to one
+    type and nation->region filtered to one region both broadcast; the
+    only big shuffles are lineitem->orders (orderkey) and orders->customer
+    (custkey). Supplier nation attaches via broadcast. The year groupBy
+    then carries one decimal pair per (year, partition) thanks to map-side
+    partial aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    asia_nations = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey")
+    )
+    asia_cust = cust.join(
+        F.broadcast(asia_nations), cust.c_nationkey == asia_nations.n_nationkey, "left_semi"
+    ).select("c_custkey")
+    econ_parts = (
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+
+    j = (
+        li.join(F.broadcast(econ_parts), li.l_partkey == econ_parts.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey, "left_semi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+    )
+    nation_rev = F.when(F.col("supp_nation") == "NATION_1", _revenue_dec()).otherwise(
+        F.expr("CAST(0 AS DECIMAL(1,0))")
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation_rev).cast("decimal(38,6)").cast("double")
+                / F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double")
+            ).alias("mkt_share"),
+            F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# Q9's cost side: the fixture has no partsupp/ps_supplycost, so cost is
+# modeled as 60% of the part's retail price per unit. All operands stay in
+# tight decimal types (see _revenue_dec rationale) so the per-row profit is
+# an exact rational in both engines.
+_COST_SQL = (
+    "CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(12,2))"
+    " * CAST(l_quantity AS DECIMAL(9,2))"
+)
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 analog: profit on 'red' parts by supplier nation and order year,
+    profit = revenue - modeled supply cost (see _COST_SQL note).
+
+    Plan shape: part pre-filtered on the name predicate and broadcast
+    (prunes most lineitem rows at the first join); supplier+nation
+    broadcast; the one big shuffle is lineitem->orders for the year.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("nation"))
+    cost = (
+        F.expr("CAST(0.6 AS DECIMAL(2,1))")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(9,2)")
+    )
+    return (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(_revenue_dec() - cost).cast("decimal(38,6)").cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 analog: distribution of per-customer order counts, including
     zero-order customers (fixture lacks o_comment, so the exclusion filter
@@ -258,6 +362,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
     "q4_order_priority": q4_order_priority,
     "q13_customer_distribution": q13_customer_distribution,
     "q7_nation_volume": q7_nation_volume,
@@ -271,6 +377,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q8_market_share": f"""
+        SELECT year(o_orderdate) AS o_year,
+               CAST(CAST(SUM(CASE WHEN n1.n_name = 'NATION_1' THEN {_REV_SQL}
+                                  ELSE CAST(0 AS DECIMAL(1,0)) END)
+                    AS DECIMAL(38,6)) AS DOUBLE)
+                 / CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share,
+               CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE p_type = 'ECONOMY'
+          AND EXISTS (SELECT 1 FROM customer
+                      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                      JOIN region ON n2.n_regionkey = r_regionkey
+                      WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "q9_product_profit": f"""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(CAST(SUM({_REV_SQL} - {_COST_SQL}) AS DECIMAL(38,6)) AS DOUBLE)
+                   AS profit,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "q13_customer_distribution": """
         SELECT c_count, COUNT(*) AS custdist
         FROM (

@@ -209,7 +209,41 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (the distributed mean-vector step of
+    k-means / class prototypes), dimension-unrolled.
+
+    Cross-engine exactness: a double SUM over float components is
+    order-dependent, so components are first quantized to integers —
+    floor(x * 1e6) is IEEE-exact in both engines — summed exactly in
+    DECIMAL, and divided back at the end. The result is the centroid of
+    the 1e-6-quantized vectors (documented, deterministic at any
+    parallelism; the sum stays in DECIMAL because a BIGINT sum overflows
+    around 1e12 rows x 1e6 scale).
+
+    Plan shape: posexplode (narrow) -> one shuffle on (label, pos) with
+    map-side partial aggregation, so the exchange carries |labels| x dim
+    rows per partition — independent of corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x")
+    ).select("label", "pos", F.floor(F.col("x") * F.lit(1000000.0)).alias("q"))
+    return (
+        e.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum(F.col("q").cast("decimal(28,0)")).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000000.0))
+            ).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
 QUERIES = {
+    "q_embedding_centroids": q_embedding_centroids,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_knn_join": similarity_knn_join,
     "similarity_lsh_pairs": similarity_lsh_pairs,
@@ -217,6 +251,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    # generate_series instead of UNNEST WITH ORDINALITY (absent in this
+    # DuckDB); all fixture embeddings are 64-dim (pinned in tests).
+    "q_embedding_centroids": """
+        WITH e AS (
+            SELECT label, i - 1 AS pos,
+                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * CAST(1000000.0 AS DOUBLE))
+                        AS BIGINT) AS q
+            FROM embeddings, generate_series(1, 64) AS g(i))
+        SELECT label, pos, COUNT(*) AS n_vectors,
+               CAST(SUM(CAST(q AS DECIMAL(28,0))) AS DOUBLE)
+                   / (COUNT(*) * CAST(1000000.0 AS DOUBLE)) AS centroid
+        FROM e GROUP BY label, pos ORDER BY label, pos
+    """,
     "embedding_normalize_quantize": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                           len(embedding) AS dim

@@ -215,7 +215,134 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) token stream — one narrow explode, no shuffle."""
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most distinctive terms per document by TF-IDF.
+
+    IDF uses the rational form (N+1)/(df+1) instead of its logarithm:
+    ln() is not IEEE-exactly specified and differs between libm
+    implementations (JVM vs DuckDB), while +,*,/ are — so the rational
+    variant is the cross-engine bit-exact choice and ranks terms
+    identically (log is monotone).
+
+    Plan shape: tokens -> (doc,term) count shuffle; df reuses that frame
+    (a (doc,term) row set IS the distinct pairs) with a second groupBy on
+    term, so the raw token stream is shuffled once. The tf->df join keys
+    on term (vocabulary-sized — a shuffle join on purpose: at corpus scale
+    the vocabulary with junk tokens is NOT broadcastable); N is a 1-row
+    broadcast. Top-5 per doc is a row_number window partitioned by doc_id.
+    ``localCheckpoint`` computes the tf frame once for its two consumers.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        _tokens(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * ((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("doc_id", "rn")
+    )
+
+
+# BM25 constants (standard Okapi defaults) and a fixed keyword query. All
+# literals are dyadic rationals (1.5, 0.75, 2.5, 0.5) so both engines parse
+# them to identical doubles and every arithmetic step is IEEE-exact.
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "fast")
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed keyword query under BM25 ranking.
+
+    The IDF factor is the rational (N - df + 0.5)/(df + 0.5) — same
+    log-free cross-engine-exactness rationale as ``text_tfidf_topterms``.
+    Per-term scores combine per doc by FIXED-ORDER addition (one
+    conditional aggregate per query term, then s0+s1+s2): a SUM() over the
+    term rows would add doubles in engine-dependent order.
+
+    Plan shape: doc lengths are one groupBy on doc_id; the query-term tf
+    is a second groupBy over the (tiny) filtered token stream; both join
+    on doc_id. The global (N, avgdl) pair and the per-term df are 1-row /
+    |query|-row broadcasts. Top-10 via TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # exact-decimal avgdl (order-independent sum), surfaced as double
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("dl").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    norm = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+    )
+    per_term = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "term",
+            (idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / norm).alias("s"),
+        )
+    )
+    slots = [
+        F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s{i}")
+        for i, t in enumerate(BM25_QUERY)
+    ]
+    combined = sum(
+        (F.coalesce(F.col(f"s{i}"), F.lit(0.0)) for i in range(1, len(BM25_QUERY))),
+        F.coalesce(F.col("s0"), F.lit(0.0)),
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(*slots, F.count(F.lit(1)).alias("n_terms_hit"))
+        .select("doc_id", combined.alias("score"), "n_terms_hit")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
 QUERIES = {
+    "text_tfidf_topterms": text_tfidf_topterms,
+    "text_bm25_search": text_bm25_search,
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
@@ -230,7 +357,71 @@ QUERIES = {
 # DuckDB twin of _hash_bucket: same md5-prefix integer, hex-parsed.
 _BUCKET_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
 
+# DuckDB types bare fractional literals as DECIMAL, which drags adjacent
+# integer operands into decimal arithmetic (engine-specific division
+# rules); explicit DOUBLE casts keep the whole expression in IEEE doubles,
+# matching Spark's F.lit(float). The promotions are exact (dyadic values).
+_D = "CAST({} AS DOUBLE)".format
+
 ORACLES = {
+    "text_tfidf_topterms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        t AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY doc_id, term),
+        d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, t.term AS term, tf, df,
+                   tf * ((n_docs + {_D(1.0)}) / (df + {_D(1.0)})) AS tfidf
+            FROM t JOIN d ON t.term = d.term, n),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rn
+            FROM scored)
+        SELECT doc_id, term, tf, df, tfidf, rn
+        FROM ranked WHERE rn <= 5
+        ORDER BY doc_id, rn
+    """,
+    "text_bm25_search": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        dl AS (
+            SELECT doc_id, COUNT(*) AS dl
+            FROM toks WHERE term <> '' GROUP BY doc_id),
+        corpus AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(dl AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM dl),
+        t AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks
+            WHERE term IN ('spark', 'join', 'fast')
+            GROUP BY doc_id, term),
+        d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+        p AS (
+            SELECT doc_id, t.term AS term,
+                   ((n_docs - df + {_D(0.5)}) / (df + {_D(0.5)}))
+                       * (tf * {_D(2.5)})
+                       / (tf + {_D(1.5)} * ({_D(0.25)} + {_D(0.75)} * (dl / avgdl))) AS s
+            FROM t JOIN d ON t.term = d.term JOIN dl USING (doc_id), corpus),
+        g AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN term = 'spark' THEN s END) AS s0,
+                   MAX(CASE WHEN term = 'join' THEN s END) AS s1,
+                   MAX(CASE WHEN term = 'fast' THEN s END) AS s2,
+                   COUNT(*) AS n_terms_hit
+            FROM p GROUP BY doc_id)
+        SELECT doc_id,
+               COALESCE(s0, {_D(0.0)}) + COALESCE(s1, {_D(0.0)})
+                   + COALESCE(s2, {_D(0.0)}) AS score,
+               n_terms_hit
+        FROM g
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
     "q_train_test_split": f"""
         SELECT CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
                     WHEN {_BUCKET_SQL} < 90 THEN 'valid'

@@ -1,0 +1,85 @@
+"""TF-IDF / BM25 / embedding-centroid semantics, plus the registration
+guarantees the deferred round-2b queries rely on."""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_tfidf_top5_per_doc(spark):
+    from db_migrator_spark.operators.text import text_tfidf_topterms
+
+    rows = text_tfidf_topterms(spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc, "corpus should produce tf-idf rows"
+    for doc_id, rs in by_doc.items():
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        scores = [r.tfidf for r in rs]
+        assert scores == sorted(scores, reverse=True), f"doc {doc_id} not ranked"
+        # rarer terms outscore common ones at equal tf: df of rank-1 term
+        # can't exceed df of an equal-tf lower-ranked term
+        for hi, lo in zip(rs, rs[1:]):
+            if hi.tf == lo.tf:
+                assert hi.df <= lo.df
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from db_migrator_spark.operators.text import BM25_QUERY, text_bm25_search
+
+    rows = text_bm25_search(spark, SF).collect()
+    assert len(rows) == 10
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < r.n_terms_hit <= len(BM25_QUERY) for r in rows)
+    assert all(r.score > 0 for r in rows)
+
+
+def test_embedding_centroids_shape_and_range(spark):
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.similarity import q_embedding_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    # the DuckDB oracle unrolls dimensions with generate_series(1, 64) —
+    # pin the fixture dimensionality that assumption rests on
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [64]
+
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    cents = q_embedding_centroids(spark, SF).collect()
+    assert len(cents) == len(labels) * 64
+    per_label = emb.groupBy("label").count().collect()
+    counts = {r.label: r["count"] for r in per_label}
+    for c in cents:
+        assert c.n_vectors == counts[c.label]
+        assert abs(c.centroid) < 10.0  # unit-ish embedding components
+
+
+def test_q8_share_bounded(spark):
+    from db_migrator_spark.operators.relational4 import q8_market_share
+
+    rows = q8_market_share(spark, SF).collect()
+    assert rows, "ECONOMY/ASIA slice should be non-empty"
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.total_revenue > 0
+
+
+def test_deferred_queries_register_after_window():
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    for name in e._DEFERRED:
+        assert name in names
+        assert names.index(name) >= 50, f"{name} would evict a window slot"
+    # every non-green, non-deferred query still lands inside the window
+    in_window = set(names[:50])
+    needing = [n for n in names if n not in e._R1_DRIVER_GREEN and n not in e._DEFERRED]
+    assert set(needing) <= in_window
