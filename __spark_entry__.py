@@ -77,6 +77,7 @@ _DEFERRED = frozenset({
     "text_tfidf_topterms",
     "text_bm25_search",
     "q_embedding_centroids",
+    "events_resample_ffill",
 })
 
 

@@ -151,7 +151,50 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with forward-fill: the time-series
+    alignment step (sensor/metric gap-filling) of a training pipeline.
+
+    Each user's event hours densify onto an hourly spine from their first
+    to last active hour; hours with no events take the last observed
+    hourly value (``last(..., ignorenulls)`` over an unbounded-preceding
+    row frame — DuckDB's ``last_value(x IGNORE NULLS)`` is the exact
+    twin). The first spine hour always has data (it IS the user's min
+    event hour), so no leading nulls.
+
+    Plan shape: one shuffle for the per-(user, hour) aggregate; the spine
+    is a per-user ``sequence`` explode (rows bounded by time span, not
+    corpus size); fill is a window partitioned by user_id — parallel in
+    users, no global window. The user_id < 50 filter bounds the declared
+    query's output; the operator itself has no such limit.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("v")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("hr").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.col("v").isNull().alias("was_gap"),
+            F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+        .orderBy("user_id", "hr")
+    )
+
+
 QUERIES = {
+    "events_resample_ffill": events_resample_ffill,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
     "events_tumbling_hourly": events_tumbling_hourly,
@@ -161,6 +204,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_resample_ffill": """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                   CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v
+            FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        bounds AS (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi
+                   FROM hourly GROUP BY user_id),
+        spine AS (SELECT user_id,
+                         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                  FROM bounds)
+        SELECT s.user_id, s.hr, (h.v IS NULL) AS was_gap,
+               last_value(h.v IGNORE NULLS)
+                   OVER (PARTITION BY s.user_id ORDER BY s.hr
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_ffill
+        FROM spine s
+        LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
+        ORDER BY s.user_id, s.hr
+    """,
     "events_funnel": """
         WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         s AS (SELECT user_id,

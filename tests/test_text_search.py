@@ -1,5 +1,5 @@
-"""TF-IDF / BM25 / embedding-centroid semantics, plus the registration
-guarantees the deferred round-2b queries rely on."""
+"""Semantics of the deferred round-2b ops (TF-IDF / BM25 / centroids /
+resample-ffill / Q8) plus the registration guarantees they rely on."""
 
 import sys
 
@@ -70,6 +70,28 @@ def test_q8_share_bounded(spark):
     for r in rows:
         assert 0.0 <= r.mkt_share <= 1.0
         assert r.total_revenue > 0
+
+
+def test_resample_ffill_semantics(spark):
+    from db_migrator_spark.operators.events import events_resample_ffill
+
+    rows = events_resample_ffill(spark, SF).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        assert not rs[0].was_gap, f"user {user} spine must start at first event hour"
+        last_seen = None
+        for r in rs:
+            assert r.value_ffill is not None
+            if r.was_gap:
+                assert r.value_ffill == last_seen, f"user {user} gap not forward-filled"
+            else:
+                last_seen = r.value_ffill
+        hours = [r.hr for r in rs]
+        deltas = {(b - a).total_seconds() for a, b in zip(hours, hours[1:])}
+        assert deltas <= {3600.0}, f"user {user} spine not hourly-dense"
 
 
 def test_deferred_queries_register_after_window():
