@@ -38,6 +38,7 @@ _MODULES = [
     "db_migrator_spark.operators.incremental",
     "db_migrator_spark.operators.grouped",
     "db_migrator_spark.operators.events",
+    "db_migrator_spark.operators.corpus",
     "db_migrator_spark.migrate.queries",
     "db_migrator_spark.streaming.windows",
     "db_migrator_spark.streaming.joins",
@@ -78,6 +79,11 @@ _DEFERRED = frozenset({
     "text_bm25_search",
     "q_embedding_centroids",
     "events_resample_ffill",
+    "text_chunk_documents",
+    "text_repetition_metrics",
+    "text_contamination_check",
+    "q_pack_sequences",
+    "q21_blocking_supplier",
 })
 
 

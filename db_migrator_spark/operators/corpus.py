@@ -1,0 +1,381 @@
+"""Training-corpus assembly operators: chunking, repetition-based quality
+metrics, benchmark decontamination, and sequence packing.
+
+These are the corpus-preparation stages a large-scale LLM training-data
+pipeline runs after cleaning/dedup (see ``operators/text.py`` and
+``operators/dedup.py``): split documents into model-window chunks, drop
+degenerate repetitive documents (Gopher-style repetition signals), strip
+documents that leak evaluation benchmarks, and pack the token stream into
+fixed-budget training sequences.
+
+Everything is built-in column expressions (split / transform / explode /
+window) — JVM-side, whole-stage-codegen'd — and every operator has an
+exact ANSI-SQL oracle twin. Scale notes are on each operator; the common
+theme is that per-document work is embarrassingly parallel (fused into the
+scan) and the only shuffles are keyed aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+
+# Chunking geometry: model-window chunks of CHUNK_CHARS with
+# CHUNK_STRIDE < CHUNK_CHARS giving (CHUNK_CHARS - CHUNK_STRIDE) overlap,
+# the standard retrieval/embedding windowing scheme.
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150
+
+# Sequence packing budget (whitespace tokens per training sequence).
+PACK_BUDGET = 512
+
+# Decontamination shingle width (word n-grams shared with a benchmark doc).
+CONTAM_NGRAM = 3
+
+
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping fixed-width character chunks
+    (CHUNK_CHARS wide, stride CHUNK_STRIDE) — the windowing step before
+    embedding or retrieval indexing.
+
+    Chunk starts are ``i * stride`` for ``i in [0, floor((len-1)/stride)]``
+    so every character lands in >= 1 chunk and consecutive chunks overlap
+    by ``CHUNK_CHARS - CHUNK_STRIDE`` chars. The raw chunk text stays
+    executor-side (at 100 TB chunked text is a sink, not a driver result);
+    the contract result carries per-chunk length + digest.
+
+    Plan: one generator (explode of an int sequence) fused into the scan —
+    no shuffle, no Python; output size ~ input * len/stride.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks_minus1 = F.floor((F.length("text") - 1) / CHUNK_STRIDE)
+    chunk = F.substring(
+        F.col("text"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_CHARS
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks_minus1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("chunk_id"),
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk.cast("binary")).alias("chunk_digest"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of tokens
+    taken by the single most frequent word, and the fraction of word
+    bigrams that are repeats. Degenerate machine-generated text scores
+    high on both; the composed ``flagged`` column is the filter verdict.
+
+    Plan shape: the word array is materialized once per row (the
+    higher-order-function recompute trap — see ``dedup._shingle_index``),
+    bigrams are formed array-side by index (no window over an exploded
+    token stream, which would shuffle |tokens| rows), and the only
+    shuffles are the two (doc_id, term)-keyed counts, which map-side
+    combine. Integer arithmetic until the final divisions, so the doubles
+    are cross-engine exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    toks = arr.select("doc_id", F.size("w").alias("n_words"), F.explode("w").alias("term"))
+    word_stats = (
+        toks.groupBy("doc_id", "n_words", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_words")
+        .agg(F.max("c").alias("top_word_cnt"))
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.concat_ws(" ", F.get("w", i), F.get("w", i + 1)),
+    )
+    bg = arr.select("doc_id", F.explode(bigrams).alias("bg"))
+    bg_stats = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_bigrams"),
+        )
+    )
+    top_frac = F.col("top_word_cnt").cast("double") / F.col("n_words")
+    dup_frac = (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double") / F.col(
+        "n_bigrams"
+    )
+    return (
+        word_stats.join(bg_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "top_word_cnt",
+            top_frac.alias("top_word_frac"),
+            "n_bigrams",
+            "n_distinct_bigrams",
+            dup_frac.alias("dup_bigram_frac"),
+            ((top_frac > 0.1) | (dup_frac > 0.3)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    {CONTAM_NGRAM}-grams with a held-out benchmark set (here: doc_id < 25
+    stands in for the eval suite). Reports, per contaminated corpus doc,
+    how many distinct benchmark shingles it contains and how many distinct
+    benchmark documents those shingles came from.
+
+    Scale shape: this is the LINEAR decontamination join, not a pair
+    explosion — the benchmark side is tiny by construction (eval suites
+    are KBs against a 100 TB corpus), so its distinct-shingle index is
+    broadcast and the corpus streams through a broadcast-hash semi-ish
+    join fused with the scan. No bucket caps needed (contrast the
+    corpus-vs-corpus self-join in ``dedup_ngram_jaccard``). Shingles are
+    strings here for oracle parity; the production path would reuse the
+    xxhash64 trick from ``dedup._shingle_index``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select("doc_id", F.split(F.col("text"), " ").alias("w")).filter(
+        F.size("w") >= CONTAM_NGRAM
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - CONTAM_NGRAM),
+            lambda i: F.concat_ws(
+                " ", F.get("w", i), F.get("w", i + 1), F.get("w", i + 2)
+            ),
+        )
+    )
+    sh = arr.select("doc_id", F.explode(grams).alias("shingle"))
+    bench = (
+        sh.filter(F.col("doc_id") < 25)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+    )
+    corpus = sh.filter(F.col("doc_id") >= 25)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus token stream into fixed-budget training sequences:
+    documents are concatenated in doc_id order and each document is
+    assigned to the sequence where it STARTS —
+    ``seq_id = floor(exclusive_cumsum(tokens) / PACK_BUDGET)`` — the
+    deterministic, order-preserving packing used when training sequences
+    are built by concatenation + window slicing. Returns per-sequence
+    occupancy (doc count, token sum, doc_id span).
+
+    Scale-safe global cumsum: a bare running-total window over the whole
+    corpus would funnel 100 TB through ONE task. Same decomposition as
+    ``q_ntile_buckets``: range-repartition on doc_id, per-partition
+    cumsum (window partitioned by ``spark_partition_id``), then add each
+    partition's broadcast token offset. ``localCheckpoint`` pins the
+    sampled range boundaries so both branches see identical partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    parts = (
+        docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+        .repartitionByRange(32, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = parts.groupBy("pid").agg(F.sum("n_tok").cast("bigint").alias("tok"))
+    prior = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sums.select(
+        "pid", F.coalesce(F.sum("tok").over(prior), F.lit(0)).alias("offset")
+    )
+    wp = W.partitionBy("pid").orderBy("doc_id")
+    packed = (
+        parts.withColumn("cum_in", F.sum("n_tok").over(wp))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("cum_before", F.col("cum_in") + F.col("offset") - F.col("n_tok"))
+        .withColumn("seq_id", F.floor(F.col("cum_before") / PACK_BUDGET))
+    )
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (suppliers who kept orders waiting), adapted to the
+    fixture's columns (no commitdate/receiptdate): among orders touching
+    >= 2 distinct suppliers, find the orders where exactly ONE supplier
+    owns the latest ship date — that supplier "blocked" the order — and
+    rank suppliers by how many orders they blocked.
+
+    Same algebraic skeleton as Q21's double EXISTS/NOT-EXISTS: instead of
+    correlated subqueries, two grouped passes (per (order, supplier) max
+    shipdate; per order the supplier count + global max) and an equality
+    filter — all hash aggregations + one broadcast join of the supplier
+    dim. No correlated per-row probes; every stage is a map-side-combined
+    shuffle on keys the data is already clustered by.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("sd")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.max("sd").alias("order_max")
+    )
+    latest = (
+        per_os.join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("sd") == F.col("order_max")))
+    )
+    sole = (
+        latest.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_latest"), F.max("l_suppkey").alias("l_suppkey"))
+        .filter(F.col("n_latest") == 1)
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_blocked"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_blocked")
+        .orderBy(F.col("n_blocked").desc(), "s_suppkey")
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "text_chunk_documents": text_chunk_documents,
+    "text_repetition_metrics": text_repetition_metrics,
+    "text_contamination_check": text_contamination_check,
+    "q_pack_sequences": q_pack_sequences,
+    "q21_blocking_supplier": q21_blocking_supplier,
+}
+
+ORACLES = {
+    "text_chunk_documents": f"""
+        WITH ex AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0, CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) AS BIGINT))) AS i
+            FROM documents)
+        SELECT doc_id,
+               i AS chunk_id,
+               length(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_CHARS}))
+                   AS chunk_len,
+               md5(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_CHARS}))
+                   AS chunk_digest
+        FROM ex
+        ORDER BY doc_id, chunk_id
+    """,
+    "text_repetition_metrics": """
+        WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        toks AS (
+            SELECT doc_id, len(w) AS n_words, unnest(w) AS term FROM arr),
+        ws AS (
+            SELECT doc_id, n_words, MAX(c) AS top_word_cnt
+            FROM (SELECT doc_id, n_words, term, COUNT(*) AS c
+                  FROM toks GROUP BY doc_id, n_words, term)
+            GROUP BY doc_id, n_words),
+        bgx AS (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM arr),
+        bg AS (
+            SELECT doc_id, w[i] || ' ' || w[i+1] AS bg FROM bgx),
+        bs AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+            FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+            GROUP BY doc_id)
+        SELECT ws.doc_id AS doc_id, n_words, top_word_cnt,
+               CAST(top_word_cnt AS DOUBLE) / n_words AS top_word_frac,
+               n_bigrams, n_distinct_bigrams,
+               CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+                   AS dup_bigram_frac,
+               (CAST(top_word_cnt AS DOUBLE) / n_words > CAST(0.1 AS DOUBLE)
+                OR CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+                    > CAST(0.3 AS DOUBLE)) AS flagged
+        FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+        ORDER BY doc_id
+    """,
+    "text_contamination_check": f"""
+        WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE len(string_split(text, ' ')) >= {CONTAM_NGRAM}),
+        ex AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {CONTAM_NGRAM - 1})) AS i
+            FROM arr),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM ex),
+        bench AS (
+            SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 25),
+        corpus AS (
+            SELECT doc_id, shingle FROM sh WHERE doc_id >= 25)
+        SELECT c.doc_id AS doc_id,
+               COUNT(DISTINCT c.shingle) AS n_shared_shingles,
+               COUNT(DISTINCT b.bench_id) AS n_bench_docs
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+        ORDER BY doc_id
+    """,
+    "q_pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+        c AS (
+            SELECT doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM t)
+        SELECT CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM c
+        GROUP BY 1
+        ORDER BY seq_id
+    """,
+    "q21_blocking_supplier": """
+        WITH per_os AS (
+            SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sd
+            FROM lineitem GROUP BY l_orderkey, l_suppkey),
+        per_o AS (
+            SELECT l_orderkey, COUNT(*) AS n_supp, MAX(sd) AS order_max
+            FROM per_os GROUP BY l_orderkey),
+        latest AS (
+            SELECT p.l_orderkey, p.l_suppkey
+            FROM per_os p JOIN per_o o ON p.l_orderkey = o.l_orderkey
+            WHERE o.n_supp >= 2 AND p.sd = o.order_max),
+        sole AS (
+            SELECT l_orderkey, MAX(l_suppkey) AS l_suppkey
+            FROM latest GROUP BY l_orderkey HAVING COUNT(*) = 1)
+        SELECT s_suppkey, s_name, COUNT(*) AS n_blocked
+        FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_suppkey, s_name
+        ORDER BY n_blocked DESC, s_suppkey
+        LIMIT 10
+    """,
+}
