@@ -84,6 +84,7 @@ _DEFERRED = frozenset({
     "text_contamination_check",
     "q_pack_sequences",
     "q21_blocking_supplier",
+    "streaming_segment_enrichment",
 })
 
 

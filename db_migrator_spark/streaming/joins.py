@@ -65,8 +65,47 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("click_id", "purchase_id")
 
 
+def enrich_with_dim(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment + per-segment aggregate.
+
+    The other join every streaming pipeline runs: the unbounded fact stream
+    against a bounded dimension table. The static side needs no watermark
+    and keeps NO join state — each micro-batch hash-joins against the
+    (broadcast) dimension, so state cost is zero regardless of stream
+    length; only the downstream aggregate is stateful. The explicit
+    ``F.broadcast`` pins the plan every micro-batch replans to.
+    """
+    enriched = events.join(
+        F.broadcast(customer),
+        events["user_id"] == customer["c_custkey"],
+    )
+    return (
+        enriched.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+    )
+    # (exact COUNT DISTINCT is unsupported on streams — the streaming
+    # answer is approx_count_distinct, which is deliberately left out of
+    # this oracle-exact contract entry)
+
+
+def streaming_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: stream-static broadcast join of the event
+    stream against the customer dimension, complete-mode per-segment
+    aggregate; oracle-checked against the batch SQL join."""
+    from ..io import load_table
+
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = run_bounded(enrich_with_dim(ev, cust), "complete")
+    return out.orderBy("c_mktsegment")
+
+
 QUERIES = {
     "streaming_click_attribution": streaming_click_attribution,
+    "streaming_segment_enrichment": streaming_segment_enrichment,
 }
 
 ORACLES = {
@@ -83,5 +122,13 @@ ORACLES = {
                      AND p_ts > c_ts
                      AND p_ts <= c_ts + INTERVAL 1 HOUR
         ORDER BY click_id, purchase_id
+    """,
+    "streaming_segment_enrichment": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
 }

@@ -175,3 +175,26 @@ def test_user_milestones_stateful(spark):
         expected = n // 10
         got = sorted(per_user.get(user, []))
         assert got == list(range(1, expected + 1)), (user, n, got)
+
+
+def test_segment_enrichment_stream_batch_parity(spark):
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.streaming.joins import streaming_segment_enrichment
+
+    got = {
+        (r.c_mktsegment, r.n_events, round(r.total_value, 6))
+        for r in streaming_segment_enrichment(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    cust = load_table(spark, SF, "customer")
+    want = {
+        (r.c_mktsegment, r.n_events, round(r.total_value, 6))
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want and got
