@@ -85,6 +85,8 @@ _DEFERRED = frozenset({
     "q_pack_sequences",
     "q21_blocking_supplier",
     "streaming_segment_enrichment",
+    "text_unigram_score",
+    "q_domain_rebalance",
 })
 
 

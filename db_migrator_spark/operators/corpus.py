@@ -221,6 +221,97 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency document scoring — the cheap stand-in for LM
+    perplexity filtering: a document whose tokens are all corpus-rare (or
+    all corpus-dominant) is an outlier. Scores each doc by its average
+    token's corpus frequency, ``avg_p = (Σ_tokens cnt(token)) / (n_tok·N)``.
+
+    The score is kept as ONE rational — integer sums divided once at the
+    end — instead of averaging per-token ``cnt/N`` doubles, whose
+    summation order is engine-dependent; integer arithmetic makes the
+    double cross-engine exact (same trick as the TF-IDF rational IDF).
+
+    Plan shape: token stream → corpus term counts (map-side-combined
+    shuffle on term), joined back to the token stream on term (shuffle
+    join ON PURPOSE — a 100 TB corpus vocabulary with junk tokens is not
+    broadcastable), then a per-doc integer aggregation. The corpus total
+    is a 1-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    per_doc = (
+        toks.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("cnt").cast("bigint").alias("sum_cnt"),
+        )
+    )
+    avg_p = F.col("sum_cnt").cast("double") / (F.col("n_tok") * F.col("n_corpus"))
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tok",
+            "sum_cnt",
+            avg_p.alias("avg_token_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven domain rebalancing: downsample every source to the
+    token volume of the smallest source (uniform domain mixture), then
+    report per-source before/after volumes. The per-row keep decision is
+    ``hash_bucket(doc_id) · source_tokens < BUCKETS · min_tokens`` —
+    integer cross-multiplication, so the sampling rate min_tokens/source_
+    tokens needs no float rounding and the decision is engine-exact and
+    recomputable from the row alone.
+
+    Plan shape: one aggregation derives the per-source token totals (and
+    their min — a sources-count-sized frame), broadcast back onto the
+    scan; the filter then evaluates per row with no second shuffle. This
+    is the general template for "compute the sampling policy FROM the
+    data, then apply it in the same pass" — at 100 TB the policy frame is
+    KBs while the corpus never moves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    per_src = base.groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("src_tok"))
+    policy = per_src.crossJoin(
+        F.broadcast(per_src.agg(F.min("src_tok").alias("min_tok")))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    kept = (
+        base.join(F.broadcast(policy), "source")
+        .withColumn("keep", bucket * F.col("src_tok") < 1000 * F.col("min_tok"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_before"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("docs_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_after"),
+        )
+        .orderBy("source")
+    )
+
+
 def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 analog (suppliers who kept orders waiting), adapted to the
     fixture's columns (no commitdate/receiptdate): among orders touching
@@ -267,6 +358,8 @@ QUERIES = {
     "text_repetition_metrics": text_repetition_metrics,
     "text_contamination_check": text_contamination_check,
     "q_pack_sequences": q_pack_sequences,
+    "text_unigram_score": text_unigram_score,
+    "q_domain_rebalance": q_domain_rebalance,
     "q21_blocking_supplier": q21_blocking_supplier,
 }
 
@@ -357,6 +450,49 @@ ORACLES = {
         FROM c
         GROUP BY 1
         ORDER BY seq_id
+    """,
+    "text_unigram_score": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        vocab AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+        total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM t),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+            FROM t JOIN vocab ON t.term = vocab.term
+            GROUP BY doc_id)
+        SELECT doc_id, n_tok, sum_cnt,
+               CAST(sum_cnt AS DOUBLE) / (n_tok * n_corpus) AS avg_token_freq
+        FROM per_doc, total
+        ORDER BY doc_id
+    """,
+    "q_domain_rebalance": """
+        WITH base AS (
+            SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+            FROM documents),
+        per_src AS (
+            SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok
+            FROM base GROUP BY source),
+        policy AS (
+            SELECT source, src_tok,
+                   (SELECT MIN(src_tok) FROM per_src) AS min_tok
+            FROM per_src),
+        kept AS (
+            SELECT b.source, b.n_tok,
+                   (('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000) * p.src_tok < 1000 * p.min_tok AS keep
+            FROM base b JOIN policy p ON b.source = p.source)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+               CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_after
+        FROM kept
+        GROUP BY source
+        ORDER BY source
     """,
     "q21_blocking_supplier": """
         WITH per_os AS (

@@ -140,3 +140,39 @@ def test_chunking_prunes_scan_and_shuffles_nothing(spark):
     # details section renders it as "(n) Exchange")
     plan = plan_string(df)
     assert plan.count("Exchange (") <= 1, plan
+
+
+def test_unigram_score_matches_python(spark):
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.corpus import text_unigram_score
+
+    texts = {
+        r.doc_id: [w for w in r.text.split(" ") if w]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    from collections import Counter
+
+    corpus = Counter(w for ws in texts.values() for w in ws)
+    n_corpus = sum(corpus.values())
+    rows = text_unigram_score(spark, SF).collect()
+    assert len(rows) == len(texts)
+    for r in rows[:20]:
+        ws = texts[r.doc_id]
+        assert r.n_tok == len(ws)
+        assert r.sum_cnt == sum(corpus[w] for w in ws)
+        assert abs(r.avg_token_freq - r.sum_cnt / (r.n_tok * n_corpus)) < 1e-15
+        assert 0.0 < r.avg_token_freq <= 1.0
+
+
+def test_domain_rebalance_keeps_smallest_source_whole(spark):
+    from db_migrator_spark.operators.corpus import q_domain_rebalance
+
+    rows = q_domain_rebalance(spark, SF).collect()
+    assert len(rows) == 20
+    min_tok = min(r.tokens_before for r in rows)
+    for r in rows:
+        assert r.docs_kept <= r.n_docs
+        assert r.tokens_after <= r.tokens_before
+        if r.tokens_before == min_tok:
+            # rate = min/src = 1 -> the smallest source is never downsampled
+            assert r.docs_kept == r.n_docs and r.tokens_after == r.tokens_before
