@@ -68,25 +68,29 @@ _R1_DRIVER_GREEN = frozenset({
     "similarity_topk_bruteforce",
 })
 
-# Queries added AFTER the round-2 driver window filled (49 evidence-needing
-# queries already occupy the 50-slot check window). These register LAST so
-# they don't evict queries still waiting on driver evidence; they are
-# oracle-checked locally this round and rotate into the window next round.
-_DEFERRED = frozenset({
-    "q8_market_share",
-    "q9_product_profit",
-    "text_tfidf_topterms",
-    "text_bm25_search",
-    "q_embedding_centroids",
-    "events_resample_ffill",
-    "text_chunk_documents",
-    "text_repetition_metrics",
-    "text_contamination_check",
-    "q_pack_sequences",
-    "q21_blocking_supplier",
-    "streaming_segment_enrichment",
-    "text_unigram_score",
-    "q_domain_rebalance",
+# The 50 queries that occupied the round-2 driver window (registration order
+# at the time the round-2 snapshot was committed). These have the freshest
+# driver evidence, so they yield their slots for round 3.
+_R2_WINDOW = frozenset({
+    "q_profile_columns", "q_feature_correlations", "q_histogram",
+    "q_ntile_buckets", "q_json_filter_agg", "q4_order_priority",
+    "q13_customer_distribution", "q7_nation_volume",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q10_returned_items", "q14_promo_revenue", "q15_top_supplier",
+    "q19_band_filters", "q22_idle_customers", "q_bucketed_join_revenue",
+    "q_skew_twophase_agg", "q_skew_salted_join", "dedup_clusters",
+    "dedup_embedding_cosine", "text_redact_pii", "q_train_test_split",
+    "q_stratified_sample", "similarity_knn_join", "similarity_lsh_pairs",
+    "embedding_normalize_quantize", "similarity_ivf_topk",
+    "multimodal_metadata", "multimodal_frame_sample",
+    "multimodal_feature_extract", "multimodal_resize_plan", "q_merge_upsert",
+    "q_change_capture", "q_grouped_mad", "events_funnel",
+    "events_retention_cohorts", "events_tumbling_hourly",
+    "events_sliding_windows", "events_json_extract", "events_sessionization",
+    "migrate_customer_pipeline", "migrate_orders_pipeline",
+    "q_fk_orphan_check", "q_table_checksum", "streaming_tumbling_hourly",
+    "streaming_user_milestones", "streaming_dedup_events",
+    "streaming_click_attribution", "streaming_foreachbatch_totals",
 })
 
 
@@ -102,9 +106,13 @@ def _collect() -> tuple[dict, dict]:
             continue
         qs.update(getattr(mod, "QUERIES", {}))
         os_.update(getattr(mod, "ORACLES", {}))
-    ordered = {k: qs[k] for k in qs if k not in _R1_DRIVER_GREEN and k not in _DEFERRED}
+    # Round-3 window rotation: queries with NO driver evidence yet (the
+    # round-2 deferred set plus anything added this round) register first,
+    # then round-1-green queries (oldest evidence), then the round-2 window
+    # (freshest evidence) last.
+    ordered = {k: qs[k] for k in qs if k not in _R1_DRIVER_GREEN and k not in _R2_WINDOW}
     ordered.update({k: qs[k] for k in qs if k in _R1_DRIVER_GREEN})
-    ordered.update({k: qs[k] for k in qs if k in _DEFERRED})
+    ordered.update({k: qs[k] for k in qs if k in _R2_WINDOW})
     return ordered, os_
 
 
