@@ -165,19 +165,25 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~3 higher-order lambda folds per pair AND gets duplicated into the
     # join condition when the threshold filter pushes down (measured 8.6s;
     # this shape: ~2s at sf0.1 with 247k candidate pairs).
+    # Unit vectors ship as float32: norm is computed in double (exact), the
+    # normalized components round to float for the per-pair Arrow transfer
+    # — halves the dominant shuffle+IPC payload (2 x 64 values per
+    # candidate pair); the dot accumulates back in float64 inside numpy.
+    # Worst-case cosine error ~1e-7 against the 0.4 threshold.
     normed = (
         emb.select("vec_id", _as_double(F.col("embedding")).alias("d"))
         .select("vec_id", "d", F.sqrt(_dot(F.col("d"), F.col("d"))).alias("nrm"))
         # nrm is a materialized column reference here, NOT an expression —
         # an expression inside a transform lambda re-evaluates per element
-        .select("vec_id", F.transform("d", lambda x: x / F.col("nrm")).alias("u"))
+        .select("vec_id", F.transform("d", lambda x: (x / F.col("nrm")).cast("float")).alias("u"))
     )
     u1 = normed.select(F.col("vec_id").alias("v1"), F.col("u").alias("u1"))
     u2 = normed.select(F.col("vec_id").alias("v2"), F.col("u").alias("u2"))
 
     @F.pandas_udf(T.DoubleType())
     def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma, mb = np.stack(a.to_numpy()), np.stack(b.to_numpy())
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
         return pd.Series(np.einsum("ij,ij->i", ma, mb))
 
     return (
