@@ -154,3 +154,47 @@ def test_fk_orphan_check_uses_anti_joins(spark):
 
     plan = plan_string(q_fk_orphan_check(spark, SF), "simple")
     assert plan.count("LeftAnti") == 3, plan
+
+
+def test_segment_dedup_no_cartesian(spark):
+    """Boilerplate-segment dedup: the hot-segment exclusion must be a
+    broadcast anti join on the segment key — never a pairwise product."""
+    from db_migrator_spark.operators.corpus2 import text_segment_dedup
+
+    plan = plan_string(text_segment_dedup(spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_topk_and_broadcast(spark):
+    """Vocabulary is a global top-K (TakeOrdered, no full sort) and
+    attaches to the token stream by broadcast."""
+    from db_migrator_spark.operators.corpus2 import text_vocab_coverage
+
+    plan = plan_string(text_vocab_coverage(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_range_search_broadcasts_queries(spark):
+    """Range search scans the corpus once with the query side broadcast;
+    the corpus side must not shuffle."""
+    from db_migrator_spark.operators.corpus2 import similarity_range_search
+
+    plan = plan_string(similarity_range_search(spark, SF))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """Centroid assignment: k centroid vectors broadcast; the argmin
+    window partitions by vec_id (bounded k rows per key)."""
+    import re
+
+    from db_migrator_spark.operators.corpus2 import q_kmeans_assign
+
+    plan = plan_string(q_kmeans_assign(spark, SF))
+    assert "Broadcast" in plan
+    m = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert m, plan
+    assert "vec_id" in m.group(1).split(",")[0]
