@@ -47,10 +47,12 @@ _MODULES = [
     "db_migrator_spark.streaming.foreach_batch",
 ]
 
-# Queries with a green CORRECTNESS_r01 row (the external driver checks the
-# FIRST 50 registered queries per round). Everything NOT in this set —
-# r1-unchecked, r1-red (since fixed), and newly added queries — registers
-# first so each query accumulates driver-side evidence across rounds.
+# Driver-evidence bookkeeping: the external driver checks the FIRST 50
+# registered queries per round, so registration order is rotated each round
+# by "rounds since this query was last driver-checked" — never-checked
+# queries (including anything newly added) always register first.
+#
+# Round-1 window (CORRECTNESS_r01.json): 48 green rows.
 _R1_DRIVER_GREEN = frozenset({
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q_distinct_aggregates", "q_rollup_revenue",
@@ -70,10 +72,10 @@ _R1_DRIVER_GREEN = frozenset({
     "similarity_topk_bruteforce",
 })
 
-# The 50 queries that occupied the round-2 driver window (registration order
-# at the time the round-2 snapshot was committed). These have the freshest
-# driver evidence, so they yield their slots for round 3.
-_R2_WINDOW = frozenset({
+# Round 2 produced NO driver correctness artifact, so this set — the 49
+# queries that sat in the round-2/3 registration tail — still has zero
+# driver evidence after three rounds. It registers FIRST in round 4.
+_NEVER_CHECKED = frozenset({
     "q_profile_columns", "q_feature_correlations", "q_histogram",
     "q_ntile_buckets", "q_json_filter_agg", "q4_order_priority",
     "q13_customer_distribution", "q7_nation_volume",
@@ -95,6 +97,26 @@ _R2_WINDOW = frozenset({
     "streaming_click_attribution", "streaming_foreachbatch_totals",
 })
 
+# Round-3 window (CORRECTNESS_r03.json): 50 rows, 49 green + 1 rows-only.
+_R3_CHECKED = frozenset({
+    "q8_market_share", "q9_product_profit", "q2_min_cost_supplier",
+    "q11_important_stock", "q12_late_lines_priority", "q16_supplier_counts",
+    "q20_excess_stock_suppliers", "text_tfidf_topterms", "text_bm25_search",
+    "q_embedding_centroids", "events_resample_ffill", "text_chunk_documents",
+    "text_repetition_metrics", "text_contamination_check", "q_pack_sequences",
+    "text_unigram_score", "q_domain_rebalance", "q21_blocking_supplier",
+    "text_segment_dedup", "text_vocab_coverage", "similarity_range_search",
+    "q_kmeans_assign", "streaming_segment_enrichment", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q_distinct_aggregates", "q_rollup_revenue", "q_cube_quantity",
+    "q_pivot_status", "q_semi_join", "q_anti_join", "q_outer_join_coalesce",
+    "q_broadcast_dim_join", "q_topk_orders_per_customer", "q_running_total",
+    "q_lag_price_delta", "q_rank_suppliers", "q_global_topk",
+    "q_set_ops_nations", "q_union_accounts", "q_asof_join_latest_order",
+    "q_range_band_join", "q_grouping_sets", "q_min_per_group_filter",
+    "q_percentiles", "q_arg_max", "q_scalar_functions", "q_approx_distinct",
+})
+
 
 def _collect() -> tuple[dict, dict]:
     import importlib
@@ -108,13 +130,16 @@ def _collect() -> tuple[dict, dict]:
             continue
         qs.update(getattr(mod, "QUERIES", {}))
         os_.update(getattr(mod, "ORACLES", {}))
-    # Round-3 window rotation: queries with NO driver evidence yet (the
-    # round-2 deferred set plus anything added this round) register first,
-    # then round-1-green queries (oldest evidence), then the round-2 window
-    # (freshest evidence) last.
-    ordered = {k: qs[k] for k in qs if k not in _R1_DRIVER_GREEN and k not in _R2_WINDOW}
-    ordered.update({k: qs[k] for k in qs if k in _R1_DRIVER_GREEN})
-    ordered.update({k: qs[k] for k in qs if k in _R2_WINDOW})
+    # Round-4 window rotation, least-recent-evidence first:
+    #   1. never driver-checked (_NEVER_CHECKED + anything added this round)
+    #   2. checked only in round 1 (oldest evidence)
+    #   3. checked in round 3 (freshest evidence) last.
+    ordered = {k: qs[k] for k in qs if k in _NEVER_CHECKED}
+    ordered.update(
+        {k: qs[k] for k in qs if k not in _NEVER_CHECKED and k not in _R1_DRIVER_GREEN and k not in _R3_CHECKED}
+    )
+    ordered.update({k: qs[k] for k in qs if k in _R1_DRIVER_GREEN and k not in _R3_CHECKED})
+    ordered.update({k: qs[k] for k in qs if k in _R3_CHECKED})
     return ordered, os_
 
 
