@@ -49,9 +49,54 @@ _MODULES = [
 
 # Driver-evidence bookkeeping: the external driver checks the FIRST 50
 # registered queries per round, so registration order is rotated each round
-# by "rounds since this query was last driver-checked" — never-checked
-# queries (including anything newly added) always register first.
-#
+# by evidence freshness, computed straight from the CORRECTNESS_r*.json
+# artifacts the driver leaves in the repo:
+#   1. never driver-checked (anything newly added this round),
+#   2. red at its most recent check (fixes needing re-verification),
+#   3. green/rows-only, oldest evidence first.
+def _evidence_order(names: list[str]) -> list[str]:
+    import glob as globmod
+    import json
+    import re
+
+    last: dict[str, tuple[int, bool]] = {}  # name -> (round, was_green)
+    for path in sorted(globmod.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for k, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            green = (
+                v.get("err") == "no_oracle"  # rows-only by design
+                or (
+                    bool(v.get("rows_match"))
+                    and bool(v.get("schema_match"))
+                    and v.get("hash_match") is not False
+                )
+            )
+            prev = last.get(k)
+            if prev is None or rnd >= prev[0]:
+                last[k] = (rnd, green)
+
+    def key(name: str):
+        if name not in last:
+            return (0, 0, name)
+        rnd, green = last[name]
+        return (2, rnd, name) if green else (1, rnd, name)
+
+    return sorted(names, key=key)
+
+
+# Historical windows kept for reference (superseded by _evidence_order):
 # Round-1 window (CORRECTNESS_r01.json): 48 green rows.
 _R1_DRIVER_GREEN = frozenset({
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
@@ -130,16 +175,7 @@ def _collect() -> tuple[dict, dict]:
             continue
         qs.update(getattr(mod, "QUERIES", {}))
         os_.update(getattr(mod, "ORACLES", {}))
-    # Round-4 window rotation, least-recent-evidence first:
-    #   1. never driver-checked (_NEVER_CHECKED + anything added this round)
-    #   2. checked only in round 1 (oldest evidence)
-    #   3. checked in round 3 (freshest evidence) last.
-    ordered = {k: qs[k] for k in qs if k in _NEVER_CHECKED}
-    ordered.update(
-        {k: qs[k] for k in qs if k not in _NEVER_CHECKED and k not in _R1_DRIVER_GREEN and k not in _R3_CHECKED}
-    )
-    ordered.update({k: qs[k] for k in qs if k in _R1_DRIVER_GREEN and k not in _R3_CHECKED})
-    ordered.update({k: qs[k] for k in qs if k in _R3_CHECKED})
+    ordered = {k: qs[k] for k in _evidence_order(list(qs))}
     return ordered, os_
 
 

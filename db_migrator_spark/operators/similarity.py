@@ -206,11 +206,14 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(_dot(vec, vec))
     absmax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
     quant = F.transform(vec, lambda x: F.round(x / absmax * 127).cast("int"))
+    # q8 is surfaced as a comma-joined string, not array<int>: the driver's
+    # pandas canonicalizer can't hash ndarray cells (same contract reason
+    # dedup_clusters joins its members column).
     return emb.select(
         "vec_id",
         norm.alias("l2_norm"),
         absmax.alias("absmax"),
-        quant.alias("q8"),
+        F.array_join(quant.cast("array<string>"), ",").alias("q8"),
         F.size("embedding").alias("dim"),
     ).orderBy("vec_id")
 
@@ -279,7 +282,10 @@ ORACLES = {
                           list_max(list_transform(v, x -> abs(x))) AS absmax
                    FROM e)
         SELECT vec_id, l2_norm, absmax,
-               list_transform(v, x -> CAST(round(x / absmax * 127) AS INT)) AS q8,
+               array_to_string(
+                   list_transform(v,
+                       x -> CAST(CAST(round(x / absmax * 127) AS INT) AS VARCHAR)),
+                   ',') AS q8,
                CAST(dim AS INT) AS dim
         FROM m
         ORDER BY vec_id

@@ -57,15 +57,54 @@ RAW_SCHEMA = T.StructType(
 
 
 def decode_ts(df: DataFrame) -> DataFrame:
-    """ns-since-epoch bigint -> microsecond TimestampType.
+    """Normalize ``ts`` to microsecond TimestampType, whatever the source
+    physically holds: ns-since-epoch bigint (TIMESTAMP(NANOS) parquet read
+    under nanosAsLong, or hand-written long test batches) gets the same
+    truncating ``div 1000`` the batch loader uses; native parquet
+    TIMESTAMP(MICROS) (read as timestamp/timestamp_ntz) is cast through.
 
-    NOT timestamp_ntz like the batch loader: Spark watermarks/session
-    windows require TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
-    otherwise). Stream/batch result parity therefore relies on the session
-    timezone being UTC — ``configure()`` pins it (and the driver-contract
-    wrapper always calls configure), making LTZ wall times equal NTZ ones.
+    The target is TimestampType, NOT timestamp_ntz like the batch loader:
+    Spark watermarks/session windows require TimestampType
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). Stream/batch result
+    parity therefore relies on the session timezone being UTC —
+    ``configure()`` pins it (and the driver-contract wrapper always calls
+    configure), making LTZ wall times equal NTZ ones.
     """
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _probe_ts_is_long(base: str, glob: str | None) -> bool:
+    """Read one parquet footer under ``base`` to learn how ``ts`` is stored.
+
+    Driver-side metadata read (no Spark job): the fixture has shipped
+    ``ts`` both as TIMESTAMP(NANOS) — which Spark can only read as bigint —
+    and as plain TIMESTAMP(MICROS); the stream schema must match the file,
+    so schema-on-read is decided per source directory, exactly like the
+    batch loader's dtype guard (io.py).
+    """
+    import glob as globmod
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as patypes
+
+    pattern = os.path.join(base, glob) if glob else os.path.join(base, "*.parquet")
+    files = sorted(globmod.glob(pattern)) or sorted(
+        globmod.glob(os.path.join(base, "*"))
+    )
+    for f in files:
+        if not os.path.isfile(f):
+            continue
+        try:
+            field = pq.ParquetFile(f).schema_arrow.field("ts")
+        except Exception:
+            continue
+        return not patypes.is_timestamp(field.type)
+    return True
 
 
 def stream_events(spark: SparkSession, source: str) -> DataFrame:
@@ -78,10 +117,21 @@ def stream_events(spark: SparkSession, source: str) -> DataFrame:
     configure(spark)
     import os
 
-    reader = spark.readStream.schema(RAW_SCHEMA).option("maxFilesPerTrigger", "1")
+    glob: str | None = None
     if source.endswith(".parquet") and os.path.isfile(source):
-        reader = reader.option("pathGlobFilter", os.path.basename(source))
+        glob = os.path.basename(source)
         source = os.path.dirname(source)
+    schema = RAW_SCHEMA
+    if not _probe_ts_is_long(source, glob):
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+                for f in RAW_SCHEMA.fields
+            ]
+        )
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
     raw = reader.parquet(source)
     return decode_ts(raw)
 

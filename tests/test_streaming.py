@@ -134,12 +134,18 @@ def test_session_windows_match_batch_sessionization(spark, tmp_path):
     shutil.copy(f"{SF}/events.parquet", os.path.join(src, "a_events.parquet"))
     time.sleep(1.1)
     FLUSH_USER = 10**9
-    far_future = 4_102_444_800 * 1_000_000_000  # year 2100, ns (fits int64)
+    # The flush file's ts must use the SAME physical type as the fixture
+    # file sharing the stream directory (the file source reads one schema).
+    fixture_ts = pq.ParquetFile(f"{SF}/events.parquet").schema_arrow.field("ts").type
+    if pa.types.is_timestamp(fixture_ts):
+        flush_ts = pa.array([4_102_444_800 * 1_000_000], pa.timestamp("us")).cast(fixture_ts)
+    else:
+        flush_ts = pa.array([4_102_444_800 * 1_000_000_000], pa.int64())  # year 2100, ns
     pq.write_table(
         pa.table(
             {
                 "event_id": pa.array([999_999], pa.int64()),
-                "ts": pa.array([far_future], pa.int64()),
+                "ts": flush_ts,
                 "user_id": pa.array([FLUSH_USER], pa.int64()),
                 "event_type": pa.array(["flush"], pa.string()),
                 "value": pa.array([0.0], pa.float64()),
