@@ -1,0 +1,287 @@
+"""Corpus-assembly operators, round 5: vocabulary building, incremental
+dedup, training-order sharding, norm-outlier audit, keep-best dedup.
+
+North-star LLM-data-pipeline additions (the reference is a 1:1 table
+copier with none of these — cited for scope:
+/root/reference/src/migrate/table_migrator.rs:43-114 is its whole data
+path):
+
+- ``text_ngram_vocab``: corpus-wide top-K word-bigram vocabulary with
+  occurrence + document frequencies (the counting pass every BPE/vocab
+  build starts from);
+- ``dedup_incremental_batch``: dedup a NEW crawl batch against the
+  already-indexed corpus — the daily-ingest shape: nobody re-dedups
+  100 TB from scratch per day;
+- ``q_shuffle_shards``: deterministic global training-order shuffle into
+  shards (multiplicative-hash key), the step that turns a sorted corpus
+  into i.i.d.-looking training files;
+- ``embedding_norm_outliers``: L2-norm outlier audit with fully
+  integer/decimal comparisons (no cross-engine float drift);
+- ``dedup_keep_best``: exact-dup groups keep the BEST copy by an
+  explicit policy (prefer ``lang='en'``, then lowest doc_id) instead of
+  ``dedup_exact``'s min-id — the "which copy survives" decision real
+  pipelines make on quality signals.
+
+Scale notes (100 TB): the vocabulary pass is one shuffle keyed by ngram
+with map-side partial aggregation and a global top-K (TakeOrdered — no
+full sort); incremental dedup shuffles 16-byte hashes, never text, and
+the new-batch side is small by construction so AQE picks a broadcast;
+sharding is embarrassingly parallel (per-shard windows, shard count
+chosen so one shard ~ one output file); the outlier audit is one scan +
+a 1-row broadcast aggregate; keep-best is a single hash aggregation with
+a lexicographic max-struct (map-side combinable, unlike a window rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from .similarity import _as_double, _dot
+
+NGRAM_VOCAB_K = 50
+# New-batch membership for incremental dedup: every 10th doc_id is "today's
+# crawl", the rest are the indexed corpus (a deterministic stand-in for an
+# ingest-date column the fixture lacks).
+INCR_BATCH_MOD = 10
+N_SHARDS = 16
+# Knuth multiplicative hash constant (2^32 / golden ratio), applied mod
+# 2^32: a bijective scramble of doc_id in exact BIGINT arithmetic both
+# engines reproduce bit-for-bit (unlike xxhash64, whose Spark and DuckDB
+# implementations differ).
+SHUFFLE_MULT = 2654435761
+SHUFFLE_MOD = 4294967296
+NORM_SCALE = 1_000_000
+
+
+def text_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K corpus bigram vocabulary: occurrence count + doc frequency.
+
+    Plan shape: bigrams are built per-row with an array lambda (narrow,
+    zero Python), exploded, then ONE shuffle keyed by ngram computes both
+    frequencies — ``countDistinct`` expands to the standard two-phase
+    distinct aggregate, still map-side partial on the first phase. The
+    top-K is ``orderBy().limit()`` = TakeOrderedAndProject: each partition
+    ships only its local K candidates, no global sort. Ordering is fully
+    tie-broken (count desc, ngram asc) so the K-th boundary is
+    deterministic in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return (
+        docs.filter(F.size(w) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(NGRAM_VOCAB_K)
+    )
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of a new ingest batch after dedup against the corpus.
+
+    The batch (``doc_id % INCR_BATCH_MOD == INCR_BATCH_MOD-1``) is
+    anti-joined on content hash against the indexed remainder, then
+    deduped within itself (min doc_id per hash — first occurrence wins,
+    matching ``dedup_exact``).
+
+    Plan shape: both sides project to (hash, doc_id) BEFORE the shuffle —
+    16-byte keys on the wire, never document text. The index side is
+    distinct-ed first (its dup groups collapse map-side). At 100 TB the
+    index side is the big one, but an anti join only needs its keys; in
+    production the index would be the persisted hash column of the corpus
+    catalog, not a rescan — this operator IS that query shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
+    )
+    is_new = (F.col("doc_id") % INCR_BATCH_MOD) == (INCR_BATCH_MOD - 1)
+    new_batch = hashed.filter(is_new)
+    index = hashed.filter(~is_new).select("content_hash").distinct()
+    return (
+        new_batch.join(index, "content_hash", "left_anti")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle into N_SHARDS shards.
+
+    Each doc gets a pseudo-random but reproducible key
+    ``(doc_id * SHUFFLE_MULT) % 2^32`` (Knuth multiplicative scramble —
+    exact BIGINT arithmetic, identical in any engine), a shard
+    ``key % N_SHARDS``, and a position within its shard. Reading shards
+    in (shard, pos) order replays one fixed global permutation.
+
+    Plan shape: one shuffle on shard, per-shard window for the position —
+    N_SHARDS-way parallel, no global ordering stage anywhere. At 100 TB
+    the shard count is chosen so one shard ~ one output file (tens of
+    thousands), and the same expression feeds ``partitionBy`` on the
+    write, so the shuffle doubles as the output layout.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * F.lit(SHUFFLE_MULT)) % F.lit(SHUFFLE_MOD)
+    shard = key % F.lit(N_SHARDS)
+    wp = W.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(wp).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag embeddings whose L2 norm is an outlier vs the corpus mean.
+
+    Every comparison is exact: norms quantize to integers
+    (``floor(norm * 1e6)``, IEEE-exact in both engines), the corpus sum
+    runs in DECIMAL, and high/low tests cross-multiply instead of
+    dividing (``q * n > 2 * sum``  ⇔  ``q > 2 * mean``) so no float mean
+    ever materializes — bit-identical verdicts at any parallelism.
+
+    Plan shape: one scan computes per-vector norms; a 1-row global
+    aggregate (map-side partial, ~bytes per partition) broadcasts back
+    via crossJoin. Flagging is then a pure column expression.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = _as_double(F.col("embedding"))
+    qn = F.floor(F.sqrt(_dot(vec, vec)) * F.lit(float(NORM_SCALE))).cast("long")
+    normed = emb.select("vec_id", qn.alias("norm_q"))
+    stats = normed.agg(
+        F.sum(F.col("norm_q").cast("decimal(28,0)")).alias("sum_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        normed.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "norm_q",
+            (F.col("norm_q").cast("decimal(28,0)") * F.col("n") > F.col("sum_q") * 2)
+            .alias("is_high"),
+            (F.col("norm_q").cast("decimal(28,0)") * F.col("n") * 2 < F.col("sum_q"))
+            .alias("is_low"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups keeping the best copy by policy, not position.
+
+    Policy: prefer an English copy, then the lowest doc_id. Implemented
+    as a lexicographic max over ``struct(is_en, -doc_id)`` inside ONE
+    hash aggregation — map-side combinable, so the shuffle carries one
+    candidate per (hash, partition) instead of every copy, which is the
+    reason to avoid the equivalent window-rank formulation at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_en = (F.col("lang") == "en").cast("int")
+    sel = F.struct(is_en.alias("e"), (-F.col("doc_id")).alias("nd"))
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.max(sel).alias("sel"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum(is_en).cast("long").alias("n_en"),
+        )
+        .select(
+            "content_hash",
+            (-F.col("sel.nd")).alias("keep_doc_id"),
+            "n_copies",
+            "n_en",
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+QUERIES = {
+    "text_ngram_vocab": text_ngram_vocab,
+    "dedup_incremental_batch": dedup_incremental_batch,
+    "q_shuffle_shards": q_shuffle_shards,
+    "embedding_norm_outliers": embedding_norm_outliers,
+    "dedup_keep_best": dedup_keep_best,
+}
+
+ORACLES = {
+    "text_ngram_vocab": f"""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                       WHERE len(string_split(text, ' ')) >= 2),
+             ng AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS ngram
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                          FROM words))
+        SELECT ngram, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM ng GROUP BY ngram
+        ORDER BY n_occurrences DESC, ngram
+        LIMIT {NGRAM_VOCAB_K}
+    """,
+    "dedup_incremental_batch": f"""
+        WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+             new_batch AS (SELECT * FROM h
+                           WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_MOD - 1}),
+             idx AS (SELECT DISTINCT content_hash FROM h
+                     WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1})
+        SELECT MIN(doc_id) AS doc_id, content_hash
+        FROM new_batch
+        WHERE content_hash NOT IN (SELECT content_hash FROM idx)
+        GROUP BY content_hash
+        ORDER BY doc_id
+    """,
+    "q_shuffle_shards": f"""
+        WITH k AS (SELECT doc_id,
+                          (doc_id * {SHUFFLE_MULT}) % {SHUFFLE_MOD} AS shuffle_key
+                   FROM documents)
+        SELECT doc_id,
+               shuffle_key % {N_SHARDS} AS shard,
+               ROW_NUMBER() OVER (PARTITION BY shuffle_key % {N_SHARDS}
+                                  ORDER BY shuffle_key, doc_id) AS pos
+        FROM k
+        ORDER BY shard, pos
+    """,
+    "embedding_norm_outliers": f"""
+        WITH n AS (SELECT vec_id,
+                          CAST(FLOOR(sqrt(list_dot_product(
+                                  CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) * {NORM_SCALE}.0)
+                               AS BIGINT) AS norm_q
+                   FROM embeddings),
+             s AS (SELECT CAST(SUM(norm_q) AS DECIMAL(28,0)) AS sum_q,
+                          COUNT(*) AS cnt FROM n)
+        SELECT vec_id, norm_q,
+               CAST(norm_q AS DECIMAL(28,0)) * cnt > sum_q * 2 AS is_high,
+               CAST(norm_q AS DECIMAL(28,0)) * cnt * 2 < sum_q AS is_low
+        FROM n CROSS JOIN s
+        ORDER BY vec_id
+    """,
+    "dedup_keep_best": """
+        WITH h AS (SELECT doc_id, md5(text) AS content_hash,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS e
+                   FROM documents),
+             g AS (SELECT content_hash, COUNT(*) AS n_copies,
+                          CAST(SUM(e) AS BIGINT) AS n_en
+                   FROM h GROUP BY content_hash),
+             k AS (SELECT content_hash, doc_id AS keep_doc_id,
+                          ROW_NUMBER() OVER (PARTITION BY content_hash
+                                             ORDER BY e DESC, doc_id) AS rn
+                   FROM h)
+        SELECT g.content_hash, keep_doc_id, n_copies, n_en
+        FROM g JOIN k ON g.content_hash = k.content_hash
+        WHERE rn = 1
+        ORDER BY keep_doc_id
+    """,
+}
