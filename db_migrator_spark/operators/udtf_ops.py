@@ -1,0 +1,88 @@
+"""Python UDTF surface (PySpark 4): table-valued per-row expansion.
+
+Completes the Python-execution API inventory alongside pandas_udf
+(similarity.py), applyInPandas (grouped.py), mapInPandas (multimodal.py)
+and applyInPandasWithState (streaming/windows.py): a user-defined TABLE
+function invoked via LATERAL, yielding multiple rows per input row.
+
+``text_word_chunks_udtf`` splits each document into fixed-width word
+chunks — the tokenize-and-window step of retrieval/embedding prep — and
+is deliberately oracle-twinned so the driver hash-match proves the UDTF
+path end-to-end (serialization, LATERAL correlation, Arrow transfer).
+
+UDTFs are the SLOW path: per-row Python with pickled state. The
+production chunker stays ``text_chunk_documents`` (corpus.py — pure
+codegen explode, no Python). This operator exists because the API
+surface itself is part of the engine contract: when a user's expansion
+logic genuinely can't be expressed as generators + array lambdas
+(stateful tokenizers, sentencepiece, custom parsers), this is the shape
+it runs as, with ``useArrow=True`` batching the transfer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+CHUNK_WORDS = 20
+
+
+class _WordChunks:
+    """Yield (chunk_id, n_words, md5(chunk)) per CHUNK_WORDS-word window."""
+
+    def eval(self, text: str):  # noqa: D102 — UDTF contract method
+        words = (text or "").split(" ")
+        for ci, start in enumerate(range(0, len(words), CHUNK_WORDS)):
+            seg = words[start : start + CHUNK_WORDS]
+            joined = " ".join(seg)
+            yield ci, len(seg), hashlib.md5(joined.encode("utf-8")).hexdigest()
+
+
+def text_word_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: LATERAL word-chunk expansion via Python UDTF."""
+    from pyspark.sql.functions import udtf
+
+    chunker = udtf(
+        _WordChunks,
+        returnType="chunk_id bigint, n_words int, chunk_digest string",
+        useArrow=True,
+    )
+    spark.udtf.register("word_chunks_udtf", chunker)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    view = "__udtf_docs_src"
+    docs.createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_id, c.n_words, c.chunk_digest
+        FROM {view} AS d, LATERAL word_chunks_udtf(d.text) AS c
+        """
+    ).orderBy("doc_id", "chunk_id")
+    return out
+
+
+QUERIES = {
+    "text_word_chunks_udtf": text_word_chunks_udtf,
+}
+
+ORACLES = {
+    # DuckDB list slices are 1-based inclusive; range(0, n) excludes n.
+    # ''.split(' ') == [''] in Python and string_split('', ' ') == ['']
+    # in DuckDB, so the empty-text edge produces one empty chunk in both.
+    "text_word_chunks_udtf": f"""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             ex AS (SELECT doc_id, w,
+                           unnest(range(0, CAST(ceil(len(w) / {CHUNK_WORDS}.0) AS BIGINT))) AS ci
+                    FROM words)
+        SELECT doc_id, ci AS chunk_id,
+               CAST(len(w[ci * {CHUNK_WORDS} + 1 : ci * {CHUNK_WORDS} + {CHUNK_WORDS}]) AS INT)
+                   AS n_words,
+               md5(array_to_string(
+                   w[ci * {CHUNK_WORDS} + 1 : ci * {CHUNK_WORDS} + {CHUNK_WORDS}], ' '))
+                   AS chunk_digest
+        FROM ex
+        ORDER BY doc_id, chunk_id
+    """,
+}
