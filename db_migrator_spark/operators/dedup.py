@@ -404,7 +404,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces the same banded candidate set, so the driver
     hash-match covers verify-stage correctness, not blocking recall.
     """
-    from .similarity import MAX_LSH_BUCKET, _cosine
+    from .similarity import MAX_LSH_BUCKET, _as_double, _dot
 
     emb = load_table(spark, sf_dir, "embeddings")
     bands = [
@@ -434,19 +434,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("el.vec_id").alias("v1"), F.col("er.vec_id").alias("v2"))
         .distinct()
     )
-    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1"))
-    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2"))
-    # NOTE: the threshold filter gets pushed into the payload join and
-    # re-evaluates the cosine folds per surviving pair (6 folds/pair in
-    # the executed plan instead of 3). Measured A/B at sf0.1: a
-    # localCheckpoint barrier before the filter costs MORE than the
-    # duplicate folds (3.05s vs 2.9s warm) because candidates are a small
-    # fraction of the corpus — the duplication is a constant factor on an
-    # already-small set, while the barrier serializes the job.
+    # Per-vector norms are computed ONCE per vector on the payload sides
+    # (|corpus| folds), not per candidate pair — at 61k pairs / 2k vectors
+    # (sf0.1) that removes ~2/3 of the fold work. The cosine is therefore
+    # dot/(n1*n2): the oracle factors its sqrt identically, because
+    # sqrt(x*y) != sqrt(x)*sqrt(y) in IEEE and the hash compare is exact.
+    # (An unrolled 64-term codegen chain was A/B'd here and measured 2x
+    # SLOWER than the zip_with/aggregate fold — the wide Add tree defeats
+    # codegen; HOFs win despite interpreted evaluation.)
+    norm = F.sqrt(_dot(_as_double(F.col("embedding")), _as_double(F.col("embedding"))))
+    e1 = emb.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1"), norm.alias("n1")
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2"), norm.alias("n2")
+    )
+    # NOTE: the threshold filter still collapses into the payload join and
+    # re-evaluates the pair dot per surviving row (2 folds/pair instead of
+    # 1). Measured A/B in round 1: a localCheckpoint barrier before the
+    # filter costs MORE than the duplicate fold because candidates are a
+    # small fraction of the corpus — the duplication is a constant factor
+    # on an already-small set, while the barrier serializes the job.
+    cos = _dot(_as_double(F.col("emb1")), _as_double(F.col("emb2"))) / (
+        F.col("n1") * F.col("n2")
+    )
     return (
         cand.join(e1, "v1")
         .join(e2, "v2")
-        .select("v1", "v2", _cosine(F.col("emb1"), F.col("emb2")).alias("cos_sim"))
+        .select("v1", "v2", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= EMB_COSINE_THRESHOLD)
         .orderBy("v1", "v2")
     )
@@ -503,15 +518,14 @@ ORACLES = {
         cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
                  FROM ku a JOIN ku b ON a.t = b.t AND a.bucket = b.bucket
                                     AND a.vec_id < b.vec_id),
-        d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS nn
+              FROM embeddings)
         SELECT v1, v2,
-               list_dot_product(x.v, y.v)
-                 / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v))
-                 AS cos_sim
+               list_dot_product(x.v, y.v) / (x.nn * y.nn) AS cos_sim
         FROM cand JOIN d x ON x.vec_id = v1 JOIN d y ON y.vec_id = v2
-        WHERE list_dot_product(x.v, y.v)
-                / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v))
-              >= {EMB_COSINE_THRESHOLD}
+        WHERE list_dot_product(x.v, y.v) / (x.nn * y.nn) >= {EMB_COSINE_THRESHOLD}
         ORDER BY v1, v2
     """,
     "dedup_exact": """

@@ -51,6 +51,9 @@ def _as_double(col) -> Column:
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # Kept as a zip_with/aggregate fold: an unrolled 64-term codegen Add
+    # chain was A/B'd (round 5) and measured 2x SLOWER on the pair-scoring
+    # hot path — wide Add trees defeat whole-stage codegen.
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
