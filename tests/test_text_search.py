@@ -94,14 +94,41 @@ def test_resample_ffill_semantics(spark):
         assert deltas <= {3600.0}, f"user {user} spine not hourly-dense"
 
 
-def test_deferred_queries_register_after_window():
+def test_registration_order_prioritizes_missing_evidence():
+    """The driver checks the FIRST 50 registered queries per round, so
+    registration order must put queries with no driver evidence first,
+    then reds needing re-verification, then greens oldest-first."""
+    import glob
+    import json
+    import os
+
     import __spark_entry__ as e
 
     names = list(e.queries())
-    for name in e._DEFERRED:
-        assert name in names
-        assert names.index(name) >= 50, f"{name} would evict a window slot"
-    # every non-green, non-deferred query still lands inside the window
-    in_window = set(names[:50])
-    needing = [n for n in names if n not in e._R1_DRIVER_GREEN and n not in e._DEFERRED]
-    assert set(needing) <= in_window
+
+    last: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(os.path.dirname(e.__file__),
+                                              "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        data = json.load(open(path))
+        for k, v in data.items():
+            green = v.get("err") == "no_oracle" or (
+                bool(v.get("rows_match"))
+                and bool(v.get("schema_match"))
+                and v.get("hash_match") is not False
+            )
+            prev = last.get(k)
+            if prev is None or rnd >= prev[0]:
+                last[k] = (rnd, green)
+
+    def tier(n: str) -> int:
+        if n not in last:
+            return 0
+        return 2 if last[n][1] else 1
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), "evidence tiers must be non-decreasing"
+    # everything lacking green evidence fits in the driver's 50-slot window
+    needing = [n for n in names if tier(n) < 2]
+    if len(needing) <= 50:
+        assert set(needing) <= set(names[:50])
