@@ -174,6 +174,47 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exclusive_cumsum(src: DataFrame, order_col: str, val_col: str) -> DataFrame:
+    """Distributed exclusive cumulative sum of ``val_col`` in ``order_col``
+    order, added as ``cum_before``.
+
+    A bare running-total window over the whole frame would funnel
+    everything through ONE task. Decomposition: range-repartition on the
+    order column, per-partition cumsum (window partitioned by
+    ``spark_partition_id``), then add each partition's prior-total offset.
+    The per-partition totals frame is #partitions rows — its cumulative
+    offsets come from a broadcast cross-join aggregation (no
+    single-partition window stage). ``localCheckpoint`` pins the sampled
+    range boundaries so both branches see identical partitioning.
+    """
+    parts = (
+        src.repartitionByRange(32, order_col)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = parts.groupBy("pid").agg(F.sum(val_col).cast("bigint").alias("tok"))
+    s2 = sums.select(F.col("pid").alias("pid2"), F.col("tok").alias("tok2"))
+    offsets = (
+        sums.crossJoin(F.broadcast(s2))
+        .groupBy("pid")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("pid2") < F.col("pid"), F.col("tok2"))), F.lit(0)
+            ).alias("offset")
+        )
+    )
+    wp = W.partitionBy("pid").orderBy(order_col)
+    return (
+        parts.withColumn("cum_in", F.sum(val_col).over(wp))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "cum_before",
+            (F.col("cum_in") + F.col("offset") - F.col(val_col)).cast("bigint"),
+        )
+        .drop("pid", "cum_in", "offset")
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the corpus token stream into fixed-budget training sequences:
     documents are concatenated in doc_id order and each document is
@@ -183,31 +224,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     are built by concatenation + window slicing. Returns per-sequence
     occupancy (doc count, token sum, doc_id span).
 
-    Scale-safe global cumsum: a bare running-total window over the whole
-    corpus would funnel 100 TB through ONE task. Same decomposition as
-    ``q_ntile_buckets``: range-repartition on doc_id, per-partition
-    cumsum (window partitioned by ``spark_partition_id``), then add each
-    partition's broadcast token offset. ``localCheckpoint`` pins the
-    sampled range boundaries so both branches see identical partitioning.
+    Scale-safe global cumsum via ``_exclusive_cumsum`` (range partition +
+    per-partition window + broadcast offsets — no single-task stage).
     """
     docs = load_table(spark, sf_dir, "documents")
-    parts = (
-        docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok"))
-        .repartitionByRange(32, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    sums = parts.groupBy("pid").agg(F.sum("n_tok").cast("bigint").alias("tok"))
-    prior = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = sums.select(
-        "pid", F.coalesce(F.sum("tok").over(prior), F.lit(0)).alias("offset")
-    )
-    wp = W.partitionBy("pid").orderBy("doc_id")
-    packed = (
-        parts.withColumn("cum_in", F.sum("n_tok").over(wp))
-        .join(F.broadcast(offsets), "pid")
-        .withColumn("cum_before", F.col("cum_in") + F.col("offset") - F.col("n_tok"))
-        .withColumn("seq_id", F.floor(F.col("cum_before") / PACK_BUDGET))
+    toks = docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+    packed = _exclusive_cumsum(toks, "doc_id", "n_tok").withColumn(
+        "seq_id", F.floor(F.col("cum_before") / PACK_BUDGET)
     )
     return (
         packed.groupBy("seq_id")

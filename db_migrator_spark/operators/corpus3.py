@@ -209,7 +209,64 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly corpus-build job as ONE declarative plan:
+    quality filter → exact dedup → sequence packing → shard assignment.
+
+    Stages (each individually oracle-checked elsewhere; this entry proves
+    the COMPOSITION stays correct and plannable as a single query):
+    1. quality gate — the text_quality_filter predicates (20 ≤ words ≤
+       2000, lexical diversity ≥ 0.08), fused into the scan;
+    2. exact dedup on the whitespace-normalized lowercase fingerprint,
+       keeping the lowest surviving doc_id (filter FIRST: no hash or
+       shuffle spent on docs the gate drops);
+    3. token-budget sequence packing in doc_id order via the distributed
+       exclusive cumsum (``_exclusive_cumsum`` — no single-task stage);
+    4. each sequence lands in a training shard (``seq_id % N_SHARDS`` —
+       at 100 TB this column is the write partitionBy).
+
+    Catalyst keeps the whole thing one job: the dedup semi-join shuffles
+    16-byte hashes of only gate-surviving docs, the packing reuses the
+    range partitioning, and nothing ever collects.
+    """
+    from .corpus import PACK_BUDGET, _exclusive_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+    diversity = F.size(F.array_distinct(w)).cast("double") / n_words
+    quality = docs.filter(
+        (n_words >= 20) & (n_words <= 2000) & (diversity >= 0.08)
+    )
+    normalized = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    keep = (
+        quality.withColumn("fp", F.md5(normalized.cast("binary")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = quality.join(keep, "doc_id", "left_semi").select(
+        "doc_id", n_words.alias("n_tok")
+    )
+    packed = _exclusive_cumsum(survivors, "doc_id", "n_tok").withColumn(
+        "seq_id", F.floor(F.col("cum_before") / PACK_BUDGET)
+    )
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .withColumn("shard", F.col("seq_id") % F.lit(N_SHARDS))
+        .select("seq_id", "shard", "n_docs", "total_tokens", "first_doc", "last_doc")
+        .orderBy("seq_id")
+    )
+
+
 QUERIES = {
+    "corpus_build_pipeline": corpus_build_pipeline,
     "text_ngram_vocab": text_ngram_vocab,
     "dedup_incremental_batch": dedup_incremental_batch,
     "q_shuffle_shards": q_shuffle_shards,
@@ -217,7 +274,36 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
 }
 
+from .corpus import PACK_BUDGET  # noqa: E402 — shared packing budget
+
 ORACLES = {
+    "corpus_build_pipeline": f"""
+        WITH s AS (SELECT doc_id, text,
+                          len(string_split(text, ' ')) AS n_tok,
+                          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                              / len(string_split(text, ' ')) AS diversity
+                   FROM documents),
+             q AS (SELECT * FROM s
+                   WHERE n_tok BETWEEN 20 AND 2000 AND diversity >= 0.08),
+             keep AS (SELECT MIN(doc_id) AS doc_id FROM q
+                      GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))),
+             sv AS (SELECT doc_id, n_tok FROM q
+                    WHERE doc_id IN (SELECT doc_id FROM keep)),
+             c AS (SELECT doc_id, n_tok,
+                          COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS cum_before
+                   FROM sv)
+        SELECT CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+               CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) % {N_SHARDS} AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM c
+        GROUP BY 1, 2
+        ORDER BY seq_id
+    """,
     "text_ngram_vocab": f"""
         WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
                        WHERE len(string_split(text, ' ')) >= 2),

