@@ -51,6 +51,7 @@ HEADLINE = [
     "q10_returned_items",
     "q_bucketed_join_revenue",
     "q_ntile_buckets",
+    "corpus_build_pipeline",
 ]
 
 # Queries added to HEADLINE after round 1 — reported separately so the
@@ -60,6 +61,7 @@ ADDED_AFTER_R1 = {
     "q10_returned_items",
     "q_bucketed_join_revenue",
     "q_ntile_buckets",
+    "corpus_build_pipeline",
 }
 
 
