@@ -1,0 +1,127 @@
+"""Scalar-function surface, round 5: higher-order array lambdas and
+datetime arithmetic.
+
+Extends the function-library coverage of ``q_scalar_functions`` /
+``q_string_functions2`` (strings, basic date parts, null handling) with
+the two families a SQL user reaches for next:
+
+- ``q_array_functions``: per-order quantity arrays exercised through
+  the lambda suite — filter / exists / forall / aggregate (fold) /
+  sort_array / slice / array_position / array_min / array_max. These
+  are the JVM-side (no Python) building blocks every array-typed
+  column pipeline composes; each has an exact DuckDB list-function
+  twin, with the engine quirks pinned in the oracle (list_position
+  returns NULL where Spark returns 0; list_sum of INTs widens to
+  HUGEINT and is cast back).
+- ``q_datetime_functions``: trunc-to-month, last_day, add_months,
+  date_add, date subtraction, quarter / day-of-week / day-of-year /
+  ISO week, and strftime-style formatting. Day-of-week is pinned to
+  Spark's 1=Sunday convention (DuckDB's dayofweek is 0=Sunday — the
+  oracle adds 1).
+
+Scale notes: both suites are pure column expressions fused into the
+scan (zero shuffles beyond the array-building groupBy, which is one
+hash aggregation on the join key). Arrays are surfaced as joined
+strings because the driver canonicalizer cannot hash array cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("int").alias("q")
+    )
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("q")).alias("qs")
+    )
+    return (
+        arr.filter(F.size("qs") >= 4)
+        .select(
+            "l_orderkey",
+            F.array_join(F.col("qs").cast("array<string>"), ",").alias("qtys"),
+            F.size(F.filter("qs", lambda x: x > 25)).alias("n_big"),
+            F.exists("qs", lambda x: x == 40).alias("has_40"),
+            F.forall("qs", lambda x: x < 50).alias("all_under_50"),
+            F.aggregate("qs", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+                "total_qty"
+            ),
+            F.array_max("qs").alias("max_q"),
+            F.array_min("qs").alias("min_q"),
+            F.array_join(F.slice("qs", 1, 3).cast("array<string>"), ",").alias(
+                "first3"
+            ),
+            F.array_position("qs", 30).cast("bigint").alias("pos_30"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            "o_orderkey",
+            d.alias("d"),
+            F.trunc(d, "mm").alias("month_start"),
+            F.last_day(d).alias("month_end"),
+            F.add_months(d, 3).alias("plus_3m"),
+            F.date_add(d, 30).alias("plus_30d"),
+            F.datediff(F.lit("1996-01-01").cast("date"), d).alias("days_to_1996"),
+            F.quarter(d).alias("qtr"),
+            F.dayofweek(d).alias("dow"),
+            F.dayofyear(d).alias("doy"),
+            F.weekofyear(d).alias("iso_week"),
+            F.date_format(d, "yyyy-MM").alias("ym"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+QUERIES = {
+    "q_array_functions": q_array_functions,
+    "q_datetime_functions": q_datetime_functions,
+}
+
+ORACLES = {
+    "q_array_functions": """
+        WITH a AS (SELECT l_orderkey,
+                          list_sort(list(CAST(l_quantity AS INT))) AS qs
+                   FROM lineitem GROUP BY l_orderkey)
+        SELECT l_orderkey,
+               array_to_string(qs, ',') AS qtys,
+               CAST(len(list_filter(qs, x -> x > 25)) AS INT) AS n_big,
+               len(list_filter(qs, x -> x = 40)) > 0 AS has_40,
+               len(list_filter(qs, x -> NOT (x < 50))) = 0 AS all_under_50,
+               CAST(list_sum(qs) AS BIGINT) AS total_qty,
+               list_max(qs) AS max_q,
+               list_min(qs) AS min_q,
+               array_to_string(qs[1:3], ',') AS first3,
+               CAST(COALESCE(list_position(qs, 30), 0) AS BIGINT) AS pos_30
+        FROM a
+        WHERE len(qs) >= 4
+        ORDER BY l_orderkey
+    """,
+    "q_datetime_functions": """
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+               CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+               CAST(DATE '1996-01-01' - CAST(o_orderdate AS DATE) AS INT)
+                   AS days_to_1996,
+               CAST(quarter(o_orderdate) AS INT) AS qtr,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+               CAST(dayofyear(o_orderdate) AS INT) AS doy,
+               CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+               strftime(o_orderdate, '%Y-%m') AS ym
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+}
