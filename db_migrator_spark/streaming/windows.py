@@ -286,8 +286,13 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_user_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: custom-stateful milestone op over the stream.
-    Not SQL-expressible (arbitrary per-key state) -> rows-only check; the
-    SQL-equivalent invariant is asserted in tests/test_streaming.py."""
+
+    The MECHANISM (arbitrary per-key state in applyInPandasWithState) is
+    not SQL-expressible, but the RESULT SET is order-invariant: a user
+    with n events crosses a multiple-of-10 cumulative count exactly
+    floor(n/10) times, with at_count = milestone*10 — whatever order
+    batches arrive in. The oracle pins that closed form, giving the
+    custom stateful operator a full hash check instead of rows-only."""
     ev = stream_events(spark, f"{sf_dir}/events.parquet")
     out = run_bounded(user_milestones(ev), "append")
     return out.orderBy("user_id", "milestone")
@@ -326,6 +331,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_user_milestones": """
+        WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+             m AS (SELECT user_id,
+                          unnest(range(1, CAST(floor(n / 10) AS BIGINT) + 1)) AS m
+                   FROM c WHERE n >= 10)
+        SELECT user_id,
+               CAST(m AS BIGINT) AS milestone,
+               CAST(m * 10 AS BIGINT) AS at_count
+        FROM m
+        ORDER BY user_id, milestone
+    """,
     "streaming_dedup_events": """
         SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
                value, props
