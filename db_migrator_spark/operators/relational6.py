@@ -83,9 +83,48 @@ def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column family: per-customer status→count maps built with
+    map_from_entries, then interrogated via map_keys / map_values /
+    map_entries / element_at / size / aggregate-over-values. Maps are
+    surfaced as sorted joined strings (the canonicalizer cannot hash map
+    cells; DuckDB's map type would not stringify identically anyway) —
+    the oracle rebuilds the same strings from the grouped entries.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "v")))
+        ).alias("m")
+    )
+    entry_strs = F.transform(
+        F.map_entries("m"),
+        lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+    )
+    return (
+        m.select(
+            "o_custkey",
+            F.array_join(F.sort_array(F.map_keys("m")), ",").alias("statuses"),
+            F.size("m").alias("n_statuses"),
+            F.coalesce(F.element_at("m", "O"), F.lit(0).cast("bigint")).alias(
+                "n_open"
+            ),
+            F.aggregate(
+                F.map_values("m"), F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("n_orders"),
+            F.array_join(F.sort_array(entry_strs), ",").alias("entries"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 QUERIES = {
     "q_array_functions": q_array_functions,
     "q_datetime_functions": q_datetime_functions,
+    "q_map_functions": q_map_functions,
 }
 
 ORACLES = {
@@ -106,6 +145,21 @@ ORACLES = {
         FROM a
         WHERE len(qs) >= 4
         ORDER BY l_orderkey
+    """,
+    "q_map_functions": """
+        WITH per AS (SELECT o_custkey, o_orderstatus AS k, COUNT(*) AS v
+                     FROM orders GROUP BY o_custkey, o_orderstatus)
+        SELECT o_custkey,
+               array_to_string(list_sort(list(k)), ',') AS statuses,
+               CAST(COUNT(*) AS INT) AS n_statuses,
+               CAST(COALESCE(MAX(CASE WHEN k = 'O' THEN v END), 0) AS BIGINT)
+                   AS n_open,
+               CAST(SUM(v) AS BIGINT) AS n_orders,
+               array_to_string(list_sort(list(k || ':' || CAST(v AS VARCHAR))), ',')
+                   AS entries
+        FROM per
+        GROUP BY o_custkey
+        ORDER BY o_custkey
     """,
     "q_datetime_functions": """
         SELECT o_orderkey,
