@@ -100,73 +100,6 @@ def _evidence_order(names: list[str]) -> list[str]:
     return sorted(names, key=key)
 
 
-# Historical windows kept for reference (superseded by _evidence_order):
-# Round-1 window (CORRECTNESS_r01.json): 48 green rows.
-_R1_DRIVER_GREEN = frozenset({
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q_distinct_aggregates", "q_rollup_revenue",
-    "q_cube_quantity", "q_pivot_status", "q_semi_join", "q_anti_join",
-    "q_outer_join_coalesce", "q_broadcast_dim_join",
-    "q_topk_orders_per_customer", "q_running_total", "q_lag_price_delta",
-    "q_rank_suppliers", "q_global_topk", "q_set_ops_nations",
-    "q_union_accounts", "q_asof_join_latest_order", "q_range_band_join",
-    "q_grouping_sets", "q_min_per_group_filter", "q_percentiles", "q_arg_max",
-    "q_scalar_functions", "q_approx_distinct", "q_sql_exists_subquery",
-    "q_window_rank_suite", "q_string_functions2", "q_unpivot_metrics",
-    "q_multiset_ops", "q_date_spine", "q_string_agg", "q_range_frame_window",
-    "q_systematic_sample", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "text_stats",
-    "text_language_id", "text_fingerprint", "text_token_count",
-    "text_quality_filter", "dedup_filtered_corpus",
-    "similarity_topk_bruteforce",
-})
-
-# Round 2 produced NO driver correctness artifact, so this set — the 49
-# queries that sat in the round-2/3 registration tail — still has zero
-# driver evidence after three rounds. It registers FIRST in round 4.
-_NEVER_CHECKED = frozenset({
-    "q_profile_columns", "q_feature_correlations", "q_histogram",
-    "q_ntile_buckets", "q_json_filter_agg", "q4_order_priority",
-    "q13_customer_distribution", "q7_nation_volume",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q10_returned_items", "q14_promo_revenue", "q15_top_supplier",
-    "q19_band_filters", "q22_idle_customers", "q_bucketed_join_revenue",
-    "q_skew_twophase_agg", "q_skew_salted_join", "dedup_clusters",
-    "dedup_embedding_cosine", "text_redact_pii", "q_train_test_split",
-    "q_stratified_sample", "similarity_knn_join", "similarity_lsh_pairs",
-    "embedding_normalize_quantize", "similarity_ivf_topk",
-    "multimodal_metadata", "multimodal_frame_sample",
-    "multimodal_feature_extract", "multimodal_resize_plan", "q_merge_upsert",
-    "q_change_capture", "q_grouped_mad", "events_funnel",
-    "events_retention_cohorts", "events_tumbling_hourly",
-    "events_sliding_windows", "events_json_extract", "events_sessionization",
-    "migrate_customer_pipeline", "migrate_orders_pipeline",
-    "q_fk_orphan_check", "q_table_checksum", "streaming_tumbling_hourly",
-    "streaming_user_milestones", "streaming_dedup_events",
-    "streaming_click_attribution", "streaming_foreachbatch_totals",
-})
-
-# Round-3 window (CORRECTNESS_r03.json): 50 rows, 49 green + 1 rows-only.
-_R3_CHECKED = frozenset({
-    "q8_market_share", "q9_product_profit", "q2_min_cost_supplier",
-    "q11_important_stock", "q12_late_lines_priority", "q16_supplier_counts",
-    "q20_excess_stock_suppliers", "text_tfidf_topterms", "text_bm25_search",
-    "q_embedding_centroids", "events_resample_ffill", "text_chunk_documents",
-    "text_repetition_metrics", "text_contamination_check", "q_pack_sequences",
-    "text_unigram_score", "q_domain_rebalance", "q21_blocking_supplier",
-    "text_segment_dedup", "text_vocab_coverage", "similarity_range_search",
-    "q_kmeans_assign", "streaming_segment_enrichment", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q_distinct_aggregates", "q_rollup_revenue", "q_cube_quantity",
-    "q_pivot_status", "q_semi_join", "q_anti_join", "q_outer_join_coalesce",
-    "q_broadcast_dim_join", "q_topk_orders_per_customer", "q_running_total",
-    "q_lag_price_delta", "q_rank_suppliers", "q_global_topk",
-    "q_set_ops_nations", "q_union_accounts", "q_asof_join_latest_order",
-    "q_range_band_join", "q_grouping_sets", "q_min_per_group_filter",
-    "q_percentiles", "q_arg_max", "q_scalar_functions", "q_approx_distinct",
-})
-
-
 def _collect() -> tuple[dict, dict]:
     import importlib
 
