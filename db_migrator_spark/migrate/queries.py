@@ -102,14 +102,54 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``DataFrame.observe``: named metrics
+    (row count, decimal-exact quantity total, null audit) collected as a
+    side effect of a pass the job runs anyway — the Spark-native version
+    of the reference's per-table row accounting
+    (/root/reference/src/migrate/table_migrator.rs:96-113, its
+    ``rows_inserted`` counters), with zero extra scans. Here the pass is
+    a noop-sink write (the standard "drive a scan for its metrics"
+    idiom); in a real migration it is the JDBC write itself. The observed
+    values come back as a 1-row frame so the driver can oracle-check them
+    like any query result.
+    """
+    from pyspark.sql import Observation, functions as F
+
+    from ..io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(25,2)")).alias("sum_qty"),
+        F.count(F.when(F.col("l_returnflag").isNull(), 1)).alias("null_flags"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], float(m["sum_qty"]), m["null_flags"])],
+        "n_rows long, sum_qty double, null_flags long",
+    )
+
+
 QUERIES = {
     "migrate_customer_pipeline": migrate_customer_pipeline,
     "migrate_orders_pipeline": migrate_orders_pipeline,
     "q_fk_orphan_check": q_fk_orphan_check,
     "q_table_checksum": q_table_checksum,
+    "q_observed_metrics": q_observed_metrics,
 }
 
 ORACLES = {
+    "q_observed_metrics": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS BIGINT)
+                   AS null_flags
+        FROM lineitem
+    """,
     "q_fk_orphan_check": """
         SELECT 'customer->nation' AS fk_name,
                CAST(COUNT(*) AS BIGINT) AS n_orphans
