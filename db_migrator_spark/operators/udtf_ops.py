@@ -51,8 +51,11 @@ def text_word_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         useArrow=True,
     )
     spark.udtf.register("word_chunks_udtf", chunker)
+    import uuid
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    view = "__udtf_docs_src"
+    # unique view name: concurrent driver harnesses share one session
+    view = f"__udtf_docs_src_{uuid.uuid4().hex[:8]}"
     docs.createOrReplaceTempView(view)
     out = spark.sql(
         f"""
