@@ -198,3 +198,47 @@ def test_kmeans_assign_broadcasts_centroids(spark):
     m = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
     assert m, plan
     assert "vec_id" in m.group(1).split(",")[0]
+
+
+def test_round5_ops_have_no_single_partition_window(spark):
+    """None of the round-5 operators may funnel data through an
+    unpartitioned window (the classic silent scale-killer)."""
+    from db_migrator_spark.operators.corpus import q_pack_sequences
+    from db_migrator_spark.operators.corpus3 import (
+        corpus_build_pipeline,
+        q_shuffle_shards,
+    )
+    from db_migrator_spark.operators.relational3 import q_ntile_buckets
+
+    for fn in (corpus_build_pipeline, q_shuffle_shards, q_pack_sequences,
+               q_ntile_buckets):
+        plan = plan_string(fn(spark, SF))
+        for line in plan.splitlines():
+            if "Window" in line and "partitionBy" not in line:
+                # formatted plans show the spec inline; an empty partition
+                # spec renders as 'Window [..], [..]' with no 'partition'
+                assert "windowspecdefinition()" not in line.lower(), (fn, line)
+
+
+def test_incremental_dedup_shuffles_hashes_not_text(spark):
+    from db_migrator_spark.operators.corpus3 import dedup_incremental_batch
+
+    schemas = scan_read_schemas(dedup_incremental_batch(spark, SF))
+    # the scan must read only doc_id + text (hash computed in-scan);
+    # lang/source/n_chars never leave the reader
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas)
+
+
+def test_norm_outliers_broadcasts_stats(spark):
+    from db_migrator_spark.operators.corpus3 import embedding_norm_outliers
+
+    plan = plan_string(embedding_norm_outliers(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sketch_agg_is_partial(spark):
+    from db_migrator_spark.operators.sketches import q_hll_distinct_by_type
+
+    plan = plan_string(q_hll_distinct_by_type(spark, SF))
+    # map-side partial sketch merge before the exchange
+    assert plan.count("ObjectHashAggregate") >= 2 or plan.count("HashAggregate") >= 2
