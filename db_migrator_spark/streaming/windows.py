@@ -305,13 +305,16 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     against in-state ids (within the watermark horizon) or dropped as
     late data (behind it), so the output equals exactly one copy — which
     is the SQL oracle."""
+    import hashlib
     import os
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
+    # md5, not hash(): PYTHONHASHSEED randomizes str hashes per process,
+    # which would mint a fresh /tmp replay dir every run.
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     replay = os.path.join(
-        tempfile.gettempdir(),
-        f"db_migrator_spark_dedup_stream_{abs(hash(os.path.abspath(sf_dir)))}",
+        tempfile.gettempdir(), f"db_migrator_spark_dedup_stream_{tag}"
     )
     if not os.path.isdir(replay):
         os.makedirs(replay, exist_ok=True)
