@@ -265,8 +265,56 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Linear quality model: dyadic weights (exactly representable doubles) so
+# every product/sum is IEEE-identical across engines. A real deployment
+# loads learned weights; the OPERATOR SHAPE — broadcast coefficients,
+# pure column math fused into the scan, zero Python — is what scales.
+MODEL_BIAS = -1.0
+MODEL_W_NWORDS = 0.0009765625  # 1/1024
+MODEL_W_DIVERSITY = 2.0
+MODEL_W_AVGLEN = 0.25
+MODEL_W_NCHARS = -0.0001220703125  # -1/8192
+
+
+def text_quality_score_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filtering: a (stub) linear classifier over
+    cheap text features — the fasttext-style "quality model" stage of a
+    training-data pipeline, minus the learned weights.
+
+    score = bias + w·[n_words, diversity, avg_word_len, n_chars],
+    evaluated in a fixed left-to-right order with dyadic weights so the
+    DuckDB twin is bit-identical. Features reuse the text_stats
+    definitions (already hash-pinned cross-engine).
+
+    Plan: pure whole-stage-codegen column expressions in the scan; the
+    model is literals (a learned model broadcasts a weight struct). No
+    shuffle until the final ordering.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+    diversity = F.size(F.array_distinct(w)).cast("double") / n_words
+    avg_len = (F.length("text") - n_words + 1).cast("double") / n_words
+    score = (
+        F.lit(MODEL_BIAS)
+        + F.lit(MODEL_W_NWORDS) * n_words
+        + F.lit(MODEL_W_DIVERSITY) * diversity
+        + F.lit(MODEL_W_AVGLEN) * avg_len
+        + F.lit(MODEL_W_NCHARS) * F.length("text")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            score.alias("score"),
+            (score > 0.0).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "corpus_build_pipeline": corpus_build_pipeline,
+    "text_quality_score_model": text_quality_score_model,
     "text_ngram_vocab": text_ngram_vocab,
     "dedup_incremental_batch": dedup_incremental_batch,
     "q_shuffle_shards": q_shuffle_shards,
@@ -303,6 +351,30 @@ ORACLES = {
         FROM c
         GROUP BY 1, 2
         ORDER BY seq_id
+    """,
+    "text_quality_score_model": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS diversity,
+                   CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                       / len(string_split(text, ' ')) AS avg_len,
+                   length(text) AS n_chars
+            FROM documents)
+        SELECT doc_id,
+               CAST({MODEL_BIAS} AS DOUBLE)
+                 + CAST({MODEL_W_NWORDS} AS DOUBLE) * n_words
+                 + CAST({MODEL_W_DIVERSITY} AS DOUBLE) * diversity
+                 + CAST({MODEL_W_AVGLEN} AS DOUBLE) * avg_len
+                 + CAST({MODEL_W_NCHARS!r} AS DOUBLE) * n_chars AS score,
+               (CAST({MODEL_BIAS} AS DOUBLE)
+                 + CAST({MODEL_W_NWORDS} AS DOUBLE) * n_words
+                 + CAST({MODEL_W_DIVERSITY} AS DOUBLE) * diversity
+                 + CAST({MODEL_W_AVGLEN} AS DOUBLE) * avg_len
+                 + CAST({MODEL_W_NCHARS!r} AS DOUBLE) * n_chars) > 0.0 AS kept
+        FROM s
+        ORDER BY doc_id
     """,
     "text_ngram_vocab": f"""
         WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
