@@ -47,6 +47,7 @@ _MODULES = [
     "db_migrator_spark.operators.udtf_ops",
     "db_migrator_spark.operators.sketches",
     "db_migrator_spark.operators.zorder",
+    "db_migrator_spark.operators.quality",
     "db_migrator_spark.migrate.queries",
     "db_migrator_spark.streaming.windows",
     "db_migrator_spark.streaming.joins",

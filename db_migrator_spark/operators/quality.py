@@ -1,0 +1,132 @@
+"""Data-quality operators: per-key anomaly detection and distributed
+exact selection.
+
+- ``events_anomaly_zscore``: per-user z-scores over event values with
+  3-sigma outlier flags. The moments accumulate EXACTLY: values quantize
+  to integers (floor(v * 1e6), IEEE-exact both engines), sum and
+  sum-of-squares run in DECIMAL, and only the final mean/std divisions
+  drop to double — written in the same operation order as the oracle, so
+  verdicts are bit-identical at any parallelism. Plan: one groupBy for
+  the per-user moments (map-side partial), joined back to the events
+  (the stats side is |users| rows).
+- ``q_exact_median``: the EXACT lower median of a column without a
+  global sort — the distributed-selection shape. approxQuantile bins
+  partition the value space (error only skews bin sizes); exact per-bin
+  counts locate the bin holding the k-th element (driver-side over ≤33
+  rows, metadata-scale); only THAT bin's rows are sorted to extract the
+  element. At 100 TB the sorted bin is ~n/32 rows — recurse the same
+  step if a single bin is still too large (one level suffices here and
+  the recursion is the documented scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+Z_SCALE = 1_000_000
+Z_SIGMA = 3.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * F.lit(float(Z_SCALE))).cast("long")
+    quant = ev.select("event_id", "user_id", vq.alias("vq"))
+    stats = quant.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vq").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("vq") * F.col("vq")).cast("decimal(38,0)")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    enriched = quant.join(
+        stats.select("user_id", mean.alias("mean_q"), std.alias("std_q")),
+        "user_id",
+    )
+    z = (F.col("vq") - F.col("mean_q")) / F.nullif(F.col("std_q"), F.lit(0.0))
+    return (
+        enriched.select(
+            "event_id",
+            "user_id",
+            z.alias("z"),
+            (F.abs(F.col("vq") - F.col("mean_q")) > F.lit(Z_SIGMA) * F.col("std_q"))
+            .alias("is_outlier"),
+        )
+        .orderBy("event_id")
+    )
+
+
+MEDIAN_BINS = 32
+
+
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    n = orders.count()
+    k = (n + 1) // 2  # lower median, interpolation-free in both engines
+    cuts = sorted(
+        set(
+            orders.approxQuantile(
+                "o_totalprice", [i / MEDIAN_BINS for i in range(1, MEDIAN_BINS)], 0.001
+            )
+        )
+    )
+    bin_id = sum((F.col("o_totalprice") > F.lit(c)).cast("int") for c in cuts)
+    binned = orders.withColumn("b", bin_id)
+    counts = {
+        int(r["b"]): int(r["cnt"])
+        for r in binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    before, target = 0, 0
+    for b in sorted(counts):
+        if before + counts[b] >= k:
+            target = b
+            break
+        before += counts[b]
+    median = (
+        binned.filter(F.col("b") == target)
+        .orderBy("o_totalprice")
+        .limit(k - before)
+        .orderBy(F.col("o_totalprice").desc())
+        .limit(1)
+    )
+    return median.select(
+        F.col("o_totalprice").alias("median_price"),
+        F.lit(n).cast("long").alias("n_rows"),
+    )
+
+
+QUERIES = {
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "q_exact_median": q_exact_median,
+}
+
+ORACLES = {
+    "events_anomaly_zscore": f"""
+        WITH q AS (SELECT event_id, user_id,
+                          CAST(FLOOR(value * {Z_SCALE}.0) AS BIGINT) AS vq
+                   FROM events),
+             st AS (SELECT user_id, COUNT(*) AS n,
+                           CAST(SUM(CAST(vq AS DECIMAL(38,0))) AS DOUBLE) AS s,
+                           CAST(SUM(CAST(vq * vq AS DECIMAL(38,0))) AS DOUBLE) AS ss
+                    FROM q GROUP BY user_id),
+             m AS (SELECT user_id,
+                          s / n AS mean_q,
+                          sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) AS std_q
+                   FROM st)
+        SELECT event_id, q.user_id,
+               (vq - mean_q) / nullif(std_q, 0.0) AS z,
+               abs(vq - mean_q) > {Z_SIGMA} * std_q AS is_outlier
+        FROM q JOIN m ON q.user_id = m.user_id
+        ORDER BY event_id
+    """,
+    "q_exact_median": """
+        WITH s AS (SELECT o_totalprice AS v,
+                          ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn
+                   FROM orders),
+             c AS (SELECT COUNT(*) AS n FROM orders)
+        SELECT (SELECT v FROM s, c WHERE rn = (n + 1) // 2) AS median_price,
+               (SELECT n FROM c) AS n_rows
+    """,
+}
