@@ -97,9 +97,50 @@ def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_DIST = 2
+
+
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance with blocking: near-duplicate
+    part names (levenshtein ≤ FUZZY_MAX_DIST) among parts sharing a
+    blocking key (the name's last word — the noun in the fixture's
+    adjective+noun names).
+
+    The blocked self-join is the standard fuzzy-match shape: levenshtein
+    is O(|a|·|b|) per PAIR, so the block key must bound the candidate
+    set — never all-pairs. Block sizes are data-bounded here (#adjectives
+    per noun); on open-vocabulary data the block needs a hot-key cap
+    exactly like the dedup bucket caps (_cap_buckets). The distance runs
+    JVM-side (codegen levenshtein), identical to DuckDB's.
+    """
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    block = F.regexp_extract(F.col("p_name"), r"([^ ]+)$", 1)
+    keyed = parts.withColumn("blk", block)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("p1"),
+            F.col("b.p_partkey").alias("p2"),
+            F.col("a.p_name").alias("name1"),
+            F.col("b.p_name").alias("name2"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .filter(F.col("name1") != F.col("name2"))
+        .orderBy("p1", "p2")
+    )
+
+
 QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "q_exact_median": q_exact_median,
+    "q_fuzzy_part_match": q_fuzzy_part_match,
 }
 
 ORACLES = {
@@ -120,6 +161,18 @@ ORACLES = {
                abs(vq - mean_q) > {Z_SIGMA} * std_q AS is_outlier
         FROM q JOIN m ON q.user_id = m.user_id
         ORDER BY event_id
+    """,
+    "q_fuzzy_part_match": f"""
+        WITH k AS (SELECT p_partkey, p_name,
+                          regexp_extract(p_name, '([^ ]+)$', 1) AS blk
+                   FROM part)
+        SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+               a.p_name AS name1, b.p_name AS name2,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+        FROM k a JOIN k b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+          AND a.p_name <> b.p_name
+        ORDER BY p1, p2
     """,
     "q_exact_median": """
         WITH s AS (SELECT o_totalprice AS v,
