@@ -101,39 +101,40 @@ FUZZY_MAX_DIST = 2
 
 
 def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution by edit distance with blocking: near-duplicate
-    part names (levenshtein ≤ FUZZY_MAX_DIST) among parts sharing a
-    blocking key (the name's last word — the noun in the fixture's
-    adjective+noun names).
+    """Entity resolution by edit distance with blocking, over DISTINCT
+    names: near-duplicate part-name pairs (levenshtein ≤ FUZZY_MAX_DIST)
+    sharing a blocking key (the name's last word — the noun of the
+    fixture's adjective+noun names), each side carrying its part count.
 
-    The blocked self-join is the standard fuzzy-match shape: levenshtein
-    is O(|a|·|b|) per PAIR, so the block key must bound the candidate
-    set — never all-pairs. Block sizes are data-bounded here (#adjectives
-    per noun); on open-vocabulary data the block needs a hot-key cap
-    exactly like the dedup bucket caps (_cap_buckets). The distance runs
-    JVM-side (codegen levenshtein), identical to DuckDB's.
+    Matching distinct VALUES instead of rows is what makes fuzzy
+    matching scale: key-level self-joins are quadratic in DUPLICATES
+    (measured 1.2s -> 97s at 10x data on this fixture, whose name
+    vocabulary is fixed while rows grow 10x), while the distinct-name
+    frame is vocabulary-sized — the data-sized work is one distinct
+    aggregation, and consumers needing key pairs join back by name.
+    Levenshtein runs JVM-side, identical to DuckDB's.
     """
     parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = parts.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
     block = F.regexp_extract(F.col("p_name"), r"([^ ]+)$", 1)
-    keyed = parts.withColumn("blk", block)
+    keyed = names.withColumn("blk", block)
     a, b = keyed.alias("a"), keyed.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_name") < F.col("b.p_name")),
         )
         .select(
-            F.col("a.p_partkey").alias("p1"),
-            F.col("b.p_partkey").alias("p2"),
             F.col("a.p_name").alias("name1"),
             F.col("b.p_name").alias("name2"),
             dist.alias("edit_dist"),
+            F.col("a.n_parts").alias("n_parts_1"),
+            F.col("b.n_parts").alias("n_parts_2"),
         )
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
-        .filter(F.col("name1") != F.col("name2"))
-        .orderBy("p1", "p2")
+        .orderBy("name1", "name2")
     )
 
 
@@ -163,16 +164,16 @@ ORACLES = {
         ORDER BY event_id
     """,
     "q_fuzzy_part_match": f"""
-        WITH k AS (SELECT p_partkey, p_name,
+        WITH n AS (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name),
+             k AS (SELECT p_name, n_parts,
                           regexp_extract(p_name, '([^ ]+)$', 1) AS blk
-                   FROM part)
-        SELECT a.p_partkey AS p1, b.p_partkey AS p2,
-               a.p_name AS name1, b.p_name AS name2,
-               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
-        FROM k a JOIN k b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+                   FROM n)
+        SELECT a.p_name AS name1, b.p_name AS name2,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+               a.n_parts AS n_parts_1, b.n_parts AS n_parts_2
+        FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
-          AND a.p_name <> b.p_name
-        ORDER BY p1, p2
+        ORDER BY name1, name2
     """,
     "q_exact_median": """
         WITH s AS (SELECT o_totalprice AS v,
