@@ -121,10 +121,54 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family over part names: extract / global replace / match
+    count / boolean match — portable regex subset (character classes,
+    anchors) so Java and RE2-style engines agree."""
+    parts = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return (
+        parts.select(
+            "p_partkey",
+            F.regexp_extract(name, r"^(\w+)", 1).alias("first_word"),
+            F.regexp_extract(name, r"([^ ]+)$", 1).alias("last_word"),
+            F.regexp_replace(name, r"[aeiou]", "*").alias("devoweled"),
+            F.regexp_count(name, F.lit(r"[aeiou]")).alias("n_vowels"),
+            name.rlike(r"^[a-z]+ w.dget$").alias("is_widgetish"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: nullif-manufactured nulls pushed through
+    coalesce / nvl2-style branches / least-greatest null semantics /
+    null-safe equality — the conditional kernel of every cleansing job."""
+    orders = load_table(spark, sf_dir, "orders")
+    # manufacture nulls deterministically: status 'O' -> null priority
+    p = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    tp = F.nullif(F.col("o_totalprice"), F.col("o_totalprice"))  # always null
+    return (
+        orders.select(
+            "o_orderkey",
+            F.coalesce(p, F.lit("(none)")).alias("prio_or_default"),
+            F.when(p.isNull(), "missing").otherwise("present").alias("nvl2_style"),
+            F.coalesce(tp, F.col("o_totalprice"), F.lit(0.0)).alias("price_chain"),
+            F.least(p, F.col("o_orderstatus")).alias("least_nullsafe"),
+            F.greatest(p, F.col("o_orderstatus")).alias("greatest_nullsafe"),
+            p.eqNullSafe(F.lit("5-LOW")).alias("is_low_nullsafe"),
+            p.isNull().alias("prio_null"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 QUERIES = {
     "q_array_functions": q_array_functions,
     "q_datetime_functions": q_datetime_functions,
     "q_map_functions": q_map_functions,
+    "q_regex_functions": q_regex_functions,
+    "q_null_functions": q_null_functions,
 }
 
 ORACLES = {
@@ -160,6 +204,32 @@ ORACLES = {
         FROM per
         GROUP BY o_custkey
         ORDER BY o_custkey
+    """,
+    "q_regex_functions": """
+        SELECT p_partkey,
+               regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+               regexp_extract(p_name, '([^ ]+)$', 1) AS last_word,
+               regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+               CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+               regexp_matches(p_name, '^[a-z]+ w.dget$') AS is_widgetish
+        FROM part
+        ORDER BY p_partkey
+    """,
+    "q_null_functions": """
+        WITH s AS (SELECT o_orderkey, o_totalprice, o_orderstatus,
+                          nullif(o_orderpriority, '1-URGENT') AS p,
+                          nullif(o_totalprice, o_totalprice) AS tp
+                   FROM orders)
+        SELECT o_orderkey,
+               coalesce(p, '(none)') AS prio_or_default,
+               CASE WHEN p IS NULL THEN 'missing' ELSE 'present' END AS nvl2_style,
+               coalesce(tp, o_totalprice, 0.0) AS price_chain,
+               least(p, o_orderstatus) AS least_nullsafe,
+               greatest(p, o_orderstatus) AS greatest_nullsafe,
+               p IS NOT DISTINCT FROM '5-LOW' AS is_low_nullsafe,
+               p IS NULL AS prio_null
+        FROM s
+        ORDER BY o_orderkey
     """,
     "q_datetime_functions": """
         SELECT o_orderkey,
