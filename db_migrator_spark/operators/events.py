@@ -193,7 +193,42 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE shape): per user,
+    the time-ordered event-type initial string, and how many times the
+    click→view→purchase pattern occurs in it.
+
+    Plan shape: one groupBy(user) building the ordered letter string via
+    sort_array over (ts, event_id, letter) structs — deterministic under
+    any parallelism because the sort key is total — then a regex count
+    over the per-user string. The per-user sequence must fit one row
+    (true for any per-entity event history worth pattern-matching); for
+    unbounded histories the same regex runs per session window instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    letter = F.substring("event_type", 1, 1)
+    tagged = ev.select(
+        "user_id",
+        F.struct(F.col("ts"), F.col("event_id"), letter.alias("c")).alias("s"),
+    )
+    seq = F.array_join(
+        F.transform(F.sort_array(F.collect_list("s")), lambda s: s["c"]), ""
+    )
+    return (
+        tagged.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").alias("n_events"),
+            F.regexp_count("seq", F.lit("cvp")).alias("n_cvp"),
+            F.col("seq").rlike("p").alias("ever_purchased"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
+    "events_pattern_sequence": events_pattern_sequence,
     "events_resample_ffill": events_resample_ffill,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
@@ -204,6 +239,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_pattern_sequence": """
+        WITH s AS (SELECT user_id,
+                          string_agg(left(event_type, 1), ''
+                                     ORDER BY ts, event_id) AS seq
+                   FROM events GROUP BY user_id)
+        SELECT user_id,
+               CAST(length(seq) AS INT) AS n_events,
+               CAST(len(regexp_extract_all(seq, 'cvp')) AS INT) AS n_cvp,
+               regexp_matches(seq, 'p') AS ever_purchased
+        FROM s
+        ORDER BY user_id
+    """,
     "events_resample_ffill": """
         WITH hourly AS (
             SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
