@@ -118,7 +118,10 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..io import load_table
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # project to the observed columns BEFORE the pass: the noop sink
+    # materializes whatever reaches it, so without this the scan reads
+    # all 11 lineitem columns for a 2-column metrics pass
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
     obs = Observation("scan_metrics")
     observed = li.observe(
         obs,
