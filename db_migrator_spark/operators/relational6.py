@@ -163,7 +163,41 @@ def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE traversal (Spark 4 WITH RECURSIVE): walk a
+    deterministic part hierarchy (parent = key DIV 7, rooted at 0) to
+    the root, returning each node's depth and ancestor-key sum.
+
+    The hierarchy is derived arithmetically from fixture keys — the
+    recursion, not the edge list, is what's under test. Iterations are
+    logarithmic in max key (~6 here); each step is one self-join the
+    engine unions into the working set — the same ladder the iterative
+    DataFrame loop in dedup_clusters builds by hand, now expressed
+    declaratively. All-integer math, so the DuckDB twin hash-matches.
+    """
+    import uuid
+
+    view = f"__rec_part_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "part").select("p_partkey").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE anc AS (
+            SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM {view}
+            UNION ALL
+            SELECT node, cur DIV 7, depth + 1 FROM anc WHERE cur > 0
+        )
+        SELECT node,
+               CAST(MAX(depth) AS INT) AS depth_to_root,
+               CAST(SUM(cur) AS BIGINT) AS ancestor_key_sum
+        FROM anc
+        GROUP BY node
+        ORDER BY node
+        """
+    )
+
+
 QUERIES = {
+    "q_recursive_hierarchy": q_recursive_hierarchy,
     "q_array_functions": q_array_functions,
     "q_datetime_functions": q_datetime_functions,
     "q_map_functions": q_map_functions,
@@ -204,6 +238,19 @@ ORACLES = {
         FROM per
         GROUP BY o_custkey
         ORDER BY o_custkey
+    """,
+    "q_recursive_hierarchy": """
+        WITH RECURSIVE anc AS (
+            SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part
+            UNION ALL
+            SELECT node, cur // 7, depth + 1 FROM anc WHERE cur > 0
+        )
+        SELECT node,
+               CAST(MAX(depth) AS INT) AS depth_to_root,
+               CAST(SUM(cur) AS BIGINT) AS ancestor_key_sum
+        FROM anc
+        GROUP BY node
+        ORDER BY node
     """,
     "q_regex_functions": """
         SELECT p_partkey,
