@@ -196,7 +196,31 @@ def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4): parse the
+    events JSON props once into a variant column, then typed-path
+    extraction with variant_get — the open-schema ingestion shape (no
+    schema declared up front, binary-encoded storage, typed reads).
+    Extracted values are cast to concrete types so the DuckDB
+    json_extract twin compares exactly; the VARIANT encoding itself is
+    engine-internal and never surfaced.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        ev.select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k_val"),
+            F.variant_get(v, "$.missing", "string").alias("missing_val"),
+            F.is_variant_null(F.try_parse_json(F.lit("null"))).alias("null_probe"),
+            F.try_variant_get(v, "$.k", "date").alias("try_wrong_type"),
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
+    "q_variant_json": q_variant_json,
     "q_recursive_hierarchy": q_recursive_hierarchy,
     "q_array_functions": q_array_functions,
     "q_datetime_functions": q_datetime_functions,
@@ -238,6 +262,15 @@ ORACLES = {
         FROM per
         GROUP BY o_custkey
         ORDER BY o_custkey
+    """,
+    "q_variant_json": """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+               json_extract_string(props, '$.missing') AS missing_val,
+               TRUE AS null_probe,
+               CAST(NULL AS DATE) AS try_wrong_type
+        FROM events
+        ORDER BY event_id
     """,
     "q_recursive_hierarchy": """
         WITH RECURSIVE anc AS (
