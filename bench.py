@@ -81,9 +81,9 @@ def main() -> None:
     # Warm-up: JVM, codegen, file listing (not included in timings).
     qs["q6_forecast_revenue"](spark, sf_dir).collect()
 
-    # Two timed iterations per query, report the min: damps JVM/codegen
+    # Three timed iterations per query, report the min: damps JVM/codegen
     # warm-up variance so run-to-run numbers are comparable.
-    ITERS = 2
+    ITERS = 3
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
