@@ -57,6 +57,119 @@ def clicks_to_purchases(events: DataFrame, attribution_window: str = "1 hour") -
     )
 
 
+def clicks_left_outer(events: DataFrame, attribution_window: str = "1 hour") -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click, with its
+    attributed purchase or nulls.
+
+    The outer side is the subtle one: an unmatched click can only emit
+    once the purchase-side WATERMARK has passed its join window (before
+    that, a matching purchase could still arrive), so null rows trail
+    the event time by watermark + window. State stays bounded by the
+    same time-bound condition as the inner join.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + interval {attribution_window}"
+        ),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )
+
+
+def streaming_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the LEFT OUTER interval join as two streams.
+
+    Unmatched clicks need the watermark to pass their window before the
+    null row emits, and a bounded file replay ends with the watermark at
+    max-event-time minus delay — stranding the tail's unmatched clicks in
+    state. The replay therefore appends a far-future FLUSH event (a
+    sentinel user's click) whose arrival pushes the watermark past every
+    real window; the sentinel is filtered from the result. Same flush
+    recipe as the session-window parity test (tests/test_streaming.py).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    replay = os.path.join(
+        tempfile.gettempdir(), f"db_migrator_spark_outer_join_{tag}"
+    )
+    FLUSH_USER = 10**9
+    if not os.path.isdir(replay):
+        os.makedirs(replay, exist_ok=True)
+        dst = os.path.join(replay, "a_events.parquet")
+        if not os.path.exists(dst):
+            os.link(src, dst)
+        fixture_ts = pq.ParquetFile(src).schema_arrow.field("ts").type
+        far = 4_102_444_800  # 2100-01-01 epoch seconds
+        # TWO flush batches, each carrying a click AND a purchase
+        # sentinel: the watermarks are per-SIDE and applied after the
+        # event-type filters, so a click-only flush would advance only
+        # the click watermark while the global (min) watermark stays
+        # pinned at the fixture's end — stranding the tail's unmatched
+        # clicks. Identical sentinel timestamps keep the pair from
+        # joining each other (the condition is strict p_ts > c_ts), and
+        # the second batch exists because outer-join null rows emit one
+        # micro-batch AFTER a watermark advance.
+        for i, name in enumerate(("b_flush.parquet", "c_flush2.parquet")):
+            sec = far + i * 86_400
+            if pa.types.is_timestamp(fixture_ts):
+                ts_arr = pa.array([sec * 1_000_000] * 2, pa.timestamp("us")).cast(
+                    fixture_ts
+                )
+            else:
+                ts_arr = pa.array([sec * 1_000_000_000] * 2, pa.int64())
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array(
+                            [999_999_980 + 2 * i, 999_999_981 + 2 * i], pa.int64()
+                        ),
+                        "ts": ts_arr,
+                        "user_id": pa.array([FLUSH_USER] * 2, pa.int64()),
+                        "event_type": pa.array(["click", "purchase"], pa.string()),
+                        "value": pa.array([0.0, 0.0], pa.float64()),
+                        "props": pa.array(["{}", "{}"], pa.string()),
+                    }
+                ),
+                os.path.join(replay, name),
+            )
+    ev = stream_events(spark, replay)
+    out = run_bounded(clicks_left_outer(ev), "append")
+    return (
+        out.filter(F.col("user_id") != FLUSH_USER)
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: the interval join executed AS TWO STREAMS over
     the fixture events; oracle-checked against the batch SQL."""
@@ -105,10 +218,25 @@ def streaming_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "streaming_click_attribution": streaming_click_attribution,
+    "streaming_click_outer_join": streaming_click_outer_join,
     "streaming_segment_enrichment": streaming_segment_enrichment,
 }
 
 ORACLES = {
+    "streaming_click_outer_join": """
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          CAST(ts AS TIMESTAMP) AS ts FROM events),
+        c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+              FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+              FROM e WHERE event_type = 'purchase')
+        SELECT c.user_id, click_id, purchase_id,
+               purchase_id IS NOT NULL AS converted
+        FROM c LEFT JOIN p ON c.user_id = p.user_id
+                          AND p_ts > c_ts
+                          AND p_ts <= c_ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
     "streaming_click_attribution": """
         WITH e AS (SELECT event_id, user_id, event_type, value,
                           CAST(ts AS TIMESTAMP) AS ts FROM events),
