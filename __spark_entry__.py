@@ -48,6 +48,7 @@ _MODULES = [
     "db_migrator_spark.operators.sketches",
     "db_migrator_spark.operators.zorder",
     "db_migrator_spark.operators.quality",
+    "db_migrator_spark.sources.python_source",
     "db_migrator_spark.migrate.queries",
     "db_migrator_spark.streaming.windows",
     "db_migrator_spark.streaming.joins",
