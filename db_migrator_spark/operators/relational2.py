@@ -59,6 +59,70 @@ def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN, forward and nearest variants — completing the family
+    with q_asof_join_latest_order's backward carry.
+
+    Same union-and-carry shape, ONE window pass: with orders sorted
+    before events at identical timestamps, the [unbounded, current]
+    frame carries the latest at-or-before order (backward) while the
+    [current, unbounded] frame reaches the first strictly-after order
+    (forward) — both via ignorenulls carries, no per-pair join. Nearest
+    picks whichever side is closer in time (ties prefer backward); time
+    distances compare as exact microsecond longs. Tie among same-time
+    orders: highest orderkey (the window's orderkey-desc sort), mirrored
+    in the oracle's LATERAL ORDER BY.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").cast("timestamp_ntz").alias("t"),
+        F.lit(None).cast("bigint").alias("orderkey"),
+        F.lit(1).alias("kind"),
+        "event_id",
+    )
+    order_t = F.when(F.col("kind") == 0, F.col("t"))
+    base = W.partitionBy("key").orderBy("t", "kind", F.col("orderkey").desc_nulls_last())
+    bwd = base.rowsBetween(W.unboundedPreceding, 0)
+    fwd = base.rowsBetween(0, W.unboundedFollowing)
+    merged = (
+        orders.unionByName(events)
+        .withColumn("bwd_key", F.last("orderkey", ignorenulls=True).over(bwd))
+        .withColumn("bwd_t", F.last(order_t, ignorenulls=True).over(bwd))
+        .withColumn("fwd_key", F.first("orderkey", ignorenulls=True).over(fwd))
+        .withColumn("fwd_t", F.first(order_t, ignorenulls=True).over(fwd))
+    )
+    d_bwd = F.unix_micros(F.col("t").cast("timestamp")) - F.unix_micros(
+        F.col("bwd_t").cast("timestamp")
+    )
+    d_fwd = F.unix_micros(F.col("fwd_t").cast("timestamp")) - F.unix_micros(
+        F.col("t").cast("timestamp")
+    )
+    nearest = (
+        F.when(F.col("bwd_key").isNull(), F.col("fwd_key"))
+        .when(F.col("fwd_key").isNull(), F.col("bwd_key"))
+        .when(d_bwd <= d_fwd, F.col("bwd_key"))
+        .otherwise(F.col("fwd_key"))
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.col("bwd_key").alias("backward_orderkey"),
+            F.col("fwd_key").alias("forward_orderkey"),
+            nearest.alias("nearest_orderkey"),
+        )
+        .orderBy("event_id")
+    )
+
+
 _PRICE_BANDS = [("low", 0.0, 20000.0), ("mid", 20000.0, 45000.0), ("high", 45000.0, 1e12)]
 
 
@@ -208,6 +272,7 @@ def q_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_asof_join_latest_order": q_asof_join_latest_order,
+    "q_asof_forward_nearest": q_asof_forward_nearest,
     "q_range_band_join": q_range_band_join,
     "q_grouping_sets": q_grouping_sets,
     "q_min_per_group_filter": q_min_per_group_filter,
@@ -219,6 +284,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Tie rules mirror the window frame exactly: backward = max t' then
+    # MIN orderkey (last of an orderkey-desc frame), forward = min t'
+    # then MAX orderkey (first of an orderkey-desc frame).
+    "q_asof_forward_nearest": """
+        WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events),
+             o AS (SELECT o_custkey, o_orderkey,
+                          CAST(o_orderdate AS TIMESTAMP) AS ot
+                   FROM orders)
+        SELECT e.event_id, e.user_id,
+               b.o_orderkey AS backward_orderkey,
+               f.o_orderkey AS forward_orderkey,
+               CASE WHEN b.o_orderkey IS NULL THEN f.o_orderkey
+                    WHEN f.o_orderkey IS NULL THEN b.o_orderkey
+                    WHEN epoch_us(e.ts) - epoch_us(b.ot)
+                         <= epoch_us(f.ot) - epoch_us(e.ts) THEN b.o_orderkey
+                    ELSE f.o_orderkey END AS nearest_orderkey
+        FROM e
+        LEFT JOIN LATERAL (
+            SELECT o_orderkey, ot FROM o
+            WHERE o.o_custkey = e.user_id AND o.ot <= e.ts
+            ORDER BY ot DESC, o_orderkey ASC LIMIT 1) b ON TRUE
+        LEFT JOIN LATERAL (
+            SELECT o_orderkey, ot FROM o
+            WHERE o.o_custkey = e.user_id AND o.ot > e.ts
+            ORDER BY ot ASC, o_orderkey DESC LIMIT 1) f ON TRUE
+        ORDER BY event_id
+    """,
     "q_asof_join_latest_order": """
         WITH timeline AS (
             SELECT o_custkey AS key, CAST(o_orderdate AS TIMESTAMP) AS t,
