@@ -138,13 +138,71 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _key_profile(df: DataFrame, table: str, key: str) -> DataFrame:
+    per = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    return per.agg(
+        F.lit(table).alias("table_name"),
+        F.lit(key).alias("key_name"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_per_key"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("avg_per_key"),
+        (F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c")).alias(
+            "skew_ratio"
+        ),
+    )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: per-key cardinality profile of the three
+    hottest join keys (orders.o_custkey, lineitem.l_orderkey,
+    events.user_id) — max/avg rows per key and the skew ratio that
+    decides between a plain shuffle join, AQE skew splitting, and salting
+    (operators/skew.py). The report every scale engineer runs BEFORE
+    picking a join strategy; at 100 TB it reads a sample or the
+    per-partition statistics, same plan shape.
+
+    All-integer aggregation; the two ratios divide exact integers in
+    double (identical IEEE result both engines).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    return (
+        _key_profile(orders, "orders", "o_custkey")
+        .unionByName(_key_profile(lineitem, "lineitem", "l_orderkey"))
+        .unionByName(_key_profile(events, "events", "user_id"))
+        .orderBy("table_name")
+    )
+
+
 QUERIES = {
+    "q_skew_report": q_skew_report,
     "events_anomaly_zscore": events_anomaly_zscore,
     "q_exact_median": q_exact_median,
     "q_fuzzy_part_match": q_fuzzy_part_match,
 }
 
+_SKEW_ONE = """
+        SELECT '{table}' AS table_name, '{key}' AS key_name,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               MAX(c) AS max_per_key,
+               CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_per_key,
+               CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) AS skew_ratio
+        FROM (SELECT {key}, COUNT(*) AS c FROM {table} GROUP BY {key})
+    """
+
 ORACLES = {
+    "q_skew_report": " UNION ALL ".join(
+        _SKEW_ONE.format(table=t, key=k)
+        for t, k in (
+            ("events", "user_id"),
+            ("lineitem", "l_orderkey"),
+            ("orders", "o_custkey"),
+        )
+    )
+    + " ORDER BY table_name",
     "events_anomaly_zscore": f"""
         WITH q AS (SELECT event_id, user_id,
                           CAST(FLOOR(value * {Z_SCALE}.0) AS BIGINT) AS vq
