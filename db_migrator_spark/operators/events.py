@@ -227,7 +227,44 @@ def events_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence with lift (market-basket association):
+    for every pair of event types, how many users did both, and the lift
+    vs independence ``P(a,b) / (P(a)·P(b)) = n_both·U / (n_a·n_b)``.
+
+    Plan shape: everything runs on the DISTINCT (user, type) frame — the
+    same distinct-value discipline as the fuzzy matcher — so the pair
+    self-join is |types|²-bounded per user and the aggregates are one
+    shuffle each. Lift divides exact integers in double (identical IEEE
+    both engines); log-free, like the TF-IDF rational-idf trick.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", "event_type").distinct()
+    n_users = d.select("user_id").distinct().count()
+    a = d.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_a"))
+    b = d.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    singles = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    lift = (F.col("n_both").cast("double") * F.lit(n_users)) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return (
+        both.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select("type_a", "type_b", "n_both", "n_a", "n_b", lift.alias("lift"))
+        .orderBy("type_a", "type_b")
+    )
+
+
 QUERIES = {
+    "events_cooccurrence_lift": events_cooccurrence_lift,
     "events_pattern_sequence": events_pattern_sequence,
     "events_resample_ffill": events_resample_ffill,
     "events_funnel": events_funnel,
@@ -239,6 +276,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cooccurrence_lift": """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+             u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM d),
+             both_t AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                               COUNT(*) AS n_both
+                        FROM d a JOIN d b ON a.user_id = b.user_id
+                                         AND a.event_type < b.event_type
+                        GROUP BY 1, 2),
+             s AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY event_type)
+        SELECT type_a, type_b, n_both,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(n_both AS DOUBLE) * (SELECT n_users FROM u)
+                   / (CAST(sa.n AS DOUBLE) * sb.n) AS lift
+        FROM both_t
+        JOIN s sa ON sa.event_type = type_a
+        JOIN s sb ON sb.event_type = type_b
+        ORDER BY type_a, type_b
+    """,
     "events_pattern_sequence": """
         WITH s AS (SELECT user_id,
                           string_agg(left(event_type, 1), ''
