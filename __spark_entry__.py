@@ -60,14 +60,15 @@ _MODULES = [
 # by evidence freshness, computed straight from the CORRECTNESS_r*.json
 # artifacts the driver leaves in the repo:
 #   1. never driver-checked (anything newly added this round),
-#   2. red at its most recent check (fixes needing re-verification),
+#   2. red at its most recent check, or rows-only-checked but an oracle has
+#      been declared since (evidence no longer reflects the contract),
 #   3. green/rows-only, oldest evidence first.
-def _evidence_order(names: list[str]) -> list[str]:
+def _evidence_order(names: list[str], oracles: dict[str, str]) -> list[str]:
     import glob as globmod
     import json
     import re
 
-    last: dict[str, tuple[int, bool]] = {}  # name -> (round, was_green)
+    last: dict[str, tuple[int, bool, bool]] = {}  # name -> (round, green, rows_only)
     for path in sorted(globmod.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
         if not m:
@@ -83,22 +84,24 @@ def _evidence_order(names: list[str]) -> list[str]:
         for k, v in data.items():
             if not isinstance(v, dict):
                 continue
-            green = (
-                v.get("err") == "no_oracle"  # rows-only by design
-                or (
-                    bool(v.get("rows_match"))
-                    and bool(v.get("schema_match"))
-                    and v.get("hash_match") is not False
-                )
+            rows_only = v.get("err") == "no_oracle"  # rows-only by design
+            green = rows_only or (
+                bool(v.get("rows_match"))
+                and bool(v.get("schema_match"))
+                and v.get("hash_match") is not False
             )
             prev = last.get(k)
             if prev is None or rnd >= prev[0]:
-                last[k] = (rnd, green)
+                last[k] = (rnd, green, rows_only)
 
     def key(name: str):
         if name not in last:
             return (0, 0, name)
-        rnd, green = last[name]
+        rnd, green, rows_only = last[name]
+        if rows_only and name in oracles:
+            # Oracle declared after the last rows-only check: the evidence
+            # predates the current contract, so re-attest like a red row.
+            return (1, rnd, name)
         return (2, rnd, name) if green else (1, rnd, name)
 
     return sorted(names, key=key)
@@ -116,7 +119,7 @@ def _collect() -> tuple[dict, dict]:
             continue
         qs.update(getattr(mod, "QUERIES", {}))
         os_.update(getattr(mod, "ORACLES", {}))
-    ordered = {k: qs[k] for k in _evidence_order(list(qs))}
+    ordered = {k: qs[k] for k in _evidence_order(list(qs), os_)}
     return ordered, os_
 
 

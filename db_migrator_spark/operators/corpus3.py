@@ -395,8 +395,11 @@ ORACLES = {
              idx AS (SELECT DISTINCT content_hash FROM h
                      WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_MOD - 1})
         SELECT MIN(doc_id) AS doc_id, content_hash
-        FROM new_batch
-        WHERE content_hash NOT IN (SELECT content_hash FROM idx)
+        FROM new_batch nb
+        -- NOT EXISTS, not NOT IN: a NULL text (NULL md5) must survive the
+        -- anti-join here exactly as Spark's left_anti keeps null-key rows.
+        WHERE NOT EXISTS (SELECT 1 FROM idx
+                          WHERE idx.content_hash = nb.content_hash)
         GROUP BY content_hash
         ORDER BY doc_id
     """,

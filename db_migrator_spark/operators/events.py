@@ -235,12 +235,17 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: everything runs on the DISTINCT (user, type) frame — the
     same distinct-value discipline as the fuzzy matcher — so the pair
     self-join is |types|²-bounded per user and the aggregates are one
-    shuffle each. Lift divides exact integers in double (identical IEEE
+    shuffle each. The user-count denominator joins in as a broadcast
+    one-row aggregate (the ``corpus.py`` idiom) instead of an eager
+    ``count()``: the whole query stays ONE lazy plan, no driver-blocking
+    scalar pass. Lift divides exact integers in double (identical IEEE
     both engines); log-free, like the TF-IDF rational-idf trick.
     """
     ev = load_table(spark, sf_dir, "events")
     d = ev.select("user_id", "event_type").distinct()
-    n_users = d.select("user_id").distinct().count()
+    n_users = d.agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_users")
+    )
     a = d.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_a"))
     b = d.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_b"))
     both = (
@@ -252,12 +257,13 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     singles = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
     sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
-    lift = (F.col("n_both").cast("double") * F.lit(n_users)) / (
+    lift = (F.col("n_both").cast("double") * F.col("n_users")) / (
         F.col("n_a").cast("double") * F.col("n_b")
     )
     return (
         both.join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
         .select("type_a", "type_b", "n_both", "n_a", "n_b", lift.alias("lift"))
         .orderBy("type_a", "type_b")
     )

@@ -36,7 +36,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = quant.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("vq").cast("decimal(38,0)")).alias("s"),
-        F.sum((F.col("vq") * F.col("vq")).cast("decimal(38,0)")).alias("ss"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq").cast("decimal(38,0)")).alias("ss"),
     )
     mean = F.col("s").cast("double") / F.col("n")
     var = F.col("ss").cast("double") / F.col("n") - mean * mean
@@ -209,7 +209,7 @@ ORACLES = {
                    FROM events),
              st AS (SELECT user_id, COUNT(*) AS n,
                            CAST(SUM(CAST(vq AS DECIMAL(38,0))) AS DOUBLE) AS s,
-                           CAST(SUM(CAST(vq * vq AS DECIMAL(38,0))) AS DOUBLE) AS ss
+                           CAST(SUM(CAST(vq AS DECIMAL(38,0)) * CAST(vq AS DECIMAL(38,0))) AS DOUBLE) AS ss
                     FROM q GROUP BY user_id),
              m AS (SELECT user_id,
                           s / n AS mean_q,

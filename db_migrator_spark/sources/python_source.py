@@ -121,8 +121,13 @@ def _make_seq_source():
 def _register(spark: SparkSession) -> None:
     try:
         spark.dataSource.register(_make_seq_source())
-    except Exception:
-        pass  # already registered in this session
+    except Exception as exc:
+        # Only duplicate registration is benign; a genuine failure
+        # (pickling error, API mismatch) must surface HERE, not later as
+        # an unrelated "format not found" read error.
+        msg = str(exc).lower()
+        if "already" not in msg and "exists" not in msg and "registered" not in msg:
+            raise
 
 
 def _seq_agg(df: DataFrame) -> DataFrame:

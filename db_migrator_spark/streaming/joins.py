@@ -124,10 +124,21 @@ def streaming_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     FLUSH_USER = 10**9
     if not os.path.isdir(replay):
-        os.makedirs(replay, exist_ok=True)
-        dst = os.path.join(replay, "a_events.parquet")
-        if not os.path.exists(dst):
+        # Build under a temp name and rename into place atomically: a crash
+        # mid-build must not leave a half-built dir (whose mere existence
+        # would gate setup forever and silently strand tail unmatched
+        # clicks on every later run).
+        import shutil
+
+        build = tempfile.mkdtemp(
+            prefix=f"db_migrator_spark_outer_join_{tag}.build.",
+            dir=tempfile.gettempdir(),
+        )
+        dst = os.path.join(build, "a_events.parquet")
+        try:
             os.link(src, dst)
+        except OSError:  # EXDEV (tmp on another fs), EPERM, etc.
+            shutil.copy(src, dst)
         fixture_ts = pq.ParquetFile(src).schema_arrow.field("ts").type
         far = 4_102_444_800  # 2100-01-01 epoch seconds
         # TWO flush batches, each carrying a click AND a purchase
@@ -160,8 +171,14 @@ def streaming_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "props": pa.array(["{}", "{}"], pa.string()),
                     }
                 ),
-                os.path.join(replay, name),
+                os.path.join(build, name),
             )
+        try:
+            os.rename(build, replay)
+        except OSError:
+            # Lost the race to a concurrent builder: theirs is complete
+            # (rename is atomic), ours is redundant.
+            shutil.rmtree(build, ignore_errors=True)
     ev = stream_events(spark, replay)
     out = run_bounded(clicks_left_outer(ev), "append")
     return (

@@ -133,5 +133,20 @@ def test_corpus_build_pipeline_consistency(spark):
         quality.select(F.md5(norm.cast("binary")).alias("fp")).distinct().count()
     )
     assert total_docs == n_unique
-    # token conservation: packed totals equal survivor token sum
-    assert sum(r.total_tokens for r in rows) > PACK_BUDGET * (len(rows) - 1) * 0
+    # token conservation: packed totals equal the survivor token sum exactly
+    keep = (
+        quality.withColumn("fp", F.md5(norm.cast("binary")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivor_tokens = (
+        quality.join(keep, "doc_id", "left_semi")
+        .select(F.sum(nw).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert sum(r.total_tokens for r in rows) == survivor_tokens
+    # occupancy: every sequence except possibly the last STARTS under budget,
+    # so at least (len(rows) - 1) full budgets of tokens exist
+    assert survivor_tokens > PACK_BUDGET * (len(rows) - 1)
