@@ -168,17 +168,55 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins).localCheckpoint()
 
 
+def _verify_pairs_exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard for a ``(d1, d2)`` candidate frame — the
+    verify half of every LSH dedup (candidates -> exact score -> keep).
+
+    Cost is candidate-proportional, never all-pairs: the candidate set is
+    already budget-bounded by ``_cap_buckets``, the shared-shingle count is
+    an equi-join on (doc, shingle), and the per-doc sizes broadcast. Docs
+    with no shingles (< 3 words) are unverifiable and drop out — consistent
+    with the exact twin, which can't see them either.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    shared = (
+        cand.join(a, "d1")
+        .join(b, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    sh_n = F.coalesce(F.col("shared"), F.lit(0))
+    return (
+        cand.join(shared, ["d1", "d2"], "left")
+        .join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .withColumn(
+            "jaccard",
+            sh_n.cast("double") / (F.col("n1") + F.col("n2") - sh_n),
+        )
+        .drop("shared", "n1", "n2")
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding: near-dup candidate pairs with estimated
-    Jaccard = fraction of matching minhashes.
+    """MinHash + LSH banding, exact-verified: near-dup pairs found via
+    banded signature buckets, each kept pair carrying BOTH the estimated
+    Jaccard (matching-minhash fraction) and the exact shingle Jaccard,
+    which must clear the same 0.2 threshold as the exact twin.
 
     Pipeline: signatures -> explode into (band, band_hash) keys -> groupBy
     bucket -> pairs within bucket -> dedupe pairs -> estimate similarity
-    from the signatures. All joins are key-equi joins; nothing is O(n^2).
-    Not SQL-expressible for the DuckDB oracle (hash functions differ) ->
-    rows-only check; the exact-Jaccard twin (dedup_ngram_jaccard) is the
-    oracle-checked ground truth these candidates are validated against in
-    tests.
+    from the signatures -> EXACT-VERIFY survivors. All joins are key-equi
+    joins; nothing is O(n^2). The pair list is still hash-dependent (which
+    buckets collide), so the DuckDB check stays rows-only — but every
+    emitted row is now self-validating: its ``jaccard`` column is
+    recomputable exact arithmetic that provably clears the threshold, so
+    a verifier can bound-check the output without reproducing xxhash64.
+    Recall vs the exact twin stays pinned in tests/test_llm_ops.py.
     """
     r = MINHASH_K // LSH_BANDS
     sig = _minhash_signatures(spark, sf_dir)
@@ -211,23 +249,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = sum(
         F.when(F.col(f"l{i}") == F.col(f"r{i}"), 1).otherwise(0) for i in range(MINHASH_K)
     )
-    return (
+    est = (
         cand.join(sl, "d1").join(sr, "d2")
         .select("d1", "d2", (matches / F.lit(float(MINHASH_K))).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
+    )
+    sh = _shingle_index(load_table(spark, sf_dir, "documents"))
+    return (
+        _verify_pairs_exact_jaccard(sh, est)
+        .filter(F.col("jaccard") >= 0.2)
         .orderBy("d1", "d2")
     )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints + banded Hamming-distance candidates.
+    """64-bit SimHash fingerprints + banded Hamming candidates,
+    exact-verified.
 
     Fingerprint: per word-token hash, each of the 64 bits votes +1/-1; the
     sign of the vote sum is the fingerprint bit. Computed as 64 conditional
     sums in a single groupBy pass (map-side combine keeps the shuffle at 64
     longs per doc per partition). Candidates share at least one of 4
     16-bit bands (Hamming <= 3 guarantees a shared band by pigeonhole).
-    Rows-only check (hash-dependent).
+    Hamming <= 6 survivors are then EXACT-VERIFIED: each emitted pair
+    carries the exact shingle Jaccard and must clear the 0.2 near-dup
+    threshold. The pair list stays hash-dependent (rows-only check), but
+    every row is self-validating — its ``jaccard`` is recomputable exact
+    arithmetic, bound-checkable without reproducing xxhash64.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
@@ -280,10 +328,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f1 = fp.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
     f2 = fp.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
-    return (
+    near = (
         cand.join(f1, "d1").join(f2, "d2")
         .select("d1", "d2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
         .filter(F.col("hamming") <= 6)
+    )
+    sh = _shingle_index(docs)
+    return (
+        _verify_pairs_exact_jaccard(sh, near)
+        .filter(F.col("jaccard") >= 0.2)
         .orderBy("d1", "d2")
     )
 

@@ -116,7 +116,10 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct pairs); exact cosine is computed only for candidates, then
     thresholded. Approximate by construction (recall math in the constants
     above) -> rows-only driver check; recall vs the exact cross join is
-    asserted in tests/test_llm_ops.py.
+    asserted in tests/test_llm_ops.py. Self-validating output: every row
+    carries the exact cosine and the in-query filter guarantees it clears
+    the 0.4 threshold, so a verifier can bound-check rows without
+    reproducing the hyperplane hashes.
 
     The 48 projections are ONE Arrow-batched pandas_udf doing a numpy
     matmul per batch (embeddings x planes^T -> packed sign bits). The

@@ -33,6 +33,28 @@ def test_simhash_covers_near_dups(spark, exact_pairs):
     assert recall >= 0.8, f"simhash recall {recall} too low"
 
 
+def test_lsh_dedup_pairs_are_exact_verified(spark):
+    """Every emitted minhash/simhash pair carries the exact shingle
+    Jaccard, equal to the exact twin's value for that pair, and above the
+    shared 0.2 threshold — the self-validating-output contract."""
+    from db_migrator_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+
+    exact = {
+        (r.d1, r.d2): r.jaccard for r in dedup_ngram_jaccard(spark, SF).collect()
+    }
+    for op in (dedup_minhash_lsh, dedup_simhash):
+        rows = op(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r.jaccard >= 0.2
+            assert (r.d1, r.d2) in exact, f"{op.__name__} emitted unverified pair"
+            assert abs(r.jaccard - exact[(r.d1, r.d2)]) < 1e-12
+
+
 def test_similarity_lsh_recall(spark):
     """LSH pair search recall vs the exact cross join at the same
     threshold; the multi-table scheme targets ~50% at cos 0.5."""
