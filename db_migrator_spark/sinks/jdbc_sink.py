@@ -14,8 +14,14 @@ connection obtained from the JVM's DriverManager — same two-phase shape as
 the reference (DDL -> data -> best-effort constraints,
 ``src/insert/inserter.rs:33-111``).
 
-Untested live in this container (no MySQL server / JDBC jar); the protocol
-seam is covered by ParquetInserter-backed integration tests.
+No MySQL server / JDBC jar exists in this container, so this class is
+SQL-surface-tested only — but the wire protocol itself (FK-bracketed
+transaction, rollback-with-preview, best-effort constraints) is factored
+into ``sinks/dbapi_sink.py`` and fully tested there: statement ordering
+against a recording fake connection, and end-to-end through
+``df.foreachPartition`` into sqlite3 (a real PEP 249 driver). On a
+cluster with a MySQL DB-API driver, ``dbapi_sink.partition_writer`` is
+the data path: one connection + one transaction per partition.
 """
 
 from __future__ import annotations
