@@ -116,23 +116,43 @@ def ivf_query_index(
     )
 
 
-def _index_cache_path(sf_dir: str, n_rows: int) -> str:
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_rows}".encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"db_migrator_spark_ivf_{key}")
+def dataset_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Filesystem-only cache key for a parquet table: absolute path plus
+    (name, size, mtime_ns) of every data file. Pure ``os.stat`` — no Spark
+    job, not even a footer read — and it invalidates on any rewrite, which
+    a row count cannot (same-count updates)."""
+    root = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    parts: list[str] = [root]
+    if os.path.isdir(root):
+        for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+            for name in sorted(filenames):
+                st = os.stat(os.path.join(dirpath, name))
+                parts.append(f"{dirpath}/{name}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(root)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def _index_cache_path(sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"db_migrator_spark_ivf_{dataset_fingerprint(sf_dir)}"
+    )
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: IVF ANN top-10 for the vec_id=0 query.
 
-    Builds the persisted index once per (corpus path, row count) into a
-    cache directory; every invocation after the first runs only the online
-    pruned-read query path.
+    Builds the persisted index once per corpus *snapshot* (cache keyed on
+    the parquet files' path + size + mtime — a pure stat, so the repeated-
+    query path launches no Spark job at all, not even a footer count);
+    every invocation after the first runs only the online pruned-read
+    query path.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    path = _index_cache_path(sf_dir, n)
+    path = _index_cache_path(sf_dir)
     if not os.path.exists(os.path.join(path, "centroids")):
         write_ivf_index(spark, sf_dir, path)
+    emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return ivf_query_index(spark, path, [float(x) for x in query])
 

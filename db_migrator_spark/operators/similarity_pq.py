@@ -145,9 +145,12 @@ def pq_query_index(
     )
 
 
-def _index_cache_path(sf_dir: str, n_rows: int) -> str:
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_rows}".encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"db_migrator_spark_pq_{key}")
+def _index_cache_path(sf_dir: str) -> str:
+    from .similarity_ivf import dataset_fingerprint
+
+    return os.path.join(
+        tempfile.gettempdir(), f"db_migrator_spark_pq_{dataset_fingerprint(sf_dir)}"
+    )
 
 
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,11 +160,11 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHORTLIST-sized candidate set (reading 8-byte codes, never floats);
     only those candidates' true embeddings are joined back for the exact
     distance — so float IO is O(shortlist), not O(corpus). Index builds
-    once per (corpus path, row count) into a cache dir; later
+    once per corpus snapshot (cache keyed on parquet path + size + mtime,
+    a pure stat — no Spark job in the repeated-query path); later
     invocations run only the query path."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    path = _index_cache_path(sf_dir, n)
+    path = _index_cache_path(sf_dir)
     if not os.path.exists(os.path.join(path, "codebooks")):
         write_pq_index(spark, sf_dir, path)
     query = [
