@@ -147,7 +147,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_signatures(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, h0..h{K-1}) — K independent min-hashes per doc.
 
     K permutations are simulated with K seeded xxhash64s of the shingle;
@@ -160,7 +162,8 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     index here as well is a LOSS (2.9s) — it has one consumer, so the
     materialization buys nothing.
     """
-    sh = _shingle_index(load_table(spark, sf_dir, "documents"))
+    if sh is None:
+        sh = _shingle_index(load_table(spark, sf_dir, "documents"))
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(MINHASH_K)
@@ -219,7 +222,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs the exact twin stays pinned in tests/test_llm_ops.py.
     """
     r = MINHASH_K // LSH_BANDS
-    sig = _minhash_signatures(spark, sf_dir)
+    # The shingle index now has FOUR consumers (signatures + verify shared
+    # counts + both size sides) — checkpoint it once, same rationale as
+    # dedup_ngram_jaccard.
+    sh = _shingle_index(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    sig = _minhash_signatures(spark, sf_dir, sh)
     bands = F.array(
         *[
             F.struct(
@@ -254,7 +261,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", (matches / F.lit(float(MINHASH_K))).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
     )
-    sh = _shingle_index(load_table(spark, sf_dir, "documents"))
     return (
         _verify_pairs_exact_jaccard(sh, est)
         .filter(F.col("jaccard") >= 0.2)
@@ -333,7 +339,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
         .filter(F.col("hamming") <= 6)
     )
-    sh = _shingle_index(docs)
+    # three verify consumers (shared + both size sides) -> checkpoint once
+    sh = _shingle_index(docs).localCheckpoint()
     return (
         _verify_pairs_exact_jaccard(sh, near)
         .filter(F.col("jaccard") >= 0.2)
