@@ -48,21 +48,36 @@ _SEED = 42
 TRAIN_SAMPLE_MAX = 100_000
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray]:
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, k_cells: int = IVF_CELLS
+) -> tuple[DataFrame, np.ndarray]:
     """(corpus with cell assignments, centroid matrix K x dim).
 
     In-memory form of the index; ``write_ivf_index`` persists it. KMeans
     fits on a seeded bounded sample; assignment (``model.transform``) is
     the only full-corpus pass, and it is a single map-side pass.
+
+    The index metric is COSINE, so KMeans runs on L2-NORMALIZED vectors
+    (spherical partitioning): on raw vectors, Euclidean cells split by
+    norm as well as direction, and a query's angular neighbors scatter
+    across norm shells whenever norms vary. ``k_cells`` scales ~sqrt(N)
+    on bigger corpora (16 at the 2k-vector fixture). Caveat measured at
+    10x (docs/SCALING.md round-6 ANN section): IVF recall tracks the
+    scan fraction on ISOTROPIC corpora — cell locality only pays on
+    corpora with cluster structure, which real embedding corpora have
+    and the synthetic fixture deliberately lacks.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
+    vec = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    unit = F.transform(vec, lambda x: x / nrm)
+    vecs = emb.withColumn("features", array_to_vector(unit))
     n = vecs.count()  # parquet-footer metadata read, not a data scan
     train = vecs if n <= TRAIN_SAMPLE_MAX else vecs.sample(TRAIN_SAMPLE_MAX / n, seed=_SEED)
-    model = KMeans(k=IVF_CELLS, seed=_SEED, featuresCol="features", predictionCol="cell").fit(train)
+    model = KMeans(k=k_cells, seed=_SEED, featuresCol="features", predictionCol="cell").fit(train)
     indexed = model.transform(vecs).select("vec_id", "embedding", "label", "cell")
     centroids = np.array(
         [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
@@ -70,14 +85,16 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.nda
     return indexed, centroids
 
 
-def write_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+def write_ivf_index(
+    spark: SparkSession, sf_dir: str, index_path: str, k_cells: int = IVF_CELLS
+) -> None:
     """Offline index build: cell-partitioned corpus + K-row centroid sidecar.
 
     The cells dataset goes through ``write_partitioned`` so each cell is a
     parquet directory (pruned at query time); centroids are a K x dim
     parquet small enough to read driver-side in one shot.
     """
-    indexed, centroids = build_ivf_index(spark, sf_dir)
+    indexed, centroids = build_ivf_index(spark, sf_dir, k_cells)
     write_partitioned(indexed, os.path.join(index_path, "cells"), ["cell"])
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],

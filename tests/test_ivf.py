@@ -55,3 +55,47 @@ def test_ivf_online_query_prunes_cell_directories(spark, tmp_path):
     # and the index really is laid out as one directory per cell
     dirs = [d for d in __import__("os").listdir(f"{idx}/cells") if d.startswith("cell=")]
     assert len(dirs) > 1
+
+
+def test_ivf_clustered_corpus_recall_pinned(spark, tmp_path):
+    """On a corpus WITH cluster structure (the case IVF exists for —
+    fixture embeddings are deliberately isotropic, the adversarial case),
+    the default nprobe=4/16 config must hit recall@10 >= 0.9 while
+    scanning ~25% of the corpus. Config derivation: docs/SCALING.md
+    round-6 ANN section."""
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.similarity_ivf import (
+        ivf_query_index,
+        write_ivf_index,
+    )
+
+    corpus = str(tmp_path / "clustered")
+    subprocess.run(
+        [_sys.executable, "tools/make_ann_corpus.py", corpus, "4000", "60"],
+        check=True,
+        cwd="/root/repo",
+    )
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(spark, corpus, idx)
+
+    rows = load_table(spark, corpus, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1)
+
+    recalls = []
+    for qi in np.linspace(0, len(ids) - 1, 5).astype(int):
+        sims = mat @ mat[qi] / (norms * norms[qi] + 1e-30)
+        best = np.argsort(-sims)
+        truth = set(ids[best[best != qi][:10]])
+        got = ivf_query_index(spark, idx, [float(x) for x in mat[qi]], k=11).collect()
+        got_ids = {r.vec_id for r in got if r.vec_id != ids[qi]}
+        recalls.append(len(got_ids & truth) / 10)
+    assert float(np.mean(recalls)) >= 0.9, recalls
