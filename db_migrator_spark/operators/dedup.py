@@ -180,28 +180,48 @@ def _verify_pairs_exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
     an equi-join on (doc, shingle), and the per-doc sizes broadcast. Docs
     with no shingles (< 3 words) are unverifiable and drop out — consistent
     with the exact twin, which can't see them either.
+
+    Plan shape: the index is first SEMI-JOINED down to candidate docs, so
+    the sizes aggregation and both join sides see |cand docs| x shingles,
+    not the whole corpus — the full-index pass is one broadcast-filtered
+    scan of the (checkpointed) index. Measured at sf0.1 this cut
+    dedup_minhash_lsh's verify overhead from ~1.0s to ~0.3s; at 100 TB it
+    is the difference between a corpus-wide doc_id shuffle and one sized
+    by the candidate set. The semi-join deliberately carries NO broadcast
+    hint: AQE broadcasts the doc list while it is small, and falls back to
+    a shuffle semi-join when a 100 TB candidate set outgrows the driver —
+    both correct, no OOM cliff. ``cand`` is checkpointed once — it is tiny
+    (budget-bounded pairs) but its LSH lineage is the expensive half of
+    the query, and it fans out to four consumers here (doc-list derivation
+    x3 index scans + the verify join); checkpointing the restricted index
+    as well was A/B'd and LOST (+0.6s job-launch latency at sf0.1).
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
-    shared = (
-        cand.join(a, "d1")
-        .join(b, ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    cand = cand.localCheckpoint()
+    cand_docs = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .union(cand.select(F.col("d2").alias("doc_id")))
+        .distinct()
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    sh_n = F.coalesce(F.col("shared"), F.lit(0))
+    # One pass over the restricted index produces BOTH the per-doc shingle
+    # set and its size; intersection counting then happens JVM-side with
+    # array_intersect on the (distinct) 8-byte shingle hashes. Arrays are
+    # bounded by shingles-per-doc (~doc length), never corpus size.
+    sets = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    s1 = sets.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"), F.col("n").alias("n1"))
+    s2 = sets.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2"), F.col("n").alias("n2"))
+    shared = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
     return (
-        cand.join(shared, ["d1", "d2"], "left")
-        .join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        cand.join(s1, "d1")
+        .join(s2, "d2")
         .withColumn(
             "jaccard",
-            sh_n.cast("double") / (F.col("n1") + F.col("n2") - sh_n),
+            shared.cast("double") / (F.col("n1") + F.col("n2") - shared),
         )
-        .drop("shared", "n1", "n2")
+        .drop("s1", "s2", "n1", "n2")
     )
 
 
@@ -222,9 +242,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs the exact twin stays pinned in tests/test_llm_ops.py.
     """
     r = MINHASH_K // LSH_BANDS
-    # The shingle index now has FOUR consumers (signatures + verify shared
-    # counts + both size sides) — checkpoint it once, same rationale as
-    # dedup_ngram_jaccard.
+    # The shingle index has two consumers (signatures + the verify
+    # helper's candidate semi-join) — checkpoint it once, same rationale
+    # as dedup_ngram_jaccard.
     sh = _shingle_index(load_table(spark, sf_dir, "documents")).localCheckpoint()
     sig = _minhash_signatures(spark, sf_dir, sh)
     bands = F.array(
@@ -339,8 +359,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
         .filter(F.col("hamming") <= 6)
     )
-    # three verify consumers (shared + both size sides) -> checkpoint once
-    sh = _shingle_index(docs).localCheckpoint()
+    # The verify helper semi-joins the index down to candidate docs in a
+    # single scan, so the full index has exactly one consumer here — a
+    # checkpoint would materialize it for nothing.
+    sh = _shingle_index(docs)
     return (
         _verify_pairs_exact_jaccard(sh, near)
         .filter(F.col("jaccard") >= 0.2)
