@@ -44,6 +44,7 @@ _MODULES = [
     "db_migrator_spark.operators.corpus",
     "db_migrator_spark.operators.corpus2",
     "db_migrator_spark.operators.corpus3",
+    "db_migrator_spark.operators.corpus4",
     "db_migrator_spark.operators.udtf_ops",
     "db_migrator_spark.operators.sketches",
     "db_migrator_spark.operators.zorder",

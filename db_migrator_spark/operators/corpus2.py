@@ -161,18 +161,20 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact nearest-centroid assignment: per-label centroids (the
-    1e-6-quantized exact means of ``q_embedding_centroids``) broadcast
-    against the corpus; squared euclidean distance via three dot products
-    with pinned evaluation order — ``(a.a - 2*a.c) + c.c`` — so both
-    engines produce bit-identical doubles; argmin by (distance, label).
+def nearest_centroid_assignment(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, assigned_label, dist2) — the k-means E-step.
+
+    Per-label centroids (the 1e-6-quantized exact means of
+    ``q_embedding_centroids``) broadcast against the corpus; squared
+    euclidean distance via three dot products with pinned evaluation
+    order — ``(a.a - 2*a.c) + c.c`` — so both engines produce
+    bit-identical doubles; argmin by (distance, label). Shared by
+    ``q_kmeans_assign`` and the SemDeDup operator in ``corpus4``.
 
     Plan shape: the k centroid vectors reduce from one (label, pos)-keyed
     aggregate and broadcast; assignment is corpus x k rows; the argmin
     window keys on vec_id (k rows per key — bounded, skew-free).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x")
     ).select("label", "pos", F.floor(F.col("x") * F.lit(1000000.0)).alias("q"))
@@ -202,12 +204,22 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("assigned_label"), "dist2")
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-centroid assignment (see
+    ``nearest_centroid_assignment``) plus the own-label diagnostic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        nearest_centroid_assignment(emb)
         .select(
             "vec_id",
             "label",
-            F.col("c_label").alias("assigned_label"),
+            "assigned_label",
             "dist2",
-            (F.col("label") == F.col("c_label")).alias("is_own_label"),
+            (F.col("label") == F.col("assigned_label")).alias("is_own_label"),
         )
         .orderBy("vec_id")
     )

@@ -140,3 +140,103 @@ def test_embedding_cosine_dedup_near_dup_regime(spark, tmp_path):
         expect = float(a @ b / np.sqrt((a @ a) * (b @ b)))
         assert abs(r.cos_sim - expect) < 1e-9
         assert r.cos_sim >= 0.40
+
+
+def test_semantic_dedup_planted(spark, tmp_path):
+    """SemDeDup: planted within-cluster near-copies are flagged on the
+    higher vec_id; each cluster's lowest id survives with NULL evidence;
+    no cross-cluster pair is ever scored."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from db_migrator_spark.operators.corpus4 import dedup_semantic
+
+    rng = np.random.default_rng(11)
+    # Two well-separated clusters (means +/-5 on axis 0) so the exact
+    # E-step assigns by label; plant near-copies of the first 5 of each.
+    # Means shift +/-3 on axis 0: enough for the E-step to assign by
+    # label, small enough that the shared component keeps random
+    # within-cluster cosine (~9/73) under the 0.3 threshold.
+    a = rng.standard_normal((20, 64)).astype(np.float32); a[:, 0] += 3
+    b = rng.standard_normal((20, 64)).astype(np.float32); b[:, 0] -= 3
+    dups = np.vstack([a[:5], b[:5]]) + 0.003 * rng.standard_normal((10, 64)).astype(
+        np.float32
+    )
+    vecs = np.vstack([a, b, dups])
+    labels = [0] * 20 + [1] * 20 + [0] * 5 + [1] * 5
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    rows = {r.vec_id: r for r in dedup_semantic(spark, str(tmp_path)).collect()}
+    assert len(rows) == 50
+    # Every planted copy (ids 40..49) must be flagged with near-1 cosine.
+    for vid in range(40, 50):
+        assert rows[vid].is_semantic_dup, f"planted dup {vid} not flagged"
+        assert rows[vid].max_cos_lower > 0.99
+    # The lowest id of each cluster has no lower-id mates.
+    assert rows[0].max_cos_lower is None
+    assert rows[20].max_cos_lower is None
+    # Full verdicts match an exact numpy reference of the same rule
+    # (max cosine to any lower-id member of the same label cluster).
+    v64 = vecs.astype(np.float64)
+    cluster = np.array(labels)
+    for j in range(50):
+        lower = [i for i in range(j) if cluster[i] == cluster[j]]
+        if not lower:
+            assert rows[j].max_cos_lower is None
+            assert not rows[j].is_semantic_dup
+            continue
+        expect = max(
+            float(
+                v64[i] @ v64[j]
+                / np.sqrt((v64[i] @ v64[i]) * (v64[j] @ v64[j]))
+            )
+            for i in lower
+        )
+        assert abs(rows[j].max_cos_lower - expect) < 1e-9
+        assert rows[j].is_semantic_dup == (rows[j].max_cos_lower >= 0.3)
+
+
+def test_gopher_rules_flags(spark, tmp_path):
+    """Each Gopher/C4 rule fires on a document constructed to violate
+    exactly that rule, and the clean document passes all of them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from db_migrator_spark.operators.corpus4 import text_gopher_rules
+
+    filler = " ".join(f"word{i % 37} filler{i % 41}" for i in range(30))
+    clean = "the quick brown fox jumps with vigor and " + filler
+    docs = {
+        0: clean,                                   # passes everything
+        1: "too short with the a words",            # < 50 words
+        2: "the a " + " ".join(["ab"] * 60),        # mean word length < 3
+        3: " ".join(f"w{i}" for i in range(60)),    # no stopwords (and short words)
+        4: "the of " + " ".join(["same"] * 58),     # top-word dominance
+        5: clean + " an { appears",                 # C4 curly-brace blocklist
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["t"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for t in docs.values()], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rows = {r.doc_id: r for r in text_gopher_rules(spark, str(tmp_path)).collect()}
+    assert rows[0].pass_gopher, rows[0]
+    assert not rows[1].ok_word_count and not rows[1].pass_gopher
+    assert not rows[2].ok_mean_word_len
+    assert not rows[3].ok_stopwords
+    assert not rows[4].ok_top_word
+    assert not rows[5].ok_no_blocklist
