@@ -179,9 +179,74 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("pass_gopher", pass_all).orderBy("doc_id")
 
 
+def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how target-like its token distribution is,
+    where the target is the English subset (``lang = 'en'``) and the raw
+    distribution is the whole corpus; select documents whose importance
+    weight clears 1.0.
+
+    DSIR weights are exp(Σ log p_target(w) - log p_raw(w)) over hashed
+    n-gram features; cross-engine log/exp is last-ulp fragile, so the
+    weight here is the ratio-of-averages rational
+    ``(Σ cnt_target(w) · N_raw) / (Σ cnt_raw(w) · N_target)`` — integer
+    sums and products with ONE double division at the end, monotone in
+    target-likeness and bit-identical in both engines (same trick as
+    ``text_unigram_score``). At scale the term key becomes
+    ``xxhash64(term) % B`` hashed buckets exactly as published — same
+    plan; raw terms are kept here so the oracle groups identically
+    without a cross-engine hash.
+
+    Plan shape: one token explode feeds two map-side-combined vocab
+    aggregations (target counts filter before the shuffle); the token
+    stream joins the vocab on term (shuffle join on purpose — a 100 TB
+    junk-token vocabulary is not broadcastable), then reduces per doc;
+    the two scalar totals broadcast via a 1-row crossJoin.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cnt_t"),
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+    )
+    per_doc = (
+        toks.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("cnt_t").cast("bigint").alias("s_target"),
+            F.sum("cnt_raw").cast("bigint").alias("s_raw"),
+        )
+    )
+    w = (F.col("s_target") * F.col("n_raw")).cast("double") / (
+        F.col("s_raw") * F.col("n_t")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_tok",
+            "s_target",
+            "s_raw",
+            w.alias("importance_w"),
+            (w >= 1.0).alias("is_selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dedup_semantic": dedup_semantic,
     "text_gopher_rules": text_gopher_rules,
+    "text_importance_resample": text_importance_resample,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
@@ -229,6 +294,35 @@ ORACLES = {
                    AS is_semantic_dup
         FROM m LEFT JOIN pm ON m.vec_id = pm.j
         ORDER BY m.vec_id
+    """,
+    "text_importance_resample": """
+        WITH toks AS (
+            SELECT doc_id, lang, term
+            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE term <> ''),
+        vocab AS (
+            SELECT term, COUNT(*) AS cnt_raw,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+            FROM toks GROUP BY term),
+        totals AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_t
+            FROM toks),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(SUM(cnt_t) AS BIGINT) AS s_target,
+                   CAST(SUM(cnt_raw) AS BIGINT) AS s_raw
+            FROM toks JOIN vocab USING (term)
+            GROUP BY doc_id)
+        SELECT doc_id, n_tok, s_target, s_raw,
+               CAST(s_target * n_raw AS DOUBLE) / (s_raw * n_t) AS importance_w,
+               CAST(s_target * n_raw AS DOUBLE) / (s_raw * n_t) >= 1.0
+                   AS is_selected
+        FROM per_doc, totals
+        ORDER BY doc_id
     """,
     "text_gopher_rules": f"""
         WITH base AS (

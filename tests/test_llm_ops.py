@@ -153,8 +153,6 @@ def test_semantic_dedup_planted(spark, tmp_path):
     from db_migrator_spark.operators.corpus4 import dedup_semantic
 
     rng = np.random.default_rng(11)
-    # Two well-separated clusters (means +/-5 on axis 0) so the exact
-    # E-step assigns by label; plant near-copies of the first 5 of each.
     # Means shift +/-3 on axis 0: enough for the E-step to assign by
     # label, small enough that the shared component keeps random
     # within-cluster cosine (~9/73) under the 0.3 threshold.
@@ -240,3 +238,73 @@ def test_gopher_rules_flags(spark, tmp_path):
     assert not rows[3].ok_stopwords
     assert not rows[4].ok_top_word
     assert not rows[5].ok_no_blocklist
+
+
+def test_pagerank_matches_python_reference(spark):
+    """The integer-domain PageRank is bit-exact: a pure-Python replay of
+    the same recurrence over the collected edge list must reproduce every
+    rank."""
+    from db_migrator_spark.operators.graph import (
+        PR_BASE,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERATIONS,
+        PR_UNIT,
+        _order_edges,
+        graph_pagerank,
+    )
+
+    edges = [(r.src, r.dst) for r in _order_edges(spark, SF).collect()]
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: PR_UNIT for n in deg}
+    for _ in range(PR_ITERATIONS):
+        inflow = {}
+        for s, d in edges:
+            inflow[d] = inflow.get(d, 0) + rank[s] // deg[s]
+        rank = {
+            n: PR_BASE + (PR_DAMP_NUM * inflow.get(n, 0)) // PR_DAMP_DEN
+            for n in deg
+        }
+    got = {r.node_id: r.rank_micro for r in graph_pagerank(spark, SF).collect()}
+    assert got == rank
+    # Bipartite typing: even ids are customers, odd are suppliers.
+    rows = graph_pagerank(spark, SF).collect()
+    assert all(
+        (r.node_type == "customer") == (r.node_id % 2 == 0) for r in rows
+    )
+
+
+def test_importance_resample_prefers_target_like_docs(spark, tmp_path):
+    """A document made of target-language vocabulary outweighs one made of
+    vocabulary that never appears in the target subset."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from db_migrator_spark.operators.corpus4 import text_importance_resample
+
+    en = "data table query join " * 10
+    de = "daten tabelle abfrage " * 10
+    docs = [
+        (0, en.strip(), "en"),
+        (1, en.strip(), "en"),
+        (2, de.strip(), "de"),
+        (3, (en + de).strip(), "de"),  # mixed raw doc
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array([d[2] for d in docs], pa.string()),
+            "source": pa.array(["t"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rows = {r.doc_id: r for r in text_importance_resample(spark, str(tmp_path)).collect()}
+    assert rows[0].is_selected and rows[1].is_selected
+    assert not rows[2].is_selected
+    assert rows[2].s_target == 0  # German vocab never appears in target docs
+    assert rows[0].importance_w > rows[3].importance_w > rows[2].importance_w
