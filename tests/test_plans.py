@@ -242,3 +242,50 @@ def test_sketch_agg_is_partial(spark):
     plan = plan_string(q_hll_distinct_by_type(spark, SF))
     # map-side partial sketch merge before the exchange
     assert plan.count("ObjectHashAggregate") >= 2 or plan.count("HashAggregate") >= 2
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """SemDeDup's pair join is an equi-join on the cluster key and the
+    centroid attach is a broadcast — never a nested-loop over pairs."""
+    from db_migrator_spark.operators.corpus4 import dedup_semantic
+
+    plan = plan_string(dedup_semantic(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan
+    assert "BroadcastExchange" in plan  # k centroids broadcast
+
+
+def test_gopher_rules_single_scan_shape(spark):
+    """All scalar rules fold into projections; the only shuffle is the
+    top-word aggregation (partial + final)."""
+    from db_migrator_spark.operators.corpus4 import text_gopher_rules
+
+    df = text_gopher_rules(spark, SF)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine present
+    schemas = scan_read_schemas(df)
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas), schemas
+
+
+def test_pagerank_aggregates_map_side(spark):
+    """Each PageRank iteration's inflow sum must partial-aggregate before
+    the shuffle (hub-skew absorption), and the edge list joins by hash."""
+    from db_migrator_spark.operators.graph import graph_pagerank
+
+    plan = plan_string(graph_pagerank(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 6  # 3 iterations x partial+final
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_importance_resample_prunes_and_combines(spark):
+    from db_migrator_spark.operators.corpus4 import text_importance_resample
+
+    df = text_importance_resample(spark, SF)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # vocab + per-doc, each 2-phase
+    schemas = scan_read_schemas(df)
+    # n_chars/source never read
+    assert schemas and all("n_chars" not in s and "source" not in s for s in schemas), schemas
