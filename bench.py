@@ -52,6 +52,9 @@ HEADLINE = [
     "q_bucketed_join_revenue",
     "q_ntile_buckets",
     "corpus_build_pipeline",
+    "graph_pagerank",
+    "dedup_semantic",
+    "text_gopher_rules",
 ]
 
 # Queries added to HEADLINE after round 1 — reported separately so the
@@ -62,6 +65,9 @@ ADDED_AFTER_R1 = {
     "q_bucketed_join_revenue",
     "q_ntile_buckets",
     "corpus_build_pipeline",
+    "graph_pagerank",
+    "dedup_semantic",
+    "text_gopher_rules",
 }
 
 
