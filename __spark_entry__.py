@@ -41,6 +41,7 @@ _MODULES = [
     "db_migrator_spark.operators.incremental",
     "db_migrator_spark.operators.grouped",
     "db_migrator_spark.operators.events",
+    "db_migrator_spark.operators.events2",
     "db_migrator_spark.operators.corpus",
     "db_migrator_spark.operators.corpus2",
     "db_migrator_spark.operators.corpus3",

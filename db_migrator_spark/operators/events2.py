@@ -1,0 +1,245 @@
+"""Temporal-join and interpolation operators over ``events`` (round 6).
+
+The reference has no event operators (1:1 table copier, cited:
+/root/reference/src/migrate/table_migrator.rs:43-114); these extend the
+time-series family (sessionization, as-of, resample+ffill) with the two
+classical shapes it still lacked:
+
+- ``events_overlap_sessions``: interval-overlap self-join — which pairs
+  of users were active at the same time (padded sessions intersecting).
+  The textbook O(n²) temporal join, made scale-safe by time-bucket
+  blocking: intervals explode onto the hour grid they span and only
+  same-hour pairs are compared, so the join is an equi-join on the hour
+  key and the pair count is bounded by per-hour concurrency, never by
+  corpus size. The oracle twin uses the direct quadratic predicate —
+  same result, different plan, which is exactly the point.
+- ``events_interpolate_linear``: per-user hourly gap-fill by LINEAR
+  interpolation between the surrounding observed hours (the companion
+  to ``events_resample_ffill``'s step-fill). Interpolation weights are
+  ratios of integer epoch-hour differences with one double expression
+  evaluated in the same shape in both engines.
+
+Scale notes (100 TB): the overlap join's hour-chunk explode is bounded
+by interval duration (padded sessions are ~an hour), the per-hour pair
+generation is quadratic ONLY in per-hour concurrency (a hot hour is the
+``_cap_buckets`` situation — cap or sub-bucket when concurrency is
+unbounded), and the exact-overlap verify carries only 4 longs per
+candidate. Interpolation is two window passes over the user-partitioned
+spine — parallel in users, no global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+from .events import SESSION_GAP_US
+
+OVERLAP_PAD_US = 1_800_000_000  # 30-min presence padding per session side
+OVERLAP_MAX_USER = 20  # declared-query bound (operator itself is general)
+INTERP_MAX_USER = 50
+
+
+def _padded_sessions(ev: DataFrame) -> DataFrame:
+    """(user_id, session_id, s_us, e_us) — gap-based sessions (same
+    recurrence as ``events_sessionization``) padded by OVERLAP_PAD_US on
+    each side, bounds in epoch micros."""
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(order)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("us", us)
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            (F.min("us") - F.lit(OVERLAP_PAD_US)).alias("s_us"),
+            (F.max("us") + F.lit(OVERLAP_PAD_US)).alias("e_us"),
+        )
+    )
+
+
+def events_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user co-presence: pairs of padded sessions whose intervals
+    intersect, with the exact overlap duration.
+
+    Plan shape: sessions explode onto the epoch-hour grid they span
+    (explode bounded by interval length), candidate pairs come from an
+    equi-join on the hour key with ``u1 < u2``, duplicates from
+    multi-hour overlaps collapse in a distinct that carries only the
+    pair key + 4 interval longs, and the exact intersection is then a
+    row-local expression. Never an interval nested-loop.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < OVERLAP_MAX_USER)
+    sess = _padded_sessions(ev)
+    hours = sess.select(
+        "user_id",
+        "session_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / 3_600_000_000).cast("long"),
+                (F.col("e_us") / 3_600_000_000).cast("long"),
+            )
+        ).alias("hr"),
+    )
+    a = hours.select(
+        F.col("user_id").alias("u1"),
+        F.col("session_id").alias("sid1"),
+        F.col("s_us").alias("s1"),
+        F.col("e_us").alias("e1"),
+        "hr",
+    )
+    b = hours.select(
+        F.col("user_id").alias("u2"),
+        F.col("session_id").alias("sid2"),
+        F.col("s_us").alias("s2"),
+        F.col("e_us").alias("e2"),
+        "hr",
+    )
+    overlap_us = F.least(F.col("e1"), F.col("e2")) - F.greatest(F.col("s1"), F.col("s2"))
+    return (
+        a.join(b, ["hr"])
+        .filter(F.col("u1") < F.col("u2"))
+        .select("u1", "sid1", "u2", "sid2", "s1", "e1", "s2", "e2")
+        .distinct()
+        .filter(overlap_us > 0)
+        .select(
+            "u1",
+            "sid1",
+            "u2",
+            "sid2",
+            (overlap_us.cast("double") / 1e6).alias("overlap_sec"),
+        )
+        .orderBy("u1", "sid1", "u2", "sid2")
+    )
+
+
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly spine with linear interpolation across gaps.
+
+    Observed hours keep their value; a gap hour takes
+    ``prev + ((next - prev) * (h - h0)) / (h1 - h0)`` where (h0, prev)
+    and (h1, next) are the surrounding observed epoch-hours — evaluated
+    with that exact operation order in both engines. Trailing gaps (no
+    next observation) fall back to the previous value; the spine starts
+    at each user's first observed hour, so there are no leading gaps.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < INTERP_MAX_USER)
+    hourly = ev.groupBy(
+        "user_id",
+        (F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+         / 3_600_000_000).cast("long").alias("h"),
+    ).agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("v"))
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("h"))
+    )
+    wp = W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("user_id").orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    joined = (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            "v",
+            F.last("v", ignorenulls=True).over(wp).alias("pv"),
+            F.last(F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True)
+            .over(wp)
+            .alias("ph"),
+            F.first("v", ignorenulls=True).over(wn).alias("nv"),
+            F.first(F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True)
+            .over(wn)
+            .alias("nh"),
+        )
+    )
+    interp = F.col("pv") + (
+        (F.col("nv") - F.col("pv")) * (F.col("h") - F.col("ph"))
+    ) / (F.col("nh") - F.col("ph"))
+    return joined.select(
+        "user_id",
+        F.col("h").alias("epoch_hour"),
+        F.col("v").isNull().alias("was_gap"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+        .alias("value_interp"),
+    ).orderBy("user_id", "epoch_hour")
+
+
+QUERIES = {
+    "events_overlap_sessions": events_overlap_sessions,
+    "events_interpolate_linear": events_interpolate_linear,
+}
+
+ORACLES = {
+    "events_overlap_sessions": f"""
+        WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE user_id < {OVERLAP_MAX_USER}),
+        g AS (SELECT *, epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM e),
+        s AS (SELECT *, CAST(SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
+                                      THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM g),
+        sess AS (SELECT user_id, session_id,
+                        MIN(epoch_us(ts)) - {OVERLAP_PAD_US} AS s_us,
+                        MAX(epoch_us(ts)) + {OVERLAP_PAD_US} AS e_us
+                 FROM s GROUP BY user_id, session_id)
+        SELECT a.user_id AS u1, a.session_id AS sid1,
+               b.user_id AS u2, b.session_id AS sid2,
+               CAST(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS DOUBLE)
+                   / 1e6 AS overlap_sec
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id
+         AND a.s_us < b.e_us AND b.s_us < a.e_us
+        WHERE LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) > 0
+        ORDER BY u1, sid1, u2, sid2
+    """,
+    "events_interpolate_linear": f"""
+        WITH hourly AS (
+            SELECT user_id,
+                   CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                        / 3600000000 AS BIGINT) AS h,
+                   CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v
+            FROM events WHERE user_id < {INTERP_MAX_USER}
+            GROUP BY 1, 2),
+        spine AS (
+            SELECT user_id, unnest(generate_series(MIN(h), MAX(h))) AS h
+            FROM hourly GROUP BY user_id),
+        j AS (
+            SELECT sp.user_id, sp.h, hv.v,
+                   LAST_VALUE(hv.v IGNORE NULLS) OVER
+                       (PARTITION BY sp.user_id ORDER BY sp.h
+                        ROWS UNBOUNDED PRECEDING) AS pv,
+                   LAST_VALUE(CASE WHEN hv.v IS NOT NULL THEN sp.h END
+                              IGNORE NULLS) OVER
+                       (PARTITION BY sp.user_id ORDER BY sp.h
+                        ROWS UNBOUNDED PRECEDING) AS ph,
+                   FIRST_VALUE(hv.v IGNORE NULLS) OVER
+                       (PARTITION BY sp.user_id ORDER BY sp.h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   FIRST_VALUE(CASE WHEN hv.v IS NOT NULL THEN sp.h END
+                               IGNORE NULLS) OVER
+                       (PARTITION BY sp.user_id ORDER BY sp.h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+            FROM spine sp LEFT JOIN hourly hv
+              ON sp.user_id = hv.user_id AND sp.h = hv.h)
+        SELECT user_id, h AS epoch_hour, v IS NULL AS was_gap,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN nv IS NULL THEN pv
+                    ELSE pv + ((nv - pv) * (h - ph)) / (nh - ph)
+               END AS value_interp
+        FROM j
+        ORDER BY user_id, epoch_hour
+    """,
+}
