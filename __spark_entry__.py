@@ -30,6 +30,7 @@ _MODULES = [
     "db_migrator_spark.operators.relational4",
     "db_migrator_spark.operators.relational5",
     "db_migrator_spark.operators.relational6",
+    "db_migrator_spark.operators.relational7",
     "db_migrator_spark.operators.bucketed",
     "db_migrator_spark.operators.skew",
     "db_migrator_spark.operators.dedup",

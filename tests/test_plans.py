@@ -289,3 +289,24 @@ def test_importance_resample_prunes_and_combines(spark):
     schemas = scan_read_schemas(df)
     # n_chars/source never read
     assert schemas and all("n_chars" not in s and "source" not in s for s in schemas), schemas
+
+
+def test_lateral_topn_decorrelates_to_window(spark):
+    """The LATERAL correlated subquery must decorrelate into a ranked
+    window with group-limit pushdown — never a per-row nested-loop."""
+    from db_migrator_spark.operators.relational7 import q_lateral_top_orders
+
+    plan = plan_string(q_lateral_top_orders(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cogroup_is_single_coshuffle(spark):
+    """Cogroup shuffles each side once onto the bucket key and runs one
+    Arrow-batched Python stage."""
+    from db_migrator_spark.operators.relational7 import q_cogroup_order_reconcile
+
+    plan = plan_string(q_cogroup_order_reconcile(spark, SF))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
