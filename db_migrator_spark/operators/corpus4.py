@@ -34,10 +34,12 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
 
 from ..io import load_table
 from .corpus2 import nearest_centroid_assignment
 from .similarity import _as_double, _dot
+from .text import ORACLES as _TEXT_ORACLES
 
 # Cosine threshold for "semantically duplicate" within a cluster. Real
 # embedding spaces use ~0.95+; the synthetic fixture is isotropic (max
@@ -243,15 +245,100 @@ def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # Cormack et al. 2009 reciprocal-rank-fusion constant
+HYBRID_TOP = 10
+
+
+def text_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval with reciprocal-rank fusion (Cormack et
+    al. 2009): the BM25 keyword top-10 and the embedding-cosine top-10
+    (query = vector 0, fixture convention doc i ↔ embedding i) fuse by
+    ``rrf = 1/(K + r_sparse) + 1/(K + r_dense)`` over the union, a
+    missing rank contributing 0.
+
+    Rank-based fusion is the cross-engine-exactness sweet spot: ranks are
+    integers, each reciprocal is a single double division, and the sum is
+    one fixed-order two-term expression — no order-dependent float
+    aggregation anywhere.
+
+    Plan shape: both stages are existing top-k plans (BM25's broadcast
+    stats + TakeOrdered; the dense side's broadcast query + TakeOrdered);
+    fusion is a full outer join of two 10-row frames — driver-trivial,
+    and at 100 TB still |results|-sized, never corpus-sized.
+    """
+    from .similarity import _cosine
+    from .text import text_bm25_search
+
+    sparse = text_bm25_search(spark, sf_dir).select(
+        "doc_id", F.row_number().over(
+            W.orderBy(F.col("score").desc(), F.col("doc_id"))
+        ).alias("bm25_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _cosine(F.col("embedding"), F.col("query_vec")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(HYBRID_TOP)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(
+                W.orderBy(F.col("cos").desc(), F.col("vec_id"))
+            ).alias("cos_rank"),
+        )
+    )
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("cos_rank")), F.lit(0.0)
+    )
+    return (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    )
+
+
 QUERIES = {
     "dedup_semantic": dedup_semantic,
     "text_gopher_rules": text_gopher_rules,
     "text_importance_resample": text_importance_resample,
+    "text_hybrid_search_rrf": text_hybrid_search_rrf,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
 
+_HYBRID_SQL = f"""
+        WITH b AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+            FROM ({_TEXT_ORACLES["text_bm25_search"]})),
+        craw AS (
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 0),
+                 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ae
+                       FROM embeddings WHERE vec_id <> 0)
+            SELECT vec_id,
+                   list_dot_product(ae, qe)
+                       / sqrt(list_dot_product(ae, ae)
+                              * list_dot_product(qe, qe)) AS cos
+            FROM e, q
+            ORDER BY cos DESC, vec_id
+            LIMIT {HYBRID_TOP}),
+        c AS (
+            SELECT vec_id AS doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS cos_rank
+            FROM craw)
+        SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+               b.bm25_rank, c.cos_rank,
+               COALESCE(1.0 / ({RRF_K} + b.bm25_rank), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + c.cos_rank), 0.0) AS rrf_score
+        FROM b FULL OUTER JOIN c ON b.doc_id = c.doc_id
+        ORDER BY rrf_score DESC, doc_id
+"""
+
 ORACLES = {
+    "text_hybrid_search_rrf": _HYBRID_SQL,
     "dedup_semantic": f"""
         WITH e AS (
             SELECT label, i - 1 AS pos,

@@ -308,3 +308,19 @@ def test_importance_resample_prefers_target_like_docs(spark, tmp_path):
     assert not rows[2].is_selected
     assert rows[2].s_target == 0  # German vocab never appears in target docs
     assert rows[0].importance_w > rows[3].importance_w > rows[2].importance_w
+
+
+def test_hybrid_rrf_scores_consistent(spark):
+    """Every fused row's rrf_score is exactly the reciprocal-rank sum of
+    the ranks it carries, and ordering follows (score desc, doc_id)."""
+    from db_migrator_spark.operators.corpus4 import RRF_K, text_hybrid_search_rrf
+
+    rows = text_hybrid_search_rrf(spark, SF).collect()
+    assert rows
+    for r in rows:
+        expect = (1.0 / (RRF_K + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1.0 / (RRF_K + r.cos_rank) if r.cos_rank else 0.0
+        )
+        assert abs(r.rrf_score - expect) < 1e-15
+    scores = [(r.rrf_score, r.doc_id) for r in rows]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
