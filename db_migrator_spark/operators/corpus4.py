@@ -84,7 +84,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = nearest_centroid_assignment(emb).select(
         "vec_id", F.col("assigned_label").alias("cluster")
     )
-    members = emb.join(asg, "vec_id").select("vec_id", "cluster", "embedding")
+    # members feeds three consumers (both pair sides + the final rejoin);
+    # checkpointing avoids re-running the E-step per consumer (A/B at
+    # sf0.1: 1.27s -> 1.12s).
+    members = (
+        emb.join(asg, "vec_id").select("vec_id", "cluster", "embedding").localCheckpoint()
+    )
     a = members.select(
         F.col("cluster"),
         F.col("vec_id").alias("i"),
