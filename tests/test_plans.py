@@ -247,12 +247,17 @@ def test_sketch_agg_is_partial(spark):
 def test_semantic_dedup_no_cartesian(spark):
     """SemDeDup's pair join is an equi-join on the cluster key and the
     centroid attach is a broadcast — never a nested-loop over pairs."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.corpus2 import nearest_centroid_assignment
     from db_migrator_spark.operators.corpus4 import dedup_semantic
 
     plan = plan_string(dedup_semantic(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan
-    assert "BroadcastExchange" in plan  # k centroids broadcast
+    # The E-step's centroid broadcast sits behind the members checkpoint
+    # in the composed plan, so assert it on the assignment plan itself.
+    asg_plan = plan_string(nearest_centroid_assignment(load_table(spark, SF, "embeddings")))
+    assert "BroadcastExchange" in asg_plan
 
 
 def test_gopher_rules_single_scan_shape(spark):
