@@ -148,14 +148,110 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# A REAL decode path needing no codec library: payloads are genuine PPM
+# (P6) images — "P6\n<w> <h>\n255\n" header + w*h*3 raw pixel bytes —
+# synthesized by tiling each document's UTF-8 bytes to fill the pixel
+# buffer. The decoder below parses the header generically and reads the
+# raster with numpy, so swapping in camera PPMs (or any uncompressed
+# format) touches nothing but the payload source.
+PPM_W, PPM_H = 16, 16
+_PPM_PIXELS = PPM_W * PPM_H * 3
+
+
+def _ppm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tiled = F.expr(
+        f"substring(repeat(text, CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)), 1, {_PPM_PIXELS})"
+    )
+    header = F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n")
+    return docs.select(
+        "doc_id", F.encode(F.concat(header, tiled), "utf-8").alias("payload")
+    )
+
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, mean_r double, mean_g double, mean_b double"
+)
+
+
+def _decode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: parse the P6 header, read the raster with
+    numpy, and emit per-channel pixel means. Integer channel sums divide
+    once in double — exact and order-free."""
+    import numpy as np
+
+    for pdf in batches:
+        recs = {"doc_id": [], "width": [], "height": [], "mean_r": [], "mean_g": [], "mean_b": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            # header: magic, width, height, maxval — whitespace-delimited
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                if start == pos:
+                    raise ValueError("truncated PPM header")
+                tokens.append(buf[start:pos])
+            pos += 1  # the single whitespace byte after maxval
+            if tokens[0] != b"P6":
+                raise ValueError(f"not a P6 PPM: {tokens[0]!r}")
+            w, h = int(tokens[1]), int(tokens[2])
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+            sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            recs["doc_id"].append(int(doc_id))
+            recs["width"].append(w)
+            recs["height"].append(h)
+            for k, key in enumerate(("mean_r", "mean_g", "mean_b")):
+                recs[key].append(float(sums[k]) / (w * h))
+        yield pd.DataFrame(recs)
+
+
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no codec library: genuine P6 PPM payloads parsed
+    header-and-raster by numpy inside mapInPandas, emitting per-channel
+    means. The oracle recomputes the same means straight from the tiled
+    text bytes, so the whole decode path is hash-checked."""
+    return (
+        _ppm_payloads(spark, sf_dir)
+        .mapInPandas(_decode_ppm, schema=_DECODE_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_resize_plan": multimodal_resize_plan,
+    "multimodal_decode_ppm": multimodal_decode_ppm,
 }
 
 ORACLES = {
+    "multimodal_decode_ppm": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(repeat(text,
+                                 CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
+                          1, {_PPM_PIXELS}) AS px
+            FROM documents WHERE length(text) > 0),
+        u AS (
+            SELECT doc_id, i, ascii(substr(px, i, 1)) AS b
+            FROM t, generate_series(1, {_PPM_PIXELS}) AS g(i))
+        SELECT doc_id,
+               {PPM_W} AS width, {PPM_H} AS height,
+               CAST(SUM(CASE WHEN (i - 1) % 3 = 0 THEN b END) AS DOUBLE)
+                   / {PPM_W * PPM_H} AS mean_r,
+               CAST(SUM(CASE WHEN (i - 1) % 3 = 1 THEN b END) AS DOUBLE)
+                   / {PPM_W * PPM_H} AS mean_g,
+               CAST(SUM(CASE WHEN (i - 1) % 3 = 2 THEN b END) AS DOUBLE)
+                   / {PPM_W * PPM_H} AS mean_b
+        FROM u
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "multimodal_metadata": """
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,

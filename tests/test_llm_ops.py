@@ -324,3 +324,27 @@ def test_hybrid_rrf_scores_consistent(spark):
         assert abs(r.rrf_score - expect) < 1e-15
     scores = [(r.rrf_score, r.doc_id) for r in rows]
     assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+
+
+def test_ppm_decoder_parses_a_real_ppm():
+    """The decoder is a genuine P6 parser: a hand-built 2x2 image with
+    known pixels decodes to its exact channel means, arbitrary header
+    whitespace included."""
+    import pandas as pd
+
+    from db_migrator_spark.operators.multimodal import _decode_ppm
+
+    pixels = bytes([255, 0, 0,   0, 255, 0,
+                    0, 0, 255,   30, 60, 90])
+    payload = b"P6\n2 2\n255\n" + pixels
+    out = next(_decode_ppm(iter([pd.DataFrame({"doc_id": [7], "payload": [payload]})])))
+    r = out.iloc[0]
+    assert (r.width, r.height) == (2, 2)
+    assert r.mean_r == (255 + 0 + 0 + 30) / 4
+    assert r.mean_g == (0 + 255 + 0 + 60) / 4
+    assert r.mean_b == (0 + 0 + 255 + 90) / 4
+    # malformed header fails loudly, never hangs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        next(_decode_ppm(iter([pd.DataFrame({"doc_id": [1], "payload": [b"P6 2"]})])))
