@@ -221,15 +221,139 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audio twin of the PPM path: payloads are genuine RIFF/WAV files — a
+# 44-byte canonical PCM header plus 16-bit little-endian mono samples
+# (tiled from document bytes) — and the decoder is a generic RIFF chunk
+# walker + numpy int16 read. Fixed sample count keeps the header a pure
+# literal so synthesis stays in codegen.
+WAV_SAMPLES = 256
+WAV_RATE = 8000
+_WAV_DATA_BYTES = WAV_SAMPLES * 2
+
+
+def _wav_header() -> bytes:
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + _WAV_DATA_BYTES)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", _WAV_DATA_BYTES)
+    )
+
+
+def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tiled = F.expr(
+        f"substring(repeat(text, CAST(ceil({_WAV_DATA_BYTES} / CAST(length(text) AS DOUBLE)) AS INT)), 1, {_WAV_DATA_BYTES})"
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(bytearray(_wav_header())), F.encode(tiled, "utf-8")).alias(
+            "payload"
+        ),
+    )
+
+
+_WAV_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples long, duration_sec double, "
+    "mean_amp double, rms double"
+)
+
+
+def _decode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: walk the RIFF chunks generically (fmt then
+    data), read int16 PCM with numpy, emit rate/duration/mean/RMS.
+    Integer sample sums divide once in double; sqrt is IEEE-exact."""
+    import math
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        recs = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "duration_sec", "mean_amp", "rms")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE file")
+            pos, rate, samples = 12, None, None
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                body = buf[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt_code, _ch, rate = struct.unpack("<HHI", body[:8])
+                    if fmt_code != 1:
+                        raise ValueError(f"not PCM: fmt {fmt_code}")
+                elif cid == b"data":
+                    samples = np.frombuffer(body, dtype="<i2")
+                pos += 8 + size + (size & 1)
+            if rate is None or samples is None:
+                raise ValueError("missing fmt/data chunk")
+            s = samples.astype(np.int64)
+            n = len(s)
+            recs["doc_id"].append(int(doc_id))
+            recs["sample_rate"].append(int(rate))
+            recs["n_samples"].append(n)
+            recs["duration_sec"].append(float(n) / rate)
+            recs["mean_amp"].append(float(s.sum()) / n)
+            # math.sqrt, NOT ** 0.5: pow(x, 0.5) differs from the IEEE
+            # sqrt by 1 ulp on some inputs, which breaks oracle parity.
+            recs["rms"].append(math.sqrt(float((s * s).sum()) / n))
+        yield pd.DataFrame(recs)
+
+
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no codec library: genuine RIFF/WAV PCM payloads
+    chunk-walked and sample-read by numpy inside mapInPandas. The oracle
+    recomputes rate/duration/mean/RMS from the little-endian sample bytes
+    of the same tiled text, hash-checking the whole decode path."""
+    return (
+        _wav_payloads(spark, sf_dir)
+        .mapInPandas(_decode_wav, schema=_WAV_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_resize_plan": multimodal_resize_plan,
     "multimodal_decode_ppm": multimodal_decode_ppm,
+    "multimodal_decode_wav": multimodal_decode_wav,
 }
 
 ORACLES = {
+    "multimodal_decode_wav": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(repeat(text,
+                                 CAST(ceil({_WAV_DATA_BYTES} / CAST(length(text) AS DOUBLE)) AS INT)),
+                          1, {_WAV_DATA_BYTES}) AS px
+            FROM documents WHERE length(text) > 0),
+        u AS (
+            SELECT doc_id,
+                   ascii(substr(px, 2 * i - 1, 1))
+                       + 256 * ascii(substr(px, 2 * i, 1)) AS raw
+            FROM t, generate_series(1, {WAV_SAMPLES}) AS g(i)),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+            FROM u)
+        SELECT doc_id,
+               {WAV_RATE} AS sample_rate,
+               CAST({WAV_SAMPLES} AS BIGINT) AS n_samples,
+               CAST({WAV_SAMPLES} AS DOUBLE) / {WAV_RATE} AS duration_sec,
+               CAST(SUM(v) AS DOUBLE) / {WAV_SAMPLES} AS mean_amp,
+               sqrt(CAST(SUM(v * v) AS DOUBLE) / {WAV_SAMPLES}) AS rms
+        FROM s
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "multimodal_decode_ppm": f"""
         WITH t AS (
             SELECT doc_id,
