@@ -55,6 +55,8 @@ HEADLINE = [
     "graph_pagerank",
     "dedup_semantic",
     "text_gopher_rules",
+    "multimodal_decode_ppm",
+    "q_cogroup_order_reconcile",
 ]
 
 # Queries added to HEADLINE after round 1 — reported separately so the
@@ -68,6 +70,8 @@ ADDED_AFTER_R1 = {
     "graph_pagerank",
     "dedup_semantic",
     "text_gopher_rules",
+    "multimodal_decode_ppm",
+    "q_cogroup_order_reconcile",
 }
 
 
@@ -87,9 +91,10 @@ def main() -> None:
     # Warm-up: JVM, codegen, file listing (not included in timings).
     qs["q6_forecast_revenue"](spark, sf_dir).collect()
 
-    # Three timed iterations per query, report the min: damps JVM/codegen
-    # warm-up variance so run-to-run numbers are comparable.
-    ITERS = 3
+    # Five timed iterations per query, report the min: this box's load
+    # noise is +/-15% run-to-run; five minima damp it further than the
+    # previous three at ~8s extra wall.
+    ITERS = 5
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
