@@ -55,7 +55,9 @@ GOPHER_MIN_MEAN_WL = 3.0
 GOPHER_MAX_MEAN_WL = 10.0
 GOPHER_MIN_ALPHA_FRAC = 0.80
 GOPHER_MIN_STOPWORDS = 2
-GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a"]
+# Rae et al. 2021 table A1's exact 8-word list; the rule is "contains at
+# least two OF these words", i.e. >= 2 DISTINCT members, not occurrences.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 # Top-word dominance (the unigram analog of Gopher's top-n-gram character
 # fraction rule).
 GOPHER_MAX_TOP_WORD_FRAC = 0.20
@@ -143,7 +145,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nw
     )
     stop_count = F.size(
-        F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(t) for t in GOPHER_STOPWORDS])
+        )
     )
     base = docs.select(
         "doc_id",
@@ -429,7 +433,7 @@ ORACLES = {
                        / len(w) AS mean_word_len,
                    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
                         AS DOUBLE) / len(w) AS alpha_frac,
-                   len(list_filter(w, x -> x IN ({_STOP_SQL}))) AS stop_count,
+                   len(list_intersect(list_distinct(w), [{_STOP_SQL}])) AS stop_count,
                    has_brace, has_lorem
             FROM base),
         top AS (

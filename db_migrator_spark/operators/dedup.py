@@ -178,8 +178,12 @@ def _verify_pairs_exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
     Cost is candidate-proportional, never all-pairs: the candidate set is
     already budget-bounded by ``_cap_buckets``, the shared-shingle count is
     an equi-join on (doc, shingle), and the per-doc sizes broadcast. Docs
-    with no shingles (< 3 words) are unverifiable and drop out — consistent
-    with the exact twin, which can't see them either.
+    with no rows in the capped index are unverifiable and drop out: docs
+    under 3 words AND docs whose every shingle is frequency-capped
+    (all-boilerplate text). Both are deliberate and match the exact twin —
+    a doc made entirely of >MAX_SHINGLE_DF shingles is a mass-duplicate
+    template, which is exact dedup's job (``dedup_exact``), not pairwise
+    LSH's; see the cap rationale at the top of this module.
 
     Plan shape: the index is first SEMI-JOINED down to candidate docs, so
     the sizes aggregation and both join sides see |cand docs| x shingles,
@@ -214,15 +218,18 @@ def _verify_pairs_exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
     s1 = sets.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"), F.col("n").alias("n1"))
     s2 = sets.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2"), F.col("n").alias("n2"))
     shared = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
-    return (
+    joined = (
         cand.join(s1, "d1")
         .join(s2, "d2")
         .withColumn(
             "jaccard",
             shared.cast("double") / (F.col("n1") + F.col("n2") - shared),
         )
-        .drop("s1", "s2", "n1", "n2")
     )
+    # Using-column joins float d2 ahead of d1; pin the natural pair order
+    # so the public schemas stay (d1, d2, ..., jaccard).
+    keep = [c for c in cand.columns if c not in ("d1", "d2")]
+    return joined.select("d1", "d2", *keep, "jaccard")
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

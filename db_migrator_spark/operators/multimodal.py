@@ -158,8 +158,18 @@ PPM_W, PPM_H = 16, 16
 _PPM_PIXELS = PPM_W * PPM_H * 3
 
 
+# Pixel/sample bytes come from the PRINTABLE-ASCII projection of the
+# text: for non-ASCII text, UTF-8 bytes and Unicode code points diverge
+# (multi-byte sequences), which would silently break the byte-level
+# oracle parity — so both engines strip to \x20-\x7E first, where
+# byte == code point by construction.
+_ASCII_RE = "[^\\x20-\\x7E]"
+
+
 def _ppm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", _ASCII_RE, "").alias("text")
+    ).filter(F.length("text") > 0)
     tiled = F.expr(
         f"substring(repeat(text, CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)), 1, {_PPM_PIXELS})"
     )
@@ -246,7 +256,9 @@ def _wav_header() -> bytes:
 
 
 def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", _ASCII_RE, "").alias("text")
+    ).filter(F.length("text") > 0)  # ASCII projection: see _ASCII_RE note
     tiled = F.expr(
         f"substring(repeat(text, CAST(ceil({_WAV_DATA_BYTES} / CAST(length(text) AS DOUBLE)) AS INT)), 1, {_WAV_DATA_BYTES})"
     )
@@ -334,7 +346,10 @@ ORACLES = {
                    substr(repeat(text,
                                  CAST(ceil({_WAV_DATA_BYTES} / CAST(length(text) AS DOUBLE)) AS INT)),
                           1, {_WAV_DATA_BYTES}) AS px
-            FROM documents WHERE length(text) > 0),
+            FROM (SELECT doc_id,
+                         regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS text
+                  FROM documents)
+            WHERE length(text) > 0),
         u AS (
             SELECT doc_id,
                    ascii(substr(px, 2 * i - 1, 1))
@@ -360,7 +375,10 @@ ORACLES = {
                    substr(repeat(text,
                                  CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
                           1, {_PPM_PIXELS}) AS px
-            FROM documents WHERE length(text) > 0),
+            FROM (SELECT doc_id,
+                         regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS text
+                  FROM documents)
+            WHERE length(text) > 0),
         u AS (
             SELECT doc_id, i, ascii(substr(px, i, 1)) AS b
             FROM t, generate_series(1, {_PPM_PIXELS}) AS g(i))

@@ -32,6 +32,7 @@ import os
 import tempfile
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -54,8 +55,8 @@ def build_ivf_index(
     """(corpus with cell assignments, centroid matrix K x dim).
 
     In-memory form of the index; ``write_ivf_index`` persists it. KMeans
-    fits on a seeded bounded sample; assignment (``model.transform``) is
-    the only full-corpus pass, and it is a single map-side pass.
+    fits on a seeded bounded sample; assignment (the Arrow-batched
+    argmax-cosine pass below) is the only full-corpus pass, map-side.
 
     The index metric is COSINE, so KMeans runs on L2-NORMALIZED vectors
     (spherical partitioning): on raw vectors, Euclidean cells split by
@@ -66,6 +67,16 @@ def build_ivf_index(
     scan fraction on ISOTROPIC corpora — cell locality only pays on
     corpora with cluster structure, which real embedding corpora have
     and the synthetic fixture deliberately lacks.
+
+    Metric consistency: KMeans' own transform assigns unit vectors by
+    Euclidean distance to the UNNORMALIZED centroid means (argmin
+    |c|^2 - 2u.c — biased by centroid norm), while the query path ranks
+    cells by cosine; a boundary vector would be stored in a cell the
+    query never probes at low nprobe. So the fitted centroids are only
+    the DIRECTIONS: they are re-normalized here, and the corpus is
+    assigned by argmax u.c-hat — the exact ranking the query uses —
+    via one Arrow-batched matmul pass (same pattern as the LSH
+    bucketer; K x dim ships once per executor as a closure constant).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -78,9 +89,19 @@ def build_ivf_index(
     n = vecs.count()  # parquet-footer metadata read, not a data scan
     train = vecs if n <= TRAIN_SAMPLE_MAX else vecs.sample(TRAIN_SAMPLE_MAX / n, seed=_SEED)
     model = KMeans(k=k_cells, seed=_SEED, featuresCol="features", predictionCol="cell").fit(train)
-    indexed = model.transform(vecs).select("vec_id", "embedding", "label", "cell")
-    centroids = np.array(
+    raw = np.array(
         [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
+    )
+    centroids = raw / (np.linalg.norm(raw, axis=1, keepdims=True) + 1e-30)
+
+    @F.pandas_udf("int")
+    def assign_cell(embeddings: pd.Series) -> pd.Series:
+        mat = np.stack(embeddings.to_numpy()).astype(np.float64)
+        mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
+        return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype(np.int32))
+
+    indexed = emb.select(
+        "vec_id", "embedding", "label", assign_cell("embedding").alias("cell")
     )
     return indexed, centroids
 
@@ -151,9 +172,15 @@ def dataset_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
+# Bumped whenever the index FORMAT or assignment semantics change, so a
+# cached index built by older code is never served for the same data.
+_INDEX_VERSION = "v2"  # v2: normalized centroids + argmax-cosine assignment
+
+
 def _index_cache_path(sf_dir: str) -> str:
     return os.path.join(
-        tempfile.gettempdir(), f"db_migrator_spark_ivf_{dataset_fingerprint(sf_dir)}"
+        tempfile.gettempdir(),
+        f"db_migrator_spark_ivf_{_INDEX_VERSION}_{dataset_fingerprint(sf_dir)}",
     )
 
 

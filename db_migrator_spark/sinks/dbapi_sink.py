@@ -70,9 +70,20 @@ def execute_transactional(
             raise TransactionError(
                 f"Cannot execute transaction query: {_preview(query)}. Error: {err}"
             ) from err
-        if fk_on:
-            cur.execute(fk_on)
-        conn.commit()
+        # Same finalize contract as write_rows_transactional: a failing FK
+        # re-enable or commit must not strand an open transaction.
+        try:
+            if fk_on:
+                cur.execute(fk_on)
+            conn.commit()
+        except Exception as err:
+            try:
+                conn.rollback()
+            except Exception:
+                pass  # connection may already be dead; the raise below reports why
+            raise TransactionError(
+                f"Cannot finalize transaction ({_preview(fk_on or 'COMMIT')}): {err}"
+            ) from err
     finally:
         cur.close()
 
@@ -157,9 +168,23 @@ def write_rows_transactional(
             raise TransactionError(
                 f"Cannot execute transaction query: {_preview(insert)}. Error: {err}"
             ) from err
-        if fk_on:
-            cur.execute(fk_on)
-        conn.commit()
+        # The FK re-enable and the commit are part of the transaction
+        # contract too: if either fails, the connection must not be left
+        # holding an open transaction (and its row locks) for a pooled or
+        # long-lived caller — roll back and surface the same typed error
+        # with a query preview as every other failure path.
+        try:
+            if fk_on:
+                cur.execute(fk_on)
+            conn.commit()
+        except Exception as err:
+            try:
+                conn.rollback()
+            except Exception:
+                pass  # connection may already be dead; the raise below reports why
+            raise TransactionError(
+                f"Cannot finalize transaction ({_preview(fk_on or 'COMMIT')}): {err}"
+            ) from err
     finally:
         cur.close()
     return n

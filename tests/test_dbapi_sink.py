@@ -185,3 +185,20 @@ def test_foreach_partition_writes_through_real_dbapi(spark):
     assert n == 1000 and distinct == 1000  # exactly-once per partition
     assert ksum == 999 * 1000 // 2
     assert sample == "2247"
+
+
+def test_failing_fk_reenable_rolls_back_and_raises():
+    """A failure on the FK re-enable (or commit) must not strand an open
+    transaction: rollback happens and a TransactionError with a preview
+    surfaces — same contract as a failing INSERT."""
+    conn = FakeConn(fail_on=("FOREIGN_KEY_CHECKS=1",))
+    with pytest.raises(TransactionError, match="finalize"):
+        write_rows_transactional(conn, "t", ["a"], [(1,), (2,)], batchsize=10)
+    assert ("rollback",) in conn.trace
+    assert ("commit",) not in conn.trace
+
+    conn2 = FakeConn(fail_on=("FOREIGN_KEY_CHECKS=1",))
+    with pytest.raises(TransactionError, match="finalize"):
+        execute_transactional(conn2, "INSERT INTO t VALUES (1)")
+    assert ("rollback",) in conn2.trace
+    assert ("commit",) not in conn2.trace

@@ -96,6 +96,7 @@ def test_ivf_clustered_corpus_recall_pinned(spark, tmp_path):
         best = np.argsort(-sims)
         truth = set(ids[best[best != qi][:10]])
         got = ivf_query_index(spark, idx, [float(x) for x in mat[qi]], k=11).collect()
-        got_ids = {r.vec_id for r in got if r.vec_id != ids[qi]}
-        recalls.append(len(got_ids & truth) / 10)
+        # fair recall@10: drop self, truncate to top-10 retrieved
+        topk = [r.vec_id for r in got if r.vec_id != ids[qi]][:10]
+        recalls.append(len(set(topk) & truth) / 10)
     assert float(np.mean(recalls)) >= 0.9, recalls

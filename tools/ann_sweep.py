@@ -86,8 +86,11 @@ def main() -> None:
                     spark, ivf_path, [float(x) for x in mat[qi]], k=K + 1, nprobe=nprobe
                 ).collect()
                 times.append(time.perf_counter() - t0)
-                got_ids = {r.vec_id for r in got if r.vec_id != ids[qi]}
-                recalls.append(len(got_ids & truth) / K)
+                # fair recall@K: drop self, then truncate to the TOP K of
+                # what was retrieved (results arrive cos-desc) — keeping
+                # all K+1 when self is absent would overstate recall.
+                topk = [r.vec_id for r in got if r.vec_id != ids[qi]][:K]
+                recalls.append(len(set(topk) & truth) / K)
             ivf_results.append(
                 {
                     "k_cells": k_cells,
