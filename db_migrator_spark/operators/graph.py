@@ -55,9 +55,14 @@ def _order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    # Both directions come from ONE explode of the distinct pair set — a
+    # unionAll of two selects re-evaluates the join+distinct subtree
+    # twice (two BroadcastHashJoins + two Exchanges in the plan).
+    both = F.array(
+        F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+        F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
     )
+    return pairs.select(F.explode(both).alias("e")).select("e.src", "e.dst")
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
