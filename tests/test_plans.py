@@ -315,3 +315,60 @@ def test_cogroup_is_single_coshuffle(spark):
     plan = plan_string(q_cogroup_order_reconcile(spark, SF))
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """The 100 TB shuffle-join pruning technique: with runtime bloom
+    filters enabled, Catalyst builds a bloom filter from the selective
+    (filtered) side and injects a might_contain pre-filter into the fact
+    scan — rows that cannot join are dropped BEFORE the shuffle. Pinned
+    here with thresholds scaled to fixture size; production defaults
+    (10GB application side) make it fire exactly in the regime where the
+    shuffle would hurt."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # and the result is unchanged by the filter (it only drops non-joiners)
+        rows = {(r.o_orderpriority, r["count"]) for r in j.collect()}
+        for k, v in confs.items():
+            if saved[k] is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, saved[k])
+        base = {
+            (r.o_orderpriority, r["count"])
+            for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        }
+        assert rows == base
+    finally:
+        for k, v in confs.items():
+            if saved[k] is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, saved[k])
