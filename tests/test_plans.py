@@ -372,3 +372,49 @@ def test_runtime_bloom_filter_join_injection(spark):
                     pass
             else:
                 spark.conf.set(k, saved[k])
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's skew-join handling — the runtime answer to hot keys that
+    salting solves statically (q_skew_salted_join): with skew thresholds
+    scaled to fixture size, a 90%-hot-key join's final adaptive plan must
+    read the skewed shuffle partition as multiple splits
+    ('AQEShuffleRead ... skewed'). Verifies the runtime re-plan this
+    engine leans on at 100 TB actually engages."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+            F.lit("x" * 64).alias("pad"),
+        )
+        right = spark.range(0, 50000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        n = j.collect()[0].n
+        # key 0 carries 180000 hot rows plus id=0 itself (180001); the
+        # 4999 non-hot keys 10..49990 join once each
+        assert n == 180001 + 4999
+        ex = j._jdf.queryExecution().executedPlan().toString()
+        assert "skewed" in ex, ex[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
