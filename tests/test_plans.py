@@ -418,3 +418,31 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                     pass
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """Star-schema DPP: joining a partitioned fact to a filtered dim must
+    inject a dynamicpruning subquery into the fact scan, so only the
+    dim-selected partition directories are read — the partition-level
+    twin of the bloom-filter row pruning pinned above."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 100000).select(
+        (F.col("id") % 25).alias("nation"), F.col("id").alias("v")
+    )
+    fact.write.partitionBy("nation").mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim = spark.range(0, 25).select(
+        F.col("id").alias("nation"),
+        F.when(F.col("id") < 3, "EU").otherwise("OTHER").alias("region"),
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    j = f.join(dim.filter(F.col("region") == "EU"), "nation").agg(
+        F.sum("v").alias("s")
+    )
+    ex = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in ex.lower(), ex[:2000]
+    # and the result equals the statically-pruned equivalent
+    expect = (
+        f.filter(F.col("nation") < 3).agg(F.sum("v").alias("s")).collect()[0].s
+    )
+    assert j.collect()[0].s == expect
