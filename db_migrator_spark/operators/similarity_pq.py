@@ -145,11 +145,17 @@ def pq_query_index(
     )
 
 
+# Format version in the cache key: a cached index from older code must
+# never be served for the same data (same contract as the IVF cache).
+_INDEX_VERSION = "v1"
+
+
 def _index_cache_path(sf_dir: str) -> str:
     from .similarity_ivf import dataset_fingerprint
 
     return os.path.join(
-        tempfile.gettempdir(), f"db_migrator_spark_pq_{dataset_fingerprint(sf_dir)}"
+        tempfile.gettempdir(),
+        f"db_migrator_spark_pq_{_INDEX_VERSION}_{dataset_fingerprint(sf_dir)}",
     )
 
 
