@@ -32,6 +32,13 @@ _DYNAMIC_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / applyInPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # WITH RECURSIVE working-set guardrail. The default (1M rows) is a
+    # toy-scale tripwire: recursion volume is |seed rows| x depth, so a
+    # 200k-part hierarchy walk already exceeds it (found by the sf1 10x
+    # gate). Size it like a real deployment — bounded but generous;
+    # UnionLoopExec materializes per-step, so this caps accumulation,
+    # not a single in-memory batch.
+    "spark.sql.cteRecursionRowLimit": "100000000",
 }
 
 
