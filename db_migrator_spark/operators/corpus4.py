@@ -144,10 +144,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_frac = (
         F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nw
     )
+    # array_intersect already returns distinct members — no pre-distinct.
     stop_count = F.size(
-        F.array_intersect(
-            F.array_distinct(w), F.array(*[F.lit(t) for t in GOPHER_STOPWORDS])
-        )
+        F.array_intersect(w, F.array(*[F.lit(t) for t in GOPHER_STOPWORDS]))
     )
     base = docs.select(
         "doc_id",
@@ -433,7 +432,7 @@ ORACLES = {
                        / len(w) AS mean_word_len,
                    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
                         AS DOUBLE) / len(w) AS alpha_frac,
-                   len(list_intersect(list_distinct(w), [{_STOP_SQL}])) AS stop_count,
+                   len(list_intersect(w, [{_STOP_SQL}])) AS stop_count,
                    has_brace, has_lorem
             FROM base),
         top AS (

@@ -164,12 +164,25 @@ _PPM_PIXELS = PPM_W * PPM_H * 3
 # oracle parity — so both engines strip to \x20-\x7E first, where
 # byte == code point by construction.
 _ASCII_RE = "[^\\x20-\\x7E]"
+# The oracle-side twin of _ascii_docs — keep in lockstep with _ASCII_RE.
+_ASCII_DOCS_SQL = """(SELECT doc_id,
+                         regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS text
+                  FROM documents)"""
+
+
+def _ascii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents restricted to the printable-ASCII projection of text —
+    the single definition both payload builders (and, via
+    ``_ASCII_DOCS_SQL``, both oracles) derive from."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.regexp_replace("text", _ASCII_RE, "").alias("text"))
+        .filter(F.length("text") > 0)
+    )
 
 
 def _ppm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", _ASCII_RE, "").alias("text")
-    ).filter(F.length("text") > 0)
+    docs = _ascii_docs(spark, sf_dir)
     tiled = F.expr(
         f"substring(repeat(text, CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)), 1, {_PPM_PIXELS})"
     )
@@ -256,9 +269,7 @@ def _wav_header() -> bytes:
 
 
 def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", _ASCII_RE, "").alias("text")
-    ).filter(F.length("text") > 0)  # ASCII projection: see _ASCII_RE note
+    docs = _ascii_docs(spark, sf_dir)
     tiled = F.expr(
         f"substring(repeat(text, CAST(ceil({_WAV_DATA_BYTES} / CAST(length(text) AS DOUBLE)) AS INT)), 1, {_WAV_DATA_BYTES})"
     )
@@ -346,9 +357,7 @@ ORACLES = {
                    substr(repeat(text,
                                  CAST(ceil({_WAV_DATA_BYTES} / CAST(length(text) AS DOUBLE)) AS INT)),
                           1, {_WAV_DATA_BYTES}) AS px
-            FROM (SELECT doc_id,
-                         regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS text
-                  FROM documents)
+            FROM {_ASCII_DOCS_SQL}
             WHERE length(text) > 0),
         u AS (
             SELECT doc_id,
@@ -375,9 +384,7 @@ ORACLES = {
                    substr(repeat(text,
                                  CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
                           1, {_PPM_PIXELS}) AS px
-            FROM (SELECT doc_id,
-                         regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS text
-                  FROM documents)
+            FROM {_ASCII_DOCS_SQL}
             WHERE length(text) > 0),
         u AS (
             SELECT doc_id, i, ascii(substr(px, i, 1)) AS b

@@ -46,6 +46,36 @@ class TransactionError(RuntimeError):
     """Raised after a rollback; message carries the query preview."""
 
 
+def _rollback_and_raise(conn, message: str, err: Exception) -> None:
+    """Best-effort rollback, then the module's typed error. The rollback
+    itself is guarded: on a dead connection it raises too, and the caller
+    must still get TransactionError (with the original cause), not the
+    driver's rollback exception."""
+    try:
+        conn.rollback()
+    except Exception:
+        pass  # connection may already be dead; the raise below reports why
+    raise TransactionError(f"{message}. Error: {err}") from err
+
+
+def _finalize(conn, cur, fk_on: str | None) -> None:
+    """FK re-enable + COMMIT, shared by both transactional entry points:
+    if either step fails, the connection must not be left holding an open
+    transaction (and its row locks) — roll back and surface the step that
+    actually failed."""
+    step = "COMMIT"
+    try:
+        if fk_on:
+            step = fk_on
+            cur.execute(fk_on)
+        step = "COMMIT"
+        conn.commit()
+    except Exception as err:
+        _rollback_and_raise(
+            conn, f"Cannot finalize transaction ({_preview(step)})", err
+        )
+
+
 def execute_transactional(
     conn,
     query: str,
@@ -66,24 +96,10 @@ def execute_transactional(
         try:
             cur.execute(query)
         except Exception as err:
-            conn.rollback()
-            raise TransactionError(
-                f"Cannot execute transaction query: {_preview(query)}. Error: {err}"
-            ) from err
-        # Same finalize contract as write_rows_transactional: a failing FK
-        # re-enable or commit must not strand an open transaction.
-        try:
-            if fk_on:
-                cur.execute(fk_on)
-            conn.commit()
-        except Exception as err:
-            try:
-                conn.rollback()
-            except Exception:
-                pass  # connection may already be dead; the raise below reports why
-            raise TransactionError(
-                f"Cannot finalize transaction ({_preview(fk_on or 'COMMIT')}): {err}"
-            ) from err
+            _rollback_and_raise(
+                conn, f"Cannot execute transaction query: {_preview(query)}", err
+            )
+        _finalize(conn, cur, fk_on)
     finally:
         cur.close()
 
@@ -164,27 +180,10 @@ def write_rows_transactional(
                 cur.executemany(insert, batch)
                 n += len(batch)
         except Exception as err:
-            conn.rollback()
-            raise TransactionError(
-                f"Cannot execute transaction query: {_preview(insert)}. Error: {err}"
-            ) from err
-        # The FK re-enable and the commit are part of the transaction
-        # contract too: if either fails, the connection must not be left
-        # holding an open transaction (and its row locks) for a pooled or
-        # long-lived caller — roll back and surface the same typed error
-        # with a query preview as every other failure path.
-        try:
-            if fk_on:
-                cur.execute(fk_on)
-            conn.commit()
-        except Exception as err:
-            try:
-                conn.rollback()
-            except Exception:
-                pass  # connection may already be dead; the raise below reports why
-            raise TransactionError(
-                f"Cannot finalize transaction ({_preview(fk_on or 'COMMIT')}): {err}"
-            ) from err
+            _rollback_and_raise(
+                conn, f"Cannot execute transaction query: {_preview(insert)}", err
+            )
+        _finalize(conn, cur, fk_on)
     finally:
         cur.close()
     return n

@@ -202,3 +202,23 @@ def test_failing_fk_reenable_rolls_back_and_raises():
         execute_transactional(conn2, "INSERT INTO t VALUES (1)")
     assert ("rollback",) in conn2.trace
     assert ("commit",) not in conn2.trace
+
+
+def test_failing_commit_names_commit_not_fk():
+    """When the COMMIT itself fails (FK re-enable succeeded), the error
+    preview must name COMMIT, not the statement that worked; and a dead
+    connection's failing rollback must not mask the TransactionError."""
+
+    class CommitFailConn(FakeConn):
+        def commit(self):
+            self.trace.append(("commit_attempt",))
+            raise RuntimeError("server went away")
+
+        def rollback(self):
+            raise RuntimeError("rollback also dead")
+
+    conn = CommitFailConn()
+    with pytest.raises(TransactionError, match=r"finalize transaction \(COMMIT\)"):
+        write_rows_transactional(conn, "t", ["a"], [(1,)])
+    # FK re-enable DID run before the commit attempt
+    assert ("execute", "SET FOREIGN_KEY_CHECKS=1") in conn.trace
