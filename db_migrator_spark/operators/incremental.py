@@ -73,9 +73,55 @@ def q_change_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classified.groupBy("change").agg(F.count(F.lit(1)).alias("n")).orderBy("change")
 
 
+AGG_REFRESH_CUTOFF = "1997-01-01"
+
+
+def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: per-customer order stats
+    maintained by MERGING partial aggregate states instead of
+    re-aggregating the full table.
+
+    The base partition (orders before ``AGG_REFRESH_CUTOFF``) and the
+    delta (orders since) are aggregated separately into mergeable states
+    — count, exact decimal sum, min/max — then combined per key:
+    counts/sums add, mins/maxes fold. The DuckDB oracle aggregates the
+    WHOLE table directly, so the hash-match proves merge(partial(base),
+    partial(delta)) == full recompute, the algebraic contract every
+    incremental-view pipeline rests on. At scale the base partial is the
+    stored view (never re-read beyond its own aggregate) and only the
+    delta is scanned per refresh; decimal-domain sums make the merge
+    order-independent, so refresh cadence cannot change the result.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(AGG_REFRESH_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("sp"),
+            F.min("o_orderdate").alias("mn"),
+            F.max("o_orderdate").alias("mx"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("sp").cast("double").alias("total_price"),
+            F.min("mn").alias("first_order"),
+            F.max("mx").alias("last_order"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 QUERIES = {
     "q_merge_upsert": q_merge_upsert,
     "q_change_capture": q_change_capture,
+    "q_incremental_agg_refresh": q_incremental_agg_refresh,
 }
 
 _DELTA_SQL = """
@@ -92,6 +138,17 @@ _DELTA_SQL = """
 """
 
 ORACLES = {
+    "q_incremental_agg_refresh": """
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS total_price,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """,
     "q_merge_upsert": f"""
         WITH {_DELTA_SQL},
         merged AS (
