@@ -92,6 +92,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = (
         emb.join(asg, "vec_id").select("vec_id", "cluster", "embedding").localCheckpoint()
     )
+    return semantic_dup_flags(members).orderBy("vec_id")
+
+
+def semantic_dup_flags(members: DataFrame) -> DataFrame:
+    """SemDeDup core over an ARBITRARY clustering: ``members`` is
+    (vec_id, cluster, embedding) — any blocking the caller chooses. This
+    is the published scale lever made into API: the declared query feeds
+    it label-centroid cells, and a corpus that outgrows its k simply
+    supplies a finer clustering (more centroids, sub-clustered cells) —
+    the within-cluster pair cost is quadratic in CELL size only, so
+    doubling the cell count quarters the pair work with identical
+    downstream semantics (demonstrated in tests/test_llm_ops.py)."""
     a = members.select(
         F.col("cluster"),
         F.col("vec_id").alias("i"),
@@ -111,17 +123,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j")
         .agg(F.max("cos").alias("max_cos_lower"))
     )
-    return (
-        members.join(pair_max, members.vec_id == pair_max.j, "left")
-        .select(
-            "vec_id",
-            "cluster",
-            "max_cos_lower",
-            F.coalesce(
-                F.col("max_cos_lower") >= F.lit(SEMDEDUP_TAU), F.lit(False)
-            ).alias("is_semantic_dup"),
-        )
-        .orderBy("vec_id")
+    return members.join(pair_max, members.vec_id == pair_max.j, "left").select(
+        "vec_id",
+        "cluster",
+        "max_cos_lower",
+        F.coalesce(
+            F.col("max_cos_lower") >= F.lit(SEMDEDUP_TAU), F.lit(False)
+        ).alias("is_semantic_dup"),
     )
 
 

@@ -378,3 +378,44 @@ def test_wav_decoder_parses_a_real_wav():
 
     with _pytest.raises(ValueError):
         next(_decode_wav(iter([pd.DataFrame({"doc_id": [1], "payload": [b"RIFFxxxxWAVE"]})])))
+
+
+def test_semantic_dedup_core_accepts_finer_clustering(spark):
+    """The SemDeDup core takes ANY (vec_id, cluster, embedding) blocking —
+    the published scale lever. With a finer deterministic sub-clustering
+    (label x sign of coordinate 0), within-cell pair counts drop while
+    flags remain exactly the within-cell rule for that clustering
+    (verified against a numpy replay)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.corpus4 import semantic_dup_flags
+
+    emb = load_table(spark, SF, "embeddings")
+    members = emb.select(
+        "vec_id",
+        F.concat(
+            F.col("label").cast("string"),
+            F.lit("_"),
+            (F.element_at("embedding", 1) > 0).cast("string"),
+        ).alias("cluster"),
+        "embedding",
+    )
+    got = {r.vec_id: r for r in semantic_dup_flags(members).collect()}
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    clusters = {
+        r.vec_id: f"{r.label}_{str(r.embedding[0] > 0).lower()}" for r in rows
+    }
+    for j in sorted(vecs):
+        lower = [i for i in vecs if i < j and clusters[i] == clusters[j]]
+        if not lower:
+            assert got[j].max_cos_lower is None
+            continue
+        expect = max(
+            float(vecs[i] @ vecs[j] / np.sqrt((vecs[i] @ vecs[i]) * (vecs[j] @ vecs[j])))
+            for i in lower
+        )
+        assert abs(got[j].max_cos_lower - expect) < 1e-9
