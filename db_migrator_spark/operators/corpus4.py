@@ -101,9 +101,10 @@ def semantic_dup_flags(members: DataFrame) -> DataFrame:
     is the published scale lever made into API: the declared query feeds
     it label-centroid cells, and a corpus that outgrows its k simply
     supplies a finer clustering (more centroids, sub-clustered cells) —
-    the within-cluster pair cost is quadratic in CELL size only, so
-    doubling the cell count quarters the pair work with identical
-    downstream semantics (demonstrated in tests/test_llm_ops.py)."""
+    the within-cluster pair cost is quadratic in CELL size only: doubling
+    the cell count halves the total pair work (per-cell pairs quarter,
+    cell count doubles) with identical downstream semantics
+    (demonstrated in tests/test_llm_ops.py)."""
     a = members.select(
         F.col("cluster"),
         F.col("vec_id").alias("i"),

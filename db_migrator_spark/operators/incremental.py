@@ -103,8 +103,16 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("mx"),
         )
 
-    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
-    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    # Null-safe partitioning: a NULL o_orderdate satisfies NEITHER date
+    # predicate, which would silently drop the row from both partials
+    # while the full-recompute oracle still counts it. Nulls go to the
+    # delta (coalesce to True) so base ∪ delta is exactly the table.
+    base = partial(
+        orders.filter(F.coalesce(F.col("o_orderdate") < cutoff, F.lit(False)))
+    )
+    delta = partial(
+        orders.filter(F.coalesce(F.col("o_orderdate") >= cutoff, F.lit(True)))
+    )
     return (
         base.unionByName(delta)
         .groupBy("o_custkey")
