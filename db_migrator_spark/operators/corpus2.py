@@ -161,24 +161,17 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def nearest_centroid_assignment(emb: DataFrame) -> DataFrame:
-    """(vec_id, label, assigned_label, dist2) — the k-means E-step.
-
-    Per-label centroids (the 1e-6-quantized exact means of
-    ``q_embedding_centroids``) broadcast against the corpus; squared
-    euclidean distance via three dot products with pinned evaluation
-    order — ``(a.a - 2*a.c) + c.c`` — so both engines produce
-    bit-identical doubles; argmin by (distance, label). Shared by
-    ``q_kmeans_assign`` and the SemDeDup operator in ``corpus4``.
-
-    Plan shape: the k centroid vectors reduce from one (label, pos)-keyed
-    aggregate and broadcast; assignment is corpus x k rows; the argmin
-    window keys on vec_id (k rows per key — bounded, skew-free).
-    """
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(c_label, cvec) — exact per-label centroid vectors: the
+    1e-6-quantized means of ``q_embedding_centroids``, reassembled into
+    an ``array<double>`` per label. Deterministic and bit-identical to
+    the DuckDB twin (integer quantize → decimal sum → one double
+    division), so downstream exact comparisons against centroid
+    coordinates agree across engines. K rows — always broadcastable."""
     e = emb.select(
         "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x")
     ).select("label", "pos", F.floor(F.col("x") * F.lit(1000000.0)).alias("q"))
-    cent = (
+    return (
         e.groupBy("label", "pos")
         .agg(
             (
@@ -194,6 +187,22 @@ def nearest_centroid_assignment(emb: DataFrame) -> DataFrame:
         )
         .select(F.col("label").alias("c_label"), "cvec")
     )
+
+
+def nearest_centroid_assignment(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, assigned_label, dist2) — the k-means E-step.
+
+    Per-label centroids (``label_centroids``) broadcast against the
+    corpus; squared euclidean distance via three dot products with pinned
+    evaluation order — ``(a.a - 2*a.c) + c.c`` — so both engines produce
+    bit-identical doubles; argmin by (distance, label). Shared by
+    ``q_kmeans_assign`` and the SemDeDup operator in ``corpus4``.
+
+    Plan shape: the k centroid vectors reduce from one (label, pos)-keyed
+    aggregate and broadcast; assignment is corpus x k rows; the argmin
+    window keys on vec_id (k rows per key — bounded, skew-free).
+    """
+    cent = label_centroids(emb)
     a = _as_double(F.col("embedding"))
     c = F.col("cvec")
     dist2 = (_dot(a, a) - F.lit(2.0) * _dot(a, c)) + _dot(c, c)

@@ -22,11 +22,15 @@ Scale notes (100 TB):
 - SemDeDup's cost driver is the within-cluster all-pairs join — quadratic
   in cluster size, NEVER in corpus size. The published configuration keeps
   per-cluster membership bounded by growing k with the corpus (110k
-  clusters for LAION-440M ⇒ ~4k vectors per cluster); the same contract
-  applies here: the self-join shuffles on the cluster key, AQE skew-split
-  handles residual imbalance, and a corpus that outgrows its k needs more
-  centroids, not a bigger shuffle. Assignment itself is a broadcast of k
-  centroid vectors against a linear scan.
+  clusters for LAION-440M ⇒ ~4k vectors per cluster); the declared query
+  ENFORCES that contract in-plan: ``_semdedup_members`` derives a
+  power-of-two cell multiplier from COUNT(*) and sign-splits oversized
+  label cells through their centroids' coordinate hyperplanes, holding
+  mean cell size at ~``SEMDEDUP_TARGET_CELL`` so total pair output grows
+  ~linearly with the corpus (measured: docs/SCALING.md round-7 SemDeDup
+  section). The self-join shuffles on the refined cell key; AQE
+  skew-split handles residual imbalance. Assignment itself is a broadcast
+  of k centroid vectors against a linear scan.
 - The Gopher rules are a single narrow projection — one pass, no shuffle,
   no UDF; every rule is a codegen'd expression over the split word array.
 """
@@ -37,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from ..io import load_table
-from .corpus2 import nearest_centroid_assignment
+from .corpus2 import label_centroids, nearest_centroid_assignment
 from .similarity import _as_double, _dot
 from .text import ORACLES as _TEXT_ORACLES
 
@@ -47,6 +51,25 @@ from .text import ORACLES as _TEXT_ORACLES
 # non-trivial duplicate set (~100 pairs at sf0.01) while exercising the
 # identical plan shape.
 SEMDEDUP_TAU = 0.3
+
+# SemDeDup's published scale contract is "k grows with the corpus so
+# per-cluster membership stays bounded" (110k clusters for LAION-440M
+# ⇒ ~4k/cluster). The declared query enforces that contract
+# adaptively: when the mean label-cell size exceeds SEMDEDUP_TARGET_CELL
+# the cells are REFINED by sign-splitting each cell through its own
+# centroid's coordinate hyperplanes — every refinement bit doubles the
+# cell count and halves total pair work (per-cell pairs quarter, cell
+# count doubles). The per-cell pair budget is therefore
+# ~TARGET_CELL^2/2 = 2048 pairs — the same budget class as
+# ``dedup.BUCKET_PAIR_BUDGET`` — and total pair output grows ~linearly
+# with the corpus instead of quadratically. The bit count is derived
+# IN-PLAN from COUNT(*) (broadcast one-row aggregate, no driver
+# action) so any scale factor sizes itself; SEMDEDUP_MAX_SUB_BITS caps
+# the refinement at 2^16 sub-cells per label (enough for 4e7 vectors
+# per label at the default budget; beyond that, supply a finer base
+# clustering via ``semantic_dup_flags``).
+SEMDEDUP_TARGET_CELL = 64
+SEMDEDUP_MAX_SUB_BITS = 16
 
 # Gopher table-A1 thresholds (kept canonical, not fixture-tuned).
 GOPHER_MIN_WORDS = 50
@@ -63,35 +86,99 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 GOPHER_MAX_TOP_WORD_FRAC = 0.20
 
 
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semdedup_members(
+    emb: DataFrame, target_cell: int = SEMDEDUP_TARGET_CELL
+) -> DataFrame:
+    """(vec_id, cluster, embedding) with ADAPTIVE cell refinement.
+
+    Base blocking is the nearest-label-centroid assignment (the exact
+    E-step shared with ``q_kmeans_assign``). The cell multiplier is the
+    smallest power of two ``cell_mult`` with
+    ``N <= k0 * target_cell * cell_mult`` (N = corpus size, k0 = base
+    cell count) — pure integer comparisons, computed from a broadcast
+    one-row aggregate so the plan stays lazy and any engine derives the
+    same value. With ``b = log2(cell_mult)`` refinement bits, vector v in
+    label cell L lands in sub-cell ``Σ_{d<b} 2^d·[v[d] > centroid_L[d]]``
+    — each bit splits the cell through its own centroid's coordinate
+    hyperplane, preserving semantic locality (near-identical vectors sit
+    on the same side of every hyperplane except within ~0 of the
+    boundary). Encoded key: ``cluster = label·cell_mult + sub_cell``,
+    which degenerates to the raw label when no refinement is needed.
+
+    Exactness: centroid coordinates are the engine-exact quantized means
+    (``label_centroids``) and each bit is one double comparison of
+    identical doubles — deterministic in both engines, so the DuckDB twin
+    reproduces the refined blocking bit-for-bit.
+    """
+    asg = nearest_centroid_assignment(emb).select(
+        "vec_id", F.col("assigned_label").alias("lbl")
+    )
+    cent = label_centroids(emb)
+    cm = F.greatest(
+        F.lit(1),
+        *[
+            F.when(
+                F.col("n_vec") > F.col("k0") * F.lit(target_cell * 2 ** (i - 1)),
+                F.lit(2**i),
+            ).otherwise(F.lit(1))
+            for i in range(1, SEMDEDUP_MAX_SUB_BITS + 1)
+        ],
+    )
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n_vec"), F.count_distinct(F.col("label")).alias("k0")
+    ).select(cm.cast("bigint").alias("cell_mult"))
+    ad = _as_double(F.col("embedding"))
+    sub = None
+    for d in range(SEMDEDUP_MAX_SUB_BITS):
+        bit = F.when(
+            (F.col("cell_mult") > F.lit(2**d))
+            & (F.get(ad, d) > F.get(F.col("cvec"), d)),
+            F.lit(2**d),
+        ).otherwise(F.lit(0))
+        sub = bit if sub is None else sub + bit
+    return (
+        emb.join(asg, "vec_id")
+        .join(F.broadcast(cent), F.col("lbl") == F.col("c_label"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            (F.col("lbl").cast("bigint") * F.col("cell_mult") + sub.cast("bigint")).alias(
+                "cluster"
+            ),
+            "embedding",
+        )
+    )
+
+
+def dedup_semantic(
+    spark: SparkSession, sf_dir: str, target_cell: int = SEMDEDUP_TARGET_CELL
+) -> DataFrame:
     """SemDeDup: within-k-means-cluster cosine dedup (arXiv:2303.09540).
 
     Every vector is assigned to its nearest per-label centroid (the exact
-    E-step shared with ``q_kmeans_assign``); within each cluster, every
-    ``i < j`` pair's exact cosine is computed, and ``j`` is a semantic
-    duplicate iff some lower-id cluster-mate ``i`` has
+    E-step shared with ``q_kmeans_assign``), adaptively refined so cells
+    stay ~``target_cell``-sized at any corpus size (``_semdedup_members``
+    — the paper's "k grows with N" contract, in-plan); within each cell,
+    every ``i < j`` pair's exact cosine is computed, and ``j`` is a
+    semantic duplicate iff some lower-id cell-mate ``i`` has
     ``cos(i, j) >= SEMDEDUP_TAU`` — the deterministic analog of the
     paper's keep-one-representative rule. Output: one row per vector with
-    its cluster, the max cosine to any lower-id cluster-mate (NULL for
-    the cluster's lowest id), and the duplicate verdict.
+    its cell, the max cosine to any lower-id cell-mate (NULL for the
+    cell's lowest id), and the duplicate verdict.
 
     Plan shape: centroid assignment is a broadcast (k rows) against a
-    linear scan; the pair join shuffles both sides once on the cluster
-    key; the per-vector reduction is a groupBy on vec_id (map-side
-    combinable max). Deterministic end-to-end — same quantized centroids,
-    same pinned-fold cosine as the rest of the similarity family — so the
-    DuckDB twin hash-matches exactly.
+    linear scan; the refinement adds one broadcast one-row aggregate and
+    k centroid rows (no extra shuffle); the pair join shuffles both sides
+    once on the cell key; the per-vector reduction is a groupBy on vec_id
+    (map-side combinable max). Deterministic end-to-end — same quantized
+    centroids, same pinned-fold cosine as the rest of the similarity
+    family — so the DuckDB twin hash-matches exactly.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    asg = nearest_centroid_assignment(emb).select(
-        "vec_id", F.col("assigned_label").alias("cluster")
-    )
     # members feeds three consumers (both pair sides + the final rejoin);
     # checkpointing avoids re-running the E-step per consumer (A/B at
     # sf0.1: 1.27s -> 1.12s).
-    members = (
-        emb.join(asg, "vec_id").select("vec_id", "cluster", "embedding").localCheckpoint()
-    )
+    members = _semdedup_members(emb, target_cell).localCheckpoint()
     return semantic_dup_flags(members).orderBy("vec_id")
 
 
@@ -209,8 +296,10 @@ def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram features; cross-engine log/exp is last-ulp fragile, so the
     weight here is the ratio-of-averages rational
     ``(Σ cnt_target(w) · N_raw) / (Σ cnt_raw(w) · N_target)`` — integer
-    sums and products with ONE double division at the end, monotone in
-    target-likeness and bit-identical in both engines (same trick as
+    sums, double-cast factors multiplied in double (wrap-proof at any
+    corpus size; exact while every factor and product sits under 2^53,
+    which covers every fixture scale), ONE division at the end, monotone
+    in target-likeness and bit-identical in both engines (same trick as
     ``text_unigram_score``). At scale the term key becomes
     ``xxhash64(term) % B`` hashed buckets exactly as published — same
     plan; raw terms are kept here so the oracle groups identically
@@ -245,8 +334,12 @@ def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt_raw").cast("bigint").alias("s_raw"),
         )
     )
-    w = (F.col("s_target") * F.col("n_raw")).cast("double") / (
-        F.col("s_raw") * F.col("n_t")
+    # Each factor casts to double BEFORE the multiply: at 100 TB both
+    # products can pass 2^63 (int64 wrap under non-ANSI Spark); double
+    # products merely round past 2^53, and at fixture scale every factor
+    # and product stays under 2^53 so the ratio remains exact.
+    w = (F.col("s_target").cast("double") * F.col("n_raw").cast("double")) / (
+        F.col("s_raw").cast("double") * F.col("n_t").cast("double")
     )
     return (
         per_doc.crossJoin(F.broadcast(totals))
@@ -354,9 +447,21 @@ _HYBRID_SQL = f"""
         ORDER BY rrf_score DESC, doc_id
 """
 
-ORACLES = {
-    "text_hybrid_search_rrf": _HYBRID_SQL,
-    "dedup_semantic": f"""
+def _semdedup_sql(target_cell: int = SEMDEDUP_TARGET_CELL) -> str:
+    """DuckDB twin of ``dedup_semantic`` with the SAME adaptive cell
+    refinement (cell_mult + sign-split sub-cells), built from the same
+    constants so tests can exercise refined configurations."""
+    doublings = ", ".join(
+        f"CASE WHEN n_vec > k0 * {target_cell * 2 ** (i - 1)} "
+        f"THEN {2 ** i} ELSE 1 END"
+        for i in range(1, SEMDEDUP_MAX_SUB_BITS + 1)
+    )
+    subbits = " + ".join(
+        f"(CASE WHEN cell_mult > {2 ** d} AND ae[{d + 1}] > cvec[{d + 1}] "
+        f"THEN {2 ** d} ELSE 0 END)"
+        for d in range(SEMDEDUP_MAX_SUB_BITS)
+    )
+    return f"""
         WITH e AS (
             SELECT label, i - 1 AS pos,
                    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * CAST(1000000.0 AS DOUBLE))
@@ -377,15 +482,26 @@ ORACLES = {
             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ae
                   FROM embeddings), cent),
         asg AS (
-            SELECT vec_id, c_label AS cluster
+            SELECT vec_id, c_label AS lbl
             FROM (SELECT vec_id, c_label,
                          ROW_NUMBER() OVER (PARTITION BY vec_id
                                             ORDER BY dist2, c_label) AS rn
                   FROM scored)
             WHERE rn = 1),
+        cm AS (
+            SELECT CAST(GREATEST(1, {doublings}) AS BIGINT) AS cell_mult
+            FROM (SELECT COUNT(*) AS n_vec, COUNT(DISTINCT label) AS k0
+                  FROM embeddings)),
         m AS (
-            SELECT a.vec_id, a.cluster, CAST(e2.embedding AS DOUBLE[]) AS v
-            FROM asg a JOIN embeddings e2 ON a.vec_id = e2.vec_id),
+            SELECT a.vec_id,
+                   CAST(a.lbl AS BIGINT) * cell_mult
+                       + CAST({subbits} AS BIGINT) AS cluster,
+                   a.ae AS v
+            FROM (SELECT asg.vec_id, asg.lbl,
+                         CAST(e2.embedding AS DOUBLE[]) AS ae
+                  FROM asg JOIN embeddings e2 ON asg.vec_id = e2.vec_id) a
+            JOIN cent ON a.lbl = cent.c_label
+            CROSS JOIN cm),
         pm AS (
             SELECT b.vec_id AS j,
                    MAX(list_dot_product(a.v, b.v)
@@ -398,7 +514,12 @@ ORACLES = {
                    AS is_semantic_dup
         FROM m LEFT JOIN pm ON m.vec_id = pm.j
         ORDER BY m.vec_id
-    """,
+    """
+
+
+ORACLES = {
+    "text_hybrid_search_rrf": _HYBRID_SQL,
+    "dedup_semantic": _semdedup_sql(),
     "text_importance_resample": """
         WITH toks AS (
             SELECT doc_id, lang, term
@@ -422,8 +543,11 @@ ORACLES = {
             FROM toks JOIN vocab USING (term)
             GROUP BY doc_id)
         SELECT doc_id, n_tok, s_target, s_raw,
-               CAST(s_target * n_raw AS DOUBLE) / (s_raw * n_t) AS importance_w,
-               CAST(s_target * n_raw AS DOUBLE) / (s_raw * n_t) >= 1.0
+               (CAST(s_target AS DOUBLE) * CAST(n_raw AS DOUBLE))
+                   / (CAST(s_raw AS DOUBLE) * CAST(n_t AS DOUBLE))
+                   AS importance_w,
+               (CAST(s_target AS DOUBLE) * CAST(n_raw AS DOUBLE))
+                   / (CAST(s_raw AS DOUBLE) * CAST(n_t AS DOUBLE)) >= 1.0
                    AS is_selected
         FROM per_doc, totals
         ORDER BY doc_id

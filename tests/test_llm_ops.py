@@ -419,3 +419,45 @@ def test_semantic_dedup_core_accepts_finer_clustering(spark):
             for i in lower
         )
         assert abs(got[j].max_cos_lower - expect) < 1e-9
+
+
+def test_semantic_dedup_adaptive_refinement(spark):
+    """Round-7 scale contract: the DECLARED SemDeDup query derives its
+    cell count from corpus size. With a small per-cell target the
+    blocking refines in-plan (cell_mult > 1, cluster count grows, total
+    within-cell pair work drops) and the refined result still matches
+    the DuckDB twin bit-for-bit — proving both engines reproduce the
+    sign-split sub-cells exactly."""
+    import duckdb
+
+    from db_migrator_spark.operators.corpus4 import _semdedup_sql, dedup_semantic
+
+    refined = dedup_semantic(spark, SF, target_cell=8).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = con.execute(_semdedup_sql(target_cell=8)).fetchall()
+    assert len(refined) == len(want) == 500
+    for r, w in zip(refined, want):
+        assert (r.vec_id, r.cluster, r.is_semantic_dup) == (w[0], w[1], w[3])
+        if r.max_cos_lower is None:
+            assert w[2] is None
+        else:
+            assert r.max_cos_lower == w[2]  # bit-exact double equality
+
+    # N=500, k0=10, target=8 -> cell_mult = 8 (smallest pow2 with
+    # 500 <= 10*8*cm): the label cells actually split...
+    base = dedup_semantic(spark, SF).collect()  # default target: cm=1 here
+
+    def cells(rows):
+        from collections import Counter
+
+        return Counter(r.cluster for r in rows)
+
+    cb, cr = cells(base), cells(refined)
+    assert len(cb) == 10
+    assert len(cr) > 10
+    # ...and quadratic pair work drops with the refinement.
+    pairs = lambda c: sum(n * (n - 1) // 2 for n in c.values())  # noqa: E731
+    assert pairs(cr) < pairs(cb) / 4
