@@ -11,8 +11,9 @@ classical shapes it still lacked:
   blocking: intervals explode onto the hour grid they span and only
   same-hour pairs are compared, so the join is an equi-join on the hour
   key and the pair count is bounded by per-hour concurrency, never by
-  corpus size. The oracle twin uses the direct quadratic predicate —
-  same result, different plan, which is exactly the point.
+  corpus size; hour buckets over ``OVERLAP_MAX_HOUR_SESSIONS`` are
+  excluded (the ``_cap_buckets`` pair budget, mirrored exactly in the
+  oracle so the contract holds at every scale factor).
 - ``events_interpolate_linear``: per-user hourly gap-fill by LINEAR
   interpolation between the surrounding observed hours (the companion
   to ``events_resample_ffill``'s step-fill). Interpolation weights are
@@ -20,11 +21,11 @@ classical shapes it still lacked:
   evaluated in the same shape in both engines.
 
 Scale notes (100 TB): the overlap join's hour-chunk explode is bounded
-by interval duration (padded sessions are ~an hour), the per-hour pair
-generation is quadratic ONLY in per-hour concurrency (a hot hour is the
-``_cap_buckets`` situation — cap or sub-bucket when concurrency is
-unbounded), and the exact-overlap verify carries only 4 longs per
-candidate. Interpolation is two window passes over the user-partitioned
+by interval duration (padded sessions are ~an hour), per-hour pair
+generation is quadratic ONLY in per-hour concurrency and hot hours are
+dropped by the ``_cap_buckets`` guard (round 7 — previously only the
+fixture's user filter kept this bounded), and the exact-overlap verify
+carries only 4 longs per candidate. Interpolation is two window passes over the user-partitioned
 spine — parallel in users, no global window.
 """
 
@@ -38,6 +39,15 @@ from .events import SESSION_GAP_US
 
 OVERLAP_PAD_US = 1_800_000_000  # 30-min presence padding per session side
 OVERLAP_MAX_USER = 20  # declared-query bound (operator itself is general)
+# An hour bucket with more than this many concurrent sessions is excluded
+# from pair generation — the same per-group pair budget every
+# group-then-pair operator carries (``dedup._cap_buckets``): one hot hour
+# would otherwise emit up to n^2/2 pairs from a single join key. Budget
+# ~8k pairs/bucket -> cap sqrt(2 * 8192) = 128. A co-presence analysis at
+# higher concurrency needs finer time buckets, not a bigger shuffle; the
+# DuckDB twin applies the identical exclusion so the contract is
+# engine-exact at every scale factor.
+OVERLAP_MAX_HOUR_SESSIONS = 128
 INTERP_MAX_USER = 50
 
 
@@ -69,12 +79,17 @@ def events_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersect, with the exact overlap duration.
 
     Plan shape: sessions explode onto the epoch-hour grid they span
-    (explode bounded by interval length), candidate pairs come from an
-    equi-join on the hour key with ``u1 < u2``, duplicates from
-    multi-hour overlaps collapse in a distinct that carries only the
-    pair key + 4 interval longs, and the exact intersection is then a
-    row-local expression. Never an interval nested-loop.
+    (explode bounded by interval length), hour buckets above
+    ``OVERLAP_MAX_HOUR_SESSIONS`` are dropped (capped per-key fan-out —
+    the ``_cap_buckets`` guard this operator's siblings carry), candidate
+    pairs come from an equi-join on the hour key with ``u1 < u2``,
+    duplicates from multi-hour overlaps collapse in a distinct that
+    carries only the pair key + 4 interval longs, and the exact
+    intersection is then a row-local expression. Never an interval
+    nested-loop.
     """
+    from .dedup import _cap_buckets
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < OVERLAP_MAX_USER)
     sess = _padded_sessions(ev)
     hours = sess.select(
@@ -89,6 +104,7 @@ def events_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hr"),
     )
+    hours = _cap_buckets(hours, ["hr"], OVERLAP_MAX_HOUR_SESSIONS)
     a = hours.select(
         F.col("user_id").alias("u1"),
         F.col("session_id").alias("sid1"),
@@ -194,15 +210,25 @@ ORACLES = {
         sess AS (SELECT user_id, session_id,
                         MIN(epoch_us(ts)) - {OVERLAP_PAD_US} AS s_us,
                         MAX(epoch_us(ts)) + {OVERLAP_PAD_US} AS e_us
-                 FROM s GROUP BY user_id, session_id)
-        SELECT a.user_id AS u1, a.session_id AS sid1,
-               b.user_id AS u2, b.session_id AS sid2,
-               CAST(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS DOUBLE)
-                   / 1e6 AS overlap_sec
-        FROM sess a JOIN sess b
-          ON a.user_id < b.user_id
-         AND a.s_us < b.e_us AND b.s_us < a.e_us
-        WHERE LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) > 0
+                 FROM s GROUP BY user_id, session_id),
+        hours AS (SELECT user_id, session_id, s_us, e_us,
+                         unnest(generate_series(s_us // 3600000000,
+                                                e_us // 3600000000)) AS hr
+                  FROM sess),
+        ok AS (SELECT hr FROM hours GROUP BY hr
+               HAVING COUNT(*) <= {OVERLAP_MAX_HOUR_SESSIONS}),
+        h2 AS (SELECT hours.* FROM hours JOIN ok USING (hr)),
+        pairs AS (
+            SELECT DISTINCT a.user_id AS u1, a.session_id AS sid1,
+                            b.user_id AS u2, b.session_id AS sid2,
+                            a.s_us AS s1, a.e_us AS e1,
+                            b.s_us AS s2, b.e_us AS e2
+            FROM h2 a JOIN h2 b ON a.hr = b.hr AND a.user_id < b.user_id)
+        SELECT u1, sid1, u2, sid2,
+               CAST(LEAST(e1, e2) - GREATEST(s1, s2) AS DOUBLE) / 1e6
+                   AS overlap_sec
+        FROM pairs
+        WHERE LEAST(e1, e2) - GREATEST(s1, s2) > 0
         ORDER BY u1, sid1, u2, sid2
     """,
     "events_interpolate_linear": f"""

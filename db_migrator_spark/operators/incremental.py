@@ -22,14 +22,20 @@ def _delta(orders: DataFrame) -> DataFrame:
     """Deterministic change set: updates for orderkey % 100 == 0 (price
     +10%), inserts with keys strictly above the current max (offset by the
     actual MAX(o_orderkey), not a constant, so synthetic inserts can never
-    collide with real keys at any scale factor)."""
-    max_key = orders.agg(F.max("o_orderkey")).first()[0] or 0
+    collide with real keys at any scale factor).
+
+    The max folds in as a broadcast one-row aggregate (the scalar-subquery
+    idiom shared with ``events_cooccurrence_lift``) so the whole delta
+    stays one lazy plan — no eager driver-blocking job per invocation."""
+    max_key = orders.agg(F.coalesce(F.max("o_orderkey"), F.lit(0)).alias("max_key"))
     updates = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
         "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
     )
     inserts = (
         orders.filter(F.col("o_orderkey") % 100 == 7)
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(max_key) + 1)
+        .crossJoin(F.broadcast(max_key))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("max_key") + 1)
+        .drop("max_key")
         .withColumn("o_orderstatus", F.lit("N"))
     )
     return updates.unionByName(inserts)

@@ -96,6 +96,10 @@ def build_ivf_index(
 
     @F.pandas_udf("int")
     def assign_cell(embeddings: pd.Series) -> pd.Series:
+        if len(embeddings) == 0:
+            # np.stack raises on zero arrays; empty Arrow batches arrive
+            # from empty partitions after repartition/filter.
+            return pd.Series([], dtype="int32")
         mat = np.stack(embeddings.to_numpy()).astype(np.float64)
         mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
         return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype(np.int32))
