@@ -40,9 +40,23 @@ from ..io import load_table
 from ..sinks.layout import write_partitioned
 from .similarity import _cosine
 
-IVF_CELLS = 16
+IVF_CELLS = 16  # fixed-k config for callers that pin the cell count
 NPROBE = 4
 _SEED = 42
+# Derived-k bounds: k ~ sqrt(N) is the measured sizing law (docs/SCALING.md
+# round-6 ANN section — cell scan fraction ~nprobe/sqrt(N) at stable
+# recall on clustered corpora). Floor keeps nprobe a strict subset on toy
+# corpora; ceiling bounds the driver-side centroid sidecar (65536 x dim
+# doubles ~ 32 MB at dim 64).
+IVF_MIN_CELLS = 4
+IVF_MAX_CELLS = 65_536
+
+
+def derived_k_cells(n: int) -> int:
+    """Default cell count for an N-vector corpus: ~sqrt(N), clamped to
+    [IVF_MIN_CELLS, IVF_MAX_CELLS] and never above N itself (KMeans needs
+    k <= training points)."""
+    return int(max(1, min(max(round(n**0.5), IVF_MIN_CELLS), IVF_MAX_CELLS, n)))
 # KMeans trains on at most this many sampled vectors: centroid quality
 # saturates long before the full corpus, and the full fit would be an
 # iterative all-data scan per KMeans round.
@@ -50,7 +64,7 @@ TRAIN_SAMPLE_MAX = 100_000
 
 
 def build_ivf_index(
-    spark: SparkSession, sf_dir: str, k_cells: int = IVF_CELLS
+    spark: SparkSession, sf_dir: str, k_cells: int | None = None
 ) -> tuple[DataFrame, np.ndarray]:
     """(corpus with cell assignments, centroid matrix K x dim).
 
@@ -61,8 +75,9 @@ def build_ivf_index(
     The index metric is COSINE, so KMeans runs on L2-NORMALIZED vectors
     (spherical partitioning): on raw vectors, Euclidean cells split by
     norm as well as direction, and a query's angular neighbors scatter
-    across norm shells whenever norms vary. ``k_cells`` scales ~sqrt(N)
-    on bigger corpora (16 at the 2k-vector fixture). Caveat measured at
+    across norm shells whenever norms vary. ``k_cells=None`` (the
+    default) derives ~sqrt(N) cells via ``derived_k_cells`` — the
+    measured sizing law; an explicit value pins k. Caveat measured at
     10x (docs/SCALING.md round-6 ANN section): IVF recall tracks the
     scan fraction on ISOTROPIC corpora — cell locality only pays on
     corpora with cluster structure, which real embedding corpora have
@@ -87,8 +102,9 @@ def build_ivf_index(
     unit = F.transform(vec, lambda x: x / nrm)
     vecs = emb.withColumn("features", array_to_vector(unit))
     n = vecs.count()  # parquet-footer metadata read, not a data scan
+    k = k_cells if k_cells is not None else derived_k_cells(n)
     train = vecs if n <= TRAIN_SAMPLE_MAX else vecs.sample(TRAIN_SAMPLE_MAX / n, seed=_SEED)
-    model = KMeans(k=k_cells, seed=_SEED, featuresCol="features", predictionCol="cell").fit(train)
+    model = KMeans(k=k, seed=_SEED, featuresCol="features", predictionCol="cell").fit(train)
     raw = np.array(
         [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
     )
@@ -111,7 +127,7 @@ def build_ivf_index(
 
 
 def write_ivf_index(
-    spark: SparkSession, sf_dir: str, index_path: str, k_cells: int = IVF_CELLS
+    spark: SparkSession, sf_dir: str, index_path: str, k_cells: int | None = None
 ) -> None:
     """Offline index build: cell-partitioned corpus + K-row centroid sidecar.
 
@@ -178,7 +194,9 @@ def dataset_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
 
 # Bumped whenever the index FORMAT or assignment semantics change, so a
 # cached index built by older code is never served for the same data.
-_INDEX_VERSION = "v2"  # v2: normalized centroids + argmax-cosine assignment
+# v2: normalized centroids + argmax-cosine assignment; v3: derived ~sqrt(N)
+# default cell count.
+_INDEX_VERSION = "v3"
 
 
 def _index_cache_path(sf_dir: str) -> str:

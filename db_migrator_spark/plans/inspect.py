@@ -35,3 +35,43 @@ def pushed_filters(df: DataFrame) -> list[str]:
         for line in plan_string(df).splitlines()
         if "PushedFilters:" in line
     ]
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec and no Limit below them.
+
+    A partitionless window funnels its whole input through one task — the
+    classic silent scale-killer. It is acceptable ONLY above a bounded
+    frame (a GlobalLimit/LocalLimit somewhere beneath it: top-k results,
+    never corpus-sized data). Returns a simple-string description per
+    offender so tests can pin "global windows only on bounded frames".
+    Walks the optimized LOGICAL plan: limits are still explicit nodes
+    there (the physical plan may fuse them into TakeOrderedAndProject).
+    """
+
+    def children(node):
+        seq = node.children()
+        return [seq.apply(i) for i in range(seq.size())]
+
+    def has_limit_below(node) -> bool:
+        for c in children(node):
+            if c.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit"):
+                return True
+            if has_limit_below(c):
+                return True
+        return False
+
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not has_limit_below(node)
+        ):
+            bad.append(node.simpleString(120))
+        for c in children(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad

@@ -12,20 +12,27 @@ def test_ivf_recall_at_10(spark):
     exact = [r.vec_id for r in similarity_topk_bruteforce(spark, SF).collect()]
     approx = [r.vec_id for r in similarity_ivf_topk(spark, SF).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
-    # nprobe=4 of 16 cells scans ~25% of the corpus; near-neighbors
-    # concentrate in the query's cells so recall must be far above 25%
-    assert recall >= 0.5, (recall, exact, approx)
+    # derived k = sqrt(500) ~ 22 cells, nprobe=4 scans ~18% of the corpus;
+    # near-neighbors concentrate in the query's cells so recall must sit
+    # well above the scanned fraction even on this isotropic fixture
+    assert recall >= 0.4, (recall, exact, approx)
     # the query vector itself must be found (its own cell is always probed)
     assert approx[0] == 0
 
 
 def test_ivf_scans_subset(spark):
-    from db_migrator_spark.operators.similarity_ivf import IVF_CELLS, NPROBE, build_ivf_index
+    from db_migrator_spark.operators.similarity_ivf import (
+        NPROBE,
+        build_ivf_index,
+        derived_k_cells,
+    )
 
     indexed, centroids = build_ivf_index(spark, SF)
-    assert centroids.shape == (IVF_CELLS, 64)
+    k = derived_k_cells(500)  # sqrt(N) default: 22 cells on the 500-vec fixture
+    assert k == 22
+    assert centroids.shape == (k, 64)
     cells = indexed.groupBy("cell").count()
-    assert cells.count() <= IVF_CELLS
+    assert cells.count() <= k
     total = indexed.count()
     probed = (
         indexed.filter(F.col("cell").isin(list(range(NPROBE)))).count()
@@ -60,9 +67,10 @@ def test_ivf_online_query_prunes_cell_directories(spark, tmp_path):
 def test_ivf_clustered_corpus_recall_pinned(spark, tmp_path):
     """On a corpus WITH cluster structure (the case IVF exists for —
     fixture embeddings are deliberately isotropic, the adversarial case),
-    the default nprobe=4/16 config must hit recall@10 >= 0.9 while
-    scanning ~25% of the corpus. Config derivation: docs/SCALING.md
-    round-6 ANN section."""
+    the DERIVED default config (k = sqrt(4000) ~ 63 cells, nprobe=4 —
+    scanning ~6% of the corpus) must hold recall@10 >= 0.9: cell count
+    sizing per the measured k~sqrt(N) law, docs/SCALING.md round-6 ANN
+    section."""
     import subprocess
     import sys as _sys
 
@@ -82,6 +90,12 @@ def test_ivf_clustered_corpus_recall_pinned(spark, tmp_path):
     )
     idx = str(tmp_path / "ivf")
     write_ivf_index(spark, corpus, idx)
+    from db_migrator_spark.operators.similarity_ivf import derived_k_cells
+
+    k = derived_k_cells(4000)
+    assert k == 63
+    n_cent = spark.read.parquet(f"{idx}/centroids").count()
+    assert n_cent == k
 
     rows = load_table(spark, corpus, "embeddings").collect()
     ids = np.array([r.vec_id for r in rows])

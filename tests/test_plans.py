@@ -446,3 +446,23 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
         f.filter(F.col("nation") < 3).agg(F.sum("v").alias("s")).collect()[0].s
     )
     assert j.collect()[0].s == expect
+
+
+def test_global_windows_only_above_bounded_frames(spark):
+    """Partitionless windows are allowed ONLY over Limit-bounded inputs
+    (result-sized frames). Pins the hybrid-retrieval ranking windows —
+    both sit above top-10 limits today — so a future edit can't silently
+    un-bound them; also proves the guard detects a real offender."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.corpus4 import text_hybrid_search_rrf
+    from db_migrator_spark.plans.inspect import unbounded_global_windows
+
+    assert unbounded_global_windows(text_hybrid_search_rrf(spark, SF)) == []
+
+    offender = load_table(spark, SF, "documents").withColumn(
+        "rn", F.row_number().over(W.orderBy("doc_id"))
+    )
+    assert unbounded_global_windows(offender), "guard failed to flag offender"
