@@ -95,6 +95,29 @@ def _disc_amount_dec() -> Column:
 # a 1-ulp divergence is possible (observed twice in the 10x stress corpus).
 # Rounding to a coarser scale is NOT the fix — it introduces half-rounding-
 # mode disagreements (Spark HALF_UP vs DuckDB half-even) on exact .5 ties.
+#
+# Round-7 contract for the three whole-table-sum queries this bit at 10x
+# (q1_pricing_summary / q_rollup_revenue / q_feature_correlations):
+# - unbounded SUMs surface as DECIMAL, never DOUBLE — the exact value has
+#   no cast to disagree on (both engines' decimal-to-string is exact);
+# - derived ratios (averages, covariance, correlation) go through
+#   ``div`` — exact integral division with truncation toward zero,
+#   identical to DuckDB HUGEINT ``//`` — at a documented micro (1e-6)
+#   quantum, then one small-integer->double division that is exact
+#   because the quotient sits far under 2^53.
+# Every other query's per-group sums stay bounded, so their
+# decimal->double surfaces remain exact at any corpus size.
+
+
+def _davg_micro(sum_col: str, count_col: str = "count_order") -> Column:
+    """Exact truncated-micro average of a surfaced decimal sum column:
+    ``(sum div (n * 1e-6)) / 1e6`` == trunc(sum/n at 1e-6) — every step
+    deterministic cross-engine at ANY magnitude (see contract above)."""
+    q6 = F.expr(
+        f"{sum_col} div (CAST({count_col} AS DECIMAL(20,0))"
+        " * CAST(0.000001 AS DECIMAL(7,6)))"
+    )
+    return q6.cast("double") / F.lit(1000000.0)
 
 
 def _davg(col: Column | str, prec: str = "25,6") -> Column:
@@ -114,20 +137,39 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the reader) -> partial hash agg -> shuffle on 2 low-cardinality keys
     -> final hash agg. At 100 TB the shuffle carries only
     |groups| x |partitions| rows — negligible.
+
+    Surface contract (round 7): the four whole-table sums are DECIMAL
+    and the averages are exact truncated-micro doubles, so the result is
+    bit-reproducible cross-engine at ANY scale factor — the groups here
+    span the whole table, the one shape whose scale-6 numerators pass
+    2^52 and make a final decimal->double cast 1-ulp ambiguous (measured
+    at 10x, docs/SCALING.md).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    g = (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity").alias("sum_qty"),
-            _dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
-            F.sum(_charge_dec()).cast("decimal(38,6)").cast("double").alias("sum_charge"),
-            _davg("l_quantity").alias("avg_qty"),
-            _davg("l_extendedprice").alias("avg_price"),
-            _davg("l_discount").alias("avg_disc"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).alias("sum_base_price"),
+            F.sum(_revenue_dec()).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.sum(_charge_dec()).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(F.col("l_discount").cast("decimal(25,6)")).alias("_sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return (
+        g.select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            _davg_micro("sum_qty").alias("avg_qty"),
+            _davg_micro("sum_base_price").alias("avg_price"),
+            _davg_micro("_sum_disc").alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -173,9 +215,12 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets — Catalyst expands to a single Expand+Aggregate,
     one pass over the data."""
     li = load_table(spark, sf_dir, "lineitem")
+    # The grand-total grouping set sums the WHOLE table, so revenue
+    # surfaces as DECIMAL (exact at any scale factor — see the
+    # surface-cast contract above _davg_micro).
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("revenue"),
+        .agg(F.sum(_revenue_dec()).cast("decimal(38,6)").alias("revenue"),
              F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
@@ -454,18 +499,27 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": """
+        WITH g AS (
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS DECIMAL(25,6))) AS sum_qty,
+                   SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS sum_charge,
+                   SUM(CAST(l_discount AS DECIMAL(25,6))) AS sum_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus)
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-               CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
-               COUNT(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        GROUP BY l_returnflag, l_linestatus
+               sum_qty, sum_base_price, sum_disc_price, sum_charge,
+               CAST(CAST(sum_qty * 1000000 AS HUGEINT) // count_order AS DOUBLE)
+                   / 1000000.0 AS avg_qty,
+               CAST(CAST(sum_base_price * 1000000 AS HUGEINT) // count_order AS DOUBLE)
+                   / 1000000.0 AS avg_price,
+               CAST(CAST(sum_disc * 1000000 AS HUGEINT) // count_order AS DOUBLE)
+                   / 1000000.0 AS avg_disc,
+               count_order
+        FROM g
         ORDER BY l_returnflag, l_linestatus
     """,
     "q3_shipping_priority": """
@@ -515,7 +569,7 @@ ORACLES = {
     """,
     "q_rollup_revenue": """
         SELECT l_returnflag, l_linestatus,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue,
                COUNT(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)

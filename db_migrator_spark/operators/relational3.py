@@ -17,35 +17,64 @@ def q_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag — computed from DECIMAL-domain moment sums, NOT the
     engine-native corr()/covar_pop() (whose one-pass update algorithms
     differ between engines and drift in the last ulps). The five moment
-    sums are exact decimals (order-independent), surfaced to double, and
-    combined with the identical closed-form expression both sides, so the
-    result is bit-reproducible at any parallelism — the property that
-    matters when a 100 TB stats job must be re-runnable to the same hash.
-    Moment precision: DECIMAL(38,4) holds ~1e21 of headroom over a 6e9-row
-    sum of price^2 (~2.5e11/row).
+    sums are exact decimals (order-independent); the closed forms reduce
+    them at a documented micro (1e-6) quantum via exact integral
+    division (``div`` == DuckDB HUGEINT ``//``, truncation toward zero),
+    and the only double arithmetic happens on small exact integers — so
+    the result is bit-reproducible at any parallelism AND any corpus
+    size, the 10x lesson (docs/SCALING.md: double-surfaced moments past
+    2^52 made this one of three 1-ulp queries). corr's scale factors
+    cancel: (covar·1e6) / sqrt(varx·1e6 · vary·1e6) == covar/(σx·σy)
+    over the micro-truncated moments. Moment precision: the tight
+    operand casts hold to ~1e11 rows (binding constraint: sy fits
+    DECIMAL(18,2) inside the sy^2 product; every product peaks at
+    precision <= 38 with zero loss).
     """
     li = load_table(spark, sf_dir, "lineitem")
     dx = F.col("l_quantity").cast("decimal(18,2)")
     dy = F.col("l_extendedprice").cast("decimal(18,2)")
     g = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dx).cast("double").alias("sx"),
-        F.sum(dy).cast("double").alias("sy"),
-        F.sum(dx * dx).cast("double").alias("sxx"),
-        F.sum(dy * dy).cast("double").alias("syy"),
-        F.sum(dx * dy).cast("double").alias("sxy"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    return g.select(
-        "l_returnflag",
-        n.cast("bigint").alias("n_rows"),
-        ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
-        (
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-        ).alias("corr"),
-    ).orderBy("l_returnflag")
+    nd = "CAST(n_rows AS DECIMAL(12,0))"
+    n2_micro = f"({nd} * {nd} * CAST(0.000001 AS DECIMAL(7,6)))"
+
+    def q6(numerator: str) -> str:
+        """trunc(numerator / n^2 * 1e6) as an exact BIGINT."""
+        return f"(({numerator}) div {n2_micro})"
+
+    cov_num = (
+        f"{nd} * CAST(sxy AS DECIMAL(25,4))"
+        " - CAST(sx AS DECIMAL(16,2)) * CAST(sy AS DECIMAL(19,2))"
+    )
+    varx_num = (
+        f"{nd} * CAST(sxx AS DECIMAL(25,4))"
+        " - CAST(sx AS DECIMAL(16,2)) * CAST(sx AS DECIMAL(16,2))"
+    )
+    vary_num = (
+        f"{nd} * CAST(syy AS DECIMAL(25,4))"
+        " - CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(18,2))"
+    )
+    return (
+        g.select(
+            "l_returnflag",
+            "n_rows",
+            (F.expr(q6(cov_num)).cast("double") / F.lit(1000000.0)).alias("covar_pop"),
+            (
+                F.expr(q6(cov_num)).cast("double")
+                / F.sqrt(
+                    F.expr(q6(varx_num)).cast("double")
+                    * F.expr(q6(vary_num)).cast("double")
+                )
+            ).alias("corr"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 HIST_BUCKET_WIDTH = 25_000.0
@@ -417,19 +446,29 @@ ORACLES = {
     "q_feature_correlations": """
         WITH m AS (
             SELECT l_returnflag,
-                   CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS HUGEINT) AS sx_i,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS sy_i,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS sxx_i,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS syy_i,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS sxy_i
             FROM lineitem
-            GROUP BY l_returnflag)
-        SELECT l_returnflag,
-               CAST(n AS BIGINT) AS n_rows,
-               (n * sxy - sx * sy) / (n * n) AS covar_pop,
-               (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
-        FROM m
+            GROUP BY l_returnflag),
+        q AS (
+            -- scale-4 integer moments reduced at the 1e-6 quantum with
+            -- exact truncating integer division (mirrors Spark's div):
+            -- *100 lifts the scale-4 numerators to micro units.
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n_rows,
+                   ((n * sxy_i - sx_i * sy_i) * 100) // (n * n) AS cov_q6,
+                   ((n * sxx_i - sx_i * sx_i) * 100) // (n * n) AS varx_q6,
+                   ((n * syy_i - sy_i * sy_i) * 100) // (n * n) AS vary_q6
+            FROM m)
+        SELECT l_returnflag, n_rows,
+               CAST(cov_q6 AS DOUBLE) / 1000000.0 AS covar_pop,
+               CAST(cov_q6 AS DOUBLE)
+                   / sqrt(CAST(varx_q6 AS DOUBLE) * CAST(vary_q6 AS DOUBLE)) AS corr
+        FROM q
         ORDER BY l_returnflag
     """,
     "q_histogram": """

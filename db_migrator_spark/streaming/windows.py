@@ -231,10 +231,27 @@ def user_milestones(events: DataFrame) -> DataFrame:
 # Bounded execution helpers (tests + driver-contract entries)
 # ---------------------------------------------------------------------------
 
-def run_bounded(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def run_bounded(
+    df: DataFrame, output_mode: str = "complete", state_store: str | None = None
+) -> DataFrame:
     """Run a streaming frame to exhaustion into a memory sink; return the
     result as a static DataFrame. File streams over a finite directory
-    terminate once all files are processed."""
+    terminate once all files are processed.
+
+    ``state_store="rocksdb"`` switches the query to the RocksDB state
+    store provider with changelog checkpointing — the production config
+    for large state (state no longer bounded by executor heap, commits
+    ship only the delta). Default stays the in-JVM HDFS-backed store:
+    the bounded-replay A/B at sf1 measured RocksDB SLOWER for this
+    fixture-scale state (see docs/SCALING.md round-7 streaming section) —
+    its JNI + per-batch snapshot overhead only amortizes when state
+    outgrows the heap, exactly the published guidance.
+    """
     spark = df.sparkSession
     name = f"stream_out_{next(_mem_counter)}"
     # Stateful operators allocate one state-store instance PER shuffle
@@ -246,14 +263,28 @@ def run_bounded(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     # query's lifetime and restores the session conf right after start.
     # A production deployment sizes this by state volume instead — the
     # partition count is baked into the checkpoint at first run.
-    restore: str | None = None
+    restore: dict[str, str | None] = {}
+
+    def _override(key: str, value: str) -> None:
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        restore[key] = prev
+        spark.conf.set(key, value)
+
     try:
         cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
         if cur > 8:
-            restore = str(cur)
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            _override("spark.sql.shuffle.partitions", "8")
     except Exception:
         pass
+    if state_store == "rocksdb":
+        _override("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+        _override(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     try:
         q = (
             df.writeStream.outputMode(output_mode)
@@ -262,8 +293,11 @@ def run_bounded(df: DataFrame, output_mode: str = "complete") -> DataFrame:
             .start()
         )
     finally:
-        if restore is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", restore)
+        for key, prev in restore.items():
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     try:
         q.processAllAvailable()
     finally:
@@ -298,7 +332,9 @@ def streaming_user_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "milestone")
 
 
-def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup_events(
+    spark: SparkSession, sf_dir: str, state_store: str | None = None
+) -> DataFrame:
     """Driver-contract entry: streaming exact dedup over a stream that
     replays the fixture TWICE (two hardlinked files -> two micro-batches;
     the second batch is 100% duplicates). Every duplicate is either matched
@@ -323,7 +359,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not os.path.exists(dst):
                 os.link(src, dst)
     ev = stream_events(spark, replay)
-    out = run_bounded(dedup_stream(ev), "append")
+    out = run_bounded(dedup_stream(ev), "append", state_store=state_store)
     return out.orderBy("event_id")
 
 
