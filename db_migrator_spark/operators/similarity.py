@@ -158,18 +158,25 @@ def similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # components round to float for the Arrow transfer, the matmul
     # accumulates back in float64. Worst-case cosine error ~1e-7 against
     # the 0.4 threshold.
+    # Unit vectors and bucket keys come out of ONE corpus scan: the
+    # normalized payload rides along into the posexplode instead of being
+    # joined back on vec_id (round 7 — dropping that join removes two
+    # corpus-sized exchanges; A/B at sf0.1: 2.6s -> 1.9s).
     normed = (
-        emb.select("vec_id", _as_double(F.col("embedding")).alias("d"))
-        .select("vec_id", "d", F.sqrt(_dot(F.col("d"), F.col("d"))).alias("nrm"))
+        emb.select("vec_id", "embedding", _as_double(F.col("embedding")).alias("d"))
+        .select("vec_id", "embedding", "d", F.sqrt(_dot(F.col("d"), F.col("d"))).alias("nrm"))
         # nrm is a materialized column reference here, NOT an expression —
         # an expression inside a transform lambda re-evaluates per element
-        .select("vec_id", F.transform("d", lambda x: (x / F.col("nrm")).cast("float")).alias("u"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.transform("d", lambda x: (x / F.col("nrm")).cast("float")).alias("u"),
+        )
     )
-    bucketed = emb.select(
-        "vec_id", F.posexplode(bucket_keys("embedding"))
+    bucketed = normed.select(
+        "vec_id", "u", F.posexplode(bucket_keys("embedding"))
     ).withColumnsRenamed({"pos": "t", "col": "bucket"})
-    keyed = _cap_buckets(bucketed, ["t", "bucket"], MAX_LSH_BUCKET)
-    grp = keyed.join(normed, "vec_id")
+    grp = _cap_buckets(bucketed, ["t", "bucket"], MAX_LSH_BUCKET)
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
