@@ -79,28 +79,34 @@ def _shingle_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-7 A/B at sf0.1: the ~0.9s per-query index rebuild becomes a
     ~0.1s parquet scan for every LSH-family query after the first.
 
-    Concurrent builders race benignly: each writes to a pid-suffixed tmp
-    dir and the first atomic rename wins.
+    Concurrent builders race benignly: each writes to a uniquely-named
+    tmp dir (pid + random suffix, so same-process threads never share
+    one) and the first atomic rename wins. The cache dir embeds the uid
+    so one user never serves another user's /tmp contents.
     """
     import shutil
     import tempfile
+    import uuid
 
     from .similarity_ivf import dataset_fingerprint
 
     key = dataset_fingerprint(sf_dir, "documents")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     path = os.path.join(
         tempfile.gettempdir(),
-        f"db_migrator_spark_shingles_{_SHINGLE_INDEX_VERSION}_{key}",
+        f"db_migrator_spark_shingles_{_SHINGLE_INDEX_VERSION}_u{uid}_{key}",
     )
     if not os.path.isdir(path):
-        tmp = f"{path}.build-{os.getpid()}"
+        tmp = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         _shingle_index(load_table(spark, sf_dir, "documents")).write.mode(
             "overwrite"
         ).parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: winner serves
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(path):  # not a lost race: surface the cause
+                raise
     return spark.read.parquet(path)
 
 

@@ -52,8 +52,15 @@ def _dsum(col: Column | str, prec: str = "25,6") -> Column:
     rounds the exact binary value, and on products those disagree on
     boundary-adjacent rows (observed at millions of rows).
     """
+    return _dsum_dec(col, prec).cast("double")
+
+
+def _dsum_dec(col: Column | str, prec: str = "25,6") -> Column:
+    """Decimal-surfaced exact sum core: shared by ``_dsum`` (bounded
+    per-group sums, double surface) and the whole-table-sum queries that
+    keep the DECIMAL surface (see the round-7 contract below)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal({prec})")).cast("double")
+    return F.sum(c.cast(f"decimal({prec})"))
 
 
 _ONE = "CAST(1 AS DECIMAL(1,0))"
@@ -150,11 +157,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).alias("sum_base_price"),
+            _dsum_dec("l_quantity").alias("sum_qty"),
+            _dsum_dec("l_extendedprice").alias("sum_base_price"),
             F.sum(_revenue_dec()).cast("decimal(38,6)").alias("sum_disc_price"),
             F.sum(_charge_dec()).cast("decimal(38,6)").alias("sum_charge"),
-            F.sum(F.col("l_discount").cast("decimal(25,6)")).alias("_sum_disc"),
+            _dsum_dec("l_discount").alias("_sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

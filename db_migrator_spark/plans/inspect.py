@@ -53,13 +53,28 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
         seq = node.children()
         return [seq.apply(i) for i in range(seq.size())]
 
-    def has_limit_below(node) -> bool:
-        for c in children(node):
-            if c.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit"):
-                return True
-            if has_limit_below(c):
-                return True
-        return False
+    def bounded(node) -> bool:
+        """Is this subtree's row count bounded by plan constants?
+
+        A Limit bounds its subtree; row-preserving/reducing single-child
+        nodes (Project/Filter/Sort/...) propagate the property; a join is
+        bounded only when EVERY side is (k x m rows is still a plan
+        constant); a union when all branches are. Generators (explode)
+        and aggregates are conservatively unbounded — a Limit further
+        below them does NOT bound their output, which is exactly the
+        false negative a naive "Limit anywhere beneath" check has.
+        """
+        name = node.getClass().getSimpleName()
+        if name in ("GlobalLimit", "LocalLimit"):
+            return True
+        if name in ("Generate", "Expand", "Aggregate"):
+            return False
+        kids = children(node)
+        if not kids:
+            return False  # leaf relation: corpus-sized
+        if name == "Join":
+            return all(bounded(c) for c in kids)
+        return all(bounded(c) for c in kids) if name == "Union" else bounded(kids[0])
 
     bad: list[str] = []
 
@@ -67,7 +82,7 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
         if (
             node.getClass().getSimpleName() == "Window"
             and node.partitionSpec().isEmpty()
-            and not has_limit_below(node)
+            and not all(bounded(c) for c in children(node))
         ):
             bad.append(node.simpleString(120))
         for c in children(node):

@@ -285,6 +285,9 @@ def run_bounded(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
         )
+    elif state_store is not None:
+        # A typo must not silently benchmark the default provider.
+        raise ValueError(f"unknown state_store {state_store!r}; use None or 'rocksdb'")
     try:
         q = (
             df.writeStream.outputMode(output_mode)

@@ -461,3 +461,36 @@ def test_semantic_dedup_adaptive_refinement(spark):
     # ...and quadratic pair work drops with the refinement.
     pairs = lambda c: sum(n * (n - 1) // 2 for n in c.values())  # noqa: E731
     assert pairs(cr) < pairs(cb) / 4
+
+
+def test_shingle_index_cache_rebuilds_on_data_change(spark, tmp_path):
+    """The persisted shingle index is keyed on the documents parquet
+    fingerprint: same data -> identical cached contents; rewritten data
+    -> a fresh index (never a stale serve)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from db_migrator_spark.operators.dedup import _shingle_index_cached
+
+    def write_docs(texts):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    write_docs(["alpha beta gamma delta", "alpha beta gamma epsilon"])
+    first = _shingle_index_cached(spark, str(tmp_path)).collect()
+    again = _shingle_index_cached(spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+
+    (tmp_path / "documents.parquet").unlink()
+    write_docs(["one two three four five six"])
+    fresh = _shingle_index_cached(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in fresh} == {0}
+    assert sorted(map(tuple, fresh)) != sorted(map(tuple, first))

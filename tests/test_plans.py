@@ -466,3 +466,20 @@ def test_global_windows_only_above_bounded_frames(spark):
         "rn", F.row_number().over(W.orderBy("doc_id"))
     )
     assert unbounded_global_windows(offender), "guard failed to flag offender"
+
+    # A Limit that does NOT bound the window's input must not excuse it:
+    # corpus x bounded-side cross join is still corpus-sized.
+    docs = load_table(spark, SF, "documents")
+    sneaky = (
+        docs.crossJoin(docs.select(F.col("doc_id").alias("d2")).limit(1))
+        .withColumn("rn", F.row_number().over(W.orderBy("doc_id")))
+    )
+    assert unbounded_global_windows(sneaky), "limit below join excused the window"
+
+    # ...while a join of two genuinely bounded frames stays acceptable.
+    both = (
+        docs.limit(5)
+        .crossJoin(docs.select(F.col("doc_id").alias("d2")).limit(3))
+        .withColumn("rn", F.row_number().over(W.orderBy("doc_id")))
+    )
+    assert unbounded_global_windows(both) == []
