@@ -47,6 +47,7 @@ _MODULES = [
     "db_migrator_spark.operators.corpus2",
     "db_migrator_spark.operators.corpus3",
     "db_migrator_spark.operators.corpus4",
+    "db_migrator_spark.operators.splits",
     "db_migrator_spark.operators.graph",
     "db_migrator_spark.operators.udtf_ops",
     "db_migrator_spark.operators.sketches",

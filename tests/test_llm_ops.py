@@ -494,3 +494,40 @@ def test_shingle_index_cache_rebuilds_on_data_change(spark, tmp_path):
     fresh = _shingle_index_cached(spark, str(tmp_path)).collect()
     assert {r.doc_id for r in fresh} == {0}
     assert sorted(map(tuple, fresh)) != sorted(map(tuple, first))
+
+
+def test_train_split_leakage_safe_and_balanced(spark, tmp_path):
+    """Split assignment is keyed on content: byte-identical duplicates
+    always land in the same split (the eval-leakage guarantee), the draw
+    is reproducible, and fractions track the 80/10/10 prefix thresholds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from db_migrator_spark.operators.splits import corpus_train_split
+
+    texts = [f"document number {i} with some words" for i in range(300)]
+    texts += texts[:100]  # 100 exact duplicates of the first 100
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rows = corpus_train_split(spark, str(tmp_path)).collect()
+    assert len(rows) == 400
+    split_of = {r.doc_id: r.split for r in rows}
+    for i in range(100):  # duplicate pairs co-locate
+        assert split_of[i] == split_of[300 + i], (i, split_of[i], split_of[300 + i])
+    again = {r.doc_id: r.split for r in corpus_train_split(spark, str(tmp_path)).collect()}
+    assert again == split_of  # reproducible
+
+    from collections import Counter
+
+    frac = Counter(r.split for r in rows)
+    assert 0.65 <= frac["train"] / 400 <= 0.92  # 80.1% expected, 400 draws
+    assert frac["val"] > 0 and frac["test"] > 0
