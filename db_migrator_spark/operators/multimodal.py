@@ -232,6 +232,76 @@ def _decode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(recs)
 
 
+# Nearest-neighbor resize target: 16x16 -> 8x8 (stride 2, top-left
+# convention dst[r,c] = src[floor(r*sh), floor(c*sw)]).
+RESIZE_OUT = 8
+
+
+def _resize_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: decode the P6 raster and nearest-neighbor
+    downsample by pure integer strides — the real pixel operation
+    ``multimodal_resize_plan`` only planned. Emits the resized raster's
+    md5 (byte-exact evidence) plus per-channel means of the RESIZED
+    image (integer sums, one double division)."""
+    import hashlib
+
+    import numpy as np
+
+    cols = ("doc_id", "out_w", "out_h", "digest", "mean_r", "mean_g", "mean_b")
+    for pdf in batches:
+        recs: dict[str, list] = {k: [] for k in cols}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                if start == pos:
+                    raise ValueError("truncated PPM header")
+                tokens.append(buf[start:pos])
+            pos += 1
+            if tokens[0] != b"P6":
+                raise ValueError(f"not a P6 PPM: {tokens[0]!r}")
+            w, h = int(tokens[1]), int(tokens[2])
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+            img = px.reshape(h, w, 3)
+            small = img[:: h // RESIZE_OUT, :: w // RESIZE_OUT, :]
+            raster = small.tobytes()
+            sums = small.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            n = RESIZE_OUT * RESIZE_OUT
+            recs["doc_id"].append(int(doc_id))
+            recs["out_w"].append(RESIZE_OUT)
+            recs["out_h"].append(RESIZE_OUT)
+            recs["digest"].append(hashlib.md5(raster).hexdigest())
+            for k, key in enumerate(("mean_r", "mean_g", "mean_b")):
+                recs[key].append(float(sums[k]) / n)
+        yield pd.DataFrame(recs)
+
+
+_RESIZE_SCHEMA = (
+    "doc_id bigint, out_w int, out_h int, digest string, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize, no codec library: P6 PPM
+    payloads decoded and stride-downsampled 16x16 -> 8x8 by numpy inside
+    mapInPandas. The resized raster's md5 and channel means are
+    recomputed by the oracle straight from the tiled text bytes (the
+    selected pixels are printable-ASCII chars, so SQL reassembles the
+    raster string and md5s it) — the full decode -> resample -> digest
+    path is hash-checked byte-for-byte."""
+    return (
+        _ppm_payloads(spark, sf_dir)
+        .mapInPandas(_resize_ppm, schema=_RESIZE_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, no codec library: genuine P6 PPM payloads parsed
     header-and-raster by numpy inside mapInPandas, emitting per-channel
@@ -346,11 +416,43 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_resize_plan": multimodal_resize_plan,
+    "multimodal_resize_real": multimodal_resize_real,
     "multimodal_decode_ppm": multimodal_decode_ppm,
     "multimodal_decode_wav": multimodal_decode_wav,
 }
 
 ORACLES = {
+    "multimodal_resize_real": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(repeat(text,
+                                 CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
+                          1, {_PPM_PIXELS}) AS px
+            FROM {_ASCII_DOCS_SQL}
+            WHERE length(text) > 0),
+        sel AS (
+            -- dst pixel (r, c) channel ch reads source byte
+            -- ((2r)*{PPM_W} + 2c)*3 + ch (0-based raster index)
+            SELECT doc_id,
+                   (r * {RESIZE_OUT} + c) * 3 + ch AS idx,
+                   substr(px, ((2 * r * {PPM_W} + 2 * c) * 3 + ch) + 1, 1) AS s
+            FROM t,
+                 generate_series(0, {RESIZE_OUT - 1}) AS gr(r),
+                 generate_series(0, {RESIZE_OUT - 1}) AS gc(c),
+                 generate_series(0, 2) AS gch(ch))
+        SELECT doc_id,
+               {RESIZE_OUT} AS out_w, {RESIZE_OUT} AS out_h,
+               md5(string_agg(s, '' ORDER BY idx)) AS digest,
+               CAST(SUM(CASE WHEN idx % 3 = 0 THEN ascii(s) END) AS DOUBLE)
+                   / {RESIZE_OUT * RESIZE_OUT} AS mean_r,
+               CAST(SUM(CASE WHEN idx % 3 = 1 THEN ascii(s) END) AS DOUBLE)
+                   / {RESIZE_OUT * RESIZE_OUT} AS mean_g,
+               CAST(SUM(CASE WHEN idx % 3 = 2 THEN ascii(s) END) AS DOUBLE)
+                   / {RESIZE_OUT * RESIZE_OUT} AS mean_b
+        FROM sel
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "multimodal_decode_wav": f"""
         WITH t AS (
             SELECT doc_id,
