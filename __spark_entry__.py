@@ -47,8 +47,10 @@ _MODULES = [
     "db_migrator_spark.operators.corpus2",
     "db_migrator_spark.operators.corpus3",
     "db_migrator_spark.operators.corpus4",
+    "db_migrator_spark.operators.corpus5",
     "db_migrator_spark.operators.splits",
     "db_migrator_spark.operators.graph",
+    "db_migrator_spark.operators.graph2",
     "db_migrator_spark.operators.udtf_ops",
     "db_migrator_spark.operators.sketches",
     "db_migrator_spark.operators.zorder",

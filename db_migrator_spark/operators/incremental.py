@@ -132,10 +132,48 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from an order history: one
+    version row per (customer, priority-run), opened at the first order
+    of the run and closed by the next run's open date (NULL = current).
+
+    The warehouse op a migrator's audience runs right after landing a
+    raw history table. Plan shape: ONE shuffle on the dimension key —
+    both windows (the run-change ``lag`` and the closing ``lead``) sort
+    by the same (o_orderdate, o_orderkey) key inside the same partition,
+    so Catalyst plans a single Exchange + Sort and the second window
+    rides it. Deterministic under same-date ties via the o_orderkey
+    tiebreak. At 100 TB: dimension keys are customers (no hot key), and
+    the change filter between the windows shrinks the second window's
+    input to the version count, not the history count.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderpriority").over(w)
+    changes = (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority", prev.alias("prev_p")
+        )
+        .filter(F.col("prev_p").isNull() | (F.col("prev_p") != F.col("o_orderpriority")))
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        "o_custkey",
+        F.row_number().over(w2).alias("version_n"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("effective_from"),
+        F.lead("o_orderdate").over(w2).alias("effective_to"),
+        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+    ).orderBy("o_custkey", "version_n")
+
+
 QUERIES = {
     "q_merge_upsert": q_merge_upsert,
     "q_change_capture": q_change_capture,
     "q_incremental_agg_refresh": q_incremental_agg_refresh,
+    "q_scd2_dimension": q_scd2_dimension,
 }
 
 _DELTA_SQL = """
@@ -175,6 +213,26 @@ ORACLES = {
         FROM merged
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
+    """,
+    "q_scd2_dimension": """
+        WITH runs AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                   LAG(o_orderpriority) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev_p
+            FROM orders),
+        changes AS (
+            SELECT * FROM runs
+            WHERE prev_p IS NULL OR prev_p <> o_orderpriority)
+        SELECT o_custkey,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS version_n,
+               o_orderpriority AS priority,
+               o_orderdate AS effective_from,
+               LEAD(o_orderdate) OVER w AS effective_to,
+               LEAD(o_orderdate) OVER w IS NULL AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, version_n
     """,
     "q_change_capture": f"""
         WITH {_DELTA_SQL},
