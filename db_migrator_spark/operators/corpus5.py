@@ -59,6 +59,26 @@ SAMPLE_K = 200
 BIN_WIDTH = 500
 BIN_MAX = 3
 
+# Temperature mixing: T = 2 => per-language weight proportional to
+# sqrt(n_docs) (the multilingual temperature-sampling rule of mT5 /
+# XLM-R, arXiv:1901.07291 sec 3.1). All arithmetic is exact integers:
+# sqrt runs as an adjusted integer sqrt (see _isqrt), shares surface in
+# ppm via truncating integral division.
+TEMP_SQRT_SCALE = 1_000_000  # isqrt(n * 1e6) = floor(1e3 * sqrt(n))
+
+# PMI co-occurrence: per-doc candidate words are the PMI_DOC_CAP rarest
+# (by corpus doc-frequency) — bounds pair fan-out at C(cap, 2) per doc
+# regardless of doc width. Stopword kill: words present in more than
+# PMI_DF_MAX_PCT% of documents carry no signal (their lift ~ 1 by
+# construction); the synthetic fixture's vocabulary sits under the
+# threshold, so the guard is exercised structurally, not numerically.
+# Pairs seen in fewer than PMI_MIN_COOC docs are noise.
+PMI_WORD_MIN_LEN = 3
+PMI_DF_MAX_PCT = 90
+PMI_DOC_CAP = 20
+PMI_MIN_COOC = 3
+PMI_TOP_K = 100
+
 
 def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top adjacent character-pair counts across the corpus, words
@@ -136,10 +156,132 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _isqrt(x) -> F.Column:
+    """Exact floor(sqrt(x)) for non-negative bigint x, cross-engine.
+
+    floor(sqrt(double)) alone can be off by one near perfect squares
+    (the double rounding of x, then of sqrt, each contribute < 1 ulp);
+    the two guarded corrections pin it exactly. DuckDB runs the same
+    three-branch CASE, so the surfaces agree bit-for-bit at any
+    magnitude a bigint can hold.
+    """
+    s = F.floor(F.sqrt(F.col(x).cast("double") if isinstance(x, str) else x.cast("double"))).cast("bigint")
+    xv = F.col(x) if isinstance(x, str) else x
+    return (
+        F.when((s + 1) * (s + 1) <= xv, s + 1)
+        .when(s * s > xv, s - 1)
+        .otherwise(s)
+    )
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling plan at temperature T = 2: target share
+    proportional to sqrt(raw share) — low-resource languages upsampled,
+    the head compressed. Output: raw share and target share in exact
+    ppm, plus the integer sqrt weight they derive from.
+
+    Plan: one map-side-combined groupBy(lang) (languages ~ O(100) at
+    any corpus size), then a broadcast one-row total — no second
+    shuffle, nothing collected.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    by_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = by_lang.agg(
+        F.sum("n_docs").alias("total_docs")
+    )
+    weighted = by_lang.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        "total_docs",
+        _isqrt(F.col("n_docs") * TEMP_SQRT_SCALE).alias("temp_weight_milli"),
+    )
+    wtotals = weighted.agg(F.sum("temp_weight_milli").alias("total_weight"))
+    return (
+        weighted.crossJoin(F.broadcast(wtotals))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("n_docs * 1000000 div total_docs").alias("share_ppm"),
+            "temp_weight_milli",
+            F.expr("temp_weight_milli * 1000000 div total_weight").alias(
+                "target_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top within-document word co-occurrences ranked by PMI lift:
+    lift_ppm = (c_xy * n_docs * 1e6) div (df_x * df_y) — the exact
+    integer cross-ratio whose log is PMI, so the ranking is PMI's
+    without either engine taking a log.
+
+    Scale shape: tokenize -> distinct (doc, word) (one shuffle) ->
+    doc-frequency join (word-keyed; the df table is vocabulary-sized)
+    -> per-doc cap to the PMI_DOC_CAP rarest words (bounds the pair
+    explode at C(cap,2) per doc) -> pair count (one shuffle) -> top-K.
+    No stage is quadratic in doc width or corpus size.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    doc_words = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.length("w") >= PMI_WORD_MIN_LEN)
+        .distinct()
+    )
+    df_tab = doc_words.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    mid = (
+        doc_words.join(df_tab, "w")
+        .crossJoin(F.broadcast(n_docs_df))
+        .filter(F.col("df") * 100 <= F.col("n_docs") * PMI_DF_MAX_PCT)
+    )
+    capped = (
+        mid.withColumn(
+            "rk", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "w"))
+        )
+        .filter(F.col("rk") <= PMI_DOC_CAP)
+        .select("doc_id", "w", "df", "n_docs")
+    )
+    a = capped.select("doc_id", F.col("w").alias("w1"), F.col("df").alias("df1"), "n_docs")
+    b = capped.select("doc_id", F.col("w").alias("w2"), F.col("df").alias("df2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2", "df1", "df2", "n_docs")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= PMI_MIN_COOC)
+    )
+    return (
+        pairs.select(
+            "w1",
+            "w2",
+            F.col("cooc").cast("bigint").alias("cooc"),
+            F.col("df1").cast("bigint").alias("df1"),
+            F.col("df2").cast("bigint").alias("df2"),
+            # Decimal operands: at 100 TB cooc * n_docs * 1e6 can pass
+            # 2^63; DECIMAL(38,0) holds ~1e30 and `div` == DuckDB
+            # HUGEINT `//` (the relational.py round-7 contract).
+            F.expr(
+                "CAST(CAST(cooc AS DECIMAL(38,0)) * n_docs * 1000000"
+                " div (CAST(df1 AS DECIMAL(38,0)) * df2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
 QUERIES = {
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "q_weighted_sample": q_weighted_sample,
     "corpus_curriculum_order": corpus_curriculum_order,
+    "corpus_temperature_mix": corpus_temperature_mix,
+    "text_pmi_pairs": text_pmi_pairs,
 }
 
 ORACLES = {
@@ -185,5 +327,68 @@ ORACLES = {
                     AS INTEGER) AS bin_pos
         FROM binned
         ORDER BY bin_pos, bin, doc_id
+    """,
+    # _isqrt's three-branch CASE transliterated; all shares via // on
+    # BIGINT/HUGEINT (truncation toward zero, the div contract).
+    "corpus_temperature_mix": f"""
+        WITH by_lang AS (
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        tot AS (SELECT SUM(n_docs) AS total_docs FROM by_lang),
+        sq AS (
+            SELECT lang, n_docs, total_docs,
+                   CAST(FLOOR(SQRT(CAST(n_docs * {TEMP_SQRT_SCALE} AS DOUBLE)))
+                        AS BIGINT) AS s,
+                   n_docs * {TEMP_SQRT_SCALE} AS x
+            FROM by_lang, tot),
+        adj AS (
+            SELECT lang, n_docs, total_docs,
+                   CASE WHEN (s + 1) * (s + 1) <= x THEN s + 1
+                        WHEN s * s > x THEN s - 1
+                        ELSE s END AS temp_weight_milli
+            FROM sq),
+        wtot AS (SELECT SUM(temp_weight_milli) AS total_weight FROM adj)
+        SELECT lang, n_docs,
+               n_docs * 1000000 // total_docs AS share_ppm,
+               temp_weight_milli,
+               temp_weight_milli * 1000000 // total_weight AS target_ppm
+        FROM adj, wtot
+        ORDER BY lang
+    """,
+    "text_pmi_pairs": f"""
+        WITH doc_words AS (
+            SELECT DISTINCT doc_id, w
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE len(w) >= {PMI_WORD_MIN_LEN}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        df_tab AS (
+            SELECT w, COUNT(*) AS df FROM doc_words GROUP BY w),
+        mid AS (
+            SELECT dw.doc_id, dw.w, df.df, n.n_docs
+            FROM doc_words dw JOIN df_tab df ON df.w = dw.w, n
+            WHERE df.df * 100 <= n.n_docs * 90),
+        capped AS (
+            SELECT * FROM (
+                SELECT doc_id, w, df, n_docs,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY df, w) AS rk
+                FROM mid)
+            WHERE rk <= {PMI_DOC_CAP}),
+        pairs AS (
+            SELECT a.w AS w1, b.w AS w2, a.df AS df1, b.df AS df2,
+                   a.n_docs, COUNT(*) AS cooc
+            FROM capped a JOIN capped b
+              ON a.doc_id = b.doc_id AND a.w < b.w
+            GROUP BY 1, 2, 3, 4, 5
+            HAVING COUNT(*) >= {PMI_MIN_COOC})
+        SELECT w1, w2,
+               CAST(cooc AS BIGINT) AS cooc,
+               CAST(df1 AS BIGINT) AS df1,
+               CAST(df2 AS BIGINT) AS df2,
+               CAST(CAST(cooc AS HUGEINT) * n_docs * 1000000
+                   // (CAST(df1 AS HUGEINT) * df2) AS BIGINT) AS lift_ppm
+        FROM pairs
+        ORDER BY lift_ppm DESC, w1, w2
+        LIMIT {PMI_TOP_K}
     """,
 }

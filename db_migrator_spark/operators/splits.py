@@ -93,9 +93,57 @@ def corpus_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stratified sample: STRAT_N docs per language stratum, drawn by the
+# same salted-hash lottery as the split (reproducible, data-only). The
+# two-stage plan bounds per-task state: stage 1 takes the top N inside
+# each (stratum, shard) slice — 64-way parallel within a stratum — so no
+# single task ever ranks a whole stratum; stage 2 ranks the <= 64*N
+# survivors. Exactly the distributed top-N-per-group pattern, and
+# byte-reproducible in SQL because both stages order by (hash, doc_id).
+STRAT_N = 40
+STRAT_SHARDS = 64
+STRAT_SALT = "strat-v1"
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: STRAT_N documents per language,
+    ranked by md5(salt || doc_id) within the stratum.
+
+    At 100 TB a stratum holds billions of rows; the shard pre-pass keeps
+    the real ranking work on at most STRAT_SHARDS * STRAT_N rows per
+    stratum while staying bit-identical to the one-stage rank (stage 1
+    keeps a superset of every stratum's true top N: each shard's local
+    top N contains all its global winners).
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(
+            F.concat(F.lit(STRAT_SALT), F.col("doc_id").cast("string")).cast("binary")
+        ).alias("draw"),
+        F.pmod(F.col("doc_id"), F.lit(STRAT_SHARDS)).alias("shard"),
+    )
+    w1 = W.partitionBy("lang", "shard").orderBy("draw", "doc_id")
+    stage1 = keyed.withColumn("rk1", F.row_number().over(w1)).filter(
+        F.col("rk1") <= STRAT_N
+    )
+    w2 = W.partitionBy("lang").orderBy("draw", "doc_id")
+    return (
+        stage1.withColumn("strat_rk", F.row_number().over(w2))
+        .filter(F.col("strat_rk") <= STRAT_N)
+        .select("doc_id", "lang", "n_chars", "strat_rk")
+        .orderBy("lang", "strat_rk")
+    )
+
+
 QUERIES = {
     "corpus_train_split": corpus_train_split,
     "corpus_split_summary": corpus_split_summary,
+    "corpus_stratified_sample": corpus_stratified_sample,
 }
 
 _SPLIT_SQL = f"""
@@ -120,5 +168,24 @@ ORACLES = {
         FROM documents
         GROUP BY 1, 2
         ORDER BY split, lang
+    """,
+    # One-stage twin: the shard pre-pass is plan shape, not semantics —
+    # the two-stage rank returns exactly the per-stratum top N by
+    # (draw, doc_id).
+    "corpus_stratified_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   md5('{STRAT_SALT}' || CAST(doc_id AS VARCHAR)) AS draw
+            FROM documents),
+        ranked AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY draw, doc_id) AS INTEGER)
+                       AS strat_rk
+            FROM keyed)
+        SELECT doc_id, lang, n_chars, strat_rk
+        FROM ranked
+        WHERE strat_rk <= {STRAT_N}
+        ORDER BY lang, strat_rk
     """,
 }

@@ -154,3 +154,73 @@ def test_scd2_versions_reconstruct_history(spark):
         for a, b in zip(vs, vs[1:]):
             assert a.effective_to == b.effective_from
             assert a.priority != b.priority
+
+
+def test_temperature_mix_compresses_head(spark):
+    """T=2 must move share toward uniform: the largest language's
+    target share strictly below its raw share, the smallest strictly
+    above, and targets ordered the same as raw counts."""
+    from db_migrator_spark.operators.corpus5 import corpus_temperature_mix
+
+    rows = corpus_temperature_mix(spark, SF01).collect()
+    assert len(rows) > 1
+    big = max(rows, key=lambda r: r.n_docs)
+    small = min(rows, key=lambda r: r.n_docs)
+    assert big.target_ppm < big.share_ppm
+    assert small.target_ppm > small.share_ppm
+    by_n = sorted(rows, key=lambda r: r.n_docs)
+    assert [r.lang for r in by_n] == [
+        r.lang for r in sorted(rows, key=lambda r: r.target_ppm)
+    ]
+
+
+def test_isqrt_exact_on_edge_values(spark):
+    """_isqrt must equal math.isqrt on perfect squares, off-by-one
+    neighbors, and values whose double image rounds badly (> 2^53)."""
+    import math
+
+    from db_migrator_spark.operators.corpus5 import _isqrt
+
+    vals = [0, 1, 2, 3, 4, 8, 9, 10, 999999999999, 10**15, 10**15 + 1,
+            (2**26 + 1) ** 2, (2**26 + 1) ** 2 - 1, 2**60, 9 * 10**17]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r.x: r.s for r in df.select("x", _isqrt(F.col("x")).alias("s")).collect()}
+    for v in vals:
+        assert got[v] == math.isqrt(v), v
+
+
+def test_pmi_pairs_lift_is_exact_ratio(spark):
+    """lift_ppm must equal the integer cross-ratio recomputed from the
+    row's own cooc/df columns and the corpus size."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.corpus5 import text_pmi_pairs
+
+    n_docs = load_table(spark, SF01, "documents").count()
+    rows = text_pmi_pairs(spark, SF01).collect()
+    assert rows, "PMI should produce pairs at sf0.01"
+    for r in rows:
+        assert r.lift_ppm == (r.cooc * n_docs * 1_000_000) // (r.df1 * r.df2)
+        assert r.w1 < r.w2
+
+
+def test_stratified_sample_exact_n_per_stratum(spark):
+    """Every language contributes exactly min(STRAT_N, stratum size)
+    docs, and the two-stage plan equals the one-stage rank."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.splits import (
+        STRAT_N,
+        corpus_stratified_sample,
+    )
+
+    rows = corpus_stratified_sample(spark, SF01).collect()
+    sizes = {
+        r.lang: r.n
+        for r in load_table(spark, SF01, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {}
+    for r in rows:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    assert got == {lang: min(STRAT_N, n) for lang, n in sizes.items()}
