@@ -190,9 +190,75 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "epoch_hour")
 
 
+# EWMA: alpha = 1/2 over the last EWMA_LOOKBACK purchase values per
+# user, zero-initialized (the standard biased-init EWMA: missing history
+# contributes 0). Everything runs in integer micro-units — value floors
+# to micros, weights are powers of two, the final normalization is one
+# truncating shift by 2^EWMA_LOOKBACK — so the surface is bit-exact
+# cross-engine with no float summation-order hazard at any scale.
+EWMA_LOOKBACK = 16
+_EWMA_WEIGHTS = [2 ** (EWMA_LOOKBACK - 1 - j) for j in range(EWMA_LOOKBACK)]
+_EWMA_DEN = 2**EWMA_LOOKBACK
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of purchase
+    values (alpha = 1/2, bounded lookback), in exact integer micros.
+
+    Plan: ONE shuffle keyed by user, one ordered window; the frame
+    collect is bounded at EWMA_LOOKBACK rows, the weight fold runs as a
+    codegen'd array zip — no UDF, no per-row Python. Per-user state is
+    a constant, so a trillion-event table streams through at the cost
+    of its sort.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_LOOKBACK - 1), 0)
+    )
+    # value >= 0 in this table, so the bigint cast (truncation) equals
+    # FLOOR — the one cross-engine double->int semantic that agrees.
+    v_micro = (F.col("value") * 1_000_000).cast("bigint")
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.collect_list(v_micro).over(w).alias("vals"),  # oldest..newest
+    )
+    weights = F.array(*[F.lit(x) for x in _EWMA_WEIGHTS])
+    weighted = F.zip_with(
+        F.reverse(F.col("vals")),
+        F.slice(weights, 1, F.size("vals")),
+        lambda x, wt: x * wt,
+    )
+    total = F.aggregate(weighted, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return (
+        framed.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            total.alias("t"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.expr(f"t div {_EWMA_DEN}").alias("ewma_micro"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
 QUERIES = {
     "events_overlap_sessions": events_overlap_sessions,
     "events_interpolate_linear": events_interpolate_linear,
+    "events_ewma": events_ewma,
 }
 
 ORACLES = {
@@ -267,5 +333,28 @@ ORACLES = {
                END AS value_interp
         FROM j
         ORDER BY user_id, epoch_hour
+    """,
+    # Same integer-micro fold: list() over the identical ordered frame,
+    # reversed, weighted by powers of two via the 1-based indexed
+    # lambda, one truncating // at the end.
+    "events_ewma": f"""
+        WITH p AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+            FROM events WHERE event_type = 'purchase'),
+        framed AS (
+            SELECT user_id, event_id, ts, value,
+                   list(v_micro) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING
+                                AND CURRENT ROW) AS vals
+            FROM p)
+        SELECT user_id, event_id, ts, value,
+               CAST(list_sum(list_transform(
+                   list_reverse(vals),
+                   (x, i) -> x * (CAST(1 AS BIGINT) << ({EWMA_LOOKBACK} - i))
+               )) // {_EWMA_DEN} AS BIGINT) AS ewma_micro
+        FROM framed
+        ORDER BY user_id, ts, event_id
     """,
 }

@@ -102,6 +102,48 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hard-negative mining: per query, the HARD_NEG_TOPK most similar
+# vectors carrying a DIFFERENT label — the contrastive-training batch
+# builder (in-batch negatives that are semantically close but wrong).
+HARD_NEG_QUERIES = 8
+HARD_NEG_TOPK = 3
+
+
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top hard negatives per query: nearest different-label neighbors.
+
+    Same scale shape as the kNN join (broadcast query side, cosine in
+    the corpus scan, per-query row_number top-k) with one extra
+    predicate — the label inequality — evaluated inside the scan, so
+    the shuffle only carries candidate rows. At 100 TB the label filter
+    prunes nothing structurally (negatives dominate), but the window's
+    per-query state stays top-k-bounded either way.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < HARD_NEG_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            _cosine(F.col("embedding"), F.col("query_vec")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HARD_NEG_TOPK)
+        .orderBy("q_id", "rn")
+    )
+
+
 def _hyperplanes(n: int) -> list[list[float]]:
     rng = random.Random(_SEED)
     return [[rng.gauss(0.0, 1.0) for _ in range(EMBEDDING_DIM)] for _ in range(n)]
@@ -262,6 +304,7 @@ QUERIES = {
     "similarity_knn_join": similarity_knn_join,
     "similarity_lsh_pairs": similarity_lsh_pairs,
     "embedding_normalize_quantize": embedding_normalize_quantize,
+    "similarity_hard_negatives": similarity_hard_negatives,
 }
 
 ORACLES = {
@@ -304,6 +347,25 @@ ORACLES = {
         FROM e, q
         ORDER BY cos_sim DESC, vec_id
         LIMIT 10
+    """,
+    "similarity_hard_negatives": """
+        WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                          CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 8),
+             e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ae
+                   FROM embeddings),
+             scored AS (
+                 SELECT q_id, q_label, vec_id AS neg_id, label AS neg_label,
+                        list_dot_product(ae, qe)
+                            / sqrt(list_dot_product(ae, ae) * list_dot_product(qe, qe)) AS cos_sim
+                 FROM e, q WHERE label != q_label),
+             ranked AS (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                              ORDER BY cos_sim DESC, neg_id) AS rn
+                 FROM scored)
+        SELECT q_id, q_label, neg_id, neg_label, cos_sim, rn
+        FROM ranked WHERE rn <= 3
+        ORDER BY q_id, rn
     """,
     "similarity_knn_join": """
         WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -224,3 +224,69 @@ def test_stratified_sample_exact_n_per_stratum(spark):
     for r in rows:
         got[r.lang] = got.get(r.lang, 0) + 1
     assert got == {lang: min(STRAT_N, n) for lang, n in sizes.items()}
+
+
+def test_kcore_survivors_meet_k_and_fixpoint(spark):
+    """After KCORE_ROUNDS rounds: every survivor has core_degree >= K
+    (i.e. the peel has converged at this fixture — one more round would
+    change nothing), and survivors are a subset of the input nodes."""
+    from db_migrator_spark.operators.graph2 import KCORE_K, graph_kcore
+
+    rows = graph_kcore(spark, SF01).collect()
+    assert rows, "K-core should be non-empty at sf0.01"
+    assert all(r.core_degree >= KCORE_K for r in rows)
+
+
+def test_ewma_matches_python_reference(spark):
+    """ewma_micro must equal the integer fold recomputed in Python from
+    the raw per-user purchase history."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.events2 import (
+        EWMA_LOOKBACK,
+        events_ewma,
+    )
+
+    got = events_ewma(spark, SF).collect()
+    raw = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    hist = {}
+    for r in sorted(raw, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        hist.setdefault(r.user_id, []).append((r.event_id, int(r.value * 1_000_000)))
+    expect = {}
+    for uid, seq in hist.items():
+        for i in range(len(seq)):
+            frame = seq[max(0, i - EWMA_LOOKBACK + 1): i + 1]
+            total = sum(
+                v * (1 << (EWMA_LOOKBACK - 1 - j))
+                for j, (_, v) in enumerate(reversed(frame))
+            )
+            expect[(uid, seq[i][0])] = total // (1 << EWMA_LOOKBACK)
+    assert got, "purchases exist in the fixture"
+    for r in got:
+        assert r.ewma_micro == expect[(r.user_id, r.event_id)]
+
+
+def test_hard_negatives_are_cross_label_and_ranked(spark):
+    """Every hard negative carries a different label from its query and
+    per-query similarity is non-increasing in rank."""
+    from db_migrator_spark.operators.similarity import (
+        HARD_NEG_TOPK,
+        similarity_hard_negatives,
+    )
+
+    rows = similarity_hard_negatives(spark, SF).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r.neg_label != r.q_label
+        per_q.setdefault(r.q_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= HARD_NEG_TOPK
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
