@@ -255,10 +255,58 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Last-touch attribution: a purchase is attributed to the user's most
+# recent click no older than ATTR_WINDOW_US. Pure running-max window —
+# no self-join, no interval join: the classic marketing-attribution op
+# expressed as one ordered pass per user.
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: the most recent preceding click by the same user,
+    whether it falls inside the attribution window, and the exact
+    click-to-purchase latency in microseconds.
+
+    Plan: ONE shuffle keyed by user + one ordered window (running max
+    of click timestamps over the unbounded-preceding frame), then a
+    purchase filter — per-user state is a single timestamp, so the op
+    streams at sort cost at any scale. Timestamps compare in integer
+    microseconds; no float surface anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    flagged = ev.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        last_click.alias("last_click_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    latency = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("last_click_ts").cast("timestamp")
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "last_click_ts",
+        latency.alias("latency_us"),
+        F.when(
+            F.col("last_click_ts").isNull(), F.lit(False)
+        ).otherwise(latency <= ATTR_WINDOW_US).alias("attributed"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
 QUERIES = {
     "events_overlap_sessions": events_overlap_sessions,
     "events_interpolate_linear": events_interpolate_linear,
     "events_ewma": events_ewma,
+    "events_attribution": events_attribution,
 }
 
 ORACLES = {
@@ -355,6 +403,27 @@ ORACLES = {
                    (x, i) -> x * (CAST(1 AS BIGINT) << ({EWMA_LOOKBACK} - i))
                )) // {_EWMA_DEN} AS BIGINT) AS ewma_micro
         FROM framed
+        ORDER BY user_id, ts, event_id
+    """,
+    "events_attribution": f"""
+        WITH e AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type, value
+            FROM events),
+        flagged AS (
+            SELECT event_id, user_id, ts, event_type, value,
+                   MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_click_ts
+            FROM e)
+        SELECT event_id, user_id, ts, value, last_click_ts,
+               epoch_us(ts) - epoch_us(last_click_ts) AS latency_us,
+               CASE WHEN last_click_ts IS NULL THEN FALSE
+                    ELSE epoch_us(ts) - epoch_us(last_click_ts)
+                         <= {ATTR_WINDOW_US} END AS attributed
+        FROM flagged
+        WHERE event_type = 'purchase'
         ORDER BY user_id, ts, event_id
     """,
 }

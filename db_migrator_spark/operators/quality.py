@@ -176,11 +176,173 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Expectation suite (the Deequ/Great-Expectations shape): each check is
+# a named predicate whose violation count the job asserts on before
+# publishing a table. All but the FK check fold into ONE scan of
+# lineitem (conditional aggregates); the FK check is one anti-join.
+EXPECT_ACCEPTED_FLAGS = ("A", "N", "R")
+
+# Drift profile: canonical string per column so one output schema covers
+# heterogeneous types — bigints and decimals stringify identically in
+# both engines; doubles go through floor-micros first (never raw
+# double->string, whose formatting is engine-specific).
+DRIFT_PIVOT = "1998-07-01"
+_DRIFT_COLS = [
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_custkey", "CAST(o_custkey AS STRING)"),
+    ("o_totalprice_micros", "CAST(CAST(o_totalprice * 1000000 AS BIGINT) AS STRING)"),
+]
+
+
+def q_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over lineitem: null checks, key
+    uniqueness, value ranges, accepted values, and orders referential
+    integrity — one row per check with its violation count.
+
+    Scale shape: five checks share ONE map-side-combined scan (count_if
+    style conditional sums + one count_distinct); the FK check is a
+    single anti-join keyed on l_orderkey. Output is check-count-sized.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    flags = ", ".join(f"'{v}'" for v in EXPECT_ACCEPTED_FLAGS)
+    scan = li.agg(
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("not_null_l_orderkey"),
+        # (orderkey, linenumber) is NOT unique in this fixture (the
+        # generator draws line numbers independently); the real line
+        # identity is (orderkey, partkey, suppkey).
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(
+                F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey")
+            )
+        )
+        .cast("bigint")
+        .alias("unique_line_identity"),
+        F.sum(
+            F.when(~F.col("l_discount").between(0.0, 0.1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("range_l_discount"),
+        F.sum(
+            F.when(~F.col("l_quantity").between(1.0, 50.0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("range_l_quantity"),
+        F.sum(
+            F.when(~F.expr(f"l_returnflag IN ({flags})"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("accepted_values_l_returnflag"),
+    )
+    per_check = scan.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("check_name"),
+                        F.col(c).alias("n_violations"),
+                    )
+                    for c in [
+                        "not_null_l_orderkey",
+                        "unique_line_identity",
+                        "range_l_discount",
+                        "range_l_quantity",
+                        "accepted_values_l_returnflag",
+                    ]
+                ]
+            )
+        ).alias("s")
+    ).select("s.check_name", "s.n_violations")
+    fk = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.lit("fk_lineitem_orders").alias("check_name"), "n_violations"
+        )
+    )
+    return (
+        per_check.unionByName(fk)
+        .withColumn("passed", F.col("n_violations") == 0)
+        .orderBy("check_name")
+    )
+
+
+def q_column_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics drift between two halves of order history
+    (before/after DRIFT_PIVOT): per column, null counts, distinct
+    counts, min/max of the canonical string form, plus the distinct
+    delta in ppm — the snapshot diff a pipeline runs before promoting
+    a new load.
+
+    Scale shape: unpivot to (column, half, value) — a width-constant
+    explode, not a shuffle — then one groupBy over column x half
+    (count_distinct is the only distinct agg and it is per-group), and
+    a final column-count-sized pivot. Nothing driver-side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    half = F.when(
+        F.col("o_orderdate") < F.lit(DRIFT_PIVOT).cast("timestamp"), "old"
+    ).otherwise("new")
+    cells = orders.select(
+        half.alias("half"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("column_name"),
+                        F.expr(expr).alias("val"),
+                    )
+                    for name, expr in _DRIFT_COLS
+                ]
+            )
+        ).alias("s"),
+    ).select("half", "s.column_name", "s.val")
+    prof = cells.groupBy("column_name", "half").agg(
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+    def _side(side: str, col: str):
+        return F.max(F.when(F.col("half") == side, F.col(col)))
+
+    wide = prof.groupBy("column_name").agg(
+        _side("old", "n_nulls").alias("old_nulls"),
+        _side("new", "n_nulls").alias("new_nulls"),
+        _side("old", "n_distinct").alias("old_distinct"),
+        _side("new", "n_distinct").alias("new_distinct"),
+        _side("old", "min_val").alias("old_min"),
+        _side("new", "min_val").alias("new_min"),
+        _side("old", "max_val").alias("old_max"),
+        _side("new", "max_val").alias("new_max"),
+    )
+    return wide.select(
+        "*",
+        F.expr(
+            "(new_distinct - old_distinct) * 1000000 div old_distinct"
+        ).alias("distinct_delta_ppm"),
+        (
+            (F.col("old_min") != F.col("new_min"))
+            | (F.col("old_max") != F.col("new_max"))
+        ).alias("minmax_changed"),
+    ).orderBy("column_name")
+
+
 QUERIES = {
     "q_skew_report": q_skew_report,
     "events_anomaly_zscore": events_anomaly_zscore,
     "q_exact_median": q_exact_median,
     "q_fuzzy_part_match": q_fuzzy_part_match,
+    "q_expectation_checks": q_expectation_checks,
+    "q_column_profile_drift": q_column_profile_drift,
 }
 
 _SKEW_ONE = """
@@ -240,5 +402,83 @@ ORACLES = {
              c AS (SELECT COUNT(*) AS n FROM orders)
         SELECT (SELECT v FROM s, c WHERE rn = (n + 1) // 2) AS median_price,
                (SELECT n FROM c) AS n_rows
+    """,
+    "q_expectation_checks": f"""
+        WITH scan AS (
+            SELECT
+                CAST(COUNT(*) FILTER (l_orderkey IS NULL) AS BIGINT)
+                    AS not_null_l_orderkey,
+                CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_partkey, l_suppkey))
+                    AS BIGINT) AS unique_line_identity,
+                CAST(COUNT(*) FILTER (l_discount NOT BETWEEN 0.0 AND 0.1)
+                    AS BIGINT) AS range_l_discount,
+                CAST(COUNT(*) FILTER (l_quantity NOT BETWEEN 1.0 AND 50.0)
+                    AS BIGINT) AS range_l_quantity,
+                CAST(COUNT(*) FILTER (l_returnflag NOT IN ('A','N','R'))
+                    AS BIGINT) AS accepted_values_l_returnflag
+            FROM lineitem),
+        fk AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey IS NULL),
+        checks AS (
+            SELECT 'not_null_l_orderkey' AS check_name,
+                   not_null_l_orderkey AS n_violations FROM scan
+            UNION ALL
+            SELECT 'unique_line_identity', unique_line_identity FROM scan
+            UNION ALL
+            SELECT 'range_l_discount', range_l_discount FROM scan
+            UNION ALL
+            SELECT 'range_l_quantity', range_l_quantity FROM scan
+            UNION ALL
+            SELECT 'accepted_values_l_returnflag',
+                   accepted_values_l_returnflag FROM scan
+            UNION ALL
+            SELECT 'fk_lineitem_orders', n FROM fk)
+        SELECT check_name, n_violations, n_violations = 0 AS passed
+        FROM checks
+        ORDER BY check_name
+    """,
+    "q_column_profile_drift": f"""
+        WITH cells AS (
+            SELECT CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_PIVOT}'
+                        THEN 'old' ELSE 'new' END AS half,
+                   s.column_name, s.val
+            FROM orders,
+                 UNNEST([
+                     {{'column_name': 'o_orderstatus',
+                       'val': o_orderstatus}},
+                     {{'column_name': 'o_orderpriority',
+                       'val': o_orderpriority}},
+                     {{'column_name': 'o_custkey',
+                       'val': CAST(o_custkey AS VARCHAR)}},
+                     {{'column_name': 'o_totalprice_micros',
+                       'val': CAST(CAST(FLOOR(o_totalprice * 1000000)
+                                        AS BIGINT) AS VARCHAR)}}
+                 ]) AS t(s)),
+        prof AS (
+            SELECT column_name, half,
+                   CAST(COUNT(*) FILTER (val IS NULL) AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT val) AS n_distinct,
+                   MIN(val) AS min_val,
+                   MAX(val) AS max_val
+            FROM cells GROUP BY 1, 2),
+        wide AS (
+            SELECT column_name,
+                   MAX(n_nulls) FILTER (half = 'old') AS old_nulls,
+                   MAX(n_nulls) FILTER (half = 'new') AS new_nulls,
+                   MAX(n_distinct) FILTER (half = 'old') AS old_distinct,
+                   MAX(n_distinct) FILTER (half = 'new') AS new_distinct,
+                   MAX(min_val) FILTER (half = 'old') AS old_min,
+                   MAX(min_val) FILTER (half = 'new') AS new_min,
+                   MAX(max_val) FILTER (half = 'old') AS old_max,
+                   MAX(max_val) FILTER (half = 'new') AS new_max
+            FROM prof GROUP BY column_name)
+        SELECT *,
+               (new_distinct - old_distinct) * 1000000 // old_distinct
+                   AS distinct_delta_ppm,
+               old_min != new_min OR old_max != new_max AS minmax_changed
+        FROM wide
+        ORDER BY column_name
     """,
 }
