@@ -276,12 +276,62 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bigram coverage: per-document hit rate against the corpus-wide top-M
+# bigram table — a cheap LM-free "how typical is this text" score (high
+# coverage = boilerplate-ish, near-zero = noise/contamination). M bounds
+# the reference table at a broadcastable constant.
+BIGRAM_TOP_M = 500
+
+
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc adjacent-word-pair coverage against the corpus top-M
+    bigram list, in exact ppm.
+
+    Plan: one corpus shuffle to count bigrams, TakeOrdered top-M (a
+    constant), broadcast the M-row set back, one semi-join-shaped
+    conditional count per doc. The per-doc bigram explode is linear in
+    tokens; nothing quadratic, nothing collected.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).filter(F.size("ws") >= 2)  # sequence(1, 0) would DESCEND, not empty
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "bg")
+        .limit(BIGRAM_TOP_M)
+        .select("bg", F.lit(1).alias("hit"))
+    )
+    scored = (
+        bigrams.join(F.broadcast(top), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_hits",
+        F.expr("n_hits * 1000000 div n_bigrams").alias("coverage_ppm"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "q_weighted_sample": q_weighted_sample,
     "corpus_curriculum_order": corpus_curriculum_order,
     "corpus_temperature_mix": corpus_temperature_mix,
     "text_pmi_pairs": text_pmi_pairs,
+    "text_bigram_coverage": text_bigram_coverage,
 }
 
 ORACLES = {
@@ -390,5 +440,31 @@ ORACLES = {
         FROM pairs
         ORDER BY lift_ppm DESC, w1, w2
         LIMIT {PMI_TOP_K}
+    """,
+    "text_bigram_coverage": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        bigrams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       ws[1:len(ws) - 1],
+                       (x, i) -> x || ' ' || ws[i + 1])) AS bg
+            FROM toks
+            WHERE len(ws) >= 2),
+        top AS (
+            SELECT bg FROM bigrams
+            GROUP BY bg
+            ORDER BY COUNT(*) DESC, bg
+            LIMIT {BIGRAM_TOP_M}),
+        scored AS (
+            SELECT b.doc_id,
+                   COUNT(*) AS n_bigrams,
+                   CAST(COUNT(t.bg) AS BIGINT) AS n_hits
+            FROM bigrams b LEFT JOIN top t ON t.bg = b.bg
+            GROUP BY b.doc_id)
+        SELECT doc_id, n_bigrams, n_hits,
+               n_hits * 1000000 // n_bigrams AS coverage_ppm
+        FROM scored
+        ORDER BY doc_id
     """,
 }

@@ -302,11 +302,53 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "ts", "event_id")
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: count and exact ppm probability of each (prev -> next)
+    transition, plus per-state totals.
+
+    The behavioral-model fit a sequence pipeline runs before building
+    synthetic sessions. Plan: one shuffle keyed by user for the lag
+    window, one map-side-combined groupBy over the (state x state)
+    matrix (constant-sized output), one broadcast of per-state totals.
+    Probabilities are exact integer ppm — no float division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n_trans").cast("bigint").alias("n_from")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n_trans").cast("bigint").alias("n_trans"),
+            "n_from",
+            F.expr("n_trans * 1000000 div n_from").alias("prob_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 QUERIES = {
     "events_overlap_sessions": events_overlap_sessions,
     "events_interpolate_linear": events_interpolate_linear,
     "events_ewma": events_ewma,
     "events_attribution": events_attribution,
+    "events_markov_transitions": events_markov_transitions,
 }
 
 ORACLES = {
@@ -425,5 +467,30 @@ ORACLES = {
         FROM flagged
         WHERE event_type = 'purchase'
         ORDER BY user_id, ts, event_id
+    """,
+    "events_markov_transitions": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   event_type
+            FROM events),
+        seq AS (
+            SELECT LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type,
+                   event_type AS next_type
+            FROM e),
+        pairs AS (
+            SELECT prev_type, next_type, COUNT(*) AS n_trans
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2),
+        totals AS (
+            SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+            FROM pairs GROUP BY prev_type)
+        SELECT p.prev_type, p.next_type,
+               CAST(p.n_trans AS BIGINT) AS n_trans,
+               t.n_from,
+               p.n_trans * 1000000 // t.n_from AS prob_ppm
+        FROM pairs p JOIN totals t ON t.prev_type = p.prev_type
+        ORDER BY p.prev_type, p.next_type
     """,
 }

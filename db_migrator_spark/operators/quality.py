@@ -336,6 +336,53 @@ def q_column_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column_name")
 
 
+# Exact per-group quartiles: type-1 (lower) quantiles — pure SELECTION,
+# no interpolation arithmetic, so the surfaced values are input values
+# and cannot drift cross-engine. k_q = max(1, ceil(q * n)).
+PCTL_QS = (25, 50, 75)
+
+
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of o_totalprice per order priority.
+
+    One shuffle keyed by the group + an ordered row_number window; the
+    quantile picks are row-local rank comparisons. Groups are the
+    parallelism unit — at 100 TB each priority's sort is a keyed
+    shuffle, and a single giant group falls back to the exact-median
+    bin-selection recursion (q_exact_median above); the window form is
+    the right default while groups fit a task's sort buffer.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    picks = [
+        # ceil(q*n/100) in pure integers: (n*q + 99) div 100 — no float
+        # rank arithmetic anywhere.
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.greatest(F.lit(1).cast("bigint"), F.expr(f"(n * {q} + 99) div 100")),
+                F.col("o_totalprice"),
+            )
+        ).alias(f"p{q}")
+        for q in PCTL_QS
+    ]
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(F.max("n").cast("bigint").alias("n"), *picks)
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "q_skew_report": q_skew_report,
     "events_anomaly_zscore": events_anomaly_zscore,
@@ -343,6 +390,7 @@ QUERIES = {
     "q_fuzzy_part_match": q_fuzzy_part_match,
     "q_expectation_checks": q_expectation_checks,
     "q_column_profile_drift": q_column_profile_drift,
+    "q_exact_percentiles": q_exact_percentiles,
 }
 
 _SKEW_ONE = """
@@ -480,5 +528,24 @@ ORACLES = {
                old_min != new_min OR old_max != new_max AS minmax_changed
         FROM wide
         ORDER BY column_name
+    """,
+    "q_exact_percentiles": f"""
+        WITH ranked AS (
+            SELECT o_orderpriority, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS rk,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders)
+        SELECT o_orderpriority,
+               CAST(MAX(n) AS BIGINT) AS n,
+               {", ".join(
+                   f"MAX(CASE WHEN rk = GREATEST(1, (n * {q} + 99) // 100)"
+                   f" THEN o_totalprice END) AS p{q}"
+                   for q in PCTL_QS
+               )}
+        FROM ranked
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
 }

@@ -369,3 +369,58 @@ def test_attribution_window_and_ordering(spark):
         else:
             assert r.last_click_ts <= r.ts
             assert r.attributed == (r.latency_us <= ATTR_WINDOW_US)
+
+
+def test_exact_percentiles_match_python(spark):
+    """p25/p50/p75 must equal the type-1 quantile picked from the fully
+    sorted per-group value list in Python."""
+    import math
+
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.quality import q_exact_percentiles
+
+    rows = q_exact_percentiles(spark, SF01).collect()
+    raw = load_table(spark, SF01, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).collect()
+    groups = {}
+    for r in raw:
+        groups.setdefault(r.o_orderpriority, []).append((r.o_totalprice, r.o_orderkey))
+    assert len(rows) == len(groups)
+    for r in rows:
+        vals = [v for v, _ in sorted(groups[r.o_orderpriority])]
+        assert r.n == len(vals)
+        for q in (25, 50, 75):
+            k = max(1, math.ceil(len(vals) * q / 100))
+            assert getattr(r, f"p{q}") == vals[k - 1], (r.o_orderpriority, q)
+
+
+def test_bigram_coverage_bounds_and_exactness(spark):
+    """Coverage is a valid ppm ratio of the row's own counters, hits
+    never exceed bigrams, and every multi-token doc is present."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.corpus5 import text_bigram_coverage
+
+    rows = text_bigram_coverage(spark, SF01).collect()
+    n_docs = load_table(spark, SF01, "documents").count()
+    assert len(rows) == n_docs  # fixture docs all have >= 2 tokens
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_bigrams
+        assert r.coverage_ppm == r.n_hits * 1_000_000 // r.n_bigrams
+
+
+def test_markov_rows_are_distributions(spark):
+    """Per-state transition counts must sum to the state total, and
+    probabilities to ~1e6 ppm (truncation loses < n_states ppm)."""
+    from db_migrator_spark.operators.events2 import events_markov_transitions
+
+    rows = events_markov_transitions(spark, SF01).collect()
+    assert rows
+    states = {}
+    for r in rows:
+        states.setdefault(r.prev_type, []).append(r)
+    for st, rs in states.items():
+        total = rs[0].n_from
+        assert sum(r.n_trans for r in rs) == total
+        ppm = sum(r.prob_ppm for r in rs)
+        assert 1_000_000 - len(rs) <= ppm <= 1_000_000
