@@ -383,6 +383,119 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ABC (Pareto) classification thresholds on cumulative revenue share.
+ABC_A_PPM = 800_000
+ABC_B_PPM = 950_000
+
+# Benford first-digit expectation, exact ppm: round(1e6 * log10(1+1/d)).
+# The nine constants sum to exactly 1,000,000.
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+               6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation ABC analysis of customer revenue: customers ranked by
+    exact revenue micros, cumulative share in ppm, class A/B/C at the
+    80/95% cut — the inventory-management Pareto report.
+
+    Revenue accumulates as bigint micros (floor(price * 1e6)): the
+    cumulative window sum is integer arithmetic, so no float summation
+    order exists to drift. Windows partition by nation — the keyed
+    shuffle is the parallelism unit; a single-nation corpus would use
+    the two-phase (partial sums + offsets) cumsum instead, the
+    ``corpus.sequence packing`` idiom.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    rev = (
+        orders.select(
+            "o_custkey",
+            (F.col("o_totalprice") * 1_000_000).cast("bigint").alias("rev_micros"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_micros").alias("rev_micros"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_nationkey", "o_custkey", "rev_micros")
+    )
+    wcum = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.desc("rev_micros"), "o_custkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wtot = W.partitionBy("c_nationkey")
+    ranked = rev.select(
+        "c_nationkey",
+        "o_custkey",
+        "rev_micros",
+        F.sum("rev_micros").over(wcum).alias("cum_micros"),
+        F.sum("rev_micros").over(wtot).alias("tot_micros"),
+        F.row_number()
+        .over(
+            W.partitionBy("c_nationkey").orderBy(
+                F.desc("rev_micros"), "o_custkey"
+            )
+        )
+        .alias("rk"),
+    )
+    # cum_micros * 1e6 passes 2^63 at fixture scale already — the
+    # decimal(38,0) `div` contract (relational.py) carries it exactly.
+    share = F.expr(
+        "CAST(CAST(cum_micros AS DECIMAL(38,0)) * 1000000 div tot_micros"
+        " AS BIGINT)"
+    )
+    return ranked.select(
+        "c_nationkey",
+        "o_custkey",
+        "rk",
+        "rev_micros",
+        share.alias("cum_share_ppm"),
+        F.when(share <= ABC_A_PPM, "A")
+        .when(share <= ABC_B_PPM, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    ).orderBy("c_nationkey", "rk")
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals vs Benford's law, in
+    exact ppm — the classic financial-audit conformance check.
+
+    The first digit comes from the STRING form of the exact bigint
+    micros (multiplying by 1e6 preserves the leading digit), never from
+    float log10 — powers of ten would be engine-dependent there. One
+    scan, 9-row output, broadcast one-row total; deltas are integer
+    ppm.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice") * 1_000_000).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    benford = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.expr("n_obs * 1000000 div n_total").alias("obs_ppm"),
+            benford[F.col("digit")].alias("benford_ppm"),
+        )
+        .withColumn(
+            "delta_ppm", F.abs(F.col("obs_ppm") - F.col("benford_ppm"))
+        )
+        .orderBy("digit")
+    )
+
+
 QUERIES = {
     "q_skew_report": q_skew_report,
     "events_anomaly_zscore": events_anomaly_zscore,
@@ -391,6 +504,8 @@ QUERIES = {
     "q_expectation_checks": q_expectation_checks,
     "q_column_profile_drift": q_column_profile_drift,
     "q_exact_percentiles": q_exact_percentiles,
+    "q_abc_classification": q_abc_classification,
+    "q_benford_digits": q_benford_digits,
 }
 
 _SKEW_ONE = """
@@ -547,5 +662,55 @@ ORACLES = {
         FROM ranked
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+    """,
+    "q_abc_classification": f"""
+        WITH rev AS (
+            SELECT c.c_nationkey, o.o_custkey,
+                   SUM(CAST(FLOOR(o.o_totalprice * 1000000) AS BIGINT))
+                       AS rev_micros
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT c_nationkey, o_custkey, rev_micros,
+                   SUM(rev_micros) OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY rev_micros DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_micros,
+                   SUM(rev_micros) OVER (PARTITION BY c_nationkey)
+                       AS tot_micros,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY rev_micros DESC, o_custkey) AS INTEGER)
+                       AS rk
+            FROM rev)
+        SELECT c_nationkey, o_custkey, rk, rev_micros,
+               CAST(CAST(cum_micros AS HUGEINT) * 1000000 // tot_micros
+                   AS BIGINT) AS cum_share_ppm,
+               CASE WHEN CAST(cum_micros AS HUGEINT) * 1000000 // tot_micros
+                        <= {ABC_A_PPM} THEN 'A'
+                    WHEN CAST(cum_micros AS HUGEINT) * 1000000 // tot_micros
+                        <= {ABC_B_PPM} THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+        ORDER BY c_nationkey, rk
+    """,
+    "q_benford_digits": f"""
+        WITH counts AS (
+            SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 1000000)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM orders GROUP BY 1),
+        tot AS (SELECT SUM(n_obs) AS n_total FROM counts),
+        benford(digit, benford_ppm) AS (VALUES
+            {", ".join(f"({d}, {p})" for d, p in BENFORD_PPM.items())})
+        SELECT c.digit, c.n_obs,
+               c.n_obs * 1000000 // t.n_total AS obs_ppm,
+               b.benford_ppm,
+               ABS(c.n_obs * 1000000 // t.n_total - b.benford_ppm)
+                   AS delta_ppm
+        FROM counts c, tot t
+        JOIN benford b ON b.digit = c.digit
+        ORDER BY c.digit
     """,
 }

@@ -424,3 +424,44 @@ def test_markov_rows_are_distributions(spark):
         assert sum(r.n_trans for r in rs) == total
         ppm = sum(r.prob_ppm for r in rs)
         assert 1_000_000 - len(rs) <= ppm <= 1_000_000
+
+
+def test_abc_classes_are_monotone_partitions(spark):
+    """Within a nation: cumulative share is non-decreasing, classes
+    appear in A->B->C order, and the last row reaches 100% share."""
+    from db_migrator_spark.operators.quality import q_abc_classification
+
+    rows = q_abc_classification(spark, SF01).collect()
+    assert rows
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.c_nationkey, []).append(r)
+    order = {"A": 0, "B": 1, "C": 2}
+    for nk, rs in by_nation.items():
+        rs.sort(key=lambda r: r.rk)
+        shares = [r.cum_share_ppm for r in rs]
+        assert shares == sorted(shares)
+        assert shares[-1] == 1_000_000
+        classes = [order[r.abc_class] for r in rs]
+        assert classes == sorted(classes)
+        revs = [r.rev_micros for r in rs]
+        assert revs == sorted(revs, reverse=True)
+
+
+def test_benford_output_reconciles(spark):
+    """Digit rows cover 1..9 (or a subset present in data), ppm columns
+    reconcile with their own counters, and the benford constants sum to
+    exactly 1e6."""
+    from db_migrator_spark.operators.quality import (
+        BENFORD_PPM,
+        q_benford_digits,
+    )
+
+    assert sum(BENFORD_PPM.values()) == 1_000_000
+    rows = q_benford_digits(spark, SF01).collect()
+    total = sum(r.n_obs for r in rows)
+    for r in rows:
+        assert 1 <= r.digit <= 9
+        assert r.obs_ppm == r.n_obs * 1_000_000 // total
+        assert r.benford_ppm == BENFORD_PPM[r.digit]
+        assert r.delta_ppm == abs(r.obs_ppm - r.benford_ppm)
