@@ -411,6 +411,129 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audio framing: FRAME_LEN-sample windows (no overlap) — the first step
+# of every audio feature pipeline (spectrograms, VAD, loudness).
+FRAME_LEN = 64
+_N_FRAMES = WAV_SAMPLES // FRAME_LEN
+
+_FRAMES_SCHEMA = (
+    "doc_id bigint, frame_id int, n_samples int, sum_sq bigint, rms double"
+)
+
+
+def _frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: chunk-walk the WAV, reshape samples into
+    FRAME_LEN windows, emit per-frame exact sum-of-squares and RMS."""
+    import math
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        recs = {k: [] for k in ("doc_id", "frame_id", "n_samples", "sum_sq", "rms")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            pos, samples = 12, None
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                if cid == b"data":
+                    samples = np.frombuffer(
+                        buf[pos + 8 : pos + 8 + size], dtype="<i2"
+                    )
+                pos += 8 + size + (size & 1)
+            if samples is None:
+                raise ValueError("missing data chunk")
+            frames = samples.astype(np.int64)[: _N_FRAMES * FRAME_LEN].reshape(
+                _N_FRAMES, FRAME_LEN
+            )
+            sq = (frames * frames).sum(axis=1)
+            for fid in range(_N_FRAMES):
+                recs["doc_id"].append(int(doc_id))
+                recs["frame_id"].append(fid)
+                recs["n_samples"].append(FRAME_LEN)
+                recs["sum_sq"].append(int(sq[fid]))
+                recs["rms"].append(math.sqrt(float(sq[fid]) / FRAME_LEN))
+        yield pd.DataFrame(recs)
+
+
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy: real WAV payloads framed into
+    FRAME_LEN-sample windows with exact integer sum-of-squares and IEEE
+    RMS per frame.
+
+    Same Arrow-batched mapInPandas shape as the decode — at 100 TB the
+    payload column never leaves the executor, frames multiply row count
+    by a constant, and the exact bigint energy means the surface has no
+    float accumulation to drift.
+    """
+    return (
+        _wav_payloads(spark, sf_dir)
+        .mapInPandas(_frame_energy, schema=_FRAMES_SCHEMA)
+        .orderBy("doc_id", "frame_id")
+    )
+
+
+# ViT-style patchify: PATCH x PATCH pixel tiles, per-tile channel means.
+PATCH = 4
+_PATCH_GRID = PPM_W // PATCH
+
+_PATCH_SCHEMA = (
+    "doc_id bigint, patch_r int, patch_c int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def _patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: parse P6, reshape (H, W, 3), block into
+    PATCH x PATCH tiles, emit per-tile channel means (exact integer
+    sums divided once in double)."""
+    import numpy as np
+
+    for pdf in batches:
+        recs = {k: [] for k in ("doc_id", "patch_r", "patch_c", "mean_r", "mean_g", "mean_b")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(buf[start:pos])
+            pos += 1
+            w, h = int(tokens[1]), int(tokens[2])
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+            img = px.reshape(h, w, 3).astype(np.int64)
+            for pr in range(_PATCH_GRID):
+                for pc in range(_PATCH_GRID):
+                    tile = img[
+                        pr * PATCH : (pr + 1) * PATCH,
+                        pc * PATCH : (pc + 1) * PATCH,
+                    ]
+                    sums = tile.reshape(-1, 3).sum(axis=0)
+                    recs["doc_id"].append(int(doc_id))
+                    recs["patch_r"].append(pr)
+                    recs["patch_c"].append(pc)
+                    for k, key in enumerate(("mean_r", "mean_g", "mean_b")):
+                        recs[key].append(float(sums[k]) / (PATCH * PATCH))
+        yield pd.DataFrame(recs)
+
+
+def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-preprocessing patchify: the 16x16 P6 images tiled into 4x4
+    patches with per-patch channel means — the layout a vision
+    tokenizer consumes. Byte-level oracle twin addresses each source
+    pixel by raster index, so the whole reshape path is hash-checked.
+    """
+    return (
+        _ppm_payloads(spark, sf_dir)
+        .mapInPandas(_patchify, schema=_PATCH_SCHEMA)
+        .orderBy("doc_id", "patch_r", "patch_c")
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -419,6 +542,8 @@ QUERIES = {
     "multimodal_resize_real": multimodal_resize_real,
     "multimodal_decode_ppm": multimodal_decode_ppm,
     "multimodal_decode_wav": multimodal_decode_wav,
+    "multimodal_audio_frames": multimodal_audio_frames,
+    "multimodal_patchify": multimodal_patchify,
 }
 
 ORACLES = {
@@ -541,5 +666,60 @@ ORACLES = {
                CAST(FLOOR(height * 224 / GREATEST(height, width)) AS BIGINT) AS out_h
         FROM meta
         ORDER BY doc_id
+    """,
+    "multimodal_audio_frames": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(repeat(text,
+                                 CAST(ceil({_WAV_DATA_BYTES} / CAST(length(text) AS DOUBLE)) AS INT)),
+                          1, {_WAV_DATA_BYTES}) AS px
+            FROM {_ASCII_DOCS_SQL}
+            WHERE length(text) > 0),
+        u AS (
+            SELECT doc_id,
+                   CAST((i - 1) // {FRAME_LEN} AS INTEGER) AS frame_id,
+                   ascii(substr(px, 2 * i - 1, 1))
+                       + 256 * ascii(substr(px, 2 * i, 1)) AS raw
+            FROM t, generate_series(1, {WAV_SAMPLES}) AS g(i)),
+        s AS (
+            SELECT doc_id, frame_id,
+                   CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+            FROM u)
+        SELECT doc_id, frame_id,
+               {FRAME_LEN} AS n_samples,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+               sqrt(CAST(SUM(v * v) AS DOUBLE) / {FRAME_LEN}) AS rms
+        FROM s
+        GROUP BY doc_id, frame_id
+        ORDER BY doc_id, frame_id
+    """,
+    "multimodal_patchify": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(repeat(text,
+                                 CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
+                          1, {_PPM_PIXELS}) AS px
+            FROM {_ASCII_DOCS_SQL}
+            WHERE length(text) > 0),
+        cells AS (
+            SELECT doc_id,
+                   CAST(r // {PATCH} AS INTEGER) AS patch_r,
+                   CAST(c // {PATCH} AS INTEGER) AS patch_c,
+                   ch,
+                   ascii(substr(px, (r * {PPM_W} + c) * 3 + ch + 1, 1)) AS b
+            FROM t,
+                 generate_series(0, {PPM_H - 1}) AS gr(r),
+                 generate_series(0, {PPM_W - 1}) AS gc(c),
+                 generate_series(0, 2) AS gch(ch))
+        SELECT doc_id, patch_r, patch_c,
+               CAST(SUM(CASE WHEN ch = 0 THEN b END) AS DOUBLE)
+                   / {PATCH * PATCH} AS mean_r,
+               CAST(SUM(CASE WHEN ch = 1 THEN b END) AS DOUBLE)
+                   / {PATCH * PATCH} AS mean_g,
+               CAST(SUM(CASE WHEN ch = 2 THEN b END) AS DOUBLE)
+                   / {PATCH * PATCH} AS mean_b
+        FROM cells
+        GROUP BY doc_id, patch_r, patch_c
+        ORDER BY doc_id, patch_r, patch_c
     """,
 }

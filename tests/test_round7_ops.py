@@ -465,3 +465,55 @@ def test_benford_output_reconciles(spark):
         assert r.obs_ppm == r.n_obs * 1_000_000 // total
         assert r.benford_ppm == BENFORD_PPM[r.digit]
         assert r.delta_ppm == abs(r.obs_ppm - r.benford_ppm)
+
+
+def test_audio_frames_reassemble_clip_energy(spark):
+    """Per-frame sum_sq must sum to the clip's total sample energy
+    (n_samples * rms^2 from the whole-clip decode), and every clip has
+    the full frame grid."""
+    from db_migrator_spark.operators.multimodal import (
+        FRAME_LEN,
+        WAV_SAMPLES,
+        multimodal_audio_frames,
+        multimodal_decode_wav,
+    )
+
+    frames = multimodal_audio_frames(spark, SF).collect()
+    whole = {r.doc_id: r for r in multimodal_decode_wav(spark, SF).collect()}
+    per_doc = {}
+    for r in frames:
+        assert r.n_samples == FRAME_LEN
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(whole)
+    for doc_id, rs in per_doc.items():
+        assert len(rs) == WAV_SAMPLES // FRAME_LEN
+        total_sq = sum(r.sum_sq for r in rs)
+        # whole-clip rms = sqrt(total_sq / n) -> total_sq = rms^2 * n
+        w = whole[doc_id]
+        assert abs(total_sq - w.rms * w.rms * w.n_samples) < 1e-3 * max(total_sq, 1)
+
+
+def test_patchify_reassembles_image_means(spark):
+    """Patch means weighted by patch area must reproduce the whole-image
+    channel means from the decode op, exactly (integer sums)."""
+    from db_migrator_spark.operators.multimodal import (
+        PATCH,
+        PPM_H,
+        PPM_W,
+        multimodal_decode_ppm,
+        multimodal_patchify,
+    )
+
+    patches = multimodal_patchify(spark, SF).collect()
+    whole = {r.doc_id: r for r in multimodal_decode_ppm(spark, SF).collect()}
+    per_doc = {}
+    for r in patches:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(whole)
+    n_patches = (PPM_W // PATCH) * (PPM_H // PATCH)
+    for doc_id, rs in per_doc.items():
+        assert len(rs) == n_patches
+        for ch in ("mean_r", "mean_g", "mean_b"):
+            # patch sums are exact integers: mean * PATCH^2 is integral
+            total = sum(getattr(r, ch) * PATCH * PATCH for r in rs)
+            assert abs(total / (PPM_W * PPM_H) - getattr(whole[doc_id], ch)) < 1e-9
