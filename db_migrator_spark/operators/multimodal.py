@@ -416,7 +416,7 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 FRAME_LEN = 64
 _N_FRAMES = WAV_SAMPLES // FRAME_LEN
 
-_FRAMES_SCHEMA = (
+_ENERGY_SCHEMA = (
     "doc_id bigint, frame_id int, n_samples int, sum_sq bigint, rms double"
 )
 
@@ -469,7 +469,7 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return (
         _wav_payloads(spark, sf_dir)
-        .mapInPandas(_frame_energy, schema=_FRAMES_SCHEMA)
+        .mapInPandas(_frame_energy, schema=_ENERGY_SCHEMA)
         .orderBy("doc_id", "frame_id")
     )
 

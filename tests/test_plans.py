@@ -483,3 +483,62 @@ def test_global_windows_only_above_bounded_frames(spark):
         .withColumn("rn", F.row_number().over(W.orderBy("doc_id")))
     )
     assert unbounded_global_windows(both) == []
+
+
+def test_hard_negatives_broadcasts_queries_no_cartesian_shuffle(spark):
+    """The hard-negative miner must broadcast the (constant-sized) query
+    side — a BroadcastNestedLoopJoin over the corpus scan — and the only
+    Exchange should be the per-query top-k window's, never a shuffle of
+    corpus x query pairs by similarity."""
+    from db_migrator_spark.operators.similarity import similarity_hard_negatives
+
+    plan = plan_string(similarity_hard_negatives(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_top_m_is_take_ordered_and_broadcast_back(spark):
+    """The top-M bigram reference must reduce via TakeOrderedAndProject
+    (not a full sort) and rejoin as a broadcast."""
+    from db_migrator_spark.operators.corpus5 import text_bigram_coverage
+
+    plan = plan_string(text_bigram_coverage(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_markov_totals_join_is_broadcast(spark):
+    """The per-state totals (state-count-sized) must broadcast back onto
+    the transition matrix, not shuffle it."""
+    from db_migrator_spark.operators.events2 import events_markov_transitions
+
+    plan = plan_string(events_markov_transitions(spark, SF))
+    assert "BroadcastExchange" in plan
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """Both SCD2 windows sort by the same key inside the same partition
+    spec, so the plan must carry exactly ONE exchange keyed by the
+    dimension key (plus the final presentation sort's, if any)."""
+    from db_migrator_spark.operators.incremental import q_scd2_dimension
+
+    plan = plan_string(q_scd2_dimension(spark, SF))
+    # exactly two Exchange nodes: ONE hash partition feeding both
+    # windows, plus the presentation sort's range partition
+    n_exchanges = plan.count("+- Exchange")
+    assert n_exchanges == 2, plan
+    assert plan.count("hashpartitioning") >= 1
+    assert "rangepartitioning" in plan
+
+
+def test_expectation_scan_checks_share_single_aggregate(spark):
+    """The five single-table checks must fold into one aggregate over
+    one lineitem scan (plus the FK anti-join's scans) — not one scan
+    per check."""
+    from db_migrator_spark.operators.quality import q_expectation_checks
+
+    plan = plan_string(q_expectation_checks(spark, SF))
+    # lineitem parquet appears at most twice: the conditional-aggregate
+    # scan and the FK check's probe side
+    n_li_scans = plan.count("lineitem.parquet")
+    assert 0 < n_li_scans <= 2, plan
