@@ -366,10 +366,77 @@ def streaming_dedup_events(
     return out.orderBy("event_id")
 
 
+# ---------------------------------------------------------------------------
+# Stateful streaming EWMA — the streaming twin of operators.events2.
+# events_ewma (same constants, same integer-micro fold), with bounded
+# per-key state: the last EWMA_LOOKBACK sample values.
+# ---------------------------------------------------------------------------
+
+_EWMA_OUT = "user_id bigint, event_id bigint, ewma_micro bigint"
+_EWMA_STATE = "vals array<bigint>"
+
+
+def _ewma_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user streaming EWMA. State carries the last EWMA_LOOKBACK
+    integer-micro values (oldest first); each arriving purchase emits
+    the same power-of-two fold as the batch operator. Rows are ordered
+    by (ts, event_id) inside the batch — the file-replay source
+    delivers event-time-ordered batches; out-of-order ingestion would
+    add a watermark-delayed finalization stage, not a different fold.
+    """
+    from ..operators.events2 import EWMA_LOOKBACK
+
+    (user_id,) = key
+    hist: list[int] = list(state.get[0]) if state.exists else []
+    out: dict[str, list] = {"user_id": [], "event_id": [], "ewma_micro": []}
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for event_id, value in zip(pdf["event_id"], pdf["value"]):
+            hist.append(int(value * 1_000_000))  # trunc == floor: value >= 0
+            hist = hist[-EWMA_LOOKBACK:]
+            total = sum(
+                v << (EWMA_LOOKBACK - 1 - j) for j, v in enumerate(reversed(hist))
+            )
+            out["user_id"].append(user_id)
+            out["event_id"].append(int(event_id))
+            out["ewma_micro"].append(total >> EWMA_LOOKBACK)
+    state.update((hist,))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "ewma_micro"])
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA over purchase values: bounded per-key
+    state (EWMA_LOOKBACK bigints), append output."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fn,
+            outputStructType=_EWMA_OUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the stateful streaming EWMA must equal the
+    batch operator row-for-row (same integer fold, same constants), so
+    it gets the batch twin's FULL SQL oracle — not a rows-only check —
+    like streaming_user_milestones before it."""
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    out = run_bounded(ewma_stream(ev), "append")
+    return out.orderBy("user_id", "event_id")
+
+
 QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "streaming_user_milestones": streaming_user_milestones,
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_ewma": streaming_ewma,
 }
 
 ORACLES = {
@@ -398,5 +465,27 @@ ORACLES = {
         FROM events
         GROUP BY 1, 2
         ORDER BY w_start, event_type
+    """,
+    # The batch events_ewma fold (operators/events2.py), projected to the
+    # streaming op's output columns — the stateful stream must reproduce
+    # it row-for-row.
+    "streaming_ewma": """
+        WITH p AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+            FROM events WHERE event_type = 'purchase'),
+        framed AS (
+            SELECT user_id, event_id,
+                   list(v_micro) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+            FROM p)
+        SELECT user_id, event_id,
+               CAST(list_sum(list_transform(
+                   list_reverse(vals),
+                   (x, i) -> x * (CAST(1 AS BIGINT) << (16 - i))
+               )) // 65536 AS BIGINT) AS ewma_micro
+        FROM framed
+        ORDER BY user_id, event_id
     """,
 }

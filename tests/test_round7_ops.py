@@ -517,3 +517,20 @@ def test_patchify_reassembles_image_means(spark):
             # patch sums are exact integers: mean * PATCH^2 is integral
             total = sum(getattr(r, ch) * PATCH * PATCH for r in rs)
             assert abs(total / (PPM_W * PPM_H) - getattr(whole[doc_id], ch)) < 1e-9
+
+
+def test_streaming_ewma_equals_batch(spark):
+    """The stateful streaming EWMA must reproduce the batch operator
+    row-for-row at bounded replay."""
+    from db_migrator_spark.operators.events2 import events_ewma
+    from db_migrator_spark.streaming.windows import streaming_ewma
+
+    got = {
+        (r.user_id, r.event_id): r.ewma_micro
+        for r in streaming_ewma(spark, SF).collect()
+    }
+    want = {
+        (r.user_id, r.event_id): r.ewma_micro
+        for r in events_ewma(spark, SF).collect()
+    }
+    assert got == want and got
