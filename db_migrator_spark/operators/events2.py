@@ -343,12 +343,52 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rolling active users: window length in days. The explode factor IS the
+# window length — constant — so the sliding distinct count becomes one
+# keyed exact-distinct aggregation instead of a per-day self-join.
+ROLLING_DAYS = 7
+
+
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users: for every day D in the data span, the
+    exact distinct user count over [D-6, D] — the canonical WAU metric.
+
+    Shape: distinct (user, day) presence (one shuffle — presence is
+    |users| x |days|, tiny next to events), each presence row explodes
+    onto the ROLLING_DAYS window-ends it feeds (constant fan-out), one
+    count_distinct keyed by window end. Days are exact epoch-day
+    integers; no calendar arithmetic crosses the engine boundary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.unix_micros(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        / 86_400_000_000
+    ).cast("bigint")
+    presence = ev.select("user_id", day.alias("day")).distinct()
+    span = presence.agg(F.max("day").alias("hi"))
+    expl = presence.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (ROLLING_DAYS - 1))
+        ).alias("w_end"),
+    )
+    return (
+        expl.crossJoin(F.broadcast(span))
+        .filter(F.col("w_end") <= F.col("hi"))
+        .groupBy("w_end")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(F.col("w_end").alias("window_end_day"), "n_active")
+        .orderBy("window_end_day")
+    )
+
+
 QUERIES = {
     "events_overlap_sessions": events_overlap_sessions,
     "events_interpolate_linear": events_interpolate_linear,
     "events_ewma": events_ewma,
     "events_attribution": events_attribution,
     "events_markov_transitions": events_markov_transitions,
+    "events_rolling_active_users": events_rolling_active_users,
 }
 
 ORACLES = {
@@ -492,5 +532,22 @@ ORACLES = {
                p.n_trans * 1000000 // t.n_from AS prob_ppm
         FROM pairs p JOIN totals t ON t.prev_type = p.prev_type
         ORDER BY p.prev_type, p.next_type
+    """,
+    "events_rolling_active_users": f"""
+        WITH presence AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        // 86400000000 AS BIGINT) AS day
+            FROM events),
+        span AS (SELECT MAX(day) AS hi FROM presence),
+        expl AS (
+            SELECT user_id, day + i AS w_end
+            FROM presence, range(0, 7) AS t(i))
+        SELECT w_end AS window_end_day,
+               COUNT(DISTINCT user_id) AS n_active
+        FROM expl, span
+        WHERE w_end <= hi
+        GROUP BY w_end
+        ORDER BY window_end_day
     """,
 }

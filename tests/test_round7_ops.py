@@ -534,3 +534,29 @@ def test_streaming_ewma_equals_batch(spark):
         for r in events_ewma(spark, SF).collect()
     }
     assert got == want and got
+
+
+def test_rolling_active_users_matches_python(spark):
+    """Rolling 7-day distinct counts must equal the brute-force Python
+    recomputation from (user, day) presence."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.events2 import (
+        ROLLING_DAYS,
+        events_rolling_active_users,
+    )
+
+    got = {r.window_end_day: r.n_active for r in
+           events_rolling_active_users(spark, SF).collect()}
+    ev = load_table(spark, SF, "events").select("user_id", "ts").collect()
+    pres = set()
+    for r in ev:
+        import datetime
+        day = (r.ts.date() - datetime.date(1970, 1, 1)).days
+        pres.add((r.user_id, day))
+    days = sorted({d for _, d in pres})
+    expect = {}
+    for d in range(min(days), max(days) + 1):
+        users = {u for u, pd_ in pres if d - ROLLING_DAYS + 1 <= pd_ <= d}
+        if users:
+            expect[d] = len(users)
+    assert got == expect
