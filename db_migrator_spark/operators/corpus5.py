@@ -325,6 +325,45 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def corpus_train_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed stage: leakage-safe split -> TRAIN side only -> per-
+    language counts -> temperature-(T=2) targets -> integer per-language
+    sample quotas. The plan a mixing job hands the sampler: exactly how
+    many train documents of each language to draw per epoch.
+
+    One scan + one tiny groupBy: the split predicate is a codegen'd
+    projection (no shuffle), the mixing math runs on the language-count
+    relation. Demonstrates stage composition without materialization —
+    the split column never hits storage.
+    """
+    from .splits import _split_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(_split_col() == "train")
+    by_lang = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_train"))
+    tot = by_lang.agg(F.sum("n_train").alias("total_train"))
+    weighted = by_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_train",
+        "total_train",
+        _isqrt(F.col("n_train") * TEMP_SQRT_SCALE).alias("w_milli"),
+    )
+    wtot = weighted.agg(F.sum("w_milli").alias("total_w"))
+    return (
+        weighted.crossJoin(F.broadcast(wtot))
+        .select(
+            "lang",
+            "n_train",
+            F.expr("w_milli * 1000000 div total_w").alias("target_ppm"),
+            F.expr(
+                "CAST(CAST(w_milli AS DECIMAL(38,0)) * total_train"
+                " div total_w AS BIGINT)"
+            ).alias("quota_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "q_weighted_sample": q_weighted_sample,
@@ -332,9 +371,39 @@ QUERIES = {
     "corpus_temperature_mix": corpus_temperature_mix,
     "text_pmi_pairs": text_pmi_pairs,
     "text_bigram_coverage": text_bigram_coverage,
+    "corpus_train_mix_plan": corpus_train_mix_plan,
 }
 
+from .splits import _SPLIT_SQL as _SPLIT_CASE_SQL  # noqa: E402
+
 ORACLES = {
+    "corpus_train_mix_plan": f"""
+        WITH train AS (
+            SELECT lang FROM documents
+            WHERE ({_SPLIT_CASE_SQL}) = 'train'),
+        by_lang AS (
+            SELECT lang, COUNT(*) AS n_train FROM train GROUP BY lang),
+        tot AS (SELECT SUM(n_train) AS total_train FROM by_lang),
+        sq AS (
+            SELECT lang, n_train, total_train,
+                   CAST(FLOOR(SQRT(CAST(n_train * {TEMP_SQRT_SCALE}
+                        AS DOUBLE))) AS BIGINT) AS s,
+                   n_train * {TEMP_SQRT_SCALE} AS x
+            FROM by_lang, tot),
+        adj AS (
+            SELECT lang, n_train, total_train,
+                   CASE WHEN (s + 1) * (s + 1) <= x THEN s + 1
+                        WHEN s * s > x THEN s - 1
+                        ELSE s END AS w_milli
+            FROM sq),
+        wtot AS (SELECT SUM(w_milli) AS total_w FROM adj)
+        SELECT lang, n_train,
+               w_milli * 1000000 // total_w AS target_ppm,
+               CAST(CAST(w_milli AS HUGEINT) * total_train // total_w
+                    AS BIGINT) AS quota_docs
+        FROM adj, wtot
+        ORDER BY lang
+    """,
     "text_bpe_pair_counts": f"""
         WITH toks AS (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents),

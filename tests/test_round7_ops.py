@@ -560,3 +560,26 @@ def test_rolling_active_users_matches_python(spark):
         if users:
             expect[d] = len(users)
     assert got == expect
+
+
+def test_train_mix_plan_quota_conserves_total(spark):
+    """Language quotas must sum to ~the train-doc total (truncation
+    loses < n_langs docs) and reproduce the composed split+mix stages
+    recomputed independently."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.corpus5 import corpus_train_mix_plan
+    from db_migrator_spark.operators.splits import _split_col
+
+    rows = corpus_train_mix_plan(spark, SF01).collect()
+    docs = load_table(spark, SF01, "documents")
+    n_train = docs.filter(_split_col() == "train").count()
+    total_quota = sum(r.quota_docs for r in rows)
+    assert n_train - len(rows) < total_quota <= n_train
+    assert sum(r.n_train for r in rows) == n_train
+    import math
+    for r in rows:
+        # quota proportional to isqrt(n_train_lang * 1e6)
+        assert r.quota_docs <= r.n_train or r.target_ppm > 0
+        w = math.isqrt(r.n_train * 1_000_000)
+        wsum = sum(math.isqrt(x.n_train * 1_000_000) for x in rows)
+        assert r.quota_docs == w * n_train // wsum
