@@ -364,6 +364,54 @@ def corpus_train_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the headline numbers a corpus release
+    ships — document/token/char totals, language count, exact-duplicate
+    rate (content md5), and singleton-document share, all exact.
+
+    Two scans in total: one straight aggregate for the totals, one
+    md5-keyed groupBy for the duplicate profile (the dedup_exact
+    shuffle). Everything integer or decimal; rates in ppm by truncating
+    division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    dup = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") - 1).cast("bigint").alias("n_dup_docs"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_singletons"),
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(dup))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            "n_dup_docs",
+            F.expr("n_dup_docs * 1000000 div n_docs").alias("dup_rate_ppm"),
+            F.expr("n_singletons * 1000000 div n_docs").alias(
+                "singleton_ppm"
+            ),
+            F.expr("n_tokens * 1000000 div n_docs").alias(
+                "tokens_per_doc_micro"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "q_weighted_sample": q_weighted_sample,
@@ -372,6 +420,7 @@ QUERIES = {
     "text_pmi_pairs": text_pmi_pairs,
     "text_bigram_coverage": text_bigram_coverage,
     "corpus_train_mix_plan": corpus_train_mix_plan,
+    "corpus_dataset_card": corpus_dataset_card,
 }
 
 from .splits import _SPLIT_SQL as _SPLIT_CASE_SQL  # noqa: E402
@@ -509,6 +558,27 @@ ORACLES = {
         FROM pairs
         ORDER BY lift_ppm DESC, w1, w2
         LIMIT {PMI_TOP_K}
+    """,
+    "corpus_dataset_card": """
+        WITH base AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM documents),
+        groups AS (
+            SELECT md5(text) AS h, COUNT(*) AS c
+            FROM documents GROUP BY 1),
+        dup AS (
+            SELECT CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs,
+                   CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS n_singletons
+            FROM groups)
+        SELECT n_docs, n_tokens, n_chars, n_langs, n_dup_docs,
+               n_dup_docs * 1000000 // n_docs AS dup_rate_ppm,
+               n_singletons * 1000000 // n_docs AS singleton_ppm,
+               n_tokens * 1000000 // n_docs AS tokens_per_doc_micro
+        FROM base, dup
     """,
     "text_bigram_coverage": f"""
         WITH toks AS (

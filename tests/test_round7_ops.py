@@ -583,3 +583,19 @@ def test_train_mix_plan_quota_conserves_total(spark):
         w = math.isqrt(r.n_train * 1_000_000)
         wsum = sum(math.isqrt(x.n_train * 1_000_000) for x in rows)
         assert r.quota_docs == w * n_train // wsum
+
+
+def test_dataset_card_reconciles(spark):
+    """Card totals must reconcile: dup + distinct-group count = n_docs,
+    ppm columns derive from the row's own counters."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.corpus5 import corpus_dataset_card
+
+    row = corpus_dataset_card(spark, SF01).collect()[0]
+    docs = load_table(spark, SF01, "documents")
+    assert row.n_docs == docs.count()
+    n_distinct_texts = docs.select("text").distinct().count()
+    assert row.n_dup_docs == row.n_docs - n_distinct_texts
+    assert row.dup_rate_ppm == row.n_dup_docs * 1_000_000 // row.n_docs
+    assert row.singleton_ppm <= 1_000_000
+    assert row.tokens_per_doc_micro == row.n_tokens * 1_000_000 // row.n_docs
