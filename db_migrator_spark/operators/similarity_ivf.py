@@ -223,5 +223,65 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_query_index(spark, path, [float(x) for x in query])
 
 
-QUERIES = {"similarity_ivf_topk": similarity_ivf_topk}
+def similarity_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of hard-negative mining: shortlist per query from the
+    IVF index's probed cells (partition-pruned read), drop same-label
+    rows, exact cosine re-rank, top-k — the brute-force miner
+    (`similarity.similarity_hard_negatives`) scans the corpus per
+    query; this scans ~nprobe/K of it.
+
+    Approximate by construction (a negative hiding in an unprobed cell
+    is missed) -> rows-only driver check; every row carries its exact
+    cosine (self-validating), and recall vs the brute-force miner is
+    pinned in tests/test_ivf.py. The per-query pruned reads union into
+    one plan — 8 constant-size jobs, no corpus-wide shuffle.
+    """
+    from functools import reduce
+
+    from .similarity import HARD_NEG_QUERIES, HARD_NEG_TOPK, _cosine
+
+    path = _index_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "centroids")):
+        write_ivf_index(spark, sf_dir, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < HARD_NEG_QUERIES)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )  # constant-size query set: HARD_NEG_QUERIES rows
+    cent_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    dim = len(queries[0].embedding)
+    centroids = np.zeros((len(cent_rows), dim))
+    for r in cent_rows:
+        centroids[r.cell] = r.centroid
+    cnorm = np.linalg.norm(centroids, axis=1) + 1e-30
+    cells_df = spark.read.parquet(os.path.join(path, "cells"))
+    parts = []
+    for qr in queries:
+        q = np.asarray([float(x) for x in qr.embedding])
+        sims = centroids @ q / (cnorm * (np.linalg.norm(q) + 1e-30))
+        probe = [int(c) for c in np.argsort(-sims)[:NPROBE]]
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+        parts.append(
+            cells_df.filter(
+                F.col("cell").isin(probe) & (F.col("label") != qr.label)
+            ).select(
+                F.lit(qr.vec_id).alias("q_id"),
+                F.lit(qr.label).alias("q_label"),
+                F.col("vec_id").alias("neg_id"),
+                F.col("label").alias("neg_label"),
+                _cosine(F.col("embedding"), qcol).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("neg_id"))
+            .limit(HARD_NEG_TOPK)
+        )
+    return reduce(lambda a, b: a.unionAll(b), parts).orderBy(
+        "q_id", F.col("cos_sim").desc(), "neg_id"
+    )
+
+
+QUERIES = {
+    "similarity_ivf_topk": similarity_ivf_topk,
+    "similarity_hard_negatives_ivf": similarity_hard_negatives_ivf,
+}
 ORACLES = {}  # approximate (probe subset) -> rows-only; recall pinned in tests

@@ -114,3 +114,28 @@ def test_ivf_clustered_corpus_recall_pinned(spark, tmp_path):
         topk = [r.vec_id for r in got if r.vec_id != ids[qi]][:10]
         recalls.append(len(set(topk) & truth) / 10)
     assert float(np.mean(recalls)) >= 0.9, recalls
+
+
+def test_ivf_hard_negatives_recall_vs_bruteforce(spark):
+    """The IVF-shortlisted miner must recover most of the brute-force
+    hard negatives (probed cells hold the angular neighborhood), and
+    every emitted row must be a genuine cross-label candidate whose
+    cosine the row itself carries."""
+    from db_migrator_spark.operators.similarity import (
+        similarity_hard_negatives,
+    )
+    from db_migrator_spark.operators.similarity_ivf import (
+        similarity_hard_negatives_ivf,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.q_id, r.neg_id) for r in similarity_hard_negatives(spark, sf).collect()
+    }
+    approx_rows = similarity_hard_negatives_ivf(spark, sf).collect()
+    approx = {(r.q_id, r.neg_id) for r in approx_rows}
+    for r in approx_rows:
+        assert r.neg_label != r.q_label
+        assert -1.0 <= r.cos_sim <= 1.0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, (recall, sorted(exact - approx))
