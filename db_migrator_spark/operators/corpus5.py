@@ -2,8 +2,13 @@
 
 The reference is a 1:1 table copier with no corpus operators (scope:
 /root/reference/src/migrate/table_migrator.rs:43-114 is its entire data
-path); these supply three more stages a training-data pipeline runs
-between curation and training:
+path); these supply the stages a training-data pipeline runs between
+curation and training. Later round-7 additions documented at their
+definitions: temperature-(T=2) language mixing (``corpus_temperature_mix``),
+PMI word co-occurrence (``text_pmi_pairs``), per-doc bigram coverage
+(``text_bigram_coverage``), the composed split->quota plan
+(``corpus_train_mix_plan``), and the one-row dataset card
+(``corpus_dataset_card``). The founding three:
 
 - ``text_bpe_pair_counts``: the first merge step of BPE tokenizer
   training (Sennrich et al. 2016, arXiv:1508.07909) — adjacent

@@ -3,9 +3,10 @@
 The reference has no graph operators (its data path is a 1:1 table copy,
 /root/reference/src/migrate/table_migrator.rs:43-114); this extends the
 engine's graph family (connected components in ``dedup.dedup_clusters``,
-PageRank in ``graph.py``) with the third canonical distributed graph
-workload: per-node triangle participation over the part co-purchase
-graph ("parts appearing together in an order").
+PageRank in ``graph.py``) with two more canonical distributed graph
+workloads: per-node triangle participation over the part co-purchase
+graph ("parts appearing together in an order"), and K-core peeling over
+its sparsified variant (``graph_kcore`` below).
 
 Algorithm: the MapReduce-era orientation trick (Suri & Vassilvitskii,
 "Counting Triangles and the Curse of the Last Reducer", WWW 2011). Every
