@@ -433,6 +433,57 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: for each signup-week cohort and
+    week-of-life, cumulative purchase revenue per cohort user in exact
+    integer micros — the growth table every subscription business plots.
+
+    Shape: one groupBy for per-user first-seen week (cohort), one join
+    to tag purchases with cohort age, one groupBy over (cohort, age) —
+    matrix-sized — and a cumulative window keyed by cohort. The only
+    division is the final per-user truncating `div`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week = (
+        F.unix_micros(F.date_trunc("week", F.col("ts").cast("timestamp")))
+        / (7 * 86_400_000_000)
+    ).cast("bigint")
+    tagged = ev.select(
+        "user_id",
+        "event_type",
+        week.alias("wk"),
+        (F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+    )
+    cohorts = tagged.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = cohorts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        tagged.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk"))
+        .agg(F.sum("v_micro").alias("rev_micro"))
+    )
+    wcum = (
+        W.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        rev.withColumn("cum_rev_micro", F.sum("rev_micro").over(wcum))
+        .join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "age_wk",
+            F.col("rev_micro").cast("bigint").alias("rev_micro"),
+            F.col("cum_rev_micro").cast("bigint").alias("cum_rev_micro"),
+            "n_users",
+            F.expr("cum_rev_micro div n_users").alias("ltv_micro_per_user"),
+        )
+        .orderBy("cohort_wk", "age_wk")
+    )
+
+
 QUERIES = {
     "events_overlap_sessions": events_overlap_sessions,
     "events_interpolate_linear": events_interpolate_linear,
@@ -441,6 +492,7 @@ QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_rolling_active_users": events_rolling_active_users,
     "events_session_paths": events_session_paths,
+    "events_cohort_ltv": events_cohort_ltv,
 }
 
 ORACLES = {

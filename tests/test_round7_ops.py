@@ -617,3 +617,33 @@ def test_session_paths_shapes_and_share(spark):
         steps = r.path.split(">")
         assert 1 <= len(steps) <= PATH_LEN
         assert all(s for s in steps)
+
+
+def test_cohort_ltv_monotone_and_conserving(spark):
+    """Cumulative LTV is non-decreasing in age within a cohort; the sum
+    of per-age revenue equals total purchase revenue in micros."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.events2 import events_cohort_ltv
+
+    rows = events_cohort_ltv(spark, SF).collect()
+    assert rows
+    by_cohort = {}
+    total = 0
+    for r in rows:
+        by_cohort.setdefault(r.cohort_wk, []).append(r)
+        total += r.rev_micro
+    for wk, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_wk)
+        cums = [r.cum_rev_micro for r in rs]
+        assert cums == sorted(cums)
+        assert cums[-1] == sum(r.rev_micro for r in rs)
+        for r in rs:
+            assert r.ltv_micro_per_user == r.cum_rev_micro // r.n_users
+    want = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(((F.col("value") * 1_000_000).cast("bigint")).alias("v"))
+        .agg(F.sum("v"))
+        .first()[0]
+    )
+    assert total == want
