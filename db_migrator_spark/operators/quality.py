@@ -496,6 +496,101 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MAD outliers: |v - median| > K_MAD * MAD flags a point. Pure selection
+# + integer comparison — the robust twin of events_anomaly_zscore, immune
+# to the outliers it hunts (a z-score's own mean/std absorb them).
+K_MAD = 5
+
+
+def _group_median(df: DataFrame, val: str, keys: list[str], out: str) -> DataFrame:
+    """Per-group LOWER median of an integer column by rank selection —
+    deterministic under ties via the (value, event_id) sort key; no
+    interpolation, so the result is always an input value."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*keys).orderBy(val, "event_id")
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy(*keys))
+    )
+    return ranked.groupBy(*keys).agg(
+        F.max(
+            F.when(F.col("_rn") == F.expr("(_n + 1) div 2"), F.col(val))
+        ).alias(out)
+    )
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier flags: |v - median| > K_MAD * MAD, all in
+    exact integer micros (median and MAD are rank selections, the flag
+    an integer comparison — nothing for float noise to flip).
+
+    Two selection passes (value rank, then deviation rank), each one
+    shuffle keyed by user; the stats side is |users| rows joined back
+    broadcast-style. The scale story of q_exact_median applies per
+    group if a single user's history outgrows a task sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+    )
+    med = _group_median(q, "v_micro", ["user_id"], "med_micro")
+    devs = q.join(med, "user_id").withColumn(
+        "dev_micro", F.abs(F.col("v_micro") - F.col("med_micro"))
+    )
+    mad = _group_median(
+        devs.select("event_id", "user_id", F.col("dev_micro").alias("v_micro")),
+        "v_micro",
+        ["user_id"],
+        "mad_micro",
+    )
+    return (
+        devs.join(mad, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "v_micro",
+            "med_micro",
+            "mad_micro",
+            (F.col("dev_micro") > K_MAD * F.col("mad_micro")).alias(
+                "is_outlier"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+# Histogram: HIST_BINS equi-width bins over order totals, top bin open.
+HIST_WIDTH_MICROS = 25_000_000_000  # 25k currency units
+HIST_BINS = 20
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals in exact micros: per bin,
+    count, sum, min, max — one map-side-combined scan, bin-count-sized
+    output. The profiling primitive behind every range-partition and
+    skew decision."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
+    bin_ = F.least(
+        F.expr(f"CAST(v div {HIST_WIDTH_MICROS} AS INT)"),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        orders.select(v.alias("v"))
+        .select("v", bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("v").cast("bigint").alias("sum_micros"),
+            F.min("v").alias("min_micros"),
+            F.max("v").alias("max_micros"),
+        )
+        .orderBy("bin")
+    )
+
+
 QUERIES = {
     "q_skew_report": q_skew_report,
     "events_anomaly_zscore": events_anomaly_zscore,
@@ -506,6 +601,8 @@ QUERIES = {
     "q_exact_percentiles": q_exact_percentiles,
     "q_abc_classification": q_abc_classification,
     "q_benford_digits": q_benford_digits,
+    "events_anomaly_mad": events_anomaly_mad,
+    "q_price_histogram": q_price_histogram,
 }
 
 _SKEW_ONE = """
@@ -712,5 +809,55 @@ ORACLES = {
         FROM counts c, tot t
         JOIN benford b ON b.digit = c.digit
         ORDER BY c.digit
+    """,
+    "events_anomaly_mad": f"""
+        WITH q AS (
+            SELECT event_id, user_id,
+                   CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+            FROM events),
+        r1 AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY v_micro, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM q),
+        med AS (
+            SELECT user_id,
+                   MAX(CASE WHEN rn = (n + 1) // 2 THEN v_micro END)
+                       AS med_micro
+            FROM r1 GROUP BY user_id),
+        devs AS (
+            SELECT q.event_id, q.user_id, q.v_micro, m.med_micro,
+                   ABS(q.v_micro - m.med_micro) AS dev_micro
+            FROM q JOIN med m ON m.user_id = q.user_id),
+        r2 AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY dev_micro, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM devs),
+        mad AS (
+            SELECT user_id,
+                   MAX(CASE WHEN rn = (n + 1) // 2 THEN dev_micro END)
+                       AS mad_micro
+            FROM r2 GROUP BY user_id)
+        SELECT d.event_id, d.user_id, d.v_micro, d.med_micro, a.mad_micro,
+               d.dev_micro > {K_MAD} * a.mad_micro AS is_outlier
+        FROM devs d JOIN mad a ON a.user_id = d.user_id
+        ORDER BY d.event_id
+    """,
+    "q_price_histogram": f"""
+        WITH v AS (
+            SELECT CAST(FLOOR(o_totalprice * 1000000) AS BIGINT) AS v
+            FROM orders)
+        SELECT CAST(LEAST(v // {HIST_WIDTH_MICROS}, {HIST_BINS - 1})
+                    AS INTEGER) AS bin,
+               COUNT(*) AS n_orders,
+               CAST(SUM(v) AS BIGINT) AS sum_micros,
+               MIN(v) AS min_micros,
+               MAX(v) AS max_micros
+        FROM v
+        GROUP BY 1
+        ORDER BY bin
     """,
 }

@@ -647,3 +647,57 @@ def test_cohort_ltv_monotone_and_conserving(spark):
         .first()[0]
     )
     assert total == want
+
+
+def test_mad_outliers_match_python(spark):
+    """Median, MAD, and flags must equal the Python recomputation
+    (lower median by (value, event_id) rank)."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.quality import K_MAD, events_anomaly_mad
+
+    rows = events_anomaly_mad(spark, SF).collect()
+    raw = load_table(spark, SF, "events").select("event_id", "user_id", "value").collect()
+    by_user = {}
+    for r in raw:
+        by_user.setdefault(r.user_id, []).append((int(r.value * 1_000_000), r.event_id))
+
+    def lower_median(pairs):
+        s = sorted(pairs)
+        return s[(len(s) + 1) // 2 - 1][0]
+
+    med = {u: lower_median(vs) for u, vs in by_user.items()}
+    mad = {
+        u: lower_median([(abs(v - med[u]), eid) for v, eid in vs])
+        for u, vs in by_user.items()
+    }
+    assert rows
+    n_out = 0
+    for r in rows:
+        assert r.med_micro == med[r.user_id]
+        assert r.mad_micro == mad[r.user_id]
+        want = abs(r.v_micro - r.med_micro) > K_MAD * r.mad_micro
+        assert r.is_outlier == want
+        n_out += want
+    assert 0 < n_out < len(rows)
+
+
+def test_histogram_conserves_rows_and_bounds(spark):
+    """Bin counts sum to the table size; per-bin min/max sit inside the
+    bin's range (top bin open-ended)."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.quality import (
+        HIST_BINS,
+        HIST_WIDTH_MICROS,
+        q_price_histogram,
+    )
+
+    rows = q_price_histogram(spark, SF01).collect()
+    total = load_table(spark, SF01, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+    for r in rows:
+        lo = r.bin * HIST_WIDTH_MICROS
+        assert r.min_micros >= lo
+        if r.bin < HIST_BINS - 1:
+            assert r.max_micros < lo + HIST_WIDTH_MICROS
+        assert r.min_micros <= r.max_micros
+        assert r.sum_micros >= r.min_micros * r.n_orders
