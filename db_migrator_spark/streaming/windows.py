@@ -432,12 +432,110 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "event_id")
 
 
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — Spark 4's successor stateful API
+# (typed per-key state handles instead of a single state tuple).
+#
+# ENVIRONMENT GATE: the API's Python state-server protocol requires
+# protobuf, which this container does not ship (same class of gate as
+# the PIL decoders in operators/multimodal.py). The operator below is
+# complete and its bounded-replay contract is the plain GROUP BY twin
+# (_TWS_ORACLE_SQL); the driver-contract declaration activates only
+# where protobuf imports, and tests/test_round7_ops.py carries the
+# skip-marked end-to-end check.
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - environment-dependent
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAVE_PROTOBUF = True
+except ImportError:
+    HAVE_PROTOBUF = False
+
+_TWS_OUT = "user_id bigint, n_purchases bigint, total_micros bigint"
+
+
+def _make_tws_processor():
+    """StatefulProcessor factory: per-user running purchase count +
+    exact integer-micro revenue in a typed ValueState handle. Defined
+    inside a factory so importing this module never requires the new
+    API (or its protobuf dependency)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "agg", "n bigint, total bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                purchases = pdf[pdf["event_type"] == "purchase"]
+                n += len(purchases)
+                # trunc == floor: value >= 0 (the events_ewma contract)
+                total += int(
+                    (purchases["value"] * 1_000_000).astype("int64").sum()
+                )
+            self._state.update((n, total))
+            (user_id,) = key
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_purchases": [n],
+                    "total_micros": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user running purchase totals through transformWithStateInPandas
+    (typed ValueState, Update mode) — the Spark 4 stateful surface the
+    older applyInPandasWithState ops predate."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_tws_processor(),
+        outputStructType=_TWS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the transformWithState totals over the
+    bounded replay equal plain per-user purchase aggregation, so the
+    new-API operator carries a full SQL oracle."""
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    out = run_bounded(running_totals_stream(ev), "update")
+    # Update mode re-emits a key's row per micro-batch; the bounded
+    # replay is one batch, but keep only each user's LAST emission so
+    # the contract survives a multi-file replay too.
+    from pyspark.sql.window import Window as W2
+
+    w = W2.partitionBy("user_id").orderBy(F.desc("n_purchases"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .filter(F.col("n_purchases") > 0)
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "streaming_user_milestones": streaming_user_milestones,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_ewma": streaming_ewma,
 }
+if HAVE_PROTOBUF:  # pragma: no cover - absent in this container
+    QUERIES["streaming_running_totals"] = streaming_running_totals
 
 ORACLES = {
     "streaming_user_milestones": """
@@ -489,3 +587,16 @@ ORACLES = {
         ORDER BY user_id, event_id
     """,
 }
+
+_TWS_ORACLE_SQL = """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS total_micros
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+        ORDER BY user_id
+    """
+if HAVE_PROTOBUF:  # pragma: no cover - absent in this container
+    ORACLES["streaming_running_totals"] = _TWS_ORACLE_SQL

@@ -701,3 +701,33 @@ def test_histogram_conserves_rows_and_bounds(spark):
             assert r.max_micros < lo + HIST_WIDTH_MICROS
         assert r.min_micros <= r.max_micros
         assert r.sum_micros >= r.min_micros * r.n_orders
+
+
+def test_transform_with_state_totals(spark):
+    """transformWithStateInPandas running totals equal the batch GROUP
+    BY — skipped where the API's protobuf dependency is absent (this
+    container; the operator is environment-gated like the PIL
+    decoders)."""
+    from db_migrator_spark.streaming.windows import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("transformWithStateInPandas requires protobuf")
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.streaming.windows import streaming_running_totals
+
+    got = {
+        r.user_id: (r.n_purchases, r.total_micros)
+        for r in streaming_running_totals(spark, SF).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") * 1_000_000).cast("bigint")).alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
