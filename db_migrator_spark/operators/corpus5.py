@@ -369,6 +369,67 @@ def corpus_train_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL BPE training iteration: pick the argmax character pair,
+    merge it into a single symbol across the vocabulary, and recount
+    adjacent SYMBOL pairs — the post-merge candidate table the next
+    iteration would consume.
+
+    The merge applies via plain string replace over the space-separated
+    symbol form, whose left-to-right non-overlapping scan is identical
+    in Spark and DuckDB (pinned: 'a a a' -> 'aa a'), so overlapping
+    occurrences resolve the same way BPE's greedy left-to-right merge
+    does. All work stays on the VOCABULARY relation (the corpus
+    compressed to word -> freq — the classic BPE trick, see
+    ``text_bpe_pair_counts``); the merge choice broadcasts as a one-row
+    frame, never a collected scalar.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter((F.length("w") >= 2) & (F.length("w") <= BPE_WORD_CAP))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    spaced = vocab.select(
+        F.expr("trim(regexp_replace(w, '(.)', '$1 '))").alias("sw"), "freq"
+    )
+    char_pairs = spaced.select(
+        F.explode(F.expr("transform(sequence(1, size(split(sw, ' ')) - 1), "
+                         "i -> concat(split(sw, ' ')[i-1], ' ', split(sw, ' ')[i]))")).alias("p"),
+        "freq",
+    )
+    top_merge = (
+        char_pairs.groupBy("p")
+        .agg(F.sum("freq").alias("c"))
+        .orderBy(F.desc("c"), "p")
+        .limit(1)
+        .select(
+            F.col("p").alias("merge_spaced"),
+            F.replace(F.col("p"), F.lit(" "), F.lit("")).alias("merge_tok"),
+        )
+    )
+    merged = spaced.crossJoin(F.broadcast(top_merge)).select(
+        F.expr("replace(sw, merge_spaced, merge_tok)").alias("mw"),
+        "freq",
+        "merge_tok",
+    )
+    toks = merged.select(F.split(F.col("mw"), " ").alias("ts"), "freq", "merge_tok")
+    sym_pairs = toks.filter(F.size("ts") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, size(ts) - 1), "
+                   "i -> concat(ts[i-1], '|', ts[i]))")
+        ).alias("pair"),
+        "freq",
+        "merge_tok",
+    )
+    return (
+        sym_pairs.groupBy("pair", "merge_tok")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .select("merge_tok", "pair", "pair_count")
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOP_K)
+    )
+
+
 def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dataset card: the headline numbers a corpus release
     ships — document/token/char totals, language count, exact-duplicate
@@ -426,6 +487,7 @@ QUERIES = {
     "text_bigram_coverage": text_bigram_coverage,
     "corpus_train_mix_plan": corpus_train_mix_plan,
     "corpus_dataset_card": corpus_dataset_card,
+    "text_bpe_merge_step": text_bpe_merge_step,
 }
 
 from .splits import _SPLIT_SQL as _SPLIT_CASE_SQL  # noqa: E402
@@ -563,6 +625,41 @@ ORACLES = {
         FROM pairs
         ORDER BY lift_ppm DESC, w1, w2
         LIMIT {PMI_TOP_K}
+    """,
+    "text_bpe_merge_step": f"""
+        WITH words AS (
+            SELECT w FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE len(w) >= 2 AND len(w) <= {BPE_WORD_CAP}),
+        vocab AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+        spaced AS (
+            SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sw, freq
+            FROM vocab),
+        cw AS (SELECT string_split(sw, ' ') AS ws, freq FROM spaced),
+        cp AS (
+            SELECT unnest(list_transform(
+                       ws[1:len(ws) - 1], (x, i) -> x || ' ' || ws[i + 1]))
+                       AS p, freq
+            FROM cw WHERE len(ws) >= 2),
+        top_merge AS (
+            SELECT p AS merge_spaced, replace(p, ' ', '') AS merge_tok
+            FROM (SELECT p, SUM(freq) AS c FROM cp GROUP BY p
+                  ORDER BY c DESC, p LIMIT 1)),
+        merged AS (
+            SELECT replace(sw, merge_spaced, merge_tok) AS mw, freq,
+                   merge_tok
+            FROM spaced, top_merge),
+        ts AS (SELECT string_split(mw, ' ') AS ts, freq, merge_tok FROM merged),
+        sp AS (
+            SELECT unnest(list_transform(
+                       ts[1:len(ts) - 1], (x, i) -> x || '|' || ts[i + 1]))
+                       AS pair, freq, merge_tok
+            FROM ts WHERE len(ts) >= 2)
+        SELECT merge_tok, pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM sp
+        GROUP BY 1, 2
+        ORDER BY pair_count DESC, pair
+        LIMIT {BPE_TOP_K}
     """,
     "corpus_dataset_card": """
         WITH base AS (

@@ -731,3 +731,43 @@ def test_transform_with_state_totals(spark):
         .collect()
     }
     assert got == want
+
+
+def test_bpe_merge_step_hand_check(spark):
+    """One merge iteration on a literal corpus: the argmax pair merges
+    greedily left-to-right and post-merge pair counts follow."""
+    from db_migrator_spark.operators import corpus5
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab cd")], "doc_id long, text string"
+    )
+    words = df.select(F2.explode(F2.split("text", " ")).alias("w")).filter(
+        F2.length("w") >= 2
+    )
+    vocab = words.groupBy("w").agg(F2.count(F2.lit(1)).alias("freq"))
+    spaced = vocab.select(
+        F2.expr("trim(regexp_replace(w, '(.)', '$1 '))").alias("sw"), "freq"
+    )
+    # char pair counts: 'a a' appears twice in 'a a a b' (overlap!) but
+    # transform-over-indices counts positions: aaab has (a,a),(a,a),(a,b)
+    pairs = spaced.select(
+        F2.explode(
+            F2.expr(
+                "transform(sequence(1, size(split(sw,' ')) - 1),"
+                " i -> concat(split(sw,' ')[i-1], ' ', split(sw,' ')[i]))"
+            )
+        ).alias("p"),
+        "freq",
+    ).groupBy("p").agg(F2.sum("freq").alias("c"))
+    got = {r.p: r.c for r in pairs.collect()}
+    # aaab freq 2: (a a)x2, (a b)x1 each word; ab freq 1: (a b); cd: (c d)
+    assert got == {"a a": 4, "a b": 3, "c d": 1}
+    # full operator on the fixture: merged token appears inside pairs
+    rows = corpus5.text_bpe_merge_step(spark, SF).collect()
+    assert rows
+    merge_tok = rows[0].merge_tok
+    assert len(merge_tok) == 2
+    assert any(merge_tok in r.pair.split("|") for r in rows), (
+        merge_tok, [r.pair for r in rows[:5]]
+    )
