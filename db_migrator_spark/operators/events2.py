@@ -484,6 +484,41 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily active users over the rolling
+    7-day active users ending that day, in exact ppm — the engagement
+    ratio every growth dashboard carries.
+
+    Shares the rolling-active plan: one distinct presence pass feeds
+    BOTH aggregates (DAU = presence grouped by day; WAU = the
+    constant-fan-out window-end explode), joined on the day key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.unix_micros(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        / 86_400_000_000
+    ).cast("bigint")
+    presence = ev.select("user_id", day.alias("day")).distinct()
+    dau = presence.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    expl = presence.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (ROLLING_DAYS - 1))
+        ).alias("w_end"),
+    )
+    wau = expl.groupBy("w_end").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau.day == wau.w_end)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "events_overlap_sessions": events_overlap_sessions,
     "events_interpolate_linear": events_interpolate_linear,
@@ -493,6 +528,7 @@ QUERIES = {
     "events_rolling_active_users": events_rolling_active_users,
     "events_session_paths": events_session_paths,
     "events_cohort_ltv": events_cohort_ltv,
+    "events_stickiness": events_stickiness,
 }
 
 ORACLES = {

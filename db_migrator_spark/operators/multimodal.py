@@ -534,6 +534,59 @@ def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Average-hash (aHash): threshold each patch's gray mass against the
+# image mean, pack the bits — the classic perceptual near-dup key for
+# images (two visually-similar images differ in a few bits; exact dup
+# detection on the hash is a plain groupBy). All integer: the threshold
+# compares patch_gray * n_patches > total_gray, no division anywhere.
+_AHASH_SCHEMA = "doc_id bigint, ahash bigint, n_ones int"
+
+
+def _ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    n_patches = _PATCH_GRID * _PATCH_GRID
+    for pdf in batches:
+        recs = {"doc_id": [], "ahash": [], "n_ones": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(buf[start:pos])
+            pos += 1
+            w, h = int(tokens[1]), int(tokens[2])
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+            gray = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+            blocks = gray.reshape(
+                _PATCH_GRID, PATCH, _PATCH_GRID, PATCH
+            ).sum(axis=(1, 3))
+            total = int(blocks.sum())
+            bits = (blocks.reshape(-1) * n_patches) > total
+            ahash = int(sum(1 << k for k, b in enumerate(bits) if b))
+            recs["doc_id"].append(int(doc_id))
+            recs["ahash"].append(ahash)
+            recs["n_ones"].append(int(bits.sum()))
+        yield pd.DataFrame(recs)
+
+
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image: 16 patch-gray bits thresholded
+    on the image mean, packed into a bigint — the join/groupBy key for
+    image near-duplicate detection. Byte-level oracle twin packs the
+    same bits in SQL, so the whole decode->threshold->pack path is
+    hash-checked."""
+    return (
+        _ppm_payloads(spark, sf_dir)
+        .mapInPandas(_ahash, schema=_AHASH_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -544,6 +597,7 @@ QUERIES = {
     "multimodal_decode_wav": multimodal_decode_wav,
     "multimodal_audio_frames": multimodal_audio_frames,
     "multimodal_patchify": multimodal_patchify,
+    "multimodal_image_ahash": multimodal_image_ahash,
 }
 
 ORACLES = {
@@ -721,5 +775,40 @@ ORACLES = {
         FROM cells
         GROUP BY doc_id, patch_r, patch_c
         ORDER BY doc_id, patch_r, patch_c
+    """,
+    "multimodal_image_ahash": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(repeat(text,
+                                 CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
+                          1, {_PPM_PIXELS}) AS px
+            FROM {_ASCII_DOCS_SQL}
+            WHERE length(text) > 0),
+        cells AS (
+            SELECT doc_id,
+                   (r // {PATCH}) * {_PATCH_GRID} + (c // {PATCH}) AS k,
+                   ascii(substr(px, (r * {PPM_W} + c) * 3 + 1, 1))
+                   + ascii(substr(px, (r * {PPM_W} + c) * 3 + 2, 1))
+                   + ascii(substr(px, (r * {PPM_W} + c) * 3 + 3, 1)) AS g
+            FROM t,
+                 generate_series(0, {PPM_H - 1}) AS gr(r),
+                 generate_series(0, {PPM_W - 1}) AS gc(c)),
+        blocks AS (
+            SELECT doc_id, k, SUM(g) AS block_gray
+            FROM cells GROUP BY doc_id, k),
+        tot AS (
+            SELECT doc_id, SUM(block_gray) AS total_gray
+            FROM blocks GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(SUM(CASE WHEN b.block_gray * {_PATCH_GRID * _PATCH_GRID}
+                             > t.total_gray
+                             THEN CAST(1 AS BIGINT) << CAST(b.k AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS ahash,
+               CAST(COUNT(*) FILTER (
+                   b.block_gray * {_PATCH_GRID * _PATCH_GRID} > t.total_gray)
+                   AS INTEGER) AS n_ones
+        FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
     """,
 }

@@ -591,7 +591,73 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring: quintile
+    ranks per dimension WITHIN the customer's nation, composed into the
+    classic three-digit RFM code.
+
+    Scale shape: one groupBy over orders for the per-customer triple,
+    a broadcast one-row reference date, and three ntile windows all
+    keyed by nation — the same keyed-window discipline as the ABC
+    report (a global scoring would need the exact-percentile cutoff
+    assignment instead; partitioned scoring is both the business
+    convention and the scale-safe plan). Recency in whole days,
+    monetary in exact micros; ntile ties break on custkey.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint"))
+            .alias("monetary_micros"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    based = per.crossJoin(F.broadcast(ref)).select(
+        "c_nationkey",
+        "o_custkey",
+        F.datediff(F.col("ref_date"), F.col("last_order")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary_micros",
+    )
+
+    def tile(order_cols) -> F.Column:
+        return F.ntile(5).over(
+            W.partitionBy("c_nationkey").orderBy(*order_cols)
+        )
+
+    scored = based.select(
+        "c_nationkey",
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_micros",
+        tile([F.col("recency_days"), F.col("o_custkey")]).alias("r_score"),
+        tile([F.desc("frequency"), F.col("o_custkey")]).alias("f_score"),
+        tile([F.desc("monetary_micros"), F.col("o_custkey")]).alias(
+            "m_score"
+        ),
+    )
+    return scored.select(
+        "*",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm_code"),
+    ).orderBy("c_nationkey", "o_custkey")
+
+
 QUERIES = {
+    "q_customer_rfm": q_customer_rfm,
     "q_skew_report": q_skew_report,
     "events_anomaly_zscore": events_anomaly_zscore,
     "q_exact_median": q_exact_median,
@@ -809,6 +875,43 @@ ORACLES = {
         FROM counts c, tot t
         JOIN benford b ON b.digit = c.digit
         ORDER BY c.digit
+    """,
+    "q_customer_rfm": """
+        WITH per AS (
+            SELECT o.o_custkey, c.c_nationkey,
+                   MAX(o.o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 1000000) AS BIGINT))
+                        AS BIGINT) AS monetary_micros
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2),
+        ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+        based AS (
+            SELECT c_nationkey, o_custkey,
+                   CAST(date_diff('day', CAST(last_order AS DATE),
+                                  CAST(ref_date AS DATE)) AS INTEGER)
+                       AS recency_days,
+                   CAST(frequency AS BIGINT) AS frequency,
+                   monetary_micros
+            FROM per, ref)
+        SELECT c_nationkey, o_custkey, recency_days, frequency,
+               monetary_micros,
+               CAST(NTILE(5) OVER (PARTITION BY c_nationkey
+                   ORDER BY recency_days, o_custkey) AS INTEGER) AS r_score,
+               CAST(NTILE(5) OVER (PARTITION BY c_nationkey
+                   ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_score,
+               CAST(NTILE(5) OVER (PARTITION BY c_nationkey
+                   ORDER BY monetary_micros DESC, o_custkey) AS INTEGER)
+                   AS m_score,
+               CAST(NTILE(5) OVER (PARTITION BY c_nationkey
+                   ORDER BY recency_days, o_custkey) * 100
+                   + NTILE(5) OVER (PARTITION BY c_nationkey
+                     ORDER BY frequency DESC, o_custkey) * 10
+                   + NTILE(5) OVER (PARTITION BY c_nationkey
+                     ORDER BY monetary_micros DESC, o_custkey) AS INTEGER)
+                   AS rfm_code
+        FROM based
+        ORDER BY c_nationkey, o_custkey
     """,
     "events_anomaly_mad": f"""
         WITH q AS (

@@ -771,3 +771,71 @@ def test_bpe_merge_step_hand_check(spark):
     assert any(merge_tok in r.pair.split("|") for r in rows), (
         merge_tok, [r.pair for r in rows[:5]]
     )
+
+
+def test_image_ahash_bits_match_patch_means(spark):
+    """ahash bit k must equal (patch gray mean > image gray mean) for
+    patch k = patch_r * grid + patch_c, recomputed from patchify."""
+    from db_migrator_spark.operators.multimodal import (
+        _PATCH_GRID,
+        multimodal_image_ahash,
+        multimodal_patchify,
+    )
+
+    hashes = {r.doc_id: r for r in multimodal_image_ahash(spark, SF).collect()}
+    patches = {}
+    for r in multimodal_patchify(spark, SF).collect():
+        patches.setdefault(r.doc_id, {})[r.patch_r * _PATCH_GRID + r.patch_c] = (
+            r.mean_r + r.mean_g + r.mean_b
+        )
+    assert set(hashes) == set(patches)
+    n = _PATCH_GRID * _PATCH_GRID
+    distinct_hashes = {r.ahash for r in hashes.values()}
+    assert len(distinct_hashes) > 10  # hashes discriminate images
+    for doc_id, r in hashes.items():
+        grays = patches[doc_id]
+        mean = sum(grays.values()) / n
+        want_bits = [grays[k] > mean for k in range(n)]
+        want = sum(1 << k for k, b in enumerate(want_bits) if b)
+        assert r.ahash == want
+        assert r.n_ones == sum(want_bits)
+
+
+def test_rfm_scores_are_balanced_quintiles(spark):
+    """Each score dimension splits every nation into near-equal
+    quintiles (ntile invariant), and rfm_code recomposes the digits."""
+    from db_migrator_spark.operators.quality import q_customer_rfm
+
+    rows = q_customer_rfm(spark, SF01).collect()
+    by_nation = {}
+    for r in rows:
+        assert r.rfm_code == r.r_score * 100 + r.f_score * 10 + r.m_score
+        by_nation.setdefault(r.c_nationkey, []).append(r)
+    for nk, rs in by_nation.items():
+        n = len(rs)
+        for dim in ("r_score", "f_score", "m_score"):
+            counts = {}
+            for r in rs:
+                counts[getattr(r, dim)] = counts.get(getattr(r, dim), 0) + 1
+            assert set(counts) == set(range(1, min(5, n) + 1))
+            assert max(counts.values()) - min(counts.values()) <= 1
+
+
+def test_stickiness_bounded_and_consistent(spark):
+    """DAU <= WAU always; stickiness is the exact ppm ratio; day keys
+    line up with the rolling-active op."""
+    from db_migrator_spark.operators.events2 import (
+        events_rolling_active_users,
+        events_stickiness,
+    )
+
+    rows = events_stickiness(spark, SF).collect()
+    assert rows
+    wau_ref = {
+        r.window_end_day: r.n_active
+        for r in events_rolling_active_users(spark, SF).collect()
+    }
+    for r in rows:
+        assert r.dau <= r.wau
+        assert r.stickiness_ppm == r.dau * 1_000_000 // r.wau
+        assert wau_ref[r.day] == r.wau
