@@ -587,6 +587,112 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 64-bit average-hash for near-dup blocking: 8x8 grid of 2x2-pixel
+# blocks. The hash ships as two 32-bit halves so no engine ever shifts
+# into the sign bit; Hamming distance = popcount(xor) summed over the
+# halves. Candidate generation is the banding trick every LSH operator
+# here uses: 4 bands of 16 bits — two near-dup images (Hamming <= 6)
+# agree on at least one full band unless all differing bits straddle
+# every band, and buckets are budget-capped (_cap_buckets discipline)
+# exactly as in the oracle, so the op stays HASH-checkable.
+_AH64_BLOCK = 2
+_AH64_GRID = PPM_W // _AH64_BLOCK  # 8 -> 64 bits
+NEARDUP_HAM_MAX = 6
+NEARDUP_MAX_BUCKET = 64
+
+_AH64_SCHEMA = "doc_id bigint, h_hi bigint, h_lo bigint"
+
+
+def _ahash64(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    n_blocks = _AH64_GRID * _AH64_GRID
+    for pdf in batches:
+        recs = {"doc_id": [], "h_hi": [], "h_lo": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(buf[start:pos])
+            pos += 1
+            w, h = int(tokens[1]), int(tokens[2])
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+            gray = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+            blocks = gray.reshape(
+                _AH64_GRID, _AH64_BLOCK, _AH64_GRID, _AH64_BLOCK
+            ).sum(axis=(1, 3)).reshape(-1)
+            total = int(blocks.sum())
+            bits = (blocks * n_blocks) > total
+            lo = int(sum(1 << k for k in range(32) if bits[k]))
+            hi = int(sum(1 << (k - 32) for k in range(32, 64) if bits[k]))
+            recs["doc_id"].append(int(doc_id))
+            recs["h_hi"].append(hi)
+            recs["h_lo"].append(lo)
+        yield pd.DataFrame(recs)
+
+
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by 64-bit average-hash: banded
+    candidate generation (4 x 16-bit bands, budget-capped buckets) and
+    an exact Hamming filter — deterministic end-to-end, so unlike the
+    text LSH family this ships with a full value-hash oracle.
+
+    Scale: hashes are 2 longs/image; band join fan-out is bounded by
+    the bucket cap; the Hamming check is row-local bit math. The decode
+    runs once in the same Arrow pass as the hash.
+    """
+    from .dedup import _cap_buckets
+
+    hashes = (
+        _ppm_payloads(spark, sf_dir)
+        .mapInPandas(_ahash64, schema=_AH64_SCHEMA)
+        .localCheckpoint()  # feeds the band explode AND both join sides
+    )
+    bands = hashes.select(
+        "doc_id",
+        "h_hi",
+        "h_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("k"), F.expr("shiftright(h_hi, 16) & 65535").alias("band_val")),
+                F.struct(F.lit(1).alias("k"), F.expr("h_hi & 65535").alias("band_val")),
+                F.struct(F.lit(2).alias("k"), F.expr("shiftright(h_lo, 16) & 65535").alias("band_val")),
+                F.struct(F.lit(3).alias("k"), F.expr("h_lo & 65535").alias("band_val")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "h_hi", "h_lo", F.col("b.k").alias("k"), F.col("b.band_val").alias("band_val"))
+    bands = _cap_buckets(bands, ["k", "band_val"], NEARDUP_MAX_BUCKET)
+    a = bands.select(
+        F.col("doc_id").alias("d1"),
+        F.col("h_hi").alias("hi1"),
+        F.col("h_lo").alias("lo1"),
+        "k",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("d2"),
+        F.col("h_hi").alias("hi2"),
+        F.col("h_lo").alias("lo2"),
+        "k",
+        "band_val",
+    )
+    hamming = F.expr("bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2)")
+    return (
+        a.join(b, ["k", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "hi1", "lo1", "hi2", "lo2")
+        .distinct()
+        .select("d1", "d2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= NEARDUP_HAM_MAX)
+        .orderBy("d1", "d2")
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -598,6 +704,7 @@ QUERIES = {
     "multimodal_audio_frames": multimodal_audio_frames,
     "multimodal_patchify": multimodal_patchify,
     "multimodal_image_ahash": multimodal_image_ahash,
+    "multimodal_image_neardup": multimodal_image_neardup,
 }
 
 ORACLES = {
@@ -810,5 +917,68 @@ ORACLES = {
         FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
         GROUP BY b.doc_id
         ORDER BY b.doc_id
+    """,
+    "multimodal_image_neardup": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(repeat(text,
+                                 CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
+                          1, {_PPM_PIXELS}) AS px
+            FROM {_ASCII_DOCS_SQL}
+            WHERE length(text) > 0),
+        cells AS (
+            SELECT doc_id,
+                   (r // {_AH64_BLOCK}) * {_AH64_GRID} + (c // {_AH64_BLOCK})
+                       AS k,
+                   ascii(substr(px, (r * {PPM_W} + c) * 3 + 1, 1))
+                   + ascii(substr(px, (r * {PPM_W} + c) * 3 + 2, 1))
+                   + ascii(substr(px, (r * {PPM_W} + c) * 3 + 3, 1)) AS g
+            FROM t,
+                 generate_series(0, {PPM_H - 1}) AS gr(r),
+                 generate_series(0, {PPM_W - 1}) AS gc(c)),
+        blocks AS (
+            SELECT doc_id, k, SUM(g) AS bg FROM cells GROUP BY doc_id, k),
+        tot AS (
+            SELECT doc_id, SUM(bg) AS total FROM blocks GROUP BY doc_id),
+        hashes AS (
+            SELECT b.doc_id,
+                   CAST(SUM(CASE WHEN b.k >= 32
+                                  AND b.bg * {_AH64_GRID * _AH64_GRID} > t.total
+                             THEN CAST(1 AS BIGINT)
+                                  << CAST(b.k - 32 AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS h_hi,
+                   CAST(SUM(CASE WHEN b.k < 32
+                                  AND b.bg * {_AH64_GRID * _AH64_GRID} > t.total
+                             THEN CAST(1 AS BIGINT) << CAST(b.k AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS h_lo
+            FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+            GROUP BY b.doc_id),
+        bands AS (
+            SELECT doc_id, h_hi, h_lo, u.k,
+                   CASE u.k WHEN 0 THEN (h_hi >> 16) & 65535
+                            WHEN 1 THEN h_hi & 65535
+                            WHEN 2 THEN (h_lo >> 16) & 65535
+                            ELSE h_lo & 65535 END AS band_val
+            FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS k) u),
+        kept AS (
+            SELECT * FROM bands
+            QUALIFY COUNT(*) OVER (PARTITION BY k, band_val)
+                    <= {NEARDUP_MAX_BUCKET}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                   a.h_hi AS hi1, a.h_lo AS lo1,
+                   b.h_hi AS hi2, b.h_lo AS lo2
+            FROM kept a JOIN kept b
+              ON a.k = b.k AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id)
+        SELECT d1, d2,
+               CAST(bit_count(CAST(xor(hi1, hi2) AS BIGINT))
+                    + bit_count(CAST(xor(lo1, lo2) AS BIGINT)) AS INTEGER)
+                   AS hamming
+        FROM cand
+        WHERE bit_count(CAST(xor(hi1, hi2) AS BIGINT))
+              + bit_count(CAST(xor(lo1, lo2) AS BIGINT))
+              <= {NEARDUP_HAM_MAX}
+        ORDER BY d1, d2
     """,
 }

@@ -839,3 +839,41 @@ def test_stickiness_bounded_and_consistent(spark):
         assert r.dau <= r.wau
         assert r.stickiness_ppm == r.dau * 1_000_000 // r.wau
         assert wau_ref[r.day] == r.wau
+
+
+def test_image_neardup_pairs_are_close_and_complete_within_cap(spark):
+    """Every emitted pair's recomputed Hamming distance is within the
+    threshold, and every exact-duplicate image pair (same text payload)
+    appears (Hamming 0 pairs can't be missed by banding)."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.multimodal import (
+        NEARDUP_HAM_MAX,
+        multimodal_image_neardup,
+        _ppm_payloads,
+        _ahash64,
+    )
+
+    rows = multimodal_image_neardup(spark, SF01).collect()
+    hashes = {
+        r.doc_id: (r.h_hi, r.h_lo)
+        for r in _ppm_payloads(spark, SF01)
+        .mapInPandas(_ahash64, schema="doc_id bigint, h_hi bigint, h_lo bigint")
+        .collect()
+    }
+    got_pairs = set()
+    for r in rows:
+        hi1, lo1 = hashes[r.d1]
+        hi2, lo2 = hashes[r.d2]
+        ham = bin(hi1 ^ hi2).count("1") + bin(lo1 ^ lo2).count("1")
+        assert r.hamming == ham <= NEARDUP_HAM_MAX
+        got_pairs.add((r.d1, r.d2))
+    # exact payload dups share all bands -> must be found (unless their
+    # bucket was capped, which the 64-cap never hits at sf0.01)
+    texts = {}
+    for t in load_table(spark, SF01, "documents").select("doc_id", "text").collect():
+        texts.setdefault(t.text, []).append(t.doc_id)
+    for ids in texts.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in got_pairs
