@@ -101,15 +101,27 @@ def _evidence_order(names: list[str], oracles: dict[str, str]) -> list[str]:
             if prev is None or rnd >= prev[0]:
                 last[k] = (rnd, green, rows_only)
 
+    newest = max((rnd for rnd, _g, _r in last.values()), default=0)
+
     def key(name: str):
         if name not in last:
-            return (0, 0, name)
+            # Never driver-checked. Ranked AFTER very-stale evidence:
+            # when one round adds more new queries than the window minus
+            # the stale backlog, retiring the oldest evidence wins —
+            # new queries carry the locally-reproducible oracle gate
+            # until their window slot comes around next round.
+            return (1, 0, name)
         rnd, green, rows_only = last[name]
         if rows_only and name in oracles:
             # Oracle declared after the last rows-only check: the evidence
             # predates the current contract, so re-attest like a red row.
-            return (1, rnd, name)
-        return (2, rnd, name) if green else (1, rnd, name)
+            return (2, rnd, name)
+        if not green:
+            return (2, rnd, name)
+        if rnd <= newest - 3:
+            # Very stale green evidence (3+ rounds old) retires first.
+            return (0, rnd, name)
+        return (3, rnd, name)
 
     return sorted(names, key=key)
 
