@@ -693,6 +693,81 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audio fingerprint: sign of successive frame-energy deltas (the
+# classic energy-contour fingerprint) — 32 frames of 8 samples -> 31
+# bits in one bigint, banded 16+15 for near-dup candidate generation.
+_FP_FRAME = 8
+_FP_NFRAMES = WAV_SAMPLES // _FP_FRAME  # 32 -> 31 delta bits
+FP_HAM_MAX = 4
+FP_MAX_BUCKET = 64
+
+_FP_SCHEMA = "doc_id bigint, fp bigint"
+
+
+def _audio_fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        recs = {"doc_id": [], "fp": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            pos, samples = 12, None
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                if cid == b"data":
+                    samples = np.frombuffer(
+                        buf[pos + 8 : pos + 8 + size], dtype="<i2"
+                    )
+                pos += 8 + size + (size & 1)
+            s = samples.astype(np.int64)[: _FP_NFRAMES * _FP_FRAME]
+            energy = (s * s).reshape(_FP_NFRAMES, _FP_FRAME).sum(axis=1)
+            bits = energy[1:] > energy[:-1]
+            fp = int(sum(1 << k for k, b in enumerate(bits) if b))
+            recs["doc_id"].append(int(doc_id))
+            recs["fp"].append(fp)
+        yield pd.DataFrame(recs)
+
+
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs by energy-contour fingerprint: the
+    31-bit rising/falling pattern of 32 frame energies, banded 16+15
+    bits with capped buckets, exact Hamming filter — deterministic
+    end-to-end, full value-hash oracle (the audio sibling of
+    ``multimodal_image_neardup``)."""
+    from .dedup import _cap_buckets
+
+    fps = (
+        _wav_payloads(spark, sf_dir)
+        .mapInPandas(_audio_fp, schema=_FP_SCHEMA)
+        .localCheckpoint()
+    )
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("k"), F.expr("fp & 65535").alias("band_val")),
+                F.struct(F.lit(1).alias("k"), F.expr("shiftright(fp, 16) & 32767").alias("band_val")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "fp", F.col("b.k").alias("k"), F.col("b.band_val").alias("band_val"))
+    bands = _cap_buckets(bands, ["k", "band_val"], FP_MAX_BUCKET)
+    a = bands.select(F.col("doc_id").alias("d1"), F.col("fp").alias("fp1"), "k", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"), "k", "band_val")
+    return (
+        a.join(b, ["k", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "fp1", "fp2")
+        .distinct()
+        .select("d1", "d2", F.expr("bit_count(fp1 ^ fp2)").alias("hamming"))
+        .filter(F.col("hamming") <= FP_HAM_MAX)
+        .orderBy("d1", "d2")
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -705,6 +780,7 @@ QUERIES = {
     "multimodal_patchify": multimodal_patchify,
     "multimodal_image_ahash": multimodal_image_ahash,
     "multimodal_image_neardup": multimodal_image_neardup,
+    "multimodal_audio_neardup": multimodal_audio_neardup,
 }
 
 ORACLES = {
@@ -917,6 +993,59 @@ ORACLES = {
         FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
         GROUP BY b.doc_id
         ORDER BY b.doc_id
+    """,
+    "multimodal_audio_neardup": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(repeat(text,
+                                 CAST(ceil({_WAV_DATA_BYTES} / CAST(length(text) AS DOUBLE)) AS INT)),
+                          1, {_WAV_DATA_BYTES}) AS px
+            FROM {_ASCII_DOCS_SQL}
+            WHERE length(text) > 0),
+        u AS (
+            SELECT doc_id,
+                   CAST((i - 1) // {_FP_FRAME} AS INTEGER) AS f,
+                   ascii(substr(px, 2 * i - 1, 1))
+                       + 256 * ascii(substr(px, 2 * i, 1)) AS raw
+            FROM t, generate_series(1, {WAV_SAMPLES}) AS g(i)),
+        s AS (
+            SELECT doc_id, f,
+                   CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+            FROM u),
+        energy AS (
+            SELECT doc_id, f, SUM(v * v) AS e FROM s GROUP BY doc_id, f),
+        deltas AS (
+            SELECT doc_id, f,
+                   e > LAG(e) OVER (PARTITION BY doc_id ORDER BY f) AS up
+            FROM energy),
+        fps AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN up
+                             THEN CAST(1 AS BIGINT) << CAST(f - 1 AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS fp
+            FROM deltas WHERE f >= 1
+            GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, fp, u.k,
+                   CASE u.k WHEN 0 THEN fp & 65535
+                            ELSE (fp >> 16) & 32767 END AS band_val
+            FROM fps, (SELECT unnest([0, 1]) AS k) u),
+        kept AS (
+            SELECT * FROM bands
+            QUALIFY COUNT(*) OVER (PARTITION BY k, band_val)
+                    <= {FP_MAX_BUCKET}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                   a.fp AS fp1, b.fp AS fp2
+            FROM kept a JOIN kept b
+              ON a.k = b.k AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id)
+        SELECT d1, d2,
+               CAST(bit_count(CAST(xor(fp1, fp2) AS BIGINT)) AS INTEGER)
+                   AS hamming
+        FROM cand
+        WHERE bit_count(CAST(xor(fp1, fp2) AS BIGINT)) <= {FP_HAM_MAX}
+        ORDER BY d1, d2
     """,
     "multimodal_image_neardup": f"""
         WITH t AS (

@@ -877,3 +877,37 @@ def test_image_neardup_pairs_are_close_and_complete_within_cap(spark):
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 assert (ids[i], ids[j]) in got_pairs
+
+
+def test_audio_neardup_hamming_and_exact_dups(spark):
+    """Audio fingerprint pairs: recomputed Hamming within threshold, and
+    exact-payload duplicates always found (identical fingerprints share
+    all bands)."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.multimodal import (
+        FP_HAM_MAX,
+        _audio_fp,
+        _wav_payloads,
+        multimodal_audio_neardup,
+    )
+
+    rows = multimodal_audio_neardup(spark, SF01).collect()
+    fps = {
+        r.doc_id: r.fp
+        for r in _wav_payloads(spark, SF01)
+        .mapInPandas(_audio_fp, schema="doc_id bigint, fp bigint")
+        .collect()
+    }
+    got = set()
+    for r in rows:
+        ham = bin(fps[r.d1] ^ fps[r.d2]).count("1")
+        assert r.hamming == ham <= FP_HAM_MAX
+        got.add((r.d1, r.d2))
+    texts = {}
+    for t in load_table(spark, SF01, "documents").select("doc_id", "text").collect():
+        texts.setdefault(t.text, []).append(t.doc_id)
+    for ids in texts.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in got
