@@ -693,6 +693,98 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# "Video" payloads: a genuine multi-frame raw stream — VID_FRAMES
+# concatenated P6 images (each with its own header), every frame tiling
+# a DIFFERENT rotation of the document text so consecutive frames
+# genuinely differ. The decoder below walks the stream header-by-header
+# (a real demuxer shape); the oracle recomputes each frame's bytes from
+# the same construction. Scene-cut rule: a frame whose total gray mass
+# moves more than 10% vs the previous frame (integer cross-multiply,
+# no division).
+VID_FRAMES = 4
+VID_W = VID_H = 8
+_VID_PIXELS = VID_W * VID_H * 3
+_VID_SHIFT = 7  # chars of text rotation per frame
+
+_VID_SCHEMA = (
+    "doc_id bigint, frame_id int, gray_sum bigint, delta_gray bigint, "
+    "is_cut boolean"
+)
+
+
+def _video_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _ascii_docs(spark, sf_dir)
+    header = f"P6\n{VID_W} {VID_H}\n255\n"
+    frames = []
+    for f in range(VID_FRAMES):
+        tiled = F.expr(
+            f"substring(repeat(concat(substring(text, {f * _VID_SHIFT} % length(text) + 1),"
+            f" substring(text, 1, {f * _VID_SHIFT} % length(text))),"
+            f" CAST(ceil({_VID_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),"
+            f" 1, {_VID_PIXELS})"
+        )
+        frames.append(F.concat(F.lit(header), tiled))
+    return docs.select(
+        "doc_id", F.encode(F.concat(*frames), "utf-8").alias("payload")
+    )
+
+
+def _decode_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: demux the concatenated-P6 stream frame by
+    frame (header parse + raster read per frame), emit per-frame gray
+    mass, deltas, and integer-exact scene-cut flags."""
+    import numpy as np
+
+    for pdf in batches:
+        recs = {k: [] for k in ("doc_id", "frame_id", "gray_sum", "delta_gray", "is_cut")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            pos = 0
+            grays: list[int] = []
+            while pos < len(buf):
+                tokens = []
+                while len(tokens) < 4:
+                    while buf[pos : pos + 1].isspace():
+                        pos += 1
+                    start = pos
+                    while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                        pos += 1
+                    tokens.append(buf[start:pos])
+                pos += 1
+                if tokens[0] != b"P6":
+                    raise ValueError(f"bad frame magic {tokens[0]!r}")
+                w, h = int(tokens[1]), int(tokens[2])
+                px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+                pos += w * h * 3
+                grays.append(int(px.astype(np.int64).sum()))
+            for fid, g in enumerate(grays):
+                delta = None if fid == 0 else g - grays[fid - 1]
+                cut = (
+                    False
+                    if fid == 0
+                    else abs(delta) * 10 > grays[fid - 1]
+                )
+                recs["doc_id"].append(int(doc_id))
+                recs["frame_id"].append(fid)
+                recs["gray_sum"].append(g)
+                recs["delta_gray"].append(delta)
+                recs["is_cut"].append(cut)
+        yield pd.DataFrame(recs)
+
+
+def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame video-stream decode: demux VID_FRAMES
+    concatenated P6 frames, per-frame gray mass, frame deltas, and
+    10%-threshold scene-cut flags — the keyframe/scene-detection shape
+    every video ingestion pipeline starts with, byte-level
+    oracle-twinned like the other real decodes."""
+    return (
+        _video_payloads(spark, sf_dir)
+        .mapInPandas(_decode_video, schema=_VID_SCHEMA)
+        .orderBy("doc_id", "frame_id")
+    )
+
+
 # Audio fingerprint: sign of successive frame-energy deltas (the
 # classic energy-contour fingerprint) — 32 frames of 8 samples -> 31
 # bits in one bigint, banded 16+15 for near-dup candidate generation.
@@ -781,6 +873,7 @@ QUERIES = {
     "multimodal_image_ahash": multimodal_image_ahash,
     "multimodal_image_neardup": multimodal_image_neardup,
     "multimodal_audio_neardup": multimodal_audio_neardup,
+    "multimodal_video_scenes": multimodal_video_scenes,
 }
 
 ORACLES = {
@@ -993,6 +1086,39 @@ ORACLES = {
         FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
         GROUP BY b.doc_id
         ORDER BY b.doc_id
+    """,
+    "multimodal_video_scenes": f"""
+        WITH fr AS (
+            SELECT doc_id, text, u.f,
+                   concat(substring(text, ({_VID_SHIFT} * u.f) % length(text) + 1),
+                          substring(text, 1, ({_VID_SHIFT} * u.f) % length(text)))
+                       AS rot
+            FROM {_ASCII_DOCS_SQL},
+                 (SELECT unnest([0, 1, 2, 3]) AS f) u
+            WHERE length(text) > 0),
+        tiled AS (
+            SELECT doc_id, f,
+                   substr(repeat(rot,
+                                 CAST(ceil({_VID_PIXELS} / CAST(length(rot) AS DOUBLE)) AS INT)),
+                          1, {_VID_PIXELS}) AS px
+            FROM fr),
+        gray AS (
+            SELECT doc_id, f,
+                   SUM(ascii(substr(px, CAST(i AS INTEGER), 1))) AS g
+            FROM tiled, generate_series(1, {_VID_PIXELS}) AS s(i)
+            GROUP BY doc_id, f),
+        d AS (
+            SELECT doc_id, CAST(f AS INTEGER) AS frame_id,
+                   CAST(g AS BIGINT) AS gray_sum,
+                   CAST(g - LAG(g) OVER (PARTITION BY doc_id ORDER BY f)
+                        AS BIGINT) AS delta_gray,
+                   LAG(g) OVER (PARTITION BY doc_id ORDER BY f) AS g_prev
+            FROM gray)
+        SELECT doc_id, frame_id, gray_sum, delta_gray,
+               CASE WHEN delta_gray IS NULL THEN FALSE
+                    ELSE ABS(delta_gray) * 10 > g_prev END AS is_cut
+        FROM d
+        ORDER BY doc_id, frame_id
     """,
     "multimodal_audio_neardup": f"""
         WITH t AS (

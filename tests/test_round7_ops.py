@@ -911,3 +911,32 @@ def test_audio_neardup_hamming_and_exact_dups(spark):
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 assert (ids[i], ids[j]) in got
+
+
+def test_video_scenes_demux_and_cut_rule(spark):
+    """Every doc yields exactly VID_FRAMES frames, frame 0 has no delta
+    and no cut, deltas telescope (sum of deltas == last - first gray),
+    and the 10% cut rule reproduces from the row's own numbers."""
+    from db_migrator_spark.operators.multimodal import (
+        VID_FRAMES,
+        multimodal_video_scenes,
+    )
+
+    rows = multimodal_video_scenes(spark, SF).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert per_doc
+    any_cut = False
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r.frame_id)
+        assert len(rs) == VID_FRAMES
+        assert rs[0].delta_gray is None and rs[0].is_cut is False
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.delta_gray == cur.gray_sum - prev.gray_sum
+            assert cur.is_cut == (abs(cur.delta_gray) * 10 > prev.gray_sum)
+            any_cut |= cur.is_cut
+    # rotated-tile frames genuinely differ somewhere in the corpus
+    assert any(
+        any(c.delta_gray for c in rs[1:]) for rs in per_doc.values()
+    )
