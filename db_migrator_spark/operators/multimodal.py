@@ -1,10 +1,15 @@
-"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads, typed metadata, and REAL
+no-codec decodes for image (P6 PPM), audio (RIFF/WAV PCM), and video
+(multi-frame raw P6 stream) — parsed byte-by-byte with numpy inside
+Arrow-batched ``mapInPandas``, each hash-checked against a byte-level
+SQL twin. On top of the decodes: resize, patchify, frame energy,
+perceptual hashes, and banded near-dup pair mining for both images and
+audio.
 
-The container has no image/audio codecs, so *decoding* is stubbed (a
-deterministic arithmetic fake, or ``NotImplementedError`` for the real
-libraries behind an import-try) — but everything Spark-side is real:
-binary columns flowing through Arrow into ``mapInPandas`` batches, schema
-declaration, per-batch iteration, and one-to-many frame expansion.
+Only the COMPRESSED-codec paths (JPEG etc.) are gated behind an
+import-try on PIL, which this container lacks; the two remaining
+arithmetic fakes (frame_sample, feature_extract) stand in for codec
+calls while exercising the real Arrow plumbing.
 
 The fixture corpus has no binary column, so payloads are synthesized
 deterministically from ``documents.text`` (UTF-8 bytes) — which also makes

@@ -96,8 +96,9 @@ def test_resample_ffill_semantics(spark):
 
 def test_registration_order_prioritizes_missing_evidence():
     """The driver checks the FIRST 50 registered queries per round, so
-    registration order must put queries with no driver evidence first,
-    then reds needing re-verification, then greens oldest-first."""
+    registration order must put very-stale green evidence (3+ rounds
+    old) first, then never-driver-checked queries, then reds needing
+    re-verification, then fresh greens oldest-first."""
     import glob
     import json
     import os
@@ -121,14 +122,22 @@ def test_registration_order_prioritizes_missing_evidence():
             if prev is None or rnd >= prev[0]:
                 last[k] = (rnd, green)
 
+    newest = max((rnd for rnd, _g in last.values()), default=0)
+
     def tier(n: str) -> int:
         if n not in last:
-            return 0
-        return 2 if last[n][1] else 1
+            return 1
+        rnd, green = last[n]
+        if not green:
+            return 2
+        return 0 if rnd <= newest - 3 else 3
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers), "evidence tiers must be non-decreasing"
-    # everything lacking green evidence fits in the driver's 50-slot window
-    needing = [n for n in names if tier(n) < 2]
-    if len(needing) <= 50:
-        assert set(needing) <= set(names[:50])
+    # every very-stale query fits in the driver's 50-slot window
+    stale = [n for n in names if tier(n) == 0]
+    assert len(stale) <= 50 and set(stale) <= set(names[:50])
+    # reds (if any) must also make the window after the stale block
+    reds = [n for n in names if tier(n) == 2]
+    if len(stale) + len(reds) <= 50:
+        assert set(reds) <= set(names[:50])
