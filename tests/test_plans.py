@@ -542,3 +542,18 @@ def test_expectation_scan_checks_share_single_aggregate(spark):
     # scan and the FK check's probe side
     n_li_scans = plan.count("lineitem.parquet")
     assert 0 < n_li_scans <= 2, plan
+
+
+def test_neardup_miners_have_no_cartesian_and_broadcast_caps(spark):
+    """Both perceptual near-dup miners must join candidates on the
+    (band, value) equi-key — never a cartesian — with the bucket-cap
+    guard's broadcast anti-join present."""
+    from db_migrator_spark.operators.multimodal import (
+        multimodal_audio_neardup,
+        multimodal_image_neardup,
+    )
+
+    for op in (multimodal_image_neardup, multimodal_audio_neardup):
+        plan = plan_string(op(spark, SF))
+        assert "CartesianProduct" not in plan, op.__name__
+        assert "BroadcastExchange" in plan, op.__name__
