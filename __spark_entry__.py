@@ -51,6 +51,7 @@ _MODULES = [
     "db_migrator_spark.operators.splits",
     "db_migrator_spark.operators.graph",
     "db_migrator_spark.operators.graph2",
+    "db_migrator_spark.operators.evals",
     "db_migrator_spark.operators.udtf_ops",
     "db_migrator_spark.operators.sketches",
     "db_migrator_spark.operators.zorder",

@@ -1,0 +1,219 @@
+"""Model-evaluation aggregations (round 7): confusion matrix and
+precision/recall threshold sweep.
+
+The reference is a 1:1 table copier with no evaluation surface (scope:
+/root/reference/src/migrate/table_migrator.rs:43-114); these supply the
+metric aggregations a training pipeline runs after every eval pass —
+the shapes are generic (any (label, prediction) or (label, score)
+relation), demonstrated here on the corpus tables so the DuckDB twin
+can hash-check them end-to-end:
+
+- ``eval_langid_confusion``: the confusion matrix of the heuristic
+  language identifier (``text.text_language_id``) against the labeled
+  language — per (true, predicted) cell counts with exact row-share
+  ppm, plus the matrix the per-class recall falls out of.
+- ``eval_pr_sweep``: a 10-point precision/recall/F1 threshold sweep of
+  a document score against a binary relevance label — the PR-curve
+  primitive. All metrics are exact integer ppm; F1 is the ppm harmonic
+  mean 2PR div (P+R), integer end-to-end.
+
+Scale notes (100 TB): both are one conditional-aggregate scan
+(confusion cells are |classes|^2; the sweep's 10 thresholds fold into
+ONE pass as 10 conditional sums — never 10 scans) plus matrix-sized
+post-processing. Nothing collects; ppm division follows the repo-wide
+truncating `div` contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from .text import text_language_id
+
+# Sweep thresholds on the score (document length in chars) and the
+# relevance label (whitespace token count >= PR_LABEL_MIN_TOKENS — a
+# deterministic stand-in for a human relevance bit; the METRIC machinery
+# is the operator, the label source is pluggable).
+PR_THRESHOLDS = tuple(range(200, 2001, 200))
+PR_LABEL_MIN_TOKENS = 60
+
+
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of predicted vs labeled language: cell count,
+    share of the true-language row in exact ppm, and the diagonal flag
+    per-class recall sums over."""
+    preds = text_language_id(spark, sf_dir).select(
+        "labeled_lang", "predicted_lang"
+    )
+    cells = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = cells.groupBy("labeled_lang").agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    return (
+        cells.join(F.broadcast(row_tot), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            F.col("n").cast("bigint").alias("n"),
+            "n_true",
+            F.expr("n * 1000000 div n_true").alias("row_share_ppm"),
+            (F.col("labeled_lang") == F.col("predicted_lang")).alias(
+                "is_correct"
+            ),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def eval_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at each score threshold, all exact ppm.
+
+    ONE scan: every threshold's TP/FP/FN is a conditional sum over the
+    same (score, label) projection; the per-threshold rows materialize
+    from a constant-sized explode of the threshold list, so adding
+    thresholds widens the aggregate, not the number of passes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("n_chars").alias("score"),
+        (F.size(F.split(F.col("text"), " ")) >= PR_LABEL_MIN_TOKENS).alias(
+            "label"
+        ),
+    )
+    aggs = []
+    for t in PR_THRESHOLDS:
+        pred = F.col("score") >= t
+        aggs.extend(
+            [
+                F.sum(F.when(pred & F.col("label"), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"tp_{t}"),
+                F.sum(F.when(pred & ~F.col("label"), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"fp_{t}"),
+                F.sum(F.when(~pred & F.col("label"), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"fn_{t}"),
+            ]
+        )
+    wide = base.agg(*aggs)
+    rows = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("threshold"),
+                        F.col(f"tp_{t}").alias("tp"),
+                        F.col(f"fp_{t}").alias("fp"),
+                        F.col(f"fn_{t}").alias("fn"),
+                    )
+                    for t in PR_THRESHOLDS
+                ]
+            )
+        ).alias("s")
+    ).select("s.threshold", "s.tp", "s.fp", "s.fn")
+    precision = F.expr(
+        "CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 div (tp + fp) END"
+    )
+    recall = F.expr(
+        "CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 div (tp + fn) END"
+    )
+    scored = rows.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        precision.alias("precision_ppm"),
+        recall.alias("recall_ppm"),
+    )
+    return scored.select(
+        "*",
+        F.expr(
+            "CASE WHEN precision_ppm + recall_ppm = 0 THEN 0"
+            " ELSE 2 * precision_ppm * recall_ppm"
+            " div (precision_ppm + recall_ppm) END"
+        ).alias("f1_ppm"),
+    ).orderBy("threshold")
+
+
+QUERIES = {
+    "eval_langid_confusion": eval_langid_confusion,
+    "eval_pr_sweep": eval_pr_sweep,
+}
+
+# The lang-id scoring SQL mirrors text.py's text_language_id oracle —
+# keep the marker lists in lockstep with text.LANG_MARKERS.
+_LANGID_SQL = """
+        WITH scored AS (
+            SELECT doc_id, lang AS labeled_lang,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the', 'a', 'and', 'of'))) AS score_en,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w IN ('le', 'la', 'et', 'les'))) AS score_fr,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w IN ('el', 'los', 'y', 'de'))) AS score_es,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w IN ('der', 'und', 'die', 'das'))) AS score_de
+            FROM documents),
+        preds AS (
+            SELECT labeled_lang,
+                   CASE WHEN greatest(score_en, score_fr, score_es, score_de) = 0 THEN 'unknown'
+                        WHEN score_en = greatest(score_en, score_fr, score_es, score_de) THEN 'en'
+                        WHEN score_fr = greatest(score_en, score_fr, score_es, score_de) THEN 'fr'
+                        WHEN score_es = greatest(score_en, score_fr, score_es, score_de) THEN 'es'
+                        ELSE 'de' END AS predicted_lang
+            FROM scored)
+"""
+
+ORACLES = {
+    "eval_langid_confusion": f"""
+        {_LANGID_SQL},
+        cells AS (
+            SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+            FROM preds GROUP BY 1, 2),
+        tot AS (
+            SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_true
+            FROM cells GROUP BY labeled_lang)
+        SELECT c.labeled_lang, c.predicted_lang,
+               CAST(c.n AS BIGINT) AS n, t.n_true,
+               c.n * 1000000 // t.n_true AS row_share_ppm,
+               c.labeled_lang = c.predicted_lang AS is_correct
+        FROM cells c JOIN tot t ON t.labeled_lang = c.labeled_lang
+        ORDER BY c.labeled_lang, c.predicted_lang
+    """,
+    "eval_pr_sweep": f"""
+        WITH base AS (
+            SELECT n_chars AS score,
+                   len(string_split(text, ' ')) >= {PR_LABEL_MIN_TOKENS}
+                       AS label
+            FROM documents),
+        t(threshold) AS (
+            SELECT unnest([{", ".join(str(t) for t in PR_THRESHOLDS)}])),
+        counts AS (
+            SELECT t.threshold,
+                   CAST(COUNT(*) FILTER (score >= t.threshold AND label)
+                        AS BIGINT) AS tp,
+                   CAST(COUNT(*) FILTER (score >= t.threshold AND NOT label)
+                        AS BIGINT) AS fp,
+                   CAST(COUNT(*) FILTER (score < t.threshold AND label)
+                        AS BIGINT) AS fn
+            FROM base, t
+            GROUP BY t.threshold),
+        pr AS (
+            SELECT threshold, tp, fp, fn,
+                   CASE WHEN tp + fp = 0 THEN 0
+                        ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+                   CASE WHEN tp + fn = 0 THEN 0
+                        ELSE tp * 1000000 // (tp + fn) END AS recall_ppm
+            FROM counts)
+        SELECT threshold, tp, fp, fn, precision_ppm, recall_ppm,
+               CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+                    ELSE 2 * precision_ppm * recall_ppm
+                         // (precision_ppm + recall_ppm) END AS f1_ppm
+        FROM pr
+        ORDER BY threshold
+    """,
+}

@@ -940,3 +940,40 @@ def test_video_scenes_demux_and_cut_rule(spark):
     assert any(
         any(c.delta_gray for c in rs[1:]) for rs in per_doc.values()
     )
+
+
+def test_confusion_matrix_reconciles_with_predictions(spark):
+    """Cell counts sum to the corpus size, row shares sum to ~1e6 per
+    true language, and the diagonal flag matches the cell key."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.evals import eval_langid_confusion
+
+    rows = eval_langid_confusion(spark, SF01).collect()
+    n_docs = load_table(spark, SF01, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    by_true = {}
+    for r in rows:
+        assert r.is_correct == (r.labeled_lang == r.predicted_lang)
+        assert r.row_share_ppm == r.n * 1_000_000 // r.n_true
+        by_true.setdefault(r.labeled_lang, []).append(r)
+    for lang, rs in by_true.items():
+        assert sum(r.n for r in rs) == rs[0].n_true
+        ppm = sum(r.row_share_ppm for r in rs)
+        assert 1_000_000 - len(rs) <= ppm <= 1_000_000
+
+
+def test_pr_sweep_monotone_recall_and_exact_f1(spark):
+    """Recall is non-increasing in the threshold; tp+fn is constant
+    (the positive count); F1 is the exact ppm harmonic mean."""
+    from db_migrator_spark.operators.evals import eval_pr_sweep
+
+    rows = sorted(eval_pr_sweep(spark, SF01).collect(), key=lambda r: r.threshold)
+    assert len(rows) == 10
+    positives = {r.tp + r.fn for r in rows}
+    assert len(positives) == 1
+    recalls = [r.recall_ppm for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    for r in rows:
+        p, rc = r.precision_ppm, r.recall_ppm
+        want = 0 if p + rc == 0 else 2 * p * rc // (p + rc)
+        assert r.f1_ppm == want
