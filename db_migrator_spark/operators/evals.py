@@ -139,9 +139,113 @@ def eval_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("threshold")
 
 
+# Calibration: a deterministic pseudo-probability via the exact integer
+# squash score_ppm = n_chars * 1e6 div (n_chars + CAL_SOFT) — monotone
+# in length, bounded [0, 1e6), engine-exact.
+CAL_SOFT = 500
+CAL_BINS = 10
+
+
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: decile-of-score buckets with the mean
+    predicted ppm, the observed positive rate ppm, and the calibration
+    gap — all exact integers (one scan, bin-count output)."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.expr(
+        f"CAST(n_chars AS BIGINT) * 1000000 div (n_chars + {CAL_SOFT})"
+    )
+    base = docs.select(
+        score.alias("score_ppm"),
+        (F.size(F.split(F.col("text"), " ")) >= PR_LABEL_MIN_TOKENS)
+        .cast("int")
+        .alias("label"),
+    )
+    binned = base.select(
+        F.expr(f"CAST(score_ppm * {CAL_BINS} div 1000000 AS INT)").alias(
+            "bin"
+        ),
+        "score_ppm",
+        "label",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score_ppm").alias("sum_score"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("sum_score div n").alias("mean_score_ppm"),
+            F.expr("n_pos * 1000000 div n").alias("pos_rate_ppm"),
+            F.expr(
+                "abs(sum_score div n - n_pos * 1000000 div n)"
+            ).alias("calibration_gap_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the kNN join against label relevance: a
+    neighbor is relevant when it shares the query's label; per query
+    the reciprocal of the first relevant rank (exact ppm), averaged
+    over queries with one truncating division — the retrieval eval a
+    RAG pipeline runs over its index.
+
+    Builds on the hash-checked kNN join, so the ranking itself is
+    already deterministic; this op is pure metric aggregation.
+    """
+    from .similarity import similarity_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    knn = similarity_knn_join(spark, sf_dir)
+    labeled = (
+        knn.join(
+            emb.select(
+                F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+            ),
+            "q_id",
+        )
+        .join(
+            emb.select("vec_id", F.col("label").alias("n_label")), "vec_id"
+        )
+    )
+    first_rel = (
+        labeled.filter(F.col("n_label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.min("rn").alias("first_rank"))
+    )
+    per_q = (
+        knn.select("q_id")
+        .distinct()
+        .join(first_rel, "q_id", "left")
+        .select(
+            "q_id",
+            "first_rank",
+            F.expr(
+                "CASE WHEN first_rank IS NULL THEN 0"
+                " ELSE 1000000 div first_rank END"
+            ).alias("rr_ppm"),
+        )
+    )
+    summary = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("rr_ppm").alias("sum_rr"),
+    ).select(
+        F.lit(-1).cast("bigint").alias("q_id"),
+        F.lit(None).cast("int").alias("first_rank"),
+        F.expr("sum_rr div n_queries").alias("rr_ppm"),
+    )
+    return per_q.unionByName(summary).orderBy("q_id")
+
+
 QUERIES = {
     "eval_langid_confusion": eval_langid_confusion,
     "eval_pr_sweep": eval_pr_sweep,
+    "eval_calibration_bins": eval_calibration_bins,
+    "eval_retrieval_mrr": eval_retrieval_mrr,
 }
 
 # The lang-id scoring SQL mirrors text.py's text_language_id oracle —
@@ -169,6 +273,65 @@ _LANGID_SQL = """
 """
 
 ORACLES = {
+    "eval_calibration_bins": f"""
+        WITH base AS (
+            SELECT CAST(n_chars AS HUGEINT) * 1000000 // (n_chars + {CAL_SOFT})
+                       AS score_ppm,
+                   CAST(len(string_split(text, ' ')) >= {PR_LABEL_MIN_TOKENS}
+                        AS INTEGER) AS label
+            FROM documents),
+        binned AS (
+            SELECT CAST(score_ppm * {CAL_BINS} // 1000000 AS INTEGER) AS bin,
+                   score_ppm, label
+            FROM base),
+        g AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(score_ppm) AS sum_score,
+                   CAST(SUM(label) AS BIGINT) AS n_pos
+            FROM binned GROUP BY bin)
+        SELECT bin, n,
+               CAST(sum_score // n AS BIGINT) AS mean_score_ppm,
+               n_pos * 1000000 // n AS pos_rate_ppm,
+               CAST(ABS(sum_score // n - n_pos * 1000000 // n) AS BIGINT)
+                   AS calibration_gap_ppm
+        FROM g
+        ORDER BY bin
+    """,
+    "eval_retrieval_mrr": """
+        WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                          CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 5),
+             e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ae
+                   FROM embeddings),
+             scored AS (
+                 SELECT q.q_id, q.q_label, e.vec_id, e.label AS n_label,
+                        list_dot_product(ae, qe)
+                            / sqrt(list_dot_product(ae, ae) * list_dot_product(qe, qe)) AS cos_sim
+                 FROM e, q WHERE e.vec_id != q.q_id),
+             ranked AS (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                              ORDER BY cos_sim DESC, vec_id) AS rn
+                 FROM scored),
+             topk AS (SELECT * FROM ranked WHERE rn <= 3),
+             first_rel AS (
+                 SELECT q_id, CAST(MIN(rn) AS INTEGER) AS first_rank
+                 FROM topk WHERE n_label = q_label
+                 GROUP BY q_id),
+             per_q AS (
+                 SELECT t.q_id, f.first_rank,
+                        CASE WHEN f.first_rank IS NULL THEN 0
+                             ELSE 1000000 // f.first_rank END AS rr_ppm
+                 FROM (SELECT DISTINCT q_id FROM topk) t
+                 LEFT JOIN first_rel f ON f.q_id = t.q_id)
+        SELECT CAST(q_id AS BIGINT) AS q_id, first_rank,
+               CAST(rr_ppm AS BIGINT) AS rr_ppm
+        FROM per_q
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(NULL AS INTEGER),
+               CAST(SUM(rr_ppm) // COUNT(*) AS BIGINT)
+        FROM per_q
+        ORDER BY q_id
+    """,
     "eval_langid_confusion": f"""
         {_LANGID_SQL},
         cells AS (

@@ -977,3 +977,34 @@ def test_pr_sweep_monotone_recall_and_exact_f1(spark):
         p, rc = r.precision_ppm, r.recall_ppm
         want = 0 if p + rc == 0 else 2 * p * rc // (p + rc)
         assert r.f1_ppm == want
+
+
+def test_calibration_bins_reconcile(spark):
+    """Bin counts sum to the corpus size; gap is |mean score - pos
+    rate|; the squash score is monotone so bins are length-ordered."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.evals import eval_calibration_bins
+
+    rows = sorted(eval_calibration_bins(spark, SF01).collect(), key=lambda r: r.bin)
+    n_docs = load_table(spark, SF01, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    for r in rows:
+        assert r.calibration_gap_ppm == abs(r.mean_score_ppm - r.pos_rate_ppm)
+        assert 0 <= r.pos_rate_ppm <= 1_000_000
+    means = [r.mean_score_ppm for r in rows]
+    assert means == sorted(means)
+
+
+def test_retrieval_mrr_summary_is_mean(spark):
+    """The sentinel q_id=-1 row carries the truncating mean of the
+    per-query reciprocal ranks, and each rr matches its first_rank."""
+    from db_migrator_spark.operators.evals import eval_retrieval_mrr
+
+    rows = eval_retrieval_mrr(spark, SF01).collect()
+    summary = [r for r in rows if r.q_id == -1]
+    per_q = [r for r in rows if r.q_id >= 0]
+    assert len(summary) == 1 and per_q
+    for r in per_q:
+        want = 0 if r.first_rank is None else 1_000_000 // r.first_rank
+        assert r.rr_ppm == want
+    assert summary[0].rr_ppm == sum(r.rr_ppm for r in per_q) // len(per_q)
