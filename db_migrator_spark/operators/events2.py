@@ -519,6 +519,104 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of purchase revenue: per weekday
+    the exact micro mean and its signed ppm deviation from the overall
+    mean — the additive seasonal component a forecaster removes first.
+
+    Weekday = epoch_day % 7 (0 = Thursday): a pure integer that both
+    engines compute identically, dodging their different DAYOFWEEK
+    origin conventions. One scan, 7-row output, broadcast overall mean.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    day = (
+        F.unix_micros(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        / 86_400_000_000
+    ).cast("bigint")
+    base = ev.select(
+        F.pmod(day, F.lit(7)).alias("dow"),
+        (F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+    )
+    per_dow = base.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_micro").alias("sum_micros"),
+    )
+    overall = per_dow.agg(
+        F.sum("n").alias("n_all"), F.sum("sum_micros").alias("sum_all")
+    )
+    return (
+        per_dow.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_micros").cast("bigint").alias("sum_micros"),
+            F.expr("sum_micros div n").alias("mean_micro"),
+            F.expr(
+                "(sum_micros div n - sum_all div n_all) * 1000000"
+                " div (sum_all div n_all)"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint candidate per user: the position where the
+    cumulative sum of (value - user mean) attains its maximum absolute
+    value — the classic mean-shift detector, in exact integer micros.
+
+    One shuffle keyed by user for the ordered cumsum window, one
+    user-sized aggregation; the argmax is a rank window over the same
+    partitioning (rides the same exchange). Deterministic tie-break:
+    earliest position wins.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    q = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+    )
+    stats = q.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_micro").alias("s"),
+    )
+    dev = q.join(F.broadcast(stats), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "n",
+        F.expr("v_micro - s div n").alias("dev_micro"),
+    )
+    worder = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cusum = dev.select(
+        "user_id",
+        "n",
+        F.row_number().over(worder).alias("pos"),
+        F.sum("dev_micro")
+        .over(worder.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cusum_micro"),
+    )
+    pick = W.partitionBy("user_id").orderBy(
+        F.desc(F.abs(F.col("cusum_micro"))), "pos"
+    )
+    return (
+        cusum.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("pos").alias("change_pos"),
+            F.col("cusum_micro").cast("bigint").alias("cusum_micro"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "events_overlap_sessions": events_overlap_sessions,
     "events_interpolate_linear": events_interpolate_linear,
@@ -529,6 +627,8 @@ QUERIES = {
     "events_session_paths": events_session_paths,
     "events_cohort_ltv": events_cohort_ltv,
     "events_stickiness": events_stickiness,
+    "events_dow_seasonality": events_dow_seasonality,
+    "events_cusum_changepoint": events_cusum_changepoint,
 }
 
 ORACLES = {

@@ -225,9 +225,74 @@ def _kcore_oracle() -> str:
     """
 
 
+# Association rules: support / confidence / lift for co-purchased part
+# pairs — the market-basket classic. Items with order-frequency below
+# RULE_MIN_SUPPORT are pruned BEFORE pairing (the a-priori property:
+# a pair can never out-support its rarest item), which bounds the
+# pair-generation relation exactly like every capped miner here.
+RULE_MIN_SUPPORT = 3
+RULE_TOP_K = 100
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top association rules over order baskets: for each frequent part
+    pair, support count, directional confidence (P(b|a) in exact ppm),
+    and the symmetric lift cross-ratio — ranked by lift.
+
+    Plan: item counts (one shuffle), a-priori prune, pair counts over
+    pruned baskets (one order-keyed self-join with bounded per-order
+    width), then two broadcast joins of the item-count relation. Lift
+    passes through the decimal `div` contract (wrap-proof at any
+    basket volume).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders_df = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    frequent = item.filter(F.col("cnt") >= RULE_MIN_SUPPORT)
+    pruned = li.join(
+        frequent.select("l_partkey"), "l_partkey", "left_semi"
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= RULE_MIN_SUPPORT)
+    )
+    c1 = frequent.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1"))
+    c2 = frequent.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("cnt2"))
+    return (
+        pairs.join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
+        .crossJoin(F.broadcast(n_orders_df))
+        .select(
+            "p1",
+            "p2",
+            F.col("support").cast("bigint").alias("support"),
+            F.expr("support * 1000000 div cnt1").alias("conf_1to2_ppm"),
+            F.expr("support * 1000000 div cnt2").alias("conf_2to1_ppm"),
+            F.expr(
+                "CAST(CAST(support AS DECIMAL(38,0)) * n_orders * 1000000"
+                " div (CAST(cnt1 AS DECIMAL(38,0)) * cnt2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "p1", "p2")
+        .limit(RULE_TOP_K)
+    )
+
+
 QUERIES = {
     "graph_triangle_counts": graph_triangle_counts,
     "graph_kcore": graph_kcore,
+    "q_basket_rules": q_basket_rules,
 }
 
 ORACLES = {
@@ -260,4 +325,34 @@ ORACLES = {
         ORDER BY p.tri_count DESC, part_key
     """,
     "graph_kcore": _kcore_oracle(),
+    "q_basket_rules": f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+        item AS (
+            SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY l_partkey),
+        freq AS (SELECT * FROM item WHERE cnt >= {RULE_MIN_SUPPORT}),
+        pruned AS (
+            SELECT li.* FROM li JOIN freq f ON f.l_partkey = li.l_partkey),
+        pairs AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   COUNT(*) AS support
+            FROM pruned a JOIN pruned b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {RULE_MIN_SUPPORT})
+        SELECT p.p1, p.p2,
+               CAST(p.support AS BIGINT) AS support,
+               p.support * 1000000 // c1.cnt AS conf_1to2_ppm,
+               p.support * 1000000 // c2.cnt AS conf_2to1_ppm,
+               CAST(CAST(p.support AS HUGEINT) * n.n_orders * 1000000
+                    // (CAST(c1.cnt AS HUGEINT) * c2.cnt) AS BIGINT)
+                   AS lift_ppm
+        FROM pairs p
+        JOIN freq c1 ON c1.l_partkey = p.p1
+        JOIN freq c2 ON c2.l_partkey = p.p2, n
+        ORDER BY lift_ppm DESC, p.p1, p.p2
+        LIMIT {RULE_TOP_K}
+    """,
 }

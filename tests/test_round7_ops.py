@@ -1008,3 +1008,85 @@ def test_retrieval_mrr_summary_is_mean(spark):
         want = 0 if r.first_rank is None else 1_000_000 // r.first_rank
         assert r.rr_ppm == want
     assert summary[0].rr_ppm == sum(r.rr_ppm for r in per_q) // len(per_q)
+
+
+def test_basket_rules_are_exact_ratios(spark):
+    """Confidence and lift recompute from the row's own counters joined
+    with independent item counts; support >= the declared floor."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.graph2 import (
+        RULE_MIN_SUPPORT,
+        q_basket_rules,
+    )
+
+    rows = q_basket_rules(spark, SF01).collect()
+    assert rows
+    li = (
+        load_table(spark, SF01, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    cnt = {r.l_partkey: r.c for r in li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    for r in rows:
+        assert r.support >= RULE_MIN_SUPPORT
+        assert r.conf_1to2_ppm == r.support * 1_000_000 // cnt[r.p1]
+        assert r.conf_2to1_ppm == r.support * 1_000_000 // cnt[r.p2]
+        assert r.lift_ppm == r.support * n_orders * 1_000_000 // (
+            cnt[r.p1] * cnt[r.p2]
+        )
+
+
+def test_dow_seasonality_conserves_and_centers(spark):
+    """Weekday sums reassemble the total; signed deviations are the
+    exact ppm of each weekday mean vs the overall mean."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.events2 import events_dow_seasonality
+
+    rows = events_dow_seasonality(spark, SF01).collect()
+    total = sum(r.sum_micros for r in rows)
+    n_all = sum(r.n for r in rows)
+    overall = total // n_all
+    raw = (
+        load_table(spark, SF01, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert n_all == raw
+    for r in rows:
+        assert r.mean_micro == r.sum_micros // r.n
+        want = (r.mean_micro - overall) * 1_000_000
+        # python // floors; the engines truncate toward zero
+        assert r.dev_ppm == int(want / overall) if want < 0 else want // overall
+
+
+def test_cusum_changepoint_matches_python(spark):
+    """Per-user change position equals the Python argmax of |cusum| of
+    integer deviations (earliest tie wins)."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.events2 import events_cusum_changepoint
+
+    got = {r.user_id: (r.change_pos, r.cusum_micro)
+           for r in events_cusum_changepoint(spark, SF).collect()}
+    raw = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series = {}
+    for r in sorted(raw, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(int(r.value * 1_000_000))
+    assert got and set(got) == set(series)
+    for uid, vals in series.items():
+        n = len(vals)
+        s = sum(vals)
+        mean = s // n if s >= 0 else -((-s) // n)  # trunc toward zero
+        best = None
+        c = 0
+        for i, v in enumerate(vals, start=1):
+            c += v - mean
+            if best is None or abs(c) > abs(best[1]):
+                best = (i, c)
+        assert got[uid] == best, uid
