@@ -562,6 +562,47 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of purchase value over time, exact to the
+    integer: slope = (n*Sxy - Sx*Sy) div (n*Sxx - Sx^2) in micro-units
+    per hour, from the closed-form sums — no float moment in sight.
+
+    x is HOURS SINCE THE USER'S FIRST PURCHASE (small bounded ints, so
+    the cross-products stay far inside the decimal contract even at
+    corpus scale; absolute epoch would not). One groupBy for the first
+    timestamp, one for the five sums — both map-side combined.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    q = ev.select("user_id", us.alias("us"),
+                  (F.col("value") * 1_000_000).cast("bigint").alias("y"))
+    first = q.groupBy("user_id").agg(F.min("us").alias("us0"))
+    xy = q.join(first, "user_id").select(
+        "user_id",
+        F.expr("(us - us0) div 3600000000").alias("x"),
+        "y",
+    )
+    sums = xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+    den = "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+    return sums.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            f"CASE WHEN ({den}) = 0 THEN NULL"
+            f" ELSE CAST(({num}) div ({den}) AS BIGINT) END"
+        ).alias("slope_micro_per_hr"),
+    ).orderBy("user_id")
+
+
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint candidate per user: the position where the
     cumulative sum of (value - user mean) attains its maximum absolute
@@ -629,6 +670,7 @@ QUERIES = {
     "events_stickiness": events_stickiness,
     "events_dow_seasonality": events_dow_seasonality,
     "events_cusum_changepoint": events_cusum_changepoint,
+    "events_user_trend": events_user_trend,
 }
 
 ORACLES = {

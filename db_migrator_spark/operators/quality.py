@@ -656,8 +656,60 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_nationkey", "o_custkey")
 
 
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation, exact to the
+    ppm: G = (2*sum(i*y_i) - (n+1)*sum(y)) / (n*sum(y)) over ascending
+    revenue ranks — every term an integer (micros), the single division
+    the decimal-contract `div`.
+
+    The revenue-concentration audit (how top-heavy is each market).
+    One revenue groupBy, one nation-keyed rank window, one matrix-sized
+    aggregate.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint"))
+            .alias("y")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy("y", "o_custkey")
+    ranked = rev.select(
+        "c_nationkey", "y", F.row_number().over(w).alias("i")
+    )
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("sum_y"),
+            # i*y summed over a nation passes 2^63 at 10x already —
+            # decimal accumulation per the repo contract.
+            F.sum(F.col("i").cast("decimal(38,0)") * F.col("y")).alias("sum_iy"),
+        )
+        .select(
+            "c_nationkey",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_y").cast("bigint").alias("sum_micros"),
+            F.expr(
+                "CAST((2 * sum_iy - (n + 1) * CAST(sum_y AS DECIMAL(38,0)))"
+                " * 1000000 div (CAST(n AS DECIMAL(38,0)) * sum_y)"
+                " AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 QUERIES = {
     "q_customer_rfm": q_customer_rfm,
+    "q_revenue_gini": q_revenue_gini,
     "q_skew_report": q_skew_report,
     "events_anomaly_zscore": events_anomaly_zscore,
     "q_exact_median": q_exact_median,
@@ -875,6 +927,30 @@ ORACLES = {
         FROM counts c, tot t
         JOIN benford b ON b.digit = c.digit
         ORDER BY c.digit
+    """,
+    "q_revenue_gini": """
+        WITH rev AS (
+            SELECT c.c_nationkey, o.o_custkey,
+                   SUM(CAST(FLOOR(o.o_totalprice * 1000000) AS BIGINT)) AS y
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT c_nationkey, y,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey ORDER BY y, o_custkey) AS i
+            FROM rev),
+        g AS (
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   SUM(CAST(i AS HUGEINT) * y) AS sum_iy
+            FROM ranked GROUP BY c_nationkey)
+        SELECT c_nationkey, n, sum_y AS sum_micros,
+               CAST((2 * sum_iy - (n + 1) * CAST(sum_y AS HUGEINT))
+                    * 1000000 // (CAST(n AS HUGEINT) * sum_y) AS BIGINT)
+                   AS gini_ppm
+        FROM g
+        ORDER BY c_nationkey
     """,
     "q_customer_rfm": """
         WITH per AS (

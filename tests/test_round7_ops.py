@@ -1090,3 +1090,75 @@ def test_cusum_changepoint_matches_python(spark):
             if best is None or abs(c) > abs(best[1]):
                 best = (i, c)
         assert got[uid] == best, uid
+
+
+def test_gini_bounds_and_python_parity(spark):
+    """Gini in [0, 1e6); matches the closed form recomputed in Python
+    per nation (truncating division)."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.quality import q_revenue_gini
+
+    rows = q_revenue_gini(spark, SF01).collect()
+    assert rows
+    rev = (
+        load_table(spark, SF01, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")).alias("y"))
+        .join(
+            load_table(spark, SF01, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_nationkey", "o_custkey", "y")
+        .collect()
+    )
+    by_nation = {}
+    for r in rev:
+        by_nation.setdefault(r.c_nationkey, []).append((r.y, r.o_custkey))
+    for r in rows:
+        ys = [y for y, _ in sorted(by_nation[r.c_nationkey], key=lambda t: (t[0], t[1]))]
+        n, sy = len(ys), sum(ys)
+        siy = sum((i + 1) * y for i, y in enumerate(ys))
+        want = (2 * siy - (n + 1) * sy) * 1_000_000 // (n * sy)
+        assert r.gini_ppm == want
+        assert 0 <= r.gini_ppm < 1_000_000
+
+
+def test_user_trend_matches_python_ols(spark):
+    """Slopes equal the integer closed form; constant-time users (all
+    purchases in one hour bucket) are NULL; slopes of both signs
+    exist."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.events2 import events_user_trend
+
+    got = {r.user_id: r.slope_micro_per_hr
+           for r in events_user_trend(spark, SF).collect()}
+    raw = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    series = {}
+    for r in raw:
+        us = int(r.ts.timestamp() * 1_000_000)
+        series.setdefault(r.user_id, []).append((us, int(r.value * 1_000_000)))
+    assert set(got) == set(series)
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    signs = set()
+    for uid, pts in series.items():
+        us0 = min(u for u, _ in pts)
+        xs = [(u - us0) // 3_600_000_000 for u, _ in pts]
+        ys = [y for _, y in pts]
+        n, sx, sy = len(xs), sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        den = n * sxx - sx * sx
+        want = None if den == 0 else trunc_div(n * sxy - sx * sy, den)
+        assert got[uid] == want, uid
+        if want is not None:
+            signs.add(want >= 0)
+    assert len(signs) == 2 or len(series) < 5
