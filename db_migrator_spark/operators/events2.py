@@ -871,4 +871,135 @@ ORACLES = {
         ORDER BY n_sessions DESC, path
         LIMIT {PATH_TOP_K}
     """,
+    "events_cohort_ltv": """
+        WITH tagged AS (
+            SELECT user_id, event_type,
+                   CAST(epoch_us(date_trunc('week', CAST(ts AS TIMESTAMP)))
+                        // 604800000000 AS BIGINT) AS wk,
+                   CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+            FROM events),
+        cohorts AS (
+            SELECT user_id, MIN(wk) AS cohort_wk FROM tagged GROUP BY user_id),
+        sizes AS (
+            SELECT cohort_wk, COUNT(*) AS n_users FROM cohorts GROUP BY cohort_wk),
+        rev AS (
+            SELECT c.cohort_wk, t.wk - c.cohort_wk AS age_wk,
+                   SUM(t.v_micro) AS rev_micro
+            FROM tagged t JOIN cohorts c ON c.user_id = t.user_id
+            WHERE t.event_type = 'purchase'
+            GROUP BY 1, 2),
+        cum AS (
+            SELECT cohort_wk, age_wk, rev_micro,
+                   SUM(rev_micro) OVER (
+                       PARTITION BY cohort_wk ORDER BY age_wk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_rev_micro
+            FROM rev)
+        SELECT m.cohort_wk, m.age_wk,
+               CAST(m.rev_micro AS BIGINT) AS rev_micro,
+               CAST(m.cum_rev_micro AS BIGINT) AS cum_rev_micro,
+               s.n_users,
+               m.cum_rev_micro // s.n_users AS ltv_micro_per_user
+        FROM cum m JOIN sizes s ON s.cohort_wk = m.cohort_wk
+        ORDER BY m.cohort_wk, m.age_wk
+    """,
+    "events_stickiness": """
+        WITH presence AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        // 86400000000 AS BIGINT) AS day
+            FROM events),
+        dau AS (
+            SELECT day, COUNT(DISTINCT user_id) AS dau
+            FROM presence GROUP BY day),
+        expl AS (
+            SELECT user_id, day + i AS w_end
+            FROM presence, range(0, 7) AS t(i)),
+        wau AS (
+            SELECT w_end, COUNT(DISTINCT user_id) AS wau
+            FROM expl GROUP BY w_end)
+        SELECT d.day, d.dau, w.wau,
+               d.dau * 1000000 // w.wau AS stickiness_ppm
+        FROM dau d JOIN wau w ON w.w_end = d.day
+        ORDER BY d.day
+    """,
+    "events_dow_seasonality": """
+        WITH base AS (
+            SELECT CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        // 86400000000 AS BIGINT) % 7 AS dow,
+                   CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+            FROM events WHERE event_type = 'purchase'),
+        per_dow AS (
+            SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v_micro) AS BIGINT) AS sum_micros
+            FROM base GROUP BY dow),
+        overall AS (
+            SELECT SUM(n) AS n_all, SUM(sum_micros) AS sum_all
+            FROM per_dow)
+        SELECT dow, n, sum_micros,
+               sum_micros // n AS mean_micro,
+               (sum_micros // n - sum_all // n_all) * 1000000
+                   // (sum_all // n_all) AS dev_ppm
+        FROM per_dow, overall
+        ORDER BY dow
+    """,
+    "events_cusum_changepoint": """
+        WITH q AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+            FROM events WHERE event_type = 'purchase'),
+        stats AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(v_micro) AS s
+            FROM q GROUP BY user_id),
+        dev AS (
+            SELECT q.user_id, q.ts, q.event_id, st.n,
+                   q.v_micro - st.s // st.n AS dev_micro
+            FROM q JOIN stats st ON st.user_id = q.user_id),
+        cusum AS (
+            SELECT user_id, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+                   SUM(dev_micro) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cusum_micro
+            FROM dev),
+        picked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ABS(cusum_micro) DESC, pos) AS rk
+            FROM cusum)
+        SELECT user_id, n, CAST(pos AS INTEGER) AS change_pos,
+               CAST(cusum_micro AS BIGINT) AS cusum_micro
+        FROM picked WHERE rk = 1
+        ORDER BY user_id
+    """,
+    "events_user_trend": """
+        WITH q AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CAST(FLOOR(value * 1000000) AS BIGINT) AS y
+            FROM events WHERE event_type = 'purchase'),
+        first AS (
+            SELECT user_id, MIN(us) AS us0 FROM q GROUP BY user_id),
+        xy AS (
+            SELECT q.user_id, (q.us - f.us0) // 3600000000 AS x, q.y
+            FROM q JOIN first f ON f.user_id = q.user_id),
+        sums AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM xy GROUP BY user_id)
+        SELECT user_id, n,
+               CASE WHEN CAST(n AS HUGEINT) * sxx
+                         - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+                    ELSE CAST((CAST(n AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sy)
+                              // (CAST(n AS HUGEINT) * sxx
+                                  - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+                    END AS slope_micro_per_hr
+        FROM sums
+        ORDER BY user_id
+    """,
 }

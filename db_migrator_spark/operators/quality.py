@@ -707,9 +707,66 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of order-to-ship lead time (whole days) per
+    order priority — the fulfillment SLA report, via the same type-1
+    selection-quantile machinery as q_exact_percentiles (the quantile
+    is always an observed lead time; integer rank arithmetic only).
+
+    One orderkey join (the fact-fact shuffle), one priority-keyed rank
+    window, conditional-max picks.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_partkey", "l_suppkey"
+    )
+    lead = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lead_days"
+        ),
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        "lead_days", "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    ranked = lead.select(
+        "o_orderpriority",
+        "lead_days",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.greatest(
+                    F.lit(1).cast("bigint"), F.expr(f"(n * {q} + 99) div 100")
+                ),
+                F.col("lead_days"),
+            )
+        ).alias(f"p{q}_days")
+        for q in PCTL_QS
+    ]
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(F.max("n").cast("bigint").alias("n"), *picks)
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "q_customer_rfm": q_customer_rfm,
     "q_revenue_gini": q_revenue_gini,
+    "q_lead_time_percentiles": q_lead_time_percentiles,
     "q_skew_report": q_skew_report,
     "events_anomaly_zscore": events_anomaly_zscore,
     "q_exact_median": q_exact_median,
@@ -927,6 +984,33 @@ ORACLES = {
         FROM counts c, tot t
         JOIN benford b ON b.digit = c.digit
         ORDER BY c.digit
+    """,
+    "q_lead_time_percentiles": f"""
+        WITH lead AS (
+            SELECT o.o_orderpriority,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) AS INTEGER)
+                       AS lead_days,
+                   l.l_orderkey, l.l_partkey, l.l_suppkey
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        ranked AS (
+            SELECT o_orderpriority, lead_days,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY lead_days, l_orderkey, l_partkey, l_suppkey)
+                       AS rk,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM lead)
+        SELECT o_orderpriority,
+               CAST(MAX(n) AS BIGINT) AS n,
+               {", ".join(
+                   f"MAX(CASE WHEN rk = GREATEST(1, (n * {q} + 99) // 100)"
+                   f" THEN lead_days END) AS p{q}_days"
+                   for q in PCTL_QS
+               )}
+        FROM ranked
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
     "q_revenue_gini": """
         WITH rev AS (

@@ -1162,3 +1162,32 @@ def test_user_trend_matches_python_ols(spark):
         if want is not None:
             signs.add(want >= 0)
     assert len(signs) == 2 or len(series) < 5
+
+
+def test_lead_time_percentiles_ordered_and_observed(spark):
+    """p25 <= p50 <= p75 per priority, and every pick is an observed
+    lead-time value for that priority."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.quality import q_lead_time_percentiles
+
+    rows = q_lead_time_percentiles(spark, SF01).collect()
+    assert len(rows) == 5
+    li = load_table(spark, SF01, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, SF01, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    obs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").alias("d"),
+        )
+        .collect()
+    )
+    per = {}
+    for r in obs:
+        per.setdefault(r.o_orderpriority, set()).add(r.d)
+    for r in rows:
+        assert r.p25_days <= r.p50_days <= r.p75_days
+        for q in (25, 50, 75):
+            assert getattr(r, f"p{q}_days") in per[r.o_orderpriority]
