@@ -69,7 +69,29 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    failed = []
+
+    # Oracle-loss guard: a query that EVER hash-checked in a driver
+    # CORRECTNESS artifact must still declare an oracle. Without this, a
+    # silently-dropped ORACLES entry (a bad patch, a refactor) degrades
+    # to the weaker rows-only check and still "passes" — exactly how
+    # five analytics oracles went missing mid-round-7.
+    import glob
+    import json
+
+    ever_oracled: set[str] = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        for k, v in data.items():
+            if isinstance(v, dict) and v.get("err") != "no_oracle" and v.get("hash_match"):
+                ever_oracled.add(k)
+    lost = sorted(ever_oracled & set(qs) - set(oracles))
+
+    failed = list(lost)
+    for name in lost:
+        print(f"FAIL  {name}: oracle REGRESSED to rows-only (previously hash-checked)")
     for name, fn in qs.items():
         if only and name not in only:
             continue
