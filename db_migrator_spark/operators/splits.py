@@ -140,10 +140,75 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-leakage audit, quantified: for BOTH split strategies —
+    the content-hash split this module ships and the naive id-hash
+    split — count duplicate-text groups that straddle the train
+    boundary and the eval documents thereby contaminated.
+
+    The content-hash row is ZERO by construction (byte-identical docs
+    share a hash, hence a side); the id-hash row measures the leakage
+    the naive strategy admits on the same corpus — the number this
+    module's design doc claims to eliminate, now a query instead of a
+    claim. One text-keyed aggregation per strategy; group-level flags,
+    no pair explosion.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    content_train = _split_col() == "train"
+    id_bucket = F.substring(
+        F.md5(
+            F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+        1,
+        2,
+    )
+    id_train = id_bucket < SPLIT_TRAIN_UPPER
+    per_strategy = []
+    for strat, is_train in (("content_hash", content_train), ("id_hash", id_train)):
+        g = (
+            docs.select(
+                F.col("text"), is_train.cast("int").alias("in_train")
+            )
+            .groupBy("text")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("in_train").alias("n_train"),
+            )
+        )
+        straddles = (
+            (F.col("n") >= 2)
+            & (F.col("n_train") > 0)
+            & (F.col("n_train") < F.col("n"))
+        )
+        # conditional sums over ALL text groups: a corpus with zero
+        # duplicates still emits its strategy row (zeros), matching the
+        # oracle's always-grouped shape.
+        per_strategy.append(
+            g.agg(
+                F.lit(strat).alias("strategy"),
+                F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+                .cast("bigint")
+                .alias("dup_groups"),
+                F.sum(F.when(straddles, 1).otherwise(0))
+                .cast("bigint")
+                .alias("straddling_groups"),
+                F.sum(
+                    F.when(straddles, F.col("n") - F.col("n_train")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("contaminated_eval_docs"),
+            )
+        )
+    return per_strategy[0].unionByName(per_strategy[1]).orderBy("strategy")
+
+
 QUERIES = {
     "corpus_train_split": corpus_train_split,
     "corpus_split_summary": corpus_split_summary,
     "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_split_leakage_audit": corpus_split_leakage_audit,
 }
 
 _SPLIT_SQL = f"""
@@ -187,5 +252,35 @@ ORACLES = {
         FROM ranked
         WHERE strat_rk <= {STRAT_N}
         ORDER BY lang, strat_rk
+    """,
+    "corpus_split_leakage_audit": f"""
+        WITH strategies AS (
+            SELECT text,
+                   CASE WHEN substr(md5('{SPLIT_SALT}' || text), 1, 2)
+                            < '{SPLIT_TRAIN_UPPER}' THEN 1 ELSE 0 END
+                       AS content_train,
+                   CASE WHEN substr(md5('{SPLIT_SALT}'
+                                        || CAST(doc_id AS VARCHAR)), 1, 2)
+                            < '{SPLIT_TRAIN_UPPER}' THEN 1 ELSE 0 END
+                       AS id_train
+            FROM documents),
+        audits AS (
+            SELECT 'content_hash' AS strategy, text,
+                   COUNT(*) AS n, SUM(content_train) AS n_train
+            FROM strategies GROUP BY text
+            UNION ALL
+            SELECT 'id_hash', text, COUNT(*), SUM(id_train)
+            FROM strategies GROUP BY text)
+        SELECT strategy,
+               CAST(COUNT(*) FILTER (n >= 2) AS BIGINT) AS dup_groups,
+               CAST(COUNT(*) FILTER (n >= 2 AND n_train > 0 AND n_train < n)
+                    AS BIGINT) AS straddling_groups,
+               CAST(COALESCE(SUM(CASE WHEN n >= 2 AND n_train > 0
+                                       AND n_train < n
+                             THEN n - n_train END), 0) AS BIGINT)
+                   AS contaminated_eval_docs
+        FROM audits
+        GROUP BY strategy
+        ORDER BY strategy
     """,
 }

@@ -1191,3 +1191,20 @@ def test_lead_time_percentiles_ordered_and_observed(spark):
         assert r.p25_days <= r.p50_days <= r.p75_days
         for q in (25, 50, 75):
             assert getattr(r, f"p{q}_days") in per[r.o_orderpriority]
+
+
+def test_leakage_audit_content_hash_is_clean_by_construction(spark):
+    """The content-hash strategy must report ZERO straddling groups and
+    zero contaminated docs at any corpus; the id-hash strategy's counts
+    bound them by the duplicate-group count."""
+    from db_migrator_spark.operators.splits import corpus_split_leakage_audit
+
+    rows = {r.strategy: r for r in corpus_split_leakage_audit(spark, "/tmp/sf1").collect()}
+    assert set(rows) == {"content_hash", "id_hash"}
+    c, i = rows["content_hash"], rows["id_hash"]
+    assert c.dup_groups == i.dup_groups  # same corpus, same dup structure
+    assert c.straddling_groups == 0 and c.contaminated_eval_docs == 0
+    if i.dup_groups:  # replicated corpora manufacture cross-split dups
+        assert i.straddling_groups > 0
+        assert i.straddling_groups <= i.dup_groups
+        assert i.contaminated_eval_docs >= i.straddling_groups
