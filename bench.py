@@ -57,6 +57,14 @@ HEADLINE = [
     "text_gopher_rules",
     "multimodal_decode_ppm",
     "q_cogroup_order_reconcile",
+    # round-7 representatives: one per new family (graphs stay
+    # represented by graph_pagerank; triangle/kcore are deliberately
+    # heavy shapes benchmarked in docs/BENCH_NOTES.md instead)
+    "multimodal_image_neardup",
+    "events_attribution",
+    "q_expectation_checks",
+    "corpus_train_split",
+    "eval_pr_sweep",
 ]
 
 # Queries added to HEADLINE after round 1 — reported separately so the
@@ -72,6 +80,11 @@ ADDED_AFTER_R1 = {
     "text_gopher_rules",
     "multimodal_decode_ppm",
     "q_cogroup_order_reconcile",
+    "multimodal_image_neardup",
+    "events_attribution",
+    "q_expectation_checks",
+    "corpus_train_split",
+    "eval_pr_sweep",
 }
 
 
