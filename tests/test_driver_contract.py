@@ -41,3 +41,26 @@ def test_vanilla_session_foreign_cwd():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "PROBE_OK" in proc.stdout
+
+
+def test_no_query_name_collisions_across_modules():
+    """Two modules exporting the same QUERIES key would silently shadow
+    one another in the aggregated contract (dict.update last-wins) —
+    the cross-module cousin of the _FRAMES_SCHEMA shadowing incident.
+    Assert global uniqueness, and that every oracle key has a query."""
+    import importlib
+
+    import __spark_entry__ as e
+
+    seen = {}
+    for modname in e._MODULES:
+        try:
+            mod = importlib.import_module(modname)
+        except ModuleNotFoundError:
+            continue
+        for k in getattr(mod, "QUERIES", {}):
+            assert k not in seen, f"{k} defined in both {seen[k]} and {modname}"
+            seen[k] = modname
+    oracles = e.oracle_sql()
+    orphans = sorted(set(oracles) - set(seen))
+    assert not orphans, f"oracles without queries: {orphans}"
