@@ -763,10 +763,71 @@ def q_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_percentiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL p25/p50/p75 of order totals WITHOUT a global sort —
+    the bin-selection scale path that q_exact_percentiles' docstring
+    (and q_exact_median's) reserves for groups too large to window:
+    approxQuantile cut-points bin the value space (error only skews bin
+    sizes), exact per-bin counts locate each target rank's bin
+    driver-side (<= 33 numbers), and only those bins are sorted to
+    extract the elements. At 100 TB each sorted bin is ~n/32 rows —
+    recurse the same step if one bin is still too large.
+
+    Type-1 quantiles: k = max(1, ceil(q*n/100)) — every surfaced value
+    is an input value, no interpolation.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    n = orders.count()
+    cuts = sorted(
+        set(
+            orders.approxQuantile(
+                "o_totalprice",
+                [i / MEDIAN_BINS for i in range(1, MEDIAN_BINS)],
+                0.001,
+            )
+        )
+    )
+    bin_id = sum((F.col("o_totalprice") > F.lit(c)).cast("int") for c in cuts)
+    binned = orders.withColumn("b", bin_id)
+    counts = {
+        int(r["b"]): int(r["cnt"])
+        for r in binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    pieces = []
+    for q in PCTL_QS:
+        k = max(1, -(-(n * q) // 100))  # ceil(n*q/100), pure ints
+        before, target = 0, 0
+        for b in sorted(counts):
+            if before + counts[b] >= k:
+                target = b
+                break
+            before += counts[b]
+        picked = (
+            binned.filter(F.col("b") == target)
+            .orderBy("o_totalprice", "o_orderkey")
+            .limit(k - before)
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").desc())
+            .limit(1)
+            .select(
+                F.lit(q).alias("pct"),
+                F.lit(n).cast("bigint").alias("n_rows"),
+                F.col("o_totalprice").alias("value"),
+            )
+        )
+        pieces.append(picked)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("pct")
+
+
 QUERIES = {
     "q_customer_rfm": q_customer_rfm,
     "q_revenue_gini": q_revenue_gini,
     "q_lead_time_percentiles": q_lead_time_percentiles,
+    "q_exact_percentiles_global": q_exact_percentiles_global,
     "q_skew_report": q_skew_report,
     "events_anomaly_zscore": events_anomaly_zscore,
     "q_exact_median": q_exact_median,
@@ -984,6 +1045,22 @@ ORACLES = {
         FROM counts c, tot t
         JOIN benford b ON b.digit = c.digit
         ORDER BY c.digit
+    """,
+    "q_exact_percentiles_global": f"""
+        WITH ranked AS (
+            SELECT o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS rk
+            FROM orders),
+        n AS (SELECT COUNT(*) AS n_rows FROM orders),
+        t(pct) AS (SELECT unnest([{", ".join(str(q) for q in PCTL_QS)}]))
+        SELECT t.pct,
+               CAST(n.n_rows AS BIGINT) AS n_rows,
+               (SELECT o_totalprice FROM ranked
+                WHERE rk = GREATEST(1, -((-(n.n_rows * t.pct)) // 100)))
+                   AS value
+        FROM t, n
+        ORDER BY t.pct
     """,
     "q_lead_time_percentiles": f"""
         WITH lead AS (

@@ -1208,3 +1208,26 @@ def test_leakage_audit_content_hash_is_clean_by_construction(spark):
         assert i.straddling_groups > 0
         assert i.straddling_groups <= i.dup_groups
         assert i.contaminated_eval_docs >= i.straddling_groups
+
+
+def test_global_percentiles_match_window_form(spark):
+    """The bin-selection global quantiles must equal the sorted-list
+    type-1 picks recomputed in Python (the window form's ground truth),
+    proving the documented giant-group fallback is exact."""
+    import math
+
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.quality import q_exact_percentiles_global
+
+    rows = {r.pct: r for r in q_exact_percentiles_global(spark, SF01).collect()}
+    vals = sorted(
+        (r.o_totalprice, r.o_orderkey)
+        for r in load_table(spark, SF01, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .collect()
+    )
+    n = len(vals)
+    for q in (25, 50, 75):
+        k = max(1, math.ceil(n * q / 100))
+        assert rows[q].n_rows == n
+        assert rows[q].value == vals[k - 1][0], q
