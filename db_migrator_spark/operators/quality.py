@@ -823,8 +823,69 @@ def q_exact_percentiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("pct")
 
 
+GROWTH_TOP_K = 50
+GROWTH_MIN_BASE = 1_000_000  # >= 1.0 currency unit in the base month
+
+
+def q_part_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top month-over-month part revenue growth: per (part, month)
+    exact micro revenue, the previous month's via lag, growth in signed
+    ppm — the BI mover report. Months are exact integers (year*12 +
+    month-1), one part-keyed window, TakeOrdered top-K.
+
+    Only months with a DIRECTLY PRECEDING month compare (gap months
+    yield no row — a real gap is a relaunch, not growth); parts below
+    GROWTH_MIN_BASE micro revenue in the base month are excluded so
+    ppm growth isn't dominated by near-zero denominators.
+    """
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    month = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("int")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_partkey", month.alias("m"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 1_000_000).cast("bigint")
+            ).alias("rev_micros")
+        )
+    )
+    w = W.partitionBy("l_partkey").orderBy("m")
+    cur = rev.select(
+        "l_partkey",
+        "m",
+        "rev_micros",
+        F.lag("m").over(w).alias("prev_m"),
+        F.lag("rev_micros").over(w).alias("prev_rev"),
+    ).filter(
+        (F.col("prev_m") == F.col("m") - 1)
+        & (F.col("prev_rev") >= GROWTH_MIN_BASE)
+    )
+    return (
+        cur.select(
+            "l_partkey",
+            "m",
+            F.col("rev_micros").alias("rev_micros"),
+            F.col("prev_rev").alias("prev_rev_micros"),
+            F.expr(
+                "CAST((CAST(rev_micros AS DECIMAL(38,0)) - prev_rev)"
+                " * 1000000 div prev_rev AS BIGINT)"
+            ).alias("growth_ppm"),
+        )
+        .orderBy(F.desc("growth_ppm"), "l_partkey", "m")
+        .limit(GROWTH_TOP_K)
+    )
+
+
 QUERIES = {
     "q_customer_rfm": q_customer_rfm,
+    "q_part_growth": q_part_growth,
     "q_revenue_gini": q_revenue_gini,
     "q_lead_time_percentiles": q_lead_time_percentiles,
     "q_exact_percentiles_global": q_exact_percentiles_global,
@@ -1088,6 +1149,31 @@ ORACLES = {
         FROM ranked
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+    """,
+    "q_part_growth": f"""
+        WITH rev AS (
+            SELECT l.l_partkey,
+                   CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                        AS INTEGER) AS m,
+                   SUM(CAST(FLOOR(l.l_extendedprice * 1000000) AS BIGINT))
+                       AS rev_micros
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2),
+        lagged AS (
+            SELECT l_partkey, m, rev_micros,
+                   LAG(m) OVER w AS prev_m,
+                   LAG(rev_micros) OVER w AS prev_rev
+            FROM rev
+            WINDOW w AS (PARTITION BY l_partkey ORDER BY m))
+        SELECT l_partkey, m,
+               CAST(rev_micros AS BIGINT) AS rev_micros,
+               CAST(prev_rev AS BIGINT) AS prev_rev_micros,
+               CAST((CAST(rev_micros AS HUGEINT) - prev_rev) * 1000000
+                    // prev_rev AS BIGINT) AS growth_ppm
+        FROM lagged
+        WHERE prev_m = m - 1 AND prev_rev >= {GROWTH_MIN_BASE}
+        ORDER BY growth_ppm DESC, l_partkey, m
+        LIMIT {GROWTH_TOP_K}
     """,
     "q_revenue_gini": """
         WITH rev AS (

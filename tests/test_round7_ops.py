@@ -1231,3 +1231,23 @@ def test_global_percentiles_match_window_form(spark):
         k = max(1, math.ceil(n * q / 100))
         assert rows[q].n_rows == n
         assert rows[q].value == vals[k - 1][0], q
+
+
+def test_part_growth_exact_and_adjacent_months(spark):
+    """Growth rows only compare directly adjacent months, ppm growth
+    recomputes from the row's own revenues, counts descend."""
+    from db_migrator_spark.operators.quality import (
+        GROWTH_MIN_BASE,
+        q_part_growth,
+    )
+
+    rows = q_part_growth(spark, SF01).collect()
+    assert rows
+    growths = [r.growth_ppm for r in rows]
+    assert growths == sorted(growths, reverse=True)
+    for r in rows:
+        assert r.prev_rev_micros >= GROWTH_MIN_BASE
+        want = (r.rev_micros - r.prev_rev_micros) * 1_000_000
+        base = r.prev_rev_micros
+        exp = want // base if want >= 0 else -((-want) // base)
+        assert r.growth_ppm == exp
