@@ -865,6 +865,56 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity segmentation over decoded audio (the VAD shape): frames
+    whose energy exceeds the clip's mean frame energy are 'active';
+    consecutive active frames merge into segments via the
+    gaps-and-islands pattern (island key = frame_id - rank among active
+    frames). Output: per segment, its start frame, length, and exact
+    integer energy.
+
+    Plan: the Arrow decode pass (shared `_frame_energy`), one clip-keyed
+    window for the mean threshold and the island rank, one
+    segment-keyed aggregation — all bounded by the constant frame count
+    per clip.
+    """
+    from pyspark.sql.window import Window as W
+
+    frames = _wav_payloads(spark, sf_dir).mapInPandas(
+        _frame_energy, schema=_ENERGY_SCHEMA
+    )
+    wdoc = W.partitionBy("doc_id")
+    flagged = frames.select(
+        "doc_id",
+        "frame_id",
+        "sum_sq",
+        # active: frame energy * n_frames > total (mean compare, no div)
+        (
+            F.col("sum_sq") * _N_FRAMES
+            > F.sum("sum_sq").over(wdoc)
+        ).alias("active"),
+    )
+    act = flagged.filter(F.col("active")).select(
+        "doc_id",
+        "frame_id",
+        "sum_sq",
+        (
+            F.col("frame_id")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("frame_id"))
+        ).alias("island"),
+    )
+    return (
+        act.groupBy("doc_id", "island")
+        .agg(
+            F.min("frame_id").alias("seg_start_frame"),
+            F.count(F.lit(1)).cast("int").alias("seg_len"),
+            F.sum("sum_sq").cast("bigint").alias("seg_energy"),
+        )
+        .select("doc_id", "seg_start_frame", "seg_len", "seg_energy")
+        .orderBy("doc_id", "seg_start_frame")
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -879,6 +929,7 @@ QUERIES = {
     "multimodal_image_neardup": multimodal_image_neardup,
     "multimodal_audio_neardup": multimodal_audio_neardup,
     "multimodal_video_scenes": multimodal_video_scenes,
+    "multimodal_audio_segments": multimodal_audio_segments,
 }
 
 ORACLES = {
@@ -1091,6 +1142,45 @@ ORACLES = {
         FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
         GROUP BY b.doc_id
         ORDER BY b.doc_id
+    """,
+    "multimodal_audio_segments": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(repeat(text,
+                                 CAST(ceil({_WAV_DATA_BYTES} / CAST(length(text) AS DOUBLE)) AS INT)),
+                          1, {_WAV_DATA_BYTES}) AS px
+            FROM {_ASCII_DOCS_SQL}
+            WHERE length(text) > 0),
+        u AS (
+            SELECT doc_id,
+                   CAST((i - 1) // {FRAME_LEN} AS INTEGER) AS frame_id,
+                   ascii(substr(px, 2 * i - 1, 1))
+                       + 256 * ascii(substr(px, 2 * i, 1)) AS raw
+            FROM t, generate_series(1, {WAV_SAMPLES}) AS g(i)),
+        s AS (
+            SELECT doc_id, frame_id,
+                   CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+            FROM u),
+        frames AS (
+            SELECT doc_id, frame_id, SUM(v * v) AS sum_sq
+            FROM s GROUP BY doc_id, frame_id),
+        flagged AS (
+            SELECT doc_id, frame_id, sum_sq,
+                   sum_sq * {_N_FRAMES}
+                       > SUM(sum_sq) OVER (PARTITION BY doc_id) AS active
+            FROM frames),
+        act AS (
+            SELECT doc_id, frame_id, sum_sq,
+                   frame_id - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY frame_id) AS island
+            FROM flagged WHERE active)
+        SELECT doc_id,
+               CAST(MIN(frame_id) AS INTEGER) AS seg_start_frame,
+               CAST(COUNT(*) AS INTEGER) AS seg_len,
+               CAST(SUM(sum_sq) AS BIGINT) AS seg_energy
+        FROM act
+        GROUP BY doc_id, island
+        ORDER BY doc_id, seg_start_frame
     """,
     "multimodal_video_scenes": f"""
         WITH fr AS (

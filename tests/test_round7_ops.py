@@ -1251,3 +1251,41 @@ def test_part_growth_exact_and_adjacent_months(spark):
         base = r.prev_rev_micros
         exp = want // base if want >= 0 else -((-want) // base)
         assert r.growth_ppm == exp
+
+
+def test_audio_segments_islands_are_maximal_runs(spark):
+    """Segments are maximal runs of above-mean frames: recomputed from
+    the frame energies, every segment matches and none are adjacent."""
+    from db_migrator_spark.operators.multimodal import (
+        _ENERGY_SCHEMA,
+        _frame_energy,
+        _wav_payloads,
+        multimodal_audio_segments,
+    )
+
+    segs = multimodal_audio_segments(spark, SF).collect()
+    frames = (
+        _wav_payloads(spark, SF)
+        .mapInPandas(_frame_energy, schema=_ENERGY_SCHEMA)
+        .collect()
+    )
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append((f.frame_id, f.sum_sq))
+    want = {}
+    for doc, fs in by_doc.items():
+        fs.sort()
+        total = sum(e for _, e in fs)
+        active = [(fid, e) for fid, e in fs if e * len(fs) > total]
+        run = []
+        for fid, e in active:
+            if run and fid == run[-1][0] + 1:
+                run.append((fid, e))
+            else:
+                if run:
+                    want[(doc, run[0][0])] = (len(run), sum(e for _, e in run))
+                run = [(fid, e)]
+        if run:
+            want[(doc, run[0][0])] = (len(run), sum(e for _, e in run))
+    got = {(s.doc_id, s.seg_start_frame): (s.seg_len, s.seg_energy) for s in segs}
+    assert got == want and got
