@@ -883,8 +883,63 @@ def q_part_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-relationship profile for the star schema's four joins: child
+    rows, children with a matching parent, orphan count, distinct
+    matched parents, and the max/avg fan-out per parent — the join-
+    integrity report a migrator ships with every landed schema.
+
+    Per relation: one left join + one aggregate (parent-side fan-out
+    from the same grouped pass). Output is relation-count-sized.
+    """
+    rels = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    pieces = []
+    for name, child_t, ck, parent_t, pk in rels:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(ck).alias("ck")
+        )
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(pk).alias("pk")
+        ).distinct()
+        joined = child.join(parent, child.ck == parent.pk, "left")
+        pieces.append(
+            joined.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).cast("bigint").alias("child_rows"),
+                F.sum(F.when(F.col("pk").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("matched_rows"),
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("orphan_rows"),
+                F.countDistinct(F.when(F.col("pk").isNotNull(), F.col("ck")))
+                .cast("bigint")
+                .alias("matched_parents"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "*",
+        F.expr("matched_rows * 1000000 div child_rows").alias(
+            "match_rate_ppm"
+        ),
+        F.expr(
+            "CASE WHEN matched_parents = 0 THEN NULL"
+            " ELSE matched_rows div matched_parents END"
+        ).alias("avg_fanout_floor"),
+    ).orderBy("relation")
+
+
 QUERIES = {
     "q_customer_rfm": q_customer_rfm,
+    "q_join_cardinality_audit": q_join_cardinality_audit,
     "q_part_growth": q_part_growth,
     "q_revenue_gini": q_revenue_gini,
     "q_lead_time_percentiles": q_lead_time_percentiles,
@@ -1149,6 +1204,44 @@ ORACLES = {
         FROM ranked
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+    """,
+    "q_join_cardinality_audit": """
+        WITH rel AS (
+            SELECT 'lineitem->orders' AS relation, l.l_orderkey AS ck,
+                   o.o_orderkey AS pk
+            FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON o.o_orderkey = l.l_orderkey
+            UNION ALL
+            SELECT 'lineitem->part', l.l_partkey, p.p_partkey
+            FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+              ON p.p_partkey = l.l_partkey
+            UNION ALL
+            SELECT 'lineitem->supplier', l.l_suppkey, s.s_suppkey
+            FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+              ON s.s_suppkey = l.l_suppkey
+            UNION ALL
+            SELECT 'orders->customer', o.o_custkey, c.c_custkey
+            FROM orders o
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON c.c_custkey = o.o_custkey),
+        agg AS (
+            SELECT relation,
+                   CAST(COUNT(*) AS BIGINT) AS child_rows,
+                   CAST(COUNT(pk) AS BIGINT) AS matched_rows,
+                   CAST(COUNT(*) - COUNT(pk) AS BIGINT) AS orphan_rows,
+                   CAST(COUNT(DISTINCT CASE WHEN pk IS NOT NULL THEN ck END)
+                        AS BIGINT) AS matched_parents
+            FROM rel GROUP BY relation)
+        SELECT *,
+               matched_rows * 1000000 // child_rows AS match_rate_ppm,
+               CASE WHEN matched_parents = 0 THEN NULL
+                    ELSE matched_rows // matched_parents END
+                   AS avg_fanout_floor
+        FROM agg
+        ORDER BY relation
     """,
     "q_part_growth": f"""
         WITH rev AS (

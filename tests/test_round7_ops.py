@@ -1289,3 +1289,17 @@ def test_audio_segments_islands_are_maximal_runs(spark):
             want[(doc, run[0][0])] = (len(run), sum(e for _, e in run))
     got = {(s.doc_id, s.seg_start_frame): (s.seg_len, s.seg_energy) for s in segs}
     assert got == want and got
+
+
+def test_join_audit_reconciles(spark):
+    """matched + orphan = child rows; clean fixture has full referential
+    integrity (match_rate 1e6, zero orphans) on every relation."""
+    from db_migrator_spark.operators.quality import q_join_cardinality_audit
+
+    rows = q_join_cardinality_audit(spark, SF01).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.matched_rows + r.orphan_rows == r.child_rows
+        assert r.orphan_rows == 0 and r.match_rate_ppm == 1_000_000
+        assert r.matched_parents > 0
+        assert r.avg_fanout_floor == r.matched_rows // r.matched_parents
