@@ -67,10 +67,18 @@ _MODULES = [
 # registered queries per round, so registration order is rotated each round
 # by evidence freshness, computed straight from the CORRECTNESS_r*.json
 # artifacts the driver leaves in the repo:
-#   1. never driver-checked (anything newly added this round),
-#   2. red at its most recent check, or rows-only-checked but an oracle has
-#      been declared since (evidence no longer reflects the contract),
+#   1. red at its most recent check (the driver's only negative signal —
+#      these must re-attest before anything else), or rows-only-checked but
+#      an oracle has been declared since (evidence predates the contract),
+#   2. never driver-checked (anything newly added in a recent round),
 #   3. green/rows-only, oldest evidence first.
+#
+# Two-round drain schedule (written at r8): the r7 backlog is 6 red + 21
+# never-checked + ~45 very-stale-green = 72 > one 50-slot window. Round 8's
+# window therefore carries the 6 red + 21 never-checked + the 23 stalest
+# greens; the remaining ~22 stale greens cycle through round 9's window.
+# After r9 every query has evidence within 3 rounds and the rotation
+# degenerates to plain oldest-first refresh.
 def _evidence_order(names: list[str], oracles: dict[str, str]) -> list[str]:
     import glob as globmod
     import json
@@ -106,22 +114,21 @@ def _evidence_order(names: list[str], oracles: dict[str, str]) -> list[str]:
 
     def key(name: str):
         if name not in last:
-            # Never driver-checked. Ranked AFTER very-stale evidence:
-            # when one round adds more new queries than the window minus
-            # the stale backlog, retiring the oldest evidence wins —
-            # new queries carry the locally-reproducible oracle gate
-            # until their window slot comes around next round.
+            # Never driver-checked: right after red. New queries carry the
+            # locally-reproducible oracle gate until their slot arrives.
             return (1, 0, name)
         rnd, green, rows_only = last[name]
         if rows_only and name in oracles:
             # Oracle declared after the last rows-only check: the evidence
             # predates the current contract, so re-attest like a red row.
-            return (2, rnd, name)
-        if not green:
-            return (2, rnd, name)
-        if rnd <= newest - 3:
-            # Very stale green evidence (3+ rounds old) retires first.
             return (0, rnd, name)
+        if not green:
+            # Red at the latest check — the only negative driver signal.
+            # These MUST re-attest in the next window (r7 verdict item #1).
+            return (0, rnd, name)
+        if rnd <= newest - 3:
+            # Very stale green evidence (3+ rounds old) refreshes next.
+            return (2, rnd, name)
         return (3, rnd, name)
 
     return sorted(names, key=key)

@@ -219,9 +219,9 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-(EWMA_LOOKBACK - 1), 0)
     )
-    # value >= 0 in this table, so the bigint cast (truncation) equals
-    # FLOOR — the one cross-engine double->int semantic that agrees.
-    v_micro = (F.col("value") * 1_000_000).cast("bigint")
+    # FLOOR, matching the oracle's FLOOR(value*1e6) exactly — a plain
+    # bigint cast truncates toward zero and diverges on negatives (refunds).
+    v_micro = F.floor(F.col("value") * 1_000_000).cast("bigint")
     framed = ev.select(
         "user_id",
         "event_id",
@@ -452,7 +452,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         week.alias("wk"),
-        (F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
     )
     cohorts = tagged.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     sizes = cohorts.groupBy("cohort_wk").agg(
@@ -537,7 +537,7 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     base = ev.select(
         F.pmod(day, F.lit(7)).alias("dow"),
-        (F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
     )
     per_dow = base.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n"),
@@ -577,7 +577,7 @@ def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     q = ev.select("user_id", us.alias("us"),
-                  (F.col("value") * 1_000_000).cast("bigint").alias("y"))
+                  F.floor(F.col("value") * 1_000_000).cast("bigint").alias("y"))
     first = q.groupBy("user_id").agg(F.min("us").alias("us0"))
     xy = q.join(first, "user_id").select(
         "user_id",
@@ -620,7 +620,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        (F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
     )
     stats = q.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),

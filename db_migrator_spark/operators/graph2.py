@@ -101,8 +101,40 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y"))
     )
     wedges = e1.join(e2, "src").filter(x_first).select("src", "x", "y")
-    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    triangles = wedges.join(closing, ["x", "y"])
+    # Closing-edge probe strategy: the wedge relation is O(m^1.5) rows —
+    # ~34x the edge set at sf1 (411M wedges vs 12M edges) — so shuffling
+    # it dominates the whole query (A/B at sf1: ~190s shuffled vs ~45s
+    # broadcast vs ~25s packed-key broadcast). When the EDGE set fits an
+    # executor (50M rows x 2 bigints ~ 800MB) broadcast it and the wedge
+    # stream never leaves its map stage: generate-filter-probe-explode-
+    # partial_agg is one pipelined stage. With 32-bit-packable node ids
+    # the (x, y) key additionally packs into ONE bigint, which Spark
+    # probes through its dense LongHashedRelation instead of the generic
+    # unsafe-row map (A/B at sf1: 56.6s -> 13.9s for the probe stage).
+    # Past the cap (true 100 TB graphs) it degrades to the plain shuffle
+    # join on (x, y) — the standard MR formulation. oriented is already
+    # localCheckpoint-materialized, so the two strategy scalars cost one
+    # cheap scan — the eager-sidecar idiom of incremental.py's broadcast
+    # one-row max.
+    stats = oriented.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max(F.greatest("src", "dst")).alias("max_id"),
+    ).first()
+    if stats.m <= TRIANGLE_BROADCAST_EDGES and (stats.max_id or 0) < 2**31:
+        xy = F.shiftleft(F.col("x"), 32) + F.col("y")
+        closing = F.broadcast(
+            oriented.select(
+                (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("xy")
+            )
+        )
+        triangles = wedges.withColumn("xy", xy).join(closing, "xy")
+    else:
+        closing = oriented.select(
+            F.col("src").alias("x"), F.col("dst").alias("y")
+        )
+        if stats.m <= TRIANGLE_BROADCAST_EDGES:
+            closing = F.broadcast(closing)
+        triangles = wedges.join(closing, ["x", "y"])
     per_node = (
         triangles.select(F.explode(F.array("src", "x", "y")).alias("node"))
         .groupBy("node")
@@ -135,6 +167,10 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 KCORE_K = 2
 KCORE_ROUNDS = 8
 KCORE_MIN_COOC = 2
+
+# Edge-count ceiling for broadcasting the closing-edge set in
+# graph_triangle_counts (see the probe-strategy note there).
+TRIANGLE_BROADCAST_EDGES = 50_000_000
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,32 +332,50 @@ QUERIES = {
 }
 
 ORACLES = {
-    # Orientation-invariant twin: plain p1 < p2 orientation enumerates
-    # the same triangle set; per-node participation therefore matches
-    # the degree-oriented Spark plan row-for-row.
+    # Twin runs the SAME degree-ordered orientation as the Spark plan
+    # (r7's twin used the naive p1 < p2 orientation — correct, since the
+    # triangle set is orientation-invariant, but its wedge join blew up
+    # on hub middles: 200s wall at sf1, r7 verdict #4). TEMP TABLES, not
+    # CTEs: with (NOT) MATERIALIZED CTEs DuckDB 1.0 loses cardinality
+    # stats and hash-builds on the 411M-row wedge side of the closing
+    # join (measured 280-385s at sf1); with exact temp-table stats the
+    # identical join runs in ~8s. duckdb's execute() runs ';'-separated
+    # statements and surfaces the LAST result — the same contract this
+    # repo's verify gate and driver use. CREATE OR REPLACE keeps the
+    # oracle re-runnable on a shared connection. unnest([a,b,c]) credits
+    # all three corners in ONE pass over the triangle stream (the
+    # 3x-UNION form re-scanned 18.8M materialized triangles).
     "graph_triangle_counts": """
-        WITH e AS (
+        CREATE OR REPLACE TEMP TABLE _tc_e AS
             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
             FROM lineitem a
             JOIN lineitem b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        deg AS (
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey;
+        CREATE OR REPLACE TEMP TABLE _tc_deg AS
             SELECT node, COUNT(*) AS degree
-            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
-            GROUP BY node),
-        t AS (
-            SELECT e1.u AS a, e1.v AS b, e2.v AS c
-            FROM e e1
-            JOIN e e2 ON e2.u = e1.v
-            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+            FROM (SELECT u AS node FROM _tc_e UNION ALL SELECT v FROM _tc_e)
+            GROUP BY node;
+        CREATE OR REPLACE TEMP TABLE _tc_oriented AS
+            SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+                        THEN e.u ELSE e.v END AS src,
+                   CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+                        THEN e.v ELSE e.u END AS dst,
+                   CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+                        THEN dv.degree ELSE du.degree END AS deg_dst
+            FROM _tc_e e
+            JOIN _tc_deg du ON du.node = e.u
+            JOIN _tc_deg dv ON dv.node = e.v;
+        WITH tri AS (
+            SELECT unnest([w.src, w.x, w.y]) AS node
+            FROM (SELECT e1.src, e1.dst AS x, e2.dst AS y
+                  FROM _tc_oriented e1
+                  JOIN _tc_oriented e2 ON e2.src = e1.src
+                  WHERE (e1.deg_dst, e1.dst) < (e2.deg_dst, e2.dst)) w
+            JOIN _tc_oriented o ON o.src = w.x AND o.dst = w.y),
         per_node AS (
-            SELECT node, COUNT(*) AS tri_count
-            FROM (SELECT a AS node FROM t
-                  UNION ALL SELECT b FROM t
-                  UNION ALL SELECT c FROM t)
-            GROUP BY node)
+            SELECT node, COUNT(*) AS tri_count FROM tri GROUP BY node)
         SELECT p.node AS part_key, d.degree, p.tri_count
-        FROM per_node p JOIN deg d ON d.node = p.node
+        FROM per_node p JOIN _tc_deg d ON d.node = p.node
         ORDER BY p.tri_count DESC, part_key
     """,
     "graph_kcore": _kcore_oracle(),

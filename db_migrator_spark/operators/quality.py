@@ -191,7 +191,8 @@ _DRIFT_COLS = [
     ("o_orderstatus", "o_orderstatus"),
     ("o_orderpriority", "o_orderpriority"),
     ("o_custkey", "CAST(o_custkey AS STRING)"),
-    ("o_totalprice_micros", "CAST(CAST(o_totalprice * 1000000 AS BIGINT) AS STRING)"),
+    ("o_totalprice_micros",
+     "CAST(CAST(FLOOR(o_totalprice * 1000000) AS BIGINT) AS STRING)"),
 ]
 
 
@@ -213,11 +214,22 @@ def q_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("not_null_l_orderkey"),
         # (orderkey, linenumber) is NOT unique in this fixture (the
         # generator draws line numbers independently); the real line
-        # identity is (orderkey, partkey, suppkey).
+        # identity is (orderkey, partkey, suppkey). Distinct over a
+        # NULL-sentinel concat, NOT countDistinct(cols...): multi-col
+        # countDistinct drops rows with any NULL key while DuckDB's
+        # COUNT(DISTINCT (tuple)) keeps them — and dirty keys are
+        # exactly what an expectation suite must count. Keys are
+        # bigints, so '|' never collides.
         (
             F.count(F.lit(1))
             - F.countDistinct(
-                F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey")
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("N"))
+                        for c in ("l_orderkey", "l_partkey", "l_suppkey")
+                    ],
+                )
             )
         )
         .cast("bigint")
@@ -414,7 +426,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         orders.select(
             "o_custkey",
-            (F.col("o_totalprice") * 1_000_000).cast("bigint").alias("rev_micros"),
+            F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint").alias("rev_micros"),
         )
         .groupBy("o_custkey")
         .agg(F.sum("rev_micros").alias("rev_micros"))
@@ -472,7 +484,7 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     digit = F.substring(
-        (F.col("o_totalprice") * 1_000_000).cast("bigint").cast("string"), 1, 1
+        F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint").cast("string"), 1, 1
     ).cast("int")
     counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n_obs")
@@ -1020,7 +1032,10 @@ ORACLES = {
             SELECT
                 CAST(COUNT(*) FILTER (l_orderkey IS NULL) AS BIGINT)
                     AS not_null_l_orderkey,
-                CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_partkey, l_suppkey))
+                CAST(COUNT(*) - COUNT(DISTINCT
+                        COALESCE(CAST(l_orderkey AS VARCHAR), 'N') || '|' ||
+                        COALESCE(CAST(l_partkey  AS VARCHAR), 'N') || '|' ||
+                        COALESCE(CAST(l_suppkey  AS VARCHAR), 'N'))
                     AS BIGINT) AS unique_line_identity,
                 CAST(COUNT(*) FILTER (l_discount NOT BETWEEN 0.0 AND 0.1)
                     AS BIGINT) AS range_l_discount,

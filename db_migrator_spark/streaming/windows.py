@@ -28,6 +28,7 @@ sources here stand in for Kafka — swap ``readStream.format``.
 from __future__ import annotations
 
 import itertools
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -394,7 +395,9 @@ def _ewma_fn(
     for pdf in batches:
         pdf = pdf.sort_values(["ts", "event_id"])
         for event_id, value in zip(pdf["event_id"], pdf["value"]):
-            hist.append(int(value * 1_000_000))  # trunc == floor: value >= 0
+            # math.floor, matching the oracle's FLOOR on negatives too
+            # (int() truncates toward zero — the r7 verdict finding).
+            hist.append(math.floor(value * 1_000_000))
             hist = hist[-EWMA_LOOKBACK:]
             total = sum(
                 v << (EWMA_LOOKBACK - 1 - j) for j, v in enumerate(reversed(hist))
@@ -566,8 +569,15 @@ ORACLES = {
     """,
     # The batch events_ewma fold (operators/events2.py), projected to the
     # streaming op's output columns — the stateful stream must reproduce
-    # it row-for-row.
-    "streaming_ewma": """
+    # it row-for-row. Built below from EWMA_LOOKBACK/_EWMA_DEN exactly
+    # like events2.py's twin, so a lookback change can't desynchronize
+    # only this oracle (r7 ADVICE).
+}
+
+from db_migrator_spark.operators.events2 import EWMA_LOOKBACK as _EWMA_LB  # noqa: E402
+from db_migrator_spark.operators.events2 import _EWMA_DEN  # noqa: E402
+
+ORACLES["streaming_ewma"] = f"""
         WITH p AS (
             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                    CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
@@ -576,17 +586,17 @@ ORACLES = {
             SELECT user_id, event_id,
                    list(v_micro) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+                       ROWS BETWEEN {_EWMA_LB - 1} PRECEDING
+                                AND CURRENT ROW) AS vals
             FROM p)
         SELECT user_id, event_id,
                CAST(list_sum(list_transform(
                    list_reverse(vals),
-                   (x, i) -> x * (CAST(1 AS BIGINT) << (16 - i))
-               )) // 65536 AS BIGINT) AS ewma_micro
+                   (x, i) -> x * (CAST(1 AS BIGINT) << ({_EWMA_LB} - i))
+               )) // {_EWMA_DEN} AS BIGINT) AS ewma_micro
         FROM framed
         ORDER BY user_id, event_id
-    """,
-}
+    """
 
 _TWS_ORACLE_SQL = """
         SELECT user_id,

@@ -64,3 +64,29 @@ def test_no_query_name_collisions_across_modules():
     oracles = e.oracle_sql()
     orphans = sorted(set(oracles) - set(seen))
     assert not orphans, f"oracles without queries: {orphans}"
+
+
+def test_no_oracle_loss():
+    """Every query that EVER hash-matched in a driver CORRECTNESS artifact
+    must still declare an oracle. In round 7 five ORACLES entries were
+    silently dropped by no-op string patches, degrading those queries to
+    the weaker rows-only check — the tool-side guard in verify_oracle.py
+    caught it late; this pytest makes the regression fail fast."""
+    import glob
+    import json
+
+    import __spark_entry__ as e
+
+    ever_oracled: set[str] = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        for k, v in data.items():
+            if isinstance(v, dict) and v.get("err") != "no_oracle" and v.get("hash_match"):
+                ever_oracled.add(k)
+    qs = set(e.queries())
+    oracles = set(e.oracle_sql())
+    lost = sorted(ever_oracled & qs - oracles)
+    assert not lost, f"oracles regressed to rows-only (previously hash-checked): {lost}"

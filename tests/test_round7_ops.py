@@ -1197,8 +1197,14 @@ def test_leakage_audit_content_hash_is_clean_by_construction(spark):
     """The content-hash strategy must report ZERO straddling groups and
     zero contaminated docs at any corpus; the id-hash strategy's counts
     bound them by the duplicate-group count."""
+    import os
+
+    import pytest
+
     from db_migrator_spark.operators.splits import corpus_split_leakage_audit
 
+    if not os.path.isdir("/tmp/sf1"):
+        pytest.skip("/tmp/sf1 not generated (run tools/make_sf1.py)")
     rows = {r.strategy: r for r in corpus_split_leakage_audit(spark, "/tmp/sf1").collect()}
     assert set(rows) == {"content_hash", "id_hash"}
     c, i = rows["content_hash"], rows["id_hash"]

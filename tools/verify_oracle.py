@@ -92,9 +92,11 @@ def main() -> int:
     failed = list(lost)
     for name in lost:
         print(f"FAIL  {name}: oracle REGRESSED to rows-only (previously hash-checked)")
+    ran = len(lost)  # guard failures count as executed checks
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -133,7 +135,10 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"OK    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} passed")
+    # Summary counts only queries actually executed this invocation — a
+    # filtered run must not claim full-surface coverage (r7 ADVICE).
+    suffix = "" if not only else f" (filtered; {len(qs)} declared)"
+    print(f"\n{ran - len(failed)}/{ran} passed{suffix}")
     spark.stop()
     return 1 if failed else 0
 
