@@ -43,15 +43,19 @@ _MODULES = [
     "db_migrator_spark.operators.grouped",
     "db_migrator_spark.operators.events",
     "db_migrator_spark.operators.events2",
+    "db_migrator_spark.operators.events3",
+    "db_migrator_spark.operators.text_metrics",
     "db_migrator_spark.operators.corpus",
     "db_migrator_spark.operators.corpus2",
     "db_migrator_spark.operators.corpus3",
     "db_migrator_spark.operators.corpus4",
     "db_migrator_spark.operators.corpus5",
+    "db_migrator_spark.operators.corpus6",
     "db_migrator_spark.operators.splits",
     "db_migrator_spark.operators.graph",
     "db_migrator_spark.operators.graph2",
     "db_migrator_spark.operators.evals",
+    "db_migrator_spark.operators.evals2",
     "db_migrator_spark.operators.udtf_ops",
     "db_migrator_spark.operators.sketches",
     "db_migrator_spark.operators.zorder",

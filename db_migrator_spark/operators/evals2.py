@@ -1,0 +1,267 @@
+"""Ranking-quality eval metrics (round 8): exact ROC AUC and NDCG@k.
+
+The reference is a 1:1 table copier with no evaluation surface (scope:
+/root/reference/src/migrate/table_migrator.rs:43-114); these extend the
+``evals`` family (confusion matrix, PR sweep, calibration, MRR) with the
+two remaining standard classifier/retrieval metrics, both exact integer
+arithmetic end-to-end:
+
+- ``eval_roc_auc``: tie-aware Mann-Whitney AUC per language segment.
+  AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) where R_pos is the
+  sum of mid-ranks of the positives. Mid-ranks with ties are half-
+  integers, so everything is carried DOUBLED: for a score group with
+  ``c_less`` items strictly below and ``n`` items tied, each member's
+  doubled mid-rank is ``2*c_less + n + 1`` — an integer. The final
+  division is the repo's decimal `div` contract.
+- ``eval_ndcg``: NDCG@K of the hash-checked kNN join against graded
+  label relevance. The 1/log2(i+1) discounts are PRECOMPUTED integer
+  micro literals (the only irrational inputs), so DCG, ideal DCG, and
+  their ppm ratio are pure integer arithmetic in both engines.
+
+Scale notes (100 TB): AUC is one (lang, score) aggregate, one
+lang-keyed running-count window over DISTINCT scores (bounded: document
+lengths, not documents), and a lang-sized reduce — no global window, no
+sort of the corpus. NDCG rides the already-bounded kNN top-k (K rows
+per query) with an O(K) in-row array fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+from .evals import PR_LABEL_MIN_TOKENS
+
+# NDCG: rank discounts 1/log2(rank+1) in exact micro literals (rank 1..3
+# — the kNN join's K). Literals, not log2() calls: float log is the one
+# engine-dependent step, so it is evaluated ONCE here and pinned.
+NDCG_DISCOUNTS_MICRO = (1_000_000, 630_929, 500_000)
+
+
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC of the length score against the token
+    label, per language: n_pos, n_neg, doubled positive rank sum, and
+    AUC in exact ppm (500000 = chance).
+
+    One scan to (lang, score) groups; the prefix count runs over
+    distinct scores per language (bounded domain); the Mann-Whitney
+    identity turns rank sums into pure integers (module doc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.col("n_chars").alias("score"),
+        (F.size(F.split(F.col("text"), " ")) >= PR_LABEL_MIN_TOKENS)
+        .cast("int")
+        .alias("label"),
+    )
+    groups = base.groupBy("lang", "score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = groups.select(
+        "lang",
+        "n",
+        "n_pos",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("c_less"),
+    )
+    per_lang = ranked.groupBy("lang").agg(
+        F.sum("n_pos").cast("bigint").alias("pos"),
+        (F.sum("n") - F.sum("n_pos")).cast("bigint").alias("neg"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("c_less") + F.col("n") + 1)
+        )
+        .cast("bigint")
+        .alias("rank2_pos_sum"),
+    )
+    return per_lang.select(
+        "lang",
+        F.col("pos").alias("n_pos"),
+        F.col("neg").alias("n_neg"),
+        "rank2_pos_sum",
+        F.expr(
+            "CASE WHEN pos = 0 OR neg = 0 THEN NULL ELSE"
+            " CAST(CAST(rank2_pos_sum - pos * (pos + 1) AS DECIMAL(38,0))"
+            " * 1000000 div (2 * pos * neg) AS BIGINT) END"
+        ).alias("auc_ppm"),
+    ).orderBy("lang")
+
+
+def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@3 of the kNN join per query, plus the mean row (q_id = -1).
+
+    Graded relevance per neighbor: 2 when the neighbor shares the
+    query's label, 1 when the labels are adjacent (|diff| = 1), else 0.
+    DCG folds the rank-ordered gains against the pinned micro
+    discounts; ideal DCG re-folds the same gains sorted descending —
+    both integer; NDCG is their exact ppm ratio (0 when IDCG is 0).
+    """
+    from .similarity import similarity_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    knn = similarity_knn_join(spark, sf_dir)
+    labeled = (
+        knn.join(
+            emb.select(
+                F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+            ),
+            "q_id",
+        )
+        .join(emb.select("vec_id", F.col("label").alias("n_label")), "vec_id")
+        .select(
+            "q_id",
+            "rn",
+            F.when(F.col("n_label") == F.col("q_label"), F.lit(2))
+            .when(
+                F.abs(F.col("n_label") - F.col("q_label")) == 1, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("gain"),
+        )
+    )
+    # Per query: gains in rank order (K elements — in-row fold territory).
+    per_q_gains = labeled.groupBy("q_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "gain"))),
+            lambda s: s["gain"],
+        ).alias("gains")
+    )
+    disc = F.array(*[F.lit(d) for d in NDCG_DISCOUNTS_MICRO])
+    ideal = F.reverse(F.array_sort(F.col("gains")))
+
+    def fold(gains_col):
+        return F.aggregate(
+            F.zip_with(gains_col, disc, lambda g, d: g * d),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.coalesce(x, F.lit(0).cast("bigint")),
+        )
+
+    per_q = per_q_gains.select(
+        "q_id",
+        fold(F.col("gains")).alias("dcg_micro"),
+        fold(ideal).alias("idcg_micro"),
+    ).select(
+        "q_id",
+        "dcg_micro",
+        "idcg_micro",
+        F.expr(
+            "CASE WHEN idcg_micro = 0 THEN 0"
+            " ELSE dcg_micro * 1000000 div idcg_micro END"
+        ).alias("ndcg_ppm"),
+    )
+    summary = per_q.agg(
+        F.count(F.lit(1)).alias("n_q"),
+        F.sum("ndcg_ppm").alias("sum_ndcg"),
+    ).select(
+        F.lit(-1).cast("bigint").alias("q_id"),
+        F.lit(None).cast("bigint").alias("dcg_micro"),
+        F.lit(None).cast("bigint").alias("idcg_micro"),
+        F.expr("sum_ndcg div n_q").alias("ndcg_ppm"),
+    )
+    return per_q.unionByName(summary).orderBy("q_id")
+
+
+QUERIES = {
+    "eval_roc_auc": eval_roc_auc,
+    "eval_ndcg": eval_ndcg,
+}
+
+_D1, _D2, _D3 = NDCG_DISCOUNTS_MICRO
+
+ORACLES = {
+    "eval_roc_auc": f"""
+        WITH base AS (
+            SELECT lang, n_chars AS score,
+                   CAST(len(string_split(text, ' ')) >= {PR_LABEL_MIN_TOKENS}
+                        AS INTEGER) AS label
+            FROM documents),
+        g AS (
+            SELECT lang, score, COUNT(*) AS n,
+                   CAST(SUM(label) AS BIGINT) AS n_pos
+            FROM base GROUP BY lang, score),
+        ranked AS (
+            SELECT lang, n, n_pos,
+                   COALESCE(SUM(n) OVER (
+                       PARTITION BY lang ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS c_less
+            FROM g),
+        per_lang AS (
+            SELECT lang,
+                   CAST(SUM(n_pos) AS BIGINT) AS pos,
+                   CAST(SUM(n) - SUM(n_pos) AS BIGINT) AS neg,
+                   CAST(SUM(n_pos * (2 * c_less + n + 1)) AS BIGINT)
+                       AS rank2_pos_sum
+            FROM ranked GROUP BY lang)
+        SELECT lang, pos AS n_pos, neg AS n_neg, rank2_pos_sum,
+               CASE WHEN pos = 0 OR neg = 0 THEN NULL ELSE
+                   CAST(CAST(rank2_pos_sum - pos * (pos + 1) AS HUGEINT)
+                        * 1000000 // (2 * pos * neg) AS BIGINT) END AS auc_ppm
+        FROM per_lang
+        ORDER BY lang
+    """,
+    # Mirrors similarity_knn_join's oracle (first 5 queries, top-3 by
+    # pinned-order cosine) then grades and folds with the same literal
+    # discounts.
+    "eval_ndcg": f"""
+        WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                          CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ae
+              FROM embeddings),
+        scored AS (
+            SELECT q.q_id, q.q_label, e.vec_id, e.label AS n_label,
+                   list_dot_product(ae, qe)
+                       / sqrt(list_dot_product(ae, ae)
+                              * list_dot_product(qe, qe)) AS cos_sim
+            FROM e, q WHERE e.vec_id != q.q_id),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM scored),
+        graded AS (
+            SELECT q_id, rn,
+                   CAST(CASE WHEN n_label = q_label THEN 2
+                             WHEN ABS(n_label - q_label) = 1 THEN 1
+                             ELSE 0 END AS BIGINT) AS gain
+            FROM ranked WHERE rn <= 3),
+        gs AS (
+            SELECT q_id,
+                   list(gain ORDER BY rn) AS gains,
+                   list(gain ORDER BY gain DESC) AS ideal
+            FROM graded GROUP BY q_id),
+        folded AS (
+            SELECT q_id,
+                   CAST(COALESCE(gains[1], 0) * {_D1}
+                        + COALESCE(gains[2], 0) * {_D2}
+                        + COALESCE(gains[3], 0) * {_D3} AS BIGINT)
+                       AS dcg_micro,
+                   CAST(COALESCE(ideal[1], 0) * {_D1}
+                        + COALESCE(ideal[2], 0) * {_D2}
+                        + COALESCE(ideal[3], 0) * {_D3} AS BIGINT)
+                       AS idcg_micro
+            FROM gs),
+        per_q AS (
+            SELECT q_id, dcg_micro, idcg_micro,
+                   CASE WHEN idcg_micro = 0 THEN 0
+                        ELSE dcg_micro * 1000000 // idcg_micro END
+                       AS ndcg_ppm
+            FROM folded)
+        SELECT CAST(q_id AS BIGINT) AS q_id, dcg_micro, idcg_micro,
+               CAST(ndcg_ppm AS BIGINT) AS ndcg_ppm
+        FROM per_q
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT),
+               CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT)
+        FROM per_q
+        ORDER BY q_id
+    """,
+}

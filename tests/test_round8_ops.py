@@ -1,0 +1,133 @@
+"""Semantic checks for the round-8 operators: exact ROC AUC, NDCG@3,
+conversion-lag histogram, Coleman-Liau readability, and the full
+k-means Lloyd step. Cross-engine parity is the driver/oracle gate's
+job; these tests assert the MATH — each metric recomputed in plain
+Python from the same fixture rows."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from db_migrator_spark.io import load_table
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_roc_auc_matches_python_midrank(spark):
+    from db_migrator_spark.operators.evals import PR_LABEL_MIN_TOKENS
+    from db_migrator_spark.operators.evals2 import eval_roc_auc
+
+    rows = {r.lang: r for r in eval_roc_auc(spark, SF01).collect()}
+    docs = (
+        load_table(spark, SF01, "documents")
+        .select(
+            "lang",
+            F.col("n_chars").alias("score"),
+            (F.size(F.split("text", " ")) >= PR_LABEL_MIN_TOKENS).alias(
+                "label"
+            ),
+        )
+        .collect()
+    )
+    langs = {d.lang for d in docs}
+    assert set(rows) == langs
+    for lang in langs:
+        pairs = sorted(
+            (d.score, d.label) for d in docs if d.lang == lang
+        )
+        # doubled mid-ranks per score group
+        n = len(pairs)
+        pos = sum(1 for _, l in pairs if l)
+        neg = n - pos
+        rank2_pos = 0
+        i = 0
+        while i < n:
+            j = i
+            while j < n and pairs[j][0] == pairs[i][0]:
+                j += 1
+            r2 = 2 * i + (j - i) + 1  # 2*c_less + n_tied + 1
+            rank2_pos += r2 * sum(1 for k in range(i, j) if pairs[k][1])
+            i = j
+        r = rows[lang]
+        assert (r.n_pos, r.n_neg, r.rank2_pos_sum) == (pos, neg, rank2_pos)
+        if pos and neg:
+            want = (rank2_pos - pos * (pos + 1)) * 1_000_000 // (2 * pos * neg)
+            assert r.auc_ppm == want
+            assert 0 <= r.auc_ppm <= 1_000_000
+
+
+def test_ndcg_bounds_and_summary(spark):
+    from db_migrator_spark.operators.evals2 import eval_ndcg
+
+    rows = eval_ndcg(spark, SF01).collect()
+    per_q = [r for r in rows if r.q_id >= 0]
+    summary = [r for r in rows if r.q_id == -1]
+    assert len(summary) == 1 and len(per_q) == 5
+    for r in per_q:
+        assert 0 <= r.dcg_micro <= r.idcg_micro  # ideal ordering dominates
+        assert 0 <= r.ndcg_ppm <= 1_000_000
+        if r.idcg_micro:
+            assert r.ndcg_ppm == r.dcg_micro * 1_000_000 // r.idcg_micro
+    assert (
+        summary[0].ndcg_ppm
+        == sum(r.ndcg_ppm for r in per_q) // len(per_q)
+    )
+
+
+def test_conversion_lag_histogram_consistency(spark):
+    from db_migrator_spark.operators.events3 import events_conversion_lag
+
+    rows = events_conversion_lag(spark, SF01).collect()
+    summary = [r for r in rows if r.lag_days == -1]
+    buckets = [r for r in rows if r.lag_days >= 0]
+    assert len(summary) == 1
+    n_signup = summary[0].n_users
+    n_conv = sum(b.n_users for b in buckets)
+    assert 0 < n_conv <= n_signup
+    assert summary[0].share_ppm == n_conv * 1_000_000 // n_signup
+    # bucket shares are exact ppm of converters and sum to ~1e6
+    for b in buckets:
+        assert b.share_ppm == b.n_users * 1_000_000 // n_conv
+    assert 1_000_000 - len(buckets) < sum(b.share_ppm for b in buckets) <= 1_000_000
+
+
+def test_readability_matches_python(spark):
+    from db_migrator_spark.operators.text_metrics import (
+        CLI_C_MICRO,
+        CLI_L_MICRO,
+        CLI_S_MICRO,
+        text_readability,
+    )
+
+    out = {r.doc_id: r for r in text_readability(spark, SF01).collect()}
+    docs = load_table(spark, SF01, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    for d in docs[:50]:
+        letters = len(
+            d.text.translate(str.maketrans("", "", " .,!?;:'\""))
+        )
+        words = len(d.text.split(" "))
+        sents = max(1, sum(d.text.count(c) for c in ".!?"))
+        num = CLI_L_MICRO * letters - CLI_S_MICRO * sents - CLI_C_MICRO * words
+        # truncating division toward zero, the cross-engine div contract
+        cli = int(num / words) if num < 0 else num // words
+        r = out[d.doc_id]
+        assert (r.n_letters, r.n_words, r.n_sentences) == (letters, words, sents)
+        assert r.cli_micro == cli
+        assert r.grade_band == max(0, min(20, int(cli / 1_000_000) if cli < 0 else cli // 1_000_000))
+
+
+def test_lloyd_step_partition_and_movement(spark):
+    from db_migrator_spark.operators.corpus2 import q_kmeans_assign
+    from db_migrator_spark.operators.corpus6 import q_kmeans_lloyd_step
+
+    rows = q_kmeans_lloyd_step(spark, SF01).collect()
+    n_vec = load_table(spark, SF01, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vec  # exact partition
+    labels = {
+        r.assigned_label for r in q_kmeans_assign(spark, SF01).collect()
+    }
+    for r in rows:
+        assert r.cluster in labels
+        assert 0 <= r.n_moved_in <= r.n_members
+        assert r.inertia_micro >= 0
