@@ -38,6 +38,7 @@ _MODULES = [
     "db_migrator_spark.operators.similarity",
     "db_migrator_spark.operators.similarity_ivf",
     "db_migrator_spark.operators.similarity_pq",
+    "db_migrator_spark.operators.similarity_mmr",
     "db_migrator_spark.operators.multimodal",
     "db_migrator_spark.operators.incremental",
     "db_migrator_spark.operators.grouped",
@@ -51,9 +52,11 @@ _MODULES = [
     "db_migrator_spark.operators.corpus4",
     "db_migrator_spark.operators.corpus5",
     "db_migrator_spark.operators.corpus6",
+    "db_migrator_spark.operators.corpus7",
     "db_migrator_spark.operators.splits",
     "db_migrator_spark.operators.graph",
     "db_migrator_spark.operators.graph2",
+    "db_migrator_spark.operators.graph3",
     "db_migrator_spark.operators.evals",
     "db_migrator_spark.operators.evals2",
     "db_migrator_spark.operators.udtf_ops",

@@ -168,12 +168,179 @@ def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.unionByName(summary).orderBy("q_id")
 
 
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the calibration pseudo-probability, per language
+    plus the overall row (lang = '*'): mean squared error between the
+    ppm score and the binary label, exact in ppm^2-then-ppm units —
+    brier_ppm = sum((p_ppm - y*1e6)^2) div (n * 1e6). 0 is perfect,
+    250000 is the chance score at p = 0.5. One conditional-aggregate
+    scan; companion to ``eval_calibration_bins`` (same score, same
+    label)."""
+    from .evals import CAL_SOFT
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.expr(
+        f"CAST(n_chars AS BIGINT) * 1000000 div (n_chars + {CAL_SOFT})"
+    )
+    base = docs.select(
+        "lang",
+        score.alias("p_ppm"),
+        (F.size(F.split(F.col("text"), " ")) >= PR_LABEL_MIN_TOKENS)
+        .cast("bigint")
+        .alias("y"),
+    )
+    sq = F.expr("(p_ppm - y * 1000000) * (p_ppm - y * 1000000)")
+    per_lang = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sq).alias("sum_sq"),
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(sq).alias("sum_sq")
+    ).select(F.lit("*").alias("lang"), "n", "sum_sq")
+    return (
+        per_lang.unionByName(overall)
+        .select(
+            "lang",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                "CAST(CAST(sum_sq AS DECIMAL(38,0)) div (n * 1000000)"
+                " AS BIGINT)"
+            ).alias("brier_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the language identifier against the labeled
+    language — chance-corrected agreement from the same confusion
+    matrix as ``eval_langid_confusion``, exact ppm end-to-end:
+    kappa_ppm = (po - pe) * 1e6 div (1e6 - pe) with po/pe themselves
+    exact ppm rationals (pe's cross products ride the decimal
+    contract). One row: n, observed/expected agreement ppm, kappa."""
+    from .text import text_language_id
+
+    preds = text_language_id(spark, sf_dir).select(
+        "labeled_lang", "predicted_lang"
+    )
+    cells = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_row = cells.groupBy("labeled_lang").agg(
+        F.sum("c").cast("bigint").alias("n_true")
+    )
+    n_col = cells.groupBy("predicted_lang").agg(
+        F.sum("c").cast("bigint").alias("n_pred")
+    )
+    diag = cells.filter(
+        F.col("labeled_lang") == F.col("predicted_lang")
+    ).agg(F.sum("c").cast("bigint").alias("n_agree"))
+    tot = preds.agg(F.count(F.lit(1)).alias("n"))
+    cross = (
+        n_row.join(
+            n_col, n_row.labeled_lang == n_col.predicted_lang
+        )
+        .agg(
+            F.sum(F.col("n_true") * F.col("n_pred"))
+            .cast("decimal(38,0)")
+            .alias("cross_sum")
+        )
+    )
+    return (
+        tot.crossJoin(diag)
+        .crossJoin(cross)
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("n_agree * 1000000 div n").alias("po_ppm"),
+            F.expr(
+                "CAST(cross_sum * 1000000 div (CAST(n AS DECIMAL(38,0)) * n)"
+                " AS BIGINT)"
+            ).alias("pe_ppm"),
+        )
+        .select(
+            "n",
+            "po_ppm",
+            "pe_ppm",
+            F.expr(
+                "CASE WHEN pe_ppm = 1000000 THEN NULL ELSE"
+                " (po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm) END"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "eval_roc_auc": eval_roc_auc,
     "eval_ndcg": eval_ndcg,
+    "eval_brier_score": eval_brier_score,
+    "eval_cohens_kappa": eval_cohens_kappa,
 }
 
 _D1, _D2, _D3 = NDCG_DISCOUNTS_MICRO
+
+
+def _brier_kappa_oracles() -> dict[str, str]:
+    from .evals import CAL_SOFT, _LANGID_SQL
+
+    return {
+        "eval_brier_score": f"""
+            WITH base AS (
+                SELECT lang,
+                       CAST(n_chars AS HUGEINT) * 1000000
+                           // (n_chars + {CAL_SOFT}) AS p_ppm,
+                       CAST(len(string_split(text, ' '))
+                            >= {PR_LABEL_MIN_TOKENS} AS BIGINT) AS y
+                FROM documents),
+            per AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM((p_ppm - y * 1000000) * (p_ppm - y * 1000000))
+                           AS sum_sq
+                FROM base GROUP BY lang
+                UNION ALL
+                SELECT '*', CAST(COUNT(*) AS BIGINT),
+                       SUM((p_ppm - y * 1000000) * (p_ppm - y * 1000000))
+                FROM base)
+            SELECT lang, n,
+                   CAST(CAST(sum_sq AS HUGEINT) // (n * 1000000) AS BIGINT)
+                       AS brier_ppm
+            FROM per
+            ORDER BY lang
+        """,
+        "eval_cohens_kappa": f"""
+            {_LANGID_SQL},
+            cells AS (
+                SELECT labeled_lang, predicted_lang, COUNT(*) AS c
+                FROM preds GROUP BY 1, 2),
+            rows_t AS (
+                SELECT labeled_lang, CAST(SUM(c) AS BIGINT) AS n_true
+                FROM cells GROUP BY labeled_lang),
+            cols_t AS (
+                SELECT predicted_lang, CAST(SUM(c) AS BIGINT) AS n_pred
+                FROM cells GROUP BY predicted_lang),
+            agree AS (
+                SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_agree
+                FROM cells WHERE labeled_lang = predicted_lang),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM preds),
+            cross_t AS (
+                SELECT CAST(SUM(CAST(n_true AS HUGEINT) * n_pred) AS HUGEINT)
+                           AS cross_sum
+                FROM rows_t r JOIN cols_t c
+                  ON c.predicted_lang = r.labeled_lang),
+            m AS (
+                SELECT t.n,
+                       a.n_agree * 1000000 // t.n AS po_ppm,
+                       CAST(x.cross_sum * 1000000
+                            // (CAST(t.n AS HUGEINT) * t.n) AS BIGINT)
+                           AS pe_ppm
+                FROM tot t, agree a, cross_t x)
+            SELECT n, po_ppm, pe_ppm,
+                   CASE WHEN pe_ppm = 1000000 THEN NULL ELSE
+                       (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) END
+                       AS kappa_ppm
+            FROM m
+        """,
+    }
+
 
 ORACLES = {
     "eval_roc_auc": f"""
@@ -265,3 +432,5 @@ ORACLES = {
         ORDER BY q_id
     """,
 }
+
+ORACLES.update(_brier_kappa_oracles())

@@ -1,0 +1,132 @@
+"""Synchronous label propagation — community detection (round 8).
+
+The reference has no graph operators (its data path is a 1:1 table
+copy, /root/reference/src/migrate/table_migrator.rs:43-114); this
+completes the engine's graph family (connected components, PageRank,
+triangles, k-core) with the canonical community-detection workload
+(Raghavan et al. 2007), made deterministic: labels start as node ids
+and every round EVERY node simultaneously adopts its neighborhood's
+majority label with the fixed tie-break (highest count, then lowest
+label). Fixed ``LPROP_ROUNDS`` synchronous rounds — the same
+"operator = R rounds" semantics as ``graph_kcore`` and
+``graph_pagerank``, exactly reproducible by the unrolled-CTE twin
+whether or not the labeling has converged.
+
+Scale notes (100 TB): per round, one join of the arc list against the
+|V|-row label relation (keyed shuffle) and one map-side-combined
+(node, label) count — the PageRank plan family; ``localCheckpoint``
+truncates lineage per round. The sparsified co-purchase graph (same
+build as ``graph_kcore``) keeps the arc list linear in lineitem.
+Everything is integer; no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+from .graph2 import KCORE_MIN_COOC
+
+LPROP_ROUNDS = 3
+
+
+def _sparse_arcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric arc list of the sparsified co-purchase graph (pairs
+    co-occurring in >= KCORE_MIN_COOC orders — graph_kcore's build)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= KCORE_MIN_COOC)
+        .select("u", "v")
+    )
+    return und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community label per node after ``LPROP_ROUNDS`` synchronous
+    majority rounds, with each community's final size — most-populous
+    communities first."""
+    arcs = _sparse_arcs(spark, sf_dir).localCheckpoint()
+    labels = arcs.select("u").distinct().select(
+        "u", F.col("u").alias("lbl")
+    )
+    wmaj = W.partitionBy("u").orderBy(F.desc("cnt"), "lbl")
+    for _ in range(LPROP_ROUNDS):
+        nb = arcs.join(
+            labels.select(F.col("u").alias("v"), "lbl"), "v"
+        ).select("u", "lbl")
+        labels = (
+            nb.groupBy("u", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(wmaj))
+            .filter(F.col("rn") == 1)
+            .select("u", "lbl")
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("u").alias("part_key"),
+            F.col("lbl").alias("community"),
+            "community_size",
+        )
+        .orderBy(F.desc("community_size"), "community", "part_key")
+    )
+
+
+def _lprop_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, LPROP_ROUNDS + 1):
+        rounds.append(
+            f"""l{r} AS MATERIALIZED (
+                SELECT u, lbl
+                FROM (SELECT c.u, c.lbl,
+                             ROW_NUMBER() OVER (
+                                 PARTITION BY c.u
+                                 ORDER BY c.cnt DESC, c.lbl) AS rn
+                      FROM (SELECT a.u, p.lbl, COUNT(*) AS cnt
+                            FROM arcs a
+                            JOIN {prev} p ON p.u = a.v
+                            GROUP BY a.u, p.lbl) c)
+                WHERE rn = 1)"""
+        )
+        prev = f"l{r}"
+    joined = ",\n        ".join(rounds)
+    return f"""
+        WITH und AS MATERIALIZED (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {KCORE_MIN_COOC}),
+        arcs AS MATERIALIZED (
+            SELECT u, v FROM und
+            UNION ALL
+            SELECT v AS u, u AS v FROM und),
+        l0 AS (SELECT DISTINCT u, u AS lbl FROM arcs),
+        {joined},
+        sizes AS (
+            SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+            FROM {prev} GROUP BY lbl)
+        SELECT l.u AS part_key, l.lbl AS community, s.community_size
+        FROM {prev} l JOIN sizes s ON s.lbl = l.lbl
+        ORDER BY s.community_size DESC, community, part_key
+    """
+
+
+QUERIES = {"graph_label_propagation": graph_label_propagation}
+ORACLES = {"graph_label_propagation": _lprop_oracle()}

