@@ -65,6 +65,12 @@ HEADLINE = [
     "q_expectation_checks",
     "corpus_train_split",
     "eval_pr_sweep",
+    # round-8 representatives: the diversified re-ranker (unrolled
+    # greedy — the round's heaviest fixed-cost shape), community
+    # detection, and the exact AUC scan.
+    "similarity_mmr",
+    "graph_label_propagation",
+    "eval_roc_auc",
 ]
 
 # Queries added to HEADLINE after round 1 — reported separately so the
@@ -85,6 +91,9 @@ ADDED_AFTER_R1 = {
     "q_expectation_checks",
     "corpus_train_split",
     "eval_pr_sweep",
+    "similarity_mmr",
+    "graph_label_propagation",
+    "eval_roc_auc",
 }
 
 
