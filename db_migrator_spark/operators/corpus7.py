@@ -184,5 +184,96 @@ def _wf_oracle() -> str:
     """
 
 
-QUERIES = {"corpus_token_budget": corpus_token_budget}
-ORACLES = {"corpus_token_budget": _wf_oracle()}
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail partition (Wenzek et al. 2020): per
+    language, documents ranked by the unigram-LM score (the corpus's
+    exact-rational perplexity stand-in, ``text_unigram_score``) and cut
+    into score terciles; per (lang, bucket) the doc count and token
+    volume — the report deciding which tercile feeds training.
+
+    NTILE over a lang-keyed window (both engines share SQL ntile's
+    floor-distribution semantics); the score double is engine-exact
+    (one division of exact integer sums), so the ranking is too.
+
+    Scale shape: rides the unigram-score plan (term-keyed shuffle
+    join), one lang-keyed window, one 3|langs|-row aggregate.
+    """
+    from pyspark.sql.window import Window as W
+
+    from .corpus import text_unigram_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = text_unigram_score(spark, sf_dir).join(docs, "doc_id")
+    w = W.partitionBy("lang").orderBy(
+        F.desc("avg_token_freq"), F.col("doc_id")
+    )
+    binned = scored.select(
+        "lang",
+        "n_tok",
+        F.ntile(3).over(w).alias("bucket"),
+    )
+    return (
+        binned.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            F.expr(
+                "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'"
+                " ELSE 'tail' END"
+            ).alias("bucket"),
+            "n_docs",
+            "n_tokens",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+QUERIES = {
+    "corpus_token_budget": corpus_token_budget,
+    "corpus_perplexity_buckets": corpus_perplexity_buckets,
+}
+ORACLES = {
+    "corpus_token_budget": _wf_oracle(),
+    # Mirrors corpus.text_unigram_score's oracle arithmetic, then the
+    # lang-keyed ntile and the tercile report.
+    "corpus_perplexity_buckets": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        toks_f AS (SELECT * FROM toks WHERE term != ''),
+        vocab AS (
+            SELECT term, COUNT(*) AS cnt FROM toks_f GROUP BY term),
+        total AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM toks_f),
+        per_doc AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(SUM(v.cnt) AS BIGINT) AS sum_cnt
+            FROM toks_f t JOIN vocab v ON v.term = t.term
+            GROUP BY t.doc_id),
+        scored AS (
+            SELECT d.lang, p.n_tok,
+                   CAST(p.sum_cnt AS DOUBLE)
+                       / (p.n_tok * (SELECT n_corpus FROM total))
+                       AS avg_token_freq,
+                   p.doc_id
+            FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id),
+        binned AS (
+            SELECT lang, n_tok,
+                   NTILE(3) OVER (PARTITION BY lang
+                                  ORDER BY avg_token_freq DESC, doc_id)
+                       AS bucket
+            FROM scored)
+        SELECT lang,
+               CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM binned
+        GROUP BY lang, bucket
+        ORDER BY lang, bucket
+    """,
+}

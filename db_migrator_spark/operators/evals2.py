@@ -269,11 +269,60 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote kNN classification over the hash-checked kNN join:
+    each query's label predicted by its 3 neighbors (highest vote count,
+    ties to the smallest label), one row per query with the verdict plus
+    the accuracy summary row (q_id = -1, accuracy in exact ppm). The
+    eval harness for any embedding-space labeler; rides the bounded
+    top-k plan."""
+    from .similarity import similarity_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    knn = similarity_knn_join(spark, sf_dir)
+    votes = (
+        knn.join(
+            emb.select("vec_id", F.col("label").alias("n_label")), "vec_id"
+        )
+        .groupBy("q_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = W.partitionBy("q_id").orderBy(F.desc("votes"), "n_label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("n_label").alias("predicted_label"))
+    )
+    per_q = pred.join(
+        emb.select(
+            F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+        ),
+        "q_id",
+    ).select(
+        "q_id",
+        "true_label",
+        "predicted_label",
+        (F.col("true_label") == F.col("predicted_label"))
+        .cast("bigint")
+        .alias("correct"),
+    )
+    summary = per_q.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("correct").alias("n_correct")
+    ).select(
+        F.lit(-1).cast("bigint").alias("q_id"),
+        F.lit(None).cast("bigint").alias("true_label"),
+        F.lit(None).cast("bigint").alias("predicted_label"),
+        F.expr("n_correct * 1000000 div n").alias("correct"),
+    )
+    return per_q.unionByName(summary).orderBy("q_id")
+
+
 QUERIES = {
     "eval_roc_auc": eval_roc_auc,
     "eval_ndcg": eval_ndcg,
     "eval_brier_score": eval_brier_score,
     "eval_cohens_kappa": eval_cohens_kappa,
+    "eval_knn_classifier": eval_knn_classifier,
 }
 
 _D1, _D2, _D3 = NDCG_DISCOUNTS_MICRO
@@ -434,3 +483,46 @@ ORACLES = {
 }
 
 ORACLES.update(_brier_kappa_oracles())
+
+ORACLES["eval_knn_classifier"] = """
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ae
+          FROM embeddings),
+    scored AS (
+        SELECT q.q_id, q.q_label, e.vec_id, e.label AS n_label,
+               list_dot_product(ae, qe)
+                   / sqrt(list_dot_product(ae, ae)
+                          * list_dot_product(qe, qe)) AS cos_sim
+        FROM e, q WHERE e.vec_id != q.q_id),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM scored)
+        WHERE rn <= 3),
+    votes AS (
+        SELECT q_id, n_label, COUNT(*) AS votes
+        FROM topk GROUP BY q_id, n_label),
+    pred AS (
+        SELECT q_id, n_label AS predicted_label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY votes DESC, n_label) AS rn
+              FROM votes)
+        WHERE rn = 1),
+    per_q AS (
+        SELECT p.q_id, t.q_label AS true_label, p.predicted_label,
+               CAST(t.q_label = p.predicted_label AS BIGINT) AS correct
+        FROM pred p JOIN (SELECT DISTINCT q_id, q_label FROM q) t
+          ON t.q_id = p.q_id)
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(predicted_label AS BIGINT) AS predicted_label, correct
+    FROM per_q
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(SUM(correct) * 1000000 // COUNT(*) AS BIGINT)
+    FROM per_q
+    ORDER BY q_id
+"""

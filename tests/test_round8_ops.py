@@ -226,3 +226,59 @@ def test_token_budget_water_filling_invariants(spark):
     # redistribution: the uncapped quota exceeds the naive fair share
     assert any(r.capped for r in rows)
     assert uncapped[0].allocated_tokens > budget // len(rows)
+
+
+def test_fk_discovery_finds_real_fks(spark):
+    from db_migrator_spark.operators.quality2 import q_fk_discovery
+
+    rows = {(r.child, r.parent): r for r in q_fk_discovery(spark, SF01).collect()}
+    assert rows[("orders.o_custkey", "customer.c_custkey")].is_fk
+    assert rows[("lineitem.l_orderkey", "orders.o_orderkey")].is_fk
+    assert rows[("lineitem.l_suppkey", "supplier.s_suppkey")].is_fk
+    assert rows[("customer.c_nationkey", "nation.n_nationkey")].is_fk
+    neg = rows[("part.p_partkey", "supplier.s_suppkey")]
+    assert not neg.is_fk and neg.containment_ppm < 1_000_000
+    for r in rows.values():
+        assert 0 <= r.n_contained <= r.n_child
+        assert r.containment_ppm == r.n_contained * 1_000_000 // r.n_child
+
+
+def test_quality_ablation_covers_corpus(spark):
+    from db_migrator_spark.operators.quality2 import corpus_quality_ablation
+
+    rows = corpus_quality_ablation(spark, SF01).collect()
+    n_docs_total = load_table(spark, SF01, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total  # exact partition
+    combos = {(r.quality_pass, r.gopher_pass, r.dedup_keep) for r in rows}
+    assert len(combos) == len(rows)  # no duplicate cells
+    for r in rows:
+        assert r.share_ppm == r.n_docs * 1_000_000 // n_docs_total
+
+
+def test_perplexity_buckets_tercile_shape(spark):
+    from db_migrator_spark.operators.corpus7 import corpus_perplexity_buckets
+
+    rows = corpus_perplexity_buckets(spark, SF01).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    docs = load_table(spark, SF01, "documents").groupBy("lang").count().collect()
+    per_lang_n = {r.lang: r["count"] for r in docs}
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}
+        ns = [buckets[b].n_docs for b in ("head", "middle", "tail")]
+        assert sum(ns) == per_lang_n[lang]
+        assert max(ns) - min(ns) <= 1  # ntile balance
+
+
+def test_knn_classifier_accuracy_row(spark):
+    from db_migrator_spark.operators.evals2 import eval_knn_classifier
+
+    rows = eval_knn_classifier(spark, SF01).collect()
+    per_q = [r for r in rows if r.q_id >= 0]
+    (summary,) = [r for r in rows if r.q_id == -1]
+    assert len(per_q) == 5
+    n_correct = sum(r.correct for r in per_q)
+    assert summary.correct == n_correct * 1_000_000 // len(per_q)
+    for r in per_q:
+        assert r.correct == (1 if r.true_label == r.predicted_label else 0)
