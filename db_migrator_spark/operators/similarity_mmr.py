@@ -91,18 +91,30 @@ def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         F.col("rel").alias("mmr_score"),
     )
-    cand = (
-        short.join(
-            pick.select("q_id", F.col("vec_id").alias("p_id")), "q_id"
+    # pairs' key columns are renamed before every probe join: pairs
+    # derives from `short`, so a raw `pairs.q_id == short.q_id` predicate
+    # can resolve both sides to the SAME attribute (trivially true) and
+    # silently drop the per-query scoping.
+    def _sim_to(picked: DataFrame, base: DataFrame) -> DataFrame:
+        p = pairs.select(
+            F.col("q_id").alias("pq"),
+            F.col("a_id"),
+            F.col("b_id"),
+            "sim",
         )
-        .filter(F.col("vec_id") != F.col("p_id"))
-        .join(
-            pairs,
-            (F.col("vec_id") == F.col("a_id"))
-            & (F.col("p_id") == F.col("b_id"))
-            & (pairs.q_id == short.q_id),
+        return (
+            base.join(picked.select("q_id", F.col("vec_id").alias("p_id")), "q_id")
+            .filter(F.col("vec_id") != F.col("p_id"))
+            .join(
+                p,
+                (F.col("pq") == F.col("q_id"))
+                & (F.col("a_id") == F.col("vec_id"))
+                & (F.col("b_id") == F.col("p_id")),
+            )
         )
-        .select(short.q_id, "vec_id", "rel", F.col("sim").alias("cur_max"))
+
+    cand = _sim_to(pick, short).select(
+        "q_id", "vec_id", "rel", F.col("sim").alias("cur_max")
     )
     for step in range(2, MMR_K + 1):
         mmr = F.lit(0.5) * (F.col("rel") - F.col("cur_max"))
@@ -122,25 +134,11 @@ def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if step == MMR_K:
             break
-        cand = (
-            scored_c.join(
-                pick.select("q_id", F.col("vec_id").alias("p_id")), "q_id"
-            )
-            .filter(F.col("vec_id") != F.col("p_id"))
-            .join(
-                pairs.select(
-                    F.col("q_id").alias("pq"), "a_id", "b_id", "sim"
-                ),
-                (F.col("vec_id") == F.col("a_id"))
-                & (F.col("p_id") == F.col("b_id"))
-                & (F.col("pq") == F.col("q_id")),
-            )
-            .select(
-                "q_id",
-                "vec_id",
-                "rel",
-                F.greatest(F.col("cur_max"), F.col("sim")).alias("cur_max"),
-            )
+        cand = _sim_to(pick, scored_c).select(
+            "q_id",
+            "vec_id",
+            "rel",
+            F.greatest(F.col("cur_max"), F.col("sim")).alias("cur_max"),
         )
     return selected.orderBy("q_id", "step")
 

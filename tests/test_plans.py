@@ -557,3 +557,60 @@ def test_neardup_miners_have_no_cartesian_and_broadcast_caps(spark):
         plan = plan_string(op(spark, SF))
         assert "CartesianProduct" not in plan, op.__name__
         assert "BroadcastExchange" in plan, op.__name__
+
+
+def test_mmr_greedy_runs_on_bounded_relations(spark):
+    """The MMR greedy's candidate relations sit above per-query top-k
+    limits (row_number <= shortlist filters), so no unbounded global
+    window and no cartesian anywhere in the unrolled chain; the query
+    side of the corpus scan is broadcast."""
+    from db_migrator_spark.operators.similarity_mmr import similarity_mmr
+    from db_migrator_spark.plans.inspect import (
+        plan_string,
+        unbounded_global_windows,
+    )
+
+    df = similarity_mmr(spark, SF)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    # The corpus-scan broadcast lives BEFORE the shortlist checkpoint, so
+    # it never appears in the final (post-checkpoint) plan; what must
+    # hold there is that no join degenerated to a nested loop and no
+    # predicate was dropped as trivially true (the q_id scoping bug this
+    # test was written against).
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert unbounded_global_windows(df) == []
+
+
+def test_label_propagation_keyed_shuffles_only(spark):
+    """Every exchange in the propagation rounds is hash-keyed (arc join
+    on v, count on (u, lbl), argmax window on u) — a RoundRobin or
+    SinglePartition exchange would mean a round funnels through one
+    task."""
+    from db_migrator_spark.operators.graph3 import graph_label_propagation
+    from db_migrator_spark.plans.inspect import plan_string
+
+    plan = plan_string(graph_label_propagation(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_roc_auc_window_is_lang_keyed(spark):
+    """The AUC prefix count must window over (lang)-keyed partitions of
+    DISTINCT score groups — no partitionless window, no corpus sort."""
+    from db_migrator_spark.operators.evals2 import eval_roc_auc
+    from db_migrator_spark.plans.inspect import unbounded_global_windows
+
+    assert unbounded_global_windows(eval_roc_auc(spark, SF)) == []
+
+
+def test_fk_discovery_joins_distinct_sets(spark):
+    """Containment must semi-join the DISTINCT key sets — the plan has
+    LeftSemi joins and aggregates, never a row-level join of the raw
+    child table against the parent."""
+    from db_migrator_spark.operators.quality2 import q_fk_discovery
+    from db_migrator_spark.plans.inspect import plan_string
+
+    plan = plan_string(q_fk_discovery(spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
