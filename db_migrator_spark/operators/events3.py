@@ -74,9 +74,112 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.unionByName(summary).orderBy("lag_days")
 
 
-QUERIES = {"events_conversion_lag": events_conversion_lag}
+FUNNEL_WINDOW_DAYS = 7
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed conversion funnel per signup cohort week: of each
+    week's first-time signups, how many viewed and how many purchased
+    WITHIN ``FUNNEL_WINDOW_DAYS`` of their first signup — the plain
+    funnel (``events.events_funnel``) ignores elapsed time, which
+    overstates activation; this is the dashboard variant.
+
+    One user-keyed aggregate derives first-signup plus the two windowed
+    firsts (conditional MINs against the signup bound — still a single
+    scan because the bound is the same aggregate's MIN, folded via a
+    self-join-free two-phase aggregate: first pass min signup, second
+    conditional pass joined back per user). Cohort output is
+    weeks-sized; rates in exact ppm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.filter(
+        F.col("event_type").isin("signup", "view", "purchase")
+    ).select("user_id", "event_type", us.alias("us"))
+    first_signup = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"))
+    )
+    window_us = FUNNEL_WINDOW_DAYS * 86_400_000_000
+    stages = (
+        base.join(first_signup, "user_id")
+        .filter(
+            (F.col("us") >= F.col("s_us"))
+            & (F.col("us") < F.col("s_us") + F.lit(window_us))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("s_us").alias("s_us"),
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("viewed"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("purchased"),
+        )
+    )
+    wk = F.expr("s_us div 604800000000").cast("bigint")
+    return (
+        stages.groupBy(wk.alias("cohort_wk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+            F.sum("viewed").cast("bigint").alias("n_viewed_7d"),
+            F.sum("purchased").cast("bigint").alias("n_purchased_7d"),
+        )
+        .select(
+            "cohort_wk",
+            "n_signups",
+            "n_viewed_7d",
+            "n_purchased_7d",
+            F.expr("n_viewed_7d * 1000000 div n_signups").alias(
+                "view_rate_ppm"
+            ),
+            F.expr("n_purchased_7d * 1000000 div n_signups").alias(
+                "purchase_rate_ppm"
+            ),
+        )
+        .orderBy("cohort_wk")
+    )
+
+
+QUERIES = {
+    "events_conversion_lag": events_conversion_lag,
+    "events_funnel_windowed": events_funnel_windowed,
+}
 
 ORACLES = {
+    "events_funnel_windowed": f"""
+        WITH base AS (
+            SELECT user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+            WHERE event_type IN ('signup', 'view', 'purchase')),
+        fs AS (
+            SELECT user_id, MIN(us) AS s_us
+            FROM base WHERE event_type = 'signup' GROUP BY user_id),
+        stages AS (
+            SELECT b.user_id, MIN(f.s_us) AS s_us,
+                   MAX(CASE WHEN b.event_type = 'view' THEN 1 ELSE 0 END)
+                       AS viewed,
+                   MAX(CASE WHEN b.event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS purchased
+            FROM base b JOIN fs f ON f.user_id = b.user_id
+            WHERE b.us >= f.s_us
+              AND b.us < f.s_us + {FUNNEL_WINDOW_DAYS} * 86400000000
+            GROUP BY b.user_id),
+        cohorts AS (
+            SELECT CAST(s_us // 604800000000 AS BIGINT) AS cohort_wk,
+                   CAST(COUNT(*) AS BIGINT) AS n_signups,
+                   CAST(SUM(viewed) AS BIGINT) AS n_viewed_7d,
+                   CAST(SUM(purchased) AS BIGINT) AS n_purchased_7d
+            FROM stages GROUP BY 1)
+        SELECT cohort_wk, n_signups, n_viewed_7d, n_purchased_7d,
+               n_viewed_7d * 1000000 // n_signups AS view_rate_ppm,
+               n_purchased_7d * 1000000 // n_signups AS purchase_rate_ppm
+        FROM cohorts
+        ORDER BY cohort_wk
+    """,
     "events_conversion_lag": """
         WITH per_user AS (
             SELECT user_id,

@@ -531,11 +531,90 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Stateful streaming conversion tracker — the streaming twin of
+# operators.events3.events_conversion_lag's per-user core: state holds
+# (first signup us, done flag); the first purchase at or after the first
+# signup emits ONE row with the exact lag and the state freezes. The
+# file-replay source delivers event-time-ordered batches, so the first
+# signup is final once seen (same ordering contract as _ewma_fn).
+# ---------------------------------------------------------------------------
+
+_CONV_OUT = "user_id bigint, signup_us bigint, purchase_us bigint, lag_us bigint"
+_CONV_STATE = "signup_us bigint, done boolean"
+
+
+def _conversion_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    signup_us, done = state.get if state.exists else (None, False)
+    out: dict[str, list] = {
+        "user_id": [],
+        "signup_us": [],
+        "purchase_us": [],
+        "lag_us": [],
+    }
+    for pdf in batches:
+        if done:
+            break
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for etype, us in zip(
+            pdf["event_type"], pdf["us"]
+        ):
+            if done:
+                break
+            us = int(us)
+            if etype == "signup" and signup_us is None:
+                signup_us = us
+            elif (
+                etype == "purchase"
+                and signup_us is not None
+                and us >= signup_us
+            ):
+                out["user_id"].append(user_id)
+                out["signup_us"].append(signup_us)
+                out["purchase_us"].append(us)
+                out["lag_us"].append(us - signup_us)
+                done = True
+    state.update((signup_us, done))
+    yield pd.DataFrame(
+        out, columns=["user_id", "signup_us", "purchase_us", "lag_us"]
+    )
+
+
+def conversion_stream(events: DataFrame) -> DataFrame:
+    """Streaming signup->purchase conversion detector: bounded two-field
+    state per user, one append row per conversion."""
+    return (
+        events.filter(F.col("event_type").isin("signup", "purchase"))
+        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _conversion_fn,
+            outputStructType=_CONV_OUT,
+            stateStructType=_CONV_STATE,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the streaming detector must equal the
+    batch conditional-MIN form user-for-user (ordered replay), so it
+    carries a full SQL oracle."""
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    out = run_bounded(conversion_stream(ev), "append")
+    return out.orderBy("user_id")
+
+
 QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "streaming_user_milestones": streaming_user_milestones,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_ewma": streaming_ewma,
+    "streaming_conversions": streaming_conversions,
 }
 if HAVE_PROTOBUF:  # pragma: no cover - absent in this container
     QUERIES["streaming_running_totals"] = streaming_running_totals
@@ -576,6 +655,33 @@ ORACLES = {
 
 from db_migrator_spark.operators.events2 import EWMA_LOOKBACK as _EWMA_LB  # noqa: E402
 from db_migrator_spark.operators.events2 import _EWMA_DEN  # noqa: E402
+
+# Batch twin of the streaming conversion detector: first signup, then
+# the earliest purchase at/after it. The streaming fold and this MIN
+# agree whenever no purchase shares a user's exact first-signup
+# microsecond with a smaller event_id (no such collision in any fixture;
+# micro timestamps make one vanishingly unlikely).
+ORACLES["streaming_conversions"] = """
+        WITH per AS (
+            SELECT user_id,
+                   MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+                       FILTER (event_type = 'signup') AS signup_us
+            FROM events
+            WHERE event_type IN ('signup', 'purchase')
+            GROUP BY user_id),
+        conv AS (
+            SELECT e.user_id, p.signup_us,
+                   MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS purchase_us
+            FROM events e JOIN per p ON p.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND p.signup_us IS NOT NULL
+              AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= p.signup_us
+            GROUP BY e.user_id, p.signup_us)
+        SELECT user_id, signup_us, purchase_us,
+               purchase_us - signup_us AS lag_us
+        FROM conv
+        ORDER BY user_id
+    """
 
 ORACLES["streaming_ewma"] = f"""
         WITH p AS (

@@ -282,3 +282,83 @@ def test_knn_classifier_accuracy_row(spark):
     assert summary.correct == n_correct * 1_000_000 // len(per_q)
     for r in per_q:
         assert r.correct == (1 if r.true_label == r.predicted_label else 0)
+
+
+def test_percentile_cont_matches_numpy_linear(spark):
+    """The integer-micro interpolation must equal numpy's 'linear'
+    (type-7) method applied to the floor-micro values."""
+    from db_migrator_spark.operators.quality3 import q_percentile_cont
+
+    rows = {
+        (r.o_orderpriority, r.pct): r.value_micro
+        for r in q_percentile_cont(spark, SF01).collect()
+    }
+    orders = (
+        load_table(spark, SF01, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    groups = {}
+    for r in orders:
+        groups.setdefault(r.o_orderpriority, []).append(
+            math.floor(r.o_totalprice * 1_000_000)
+        )
+    for prio, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for pct in (25, 50, 75):
+            idx, rem = divmod(pct * (n - 1), 100)
+            hi = vals[idx + 1] if idx + 1 < n else vals[idx]
+            want = (vals[idx] * (100 - rem) + hi * rem) // 100
+            assert rows[(prio, pct)] == want
+
+
+def test_funnel_windowed_rates_and_monotonicity(spark):
+    from db_migrator_spark.operators.events3 import events_funnel_windowed
+
+    rows = events_funnel_windowed(spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_signups
+        assert 0 <= r.n_purchased_7d <= r.n_signups
+        assert 0 <= r.n_viewed_7d <= r.n_signups
+        assert r.view_rate_ppm == r.n_viewed_7d * 1_000_000 // r.n_signups
+        assert (
+            r.purchase_rate_ppm
+            == r.n_purchased_7d * 1_000_000 // r.n_signups
+        )
+
+
+def test_streaming_conversions_match_batch_lag(spark):
+    """Per-row invariants, plus the relationship to the batch
+    conversion-lag operator: the batch metric counts a user only when
+    their OVERALL-first purchase follows signup, while the streaming
+    detector waits for the first purchase after signup — so batch
+    converters are a SUBSET of streaming emissions, with identical lag
+    for every shared user."""
+    import pyspark.sql.functions as F
+
+    from db_migrator_spark.streaming.windows import streaming_conversions
+
+    conv = {r.user_id: r for r in streaming_conversions(spark, SF01).collect()}
+    assert conv
+    for r in conv.values():
+        assert r.purchase_us >= r.signup_us
+        assert r.lag_us == r.purchase_us - r.signup_us
+    ev = load_table(spark, SF01, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    batch = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_type", us.alias("us"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias("s"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("p"),
+        )
+        .filter(F.col("s").isNotNull() & (F.col("p") >= F.col("s")))
+        .collect()
+    )
+    assert batch
+    for b in batch:  # batch converters ⊆ streaming, identical lag
+        r = conv[b.user_id]
+        assert (r.signup_us, r.purchase_us) == (b.s, b.p)
