@@ -143,12 +143,79 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions through Spark's NATIVE ``session_window``
+    aggregation (the batch form of the streaming session operator) —
+    the engine-owned twin of the gaps-and-islands
+    ``events.events_sessionization``. Semantics difference pinned by
+    the oracle: ``session_window`` starts a NEW session when the gap is
+    >= the timeout (the islands form uses strict >), and the session
+    end extends 30 minutes past the last event.
+
+    Plan: one shuffle keyed by (user, merged session window) — the
+    session merge happens inside the aggregation operator, no window
+    function pass at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        ev.groupBy(sw.alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "sum_micros"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_micros",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 QUERIES = {
     "events_conversion_lag": events_conversion_lag,
     "events_funnel_windowed": events_funnel_windowed,
+    "q_session_window_native": q_session_window_native,
 }
 
 ORACLES = {
+    # Gaps-and-islands twin of the native session_window aggregation:
+    # new session at gap >= 30 min (session_window's boundary rule),
+    # session end = last event + 30 min.
+    "q_session_window_native": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro,
+                   event_id
+            FROM events),
+        g AS (
+            SELECT *,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                >= 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT *,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(v_micro) AS BIGINT) AS sum_micros
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
     "events_funnel_windowed": f"""
         WITH base AS (
             SELECT user_id, event_type,

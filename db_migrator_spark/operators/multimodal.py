@@ -915,7 +915,68 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-channel normalization stats (round 8): the mean/std source a
+# vision pipeline computes before training (transforms.Normalize).
+# Exact integers end-to-end: per (image, channel) the pixel count, sum,
+# sum of squares, min, max — variance/std derive downstream from the
+# integral stats without any float summation order. Byte-level oracle
+# via the same ascii(substr(...)) raster addressing as patchify.
+_CHSTATS_SCHEMA = (
+    "doc_id bigint, ch int, n_px int, sum_val bigint, sum_sq bigint,"
+    " min_val int, max_val int"
+)
+
+
+def _channel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        recs: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "ch", "n_px", "sum_val", "sum_sq", "min_val",
+                "max_val",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(buf[start:pos])
+            pos += 1
+            w, h = int(tokens[1]), int(tokens[2])
+            px = np.frombuffer(
+                buf, dtype=np.uint8, count=w * h * 3, offset=pos
+            ).reshape(h * w, 3).astype(np.int64)
+            for ch in range(3):
+                col = px[:, ch]
+                recs["doc_id"].append(int(doc_id))
+                recs["ch"].append(ch)
+                recs["n_px"].append(int(col.size))
+                recs["sum_val"].append(int(col.sum()))
+                recs["sum_sq"].append(int((col * col).sum()))
+                recs["min_val"].append(int(col.min()))
+                recs["max_val"].append(int(col.max()))
+        yield pd.DataFrame(recs)
+
+
+def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-(image, channel) integral stats for normalization:
+    count, sum, sum of squares, min, max (module note above)."""
+    return (
+        _ppm_payloads(spark, sf_dir)
+        .mapInPandas(_channel_stats, schema=_CHSTATS_SCHEMA)
+        .orderBy("doc_id", "ch")
+    )
+
+
 QUERIES = {
+    "multimodal_channel_stats": multimodal_channel_stats,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_feature_extract": multimodal_feature_extract,
@@ -933,6 +994,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_channel_stats": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(repeat(text,
+                                 CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
+                          1, {_PPM_PIXELS}) AS px
+            FROM {_ASCII_DOCS_SQL}
+            WHERE length(text) > 0),
+        cells AS (
+            SELECT doc_id, CAST(ch AS INTEGER) AS ch,
+                   ascii(substr(px, p * 3 + ch + 1, 1)) AS b
+            FROM t,
+                 generate_series(0, {PPM_W * PPM_H - 1}) AS gp(p),
+                 generate_series(0, 2) AS gch(ch))
+        SELECT doc_id, ch,
+               CAST(COUNT(*) AS INTEGER) AS n_px,
+               CAST(SUM(b) AS BIGINT) AS sum_val,
+               CAST(SUM(b * b) AS BIGINT) AS sum_sq,
+               CAST(MIN(b) AS INTEGER) AS min_val,
+               CAST(MAX(b) AS INTEGER) AS max_val
+        FROM cells
+        GROUP BY doc_id, ch
+        ORDER BY doc_id, ch
+    """,
     "multimodal_resize_real": f"""
         WITH t AS (
             SELECT doc_id,

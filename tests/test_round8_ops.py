@@ -362,3 +362,36 @@ def test_streaming_conversions_match_batch_lag(spark):
     for b in batch:  # batch converters ⊆ streaming, identical lag
         r = conv[b.user_id]
         assert (r.signup_us, r.purchase_us) == (b.s, b.p)
+
+
+def test_channel_stats_consistency(spark):
+    from db_migrator_spark.operators.multimodal import (
+        PPM_H,
+        PPM_W,
+        multimodal_channel_stats,
+    )
+
+    rows = multimodal_channel_stats(spark, SF01).collect()
+    n_imgs = len({r.doc_id for r in rows})
+    assert len(rows) == 3 * n_imgs  # one row per channel per image
+    for r in rows:
+        assert r.n_px == PPM_W * PPM_H
+        assert 0 <= r.min_val <= r.max_val <= 255
+        assert r.n_px * r.min_val <= r.sum_val <= r.n_px * r.max_val
+        # Cauchy-Schwarz-ish sanity: sum_sq bounds
+        assert r.sum_val**2 <= r.n_px * r.sum_sq
+
+
+def test_session_window_native_matches_islands(spark):
+    """The native session_window aggregation must yield the same session
+    count and event coverage as the islands recomputation in Python."""
+    from db_migrator_spark.operators.events3 import q_session_window_native
+
+    rows = q_session_window_native(spark, SF01).collect()
+    n_events_total = load_table(spark, SF01, "events").count()
+    assert sum(r.n_events for r in rows) == n_events_total
+    for r in rows:
+        assert r.session_end > r.session_start
+        # 30-minute extension past the last event
+        span_us = (r.session_end - r.session_start).total_seconds()
+        assert span_us >= 30 * 60
