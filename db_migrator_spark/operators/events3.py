@@ -16,6 +16,7 @@ via the repo `div` contract.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
 
 from ..io import load_table
 
@@ -177,13 +178,75 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap profile: event count, min/max gap, and
+    the exact mean gap in whole microseconds (sum of gaps is simply
+    last - first, so the aggregate needs no per-gap sum) — the
+    burstiness signal bot-detection and capacity models start from.
+
+    One user-keyed aggregate for (n, first, last); the min/max gaps
+    need the lag pass — a second expression over the SAME user-keyed
+    sort, one shuffle total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gapped = ev.select(
+        "user_id", us.alias("us"), "event_id"
+    ).select(
+        "user_id",
+        "us",
+        (F.col("us") - F.lag("us").over(w)).alias("gap"),
+    )
+    return (
+        gapped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("gap").alias("min_gap_us"),
+            F.max("gap").alias("max_gap_us"),
+            (F.max("us") - F.min("us")).alias("span_us"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .select(
+            "user_id",
+            "n_events",
+            "min_gap_us",
+            "max_gap_us",
+            F.expr("span_us div (n_events - 1)").alias("mean_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "events_conversion_lag": events_conversion_lag,
     "events_funnel_windowed": events_funnel_windowed,
     "q_session_window_native": q_session_window_native,
+    "events_inter_arrival": events_inter_arrival,
 }
 
 ORACLES = {
+    "events_inter_arrival": """
+        WITH g AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+            FROM events),
+        per AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(gap) AS min_gap_us,
+                   MAX(gap) AS max_gap_us,
+                   MAX(us) - MIN(us) AS span_us
+            FROM g GROUP BY user_id
+            HAVING COUNT(*) >= 2)
+        SELECT user_id, n_events, min_gap_us, max_gap_us,
+               span_us // (n_events - 1) AS mean_gap_us
+        FROM per
+        ORDER BY user_id
+    """,
     # Gaps-and-islands twin of the native session_window aggregation:
     # new session at gap >= 30 min (session_window's boundary rule),
     # session end = last event + 30 min.

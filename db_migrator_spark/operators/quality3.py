@@ -84,9 +84,116 @@ def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_percentile_cont": q_percentile_cont}
+def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing gains/lift table per nation: customers ranked into
+    revenue deciles (ntile keyed by nation, ties on custkey), each
+    decile's customer count, exact-micro revenue, cumulative revenue
+    share ppm, and lift vs the uniform decile (share * 10 in ppm,
+    1e6 = average). The campaign-targeting diagnostic built from the
+    same keyed-window discipline as RFM — a GLOBAL decile would need
+    the exact-percentile cutoffs instead; the per-market form is both
+    the business convention and the scale-safe plan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint"))
+            .alias("rev_micros")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    wd = W.partitionBy("c_nationkey").orderBy(
+        F.desc("rev_micros"), F.col("o_custkey")
+    )
+    deciled = rev.select(
+        "c_nationkey",
+        "rev_micros",
+        F.ntile(10).over(wd).alias("decile"),
+    )
+    per = deciled.groupBy("c_nationkey", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_micros").alias("rev_micros"),
+    )
+    wcum = (
+        W.partitionBy("c_nationkey")
+        .orderBy("decile")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    tot = per.groupBy("c_nationkey").agg(
+        F.sum("rev_micros").alias("nation_micros")
+    )
+    return (
+        per.join(tot, "c_nationkey")
+        .select(
+            "c_nationkey",
+            "decile",
+            "n_customers",
+            F.col("rev_micros").cast("bigint").alias("rev_micros"),
+            F.sum("rev_micros").over(wcum).cast("bigint").alias("cum_micros"),
+            "nation_micros",
+        )
+        .select(
+            "c_nationkey",
+            "decile",
+            "n_customers",
+            "rev_micros",
+            F.expr(
+                "CAST(CAST(cum_micros AS DECIMAL(38,0)) * 1000000"
+                " div nation_micros AS BIGINT)"
+            ).alias("cum_share_ppm"),
+            F.expr(
+                "CAST(CAST(rev_micros AS DECIMAL(38,0)) * 10000000"
+                " div nation_micros AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("c_nationkey", "decile")
+    )
+
+
+QUERIES = {
+    "q_percentile_cont": q_percentile_cont,
+    "q_decile_lift_table": q_decile_lift_table,
+}
 
 ORACLES = {
+    "q_decile_lift_table": """
+        WITH rev AS (
+            SELECT c.c_nationkey, o.o_custkey,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 1000000) AS BIGINT))
+                        AS BIGINT) AS rev_micros
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_nationkey, o.o_custkey),
+        deciled AS (
+            SELECT c_nationkey, rev_micros,
+                   NTILE(10) OVER (PARTITION BY c_nationkey
+                                   ORDER BY rev_micros DESC, o_custkey)
+                       AS decile
+            FROM rev),
+        per AS (
+            SELECT c_nationkey, decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(rev_micros) AS BIGINT) AS rev_micros
+            FROM deciled GROUP BY c_nationkey, decile),
+        cum AS (
+            SELECT *,
+                   CAST(SUM(rev_micros) OVER (
+                       PARTITION BY c_nationkey ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_micros,
+                   CAST(SUM(rev_micros) OVER (PARTITION BY c_nationkey)
+                        AS BIGINT) AS nation_micros
+            FROM per)
+        SELECT c_nationkey, decile, n_customers, rev_micros,
+               CAST(CAST(cum_micros AS HUGEINT) * 1000000 // nation_micros
+                    AS BIGINT) AS cum_share_ppm,
+               CAST(CAST(rev_micros AS HUGEINT) * 10000000 // nation_micros
+                    AS BIGINT) AS lift_ppm
+        FROM cum
+        ORDER BY c_nationkey, decile
+    """,
     "q_percentile_cont": f"""
         WITH ranked AS (
             SELECT o_orderpriority,

@@ -395,3 +395,33 @@ def test_session_window_native_matches_islands(spark):
         # 30-minute extension past the last event
         span_us = (r.session_end - r.session_start).total_seconds()
         assert span_us >= 30 * 60
+
+
+def test_decile_lift_sums_and_monotonicity(spark):
+    from db_migrator_spark.operators.quality3 import q_decile_lift_table
+
+    rows = q_decile_lift_table(spark, SF01).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.c_nationkey, []).append(r)
+    for nation, ds in by_nation.items():
+        ds.sort(key=lambda r: r.decile)
+        assert [r.decile for r in ds] == list(range(1, len(ds) + 1))
+        # cumulative share reaches ~100% and is non-decreasing
+        shares = [r.cum_share_ppm for r in ds]
+        assert shares == sorted(shares)
+        assert 1_000_000 - 10 <= shares[-1] <= 1_000_000
+        # revenue-desc deciles: decile 1 has the highest lift
+        assert ds[0].lift_ppm == max(r.lift_ppm for r in ds)
+        assert ds[0].lift_ppm >= 1_000_000  # top decile beats uniform
+
+
+def test_inter_arrival_gap_bounds(spark):
+    from db_migrator_spark.operators.events3 import events_inter_arrival
+
+    rows = events_inter_arrival(spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events >= 2
+        assert 0 <= r.min_gap_us <= r.mean_gap_us + 1
+        assert r.mean_gap_us <= r.max_gap_us

@@ -96,9 +96,10 @@ def test_resample_ffill_semantics(spark):
 
 def test_registration_order_prioritizes_missing_evidence():
     """The driver checks the FIRST 50 registered queries per round, so
-    registration order must put very-stale green evidence (3+ rounds
-    old) first, then never-driver-checked queries, then reds needing
-    re-verification, then fresh greens oldest-first."""
+    registration order must put driver-RED queries first (the only
+    negative signal — r7 verdict item #1), then never-driver-checked,
+    then very-stale greens (3+ rounds old), then fresh greens
+    oldest-first."""
     import glob
     import json
     import os
@@ -129,15 +130,15 @@ def test_registration_order_prioritizes_missing_evidence():
             return 1
         rnd, green = last[n]
         if not green:
-            return 2
-        return 0 if rnd <= newest - 3 else 3
+            return 0
+        return 2 if rnd <= newest - 3 else 3
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers), "evidence tiers must be non-decreasing"
-    # every very-stale query fits in the driver's 50-slot window
-    stale = [n for n in names if tier(n) == 0]
-    assert len(stale) <= 50 and set(stale) <= set(names[:50])
-    # reds (if any) must also make the window after the stale block
-    reds = [n for n in names if tier(n) == 2]
-    if len(stale) + len(reds) <= 50:
-        assert set(reds) <= set(names[:50])
+    # every red query MUST make the driver's 50-slot window
+    reds = [n for n in names if tier(n) == 0]
+    assert len(reds) <= 50 and set(reds) <= set(names[:50])
+    # never-checked queries fill the window right after the reds
+    never = [n for n in names if tier(n) == 1]
+    if len(reds) + len(never) <= 50:
+        assert set(never) <= set(names[:50])
