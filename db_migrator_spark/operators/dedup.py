@@ -604,9 +604,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Containment threshold for the asymmetric near-dup miner (ppm of the
+# SMALLER doc's shingles shared). Jaccard misses subset duplication —
+# a short doc fully embedded in a long one scores low Jaccard but 1e6
+# containment; this is the boilerplate/quote catcher.
+CONTAIN_MIN_PPM = 500_000
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle CONTAINMENT over candidate pairs: both directional
+    ratios |A∩B|/|A| and |A∩B|/|B| in exact ppm, kept when either
+    reaches ``CONTAIN_MIN_PPM``. Same inverted-index candidate plan as
+    ``dedup_ngram_jaccard`` (shared index, shuffle_hash pair join,
+    broadcast sizes), but the scoring is pure integer — no doubles
+    anywhere."""
+    sh = _shingle_index_cached(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.hint("shuffle_hash").alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = F.broadcast(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")))
+    s2 = F.broadcast(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")))
+    return (
+        shared.join(s1, "d1").join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.expr("shared * 1000000 div n1").alias("cont_1_ppm"),
+            F.expr("shared * 1000000 div n2").alias("cont_2_ppm"),
+        )
+        .filter(
+            (F.col("cont_1_ppm") >= CONTAIN_MIN_PPM)
+            | (F.col("cont_2_ppm") >= CONTAIN_MIN_PPM)
+        )
+        .orderBy("d1", "d2")
+    )
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
@@ -676,6 +719,18 @@ ORACLES = {
     # NOTE: the oracle applies the SAME MAX_SHINGLE_DF frequency cap the
     # Spark side does (kept CTE) so parity holds even on corpora where a
     # shingle is shared by >MAX_SHINGLE_DF docs.
+    "dedup_containment": f"""
+        WITH {_JACCARD_CTES}
+        SELECT d1, d2, CAST(c AS BIGINT) AS shared,
+               c * 1000000 // s1.n AS cont_1_ppm,
+               c * 1000000 // s2.n AS cont_2_ppm
+        FROM shared
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE c * 1000000 // s1.n >= {CONTAIN_MIN_PPM}
+           OR c * 1000000 // s2.n >= {CONTAIN_MIN_PPM}
+        ORDER BY d1, d2
+    """,
     "dedup_ngram_jaccard": f"""
         WITH {_JACCARD_CTES}
         SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard

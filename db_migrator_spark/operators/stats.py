@@ -1,0 +1,217 @@
+"""Exact distribution-test statistics (round 8).
+
+The reference has no statistics surface (scope:
+/root/reference/src/migrate/table_migrator.rs:43-114); these give the
+drift-audit tier (column drift profile, Benford, expectation checks)
+its inferential counterparts, each computed in EXACT integer
+arithmetic so the cross-engine hash match is bit-for-bit:
+
+- ``q_ks_drift_test``: two-sample Kolmogorov-Smirnov D between order
+  history halves (before/after the drift pivot), per order priority.
+  D = max |F1(x) - F2(x)| over the merged support =
+  max |cum1*n2 - cum2*n1| / (n1*n2) — numerators by integer
+  cross-multiplication, one keyed running-count window over DISTINCT
+  values, final ratio on the decimal contract.
+- ``q_chi_square_independence``: the (priority x status) contingency
+  chi-square. chi2 = sum (obs*N - r*c)^2 / (N*r*c) — per cell an
+  exact rational; contributions surface in micro units via
+  DECIMAL(38,0)/HUGEINT cross products. Exact while obs*N < ~1e19
+  (documented bound; past it, carry the cell delta obs - r*c div N
+  instead).
+
+Scale notes (100 TB): KS groups by (priority, value) first — the
+window runs over DISTINCT values per priority (bounded support), never
+rows. Chi-square is one cell aggregate + two margin aggregates joined
+back at matrix size. No global windows, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+from .quality import DRIFT_PIVOT
+
+
+def q_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority exact KS D (ppm) between pre- and post-pivot order
+    totals (module doc). Output: n1, n2, d_num, d_ppm per priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    half = F.when(
+        F.col("o_orderdate") < F.lit(DRIFT_PIVOT).cast("timestamp"), 1
+    ).otherwise(2)
+    v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
+    base = orders.select(
+        "o_orderpriority", half.alias("half"), v.alias("v")
+    )
+    cells = base.groupBy("o_orderpriority", "v").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    wcum = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "o_orderpriority",
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+    )
+    margins = cells.groupBy("o_orderpriority").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    return (
+        cum.join(F.broadcast(margins), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            )
+            .cast("bigint")
+            .alias("d_num"),
+        )
+        .select(
+            "o_orderpriority",
+            "n1",
+            "n2",
+            "d_num",
+            F.expr(
+                "CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000 div (n1 * n2)"
+                " AS BIGINT)"
+            ).alias("d_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency chi-square of order priority x order status: per-cell
+    observed count, expected count in micros (r*c*1e6 div N), the exact
+    chi2 contribution in micros, plus the total row
+    (o_orderpriority = '*', o_orderstatus = '*')."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    rows_m = cells.groupBy("o_orderpriority").agg(
+        F.sum("obs").cast("bigint").alias("r")
+    )
+    cols_m = cells.groupBy("o_orderstatus").agg(
+        F.sum("obs").cast("bigint").alias("c")
+    )
+    tot = cells.agg(F.sum("obs").cast("bigint").alias("n"))
+    scored = (
+        cells.join(F.broadcast(rows_m), "o_orderpriority")
+        .join(F.broadcast(cols_m), "o_orderstatus")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "obs",
+            F.expr(
+                "CAST(CAST(r AS DECIMAL(38,0)) * c * 1000000 div n"
+                " AS BIGINT)"
+            ).alias("expected_micro"),
+            F.expr(
+                "CAST(CAST((obs * n - r * c) AS DECIMAL(38,0))"
+                " * (obs * n - r * c) * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+            ).alias("chi2_contrib_micro"),
+        )
+    )
+    total = scored.agg(
+        F.sum("obs").cast("bigint").alias("obs"),
+        F.sum("expected_micro").cast("bigint").alias("expected_micro"),
+        F.sum("chi2_contrib_micro").cast("bigint").alias("chi2_contrib_micro"),
+    ).select(
+        F.lit("*").alias("o_orderpriority"),
+        F.lit("*").alias("o_orderstatus"),
+        "obs",
+        "expected_micro",
+        "chi2_contrib_micro",
+    )
+    return scored.unionByName(total).orderBy(
+        "o_orderpriority", "o_orderstatus"
+    )
+
+
+QUERIES = {
+    "q_ks_drift_test": q_ks_drift_test,
+    "q_chi_square_independence": q_chi_square_independence,
+}
+
+ORACLES = {
+    "q_ks_drift_test": f"""
+        WITH base AS (
+            SELECT o_orderpriority,
+                   CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_PIVOT}'
+                        THEN 1 ELSE 2 END AS half,
+                   CAST(FLOOR(o_totalprice * 1000000) AS BIGINT) AS v
+            FROM orders),
+        cells AS (
+            SELECT o_orderpriority, v,
+                   COUNT(*) FILTER (half = 1) AS c1,
+                   COUNT(*) FILTER (half = 2) AS c2
+            FROM base GROUP BY o_orderpriority, v),
+        cum AS (
+            SELECT o_orderpriority,
+                   SUM(c1) OVER w AS cum1,
+                   SUM(c2) OVER w AS cum2
+            FROM cells
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY v
+                         ROWS UNBOUNDED PRECEDING)),
+        margins AS (
+            SELECT o_orderpriority,
+                   CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2
+            FROM cells GROUP BY o_orderpriority),
+        d AS (
+            SELECT c.o_orderpriority, m.n1, m.n2,
+                   CAST(MAX(ABS(c.cum1 * m.n2 - c.cum2 * m.n1)) AS BIGINT)
+                       AS d_num
+            FROM cum c JOIN margins m
+              ON m.o_orderpriority = c.o_orderpriority
+            GROUP BY c.o_orderpriority, m.n1, m.n2)
+        SELECT o_orderpriority, n1, n2, d_num,
+               CAST(CAST(d_num AS HUGEINT) * 1000000 // (n1 * n2) AS BIGINT)
+                   AS d_ppm
+        FROM d
+        ORDER BY o_orderpriority
+    """,
+    "q_chi_square_independence": """
+        WITH cells AS (
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS obs
+            FROM orders GROUP BY 1, 2),
+        rm AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS r
+               FROM cells GROUP BY 1),
+        cm AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS c
+               FROM cells GROUP BY 1),
+        t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+        scored AS (
+            SELECT x.o_orderpriority, x.o_orderstatus, x.obs,
+                   CAST(CAST(rm.r AS HUGEINT) * cm.c * 1000000 // t.n
+                        AS BIGINT) AS expected_micro,
+                   CAST(CAST((x.obs * t.n - rm.r * cm.c) AS HUGEINT)
+                        * (x.obs * t.n - rm.r * cm.c) * 1000000
+                        // (CAST(t.n AS HUGEINT) * rm.r * cm.c) AS BIGINT)
+                       AS chi2_contrib_micro
+            FROM cells x
+            JOIN rm ON rm.o_orderpriority = x.o_orderpriority
+            JOIN cm ON cm.o_orderstatus = x.o_orderstatus, t)
+        SELECT o_orderpriority, o_orderstatus, obs, expected_micro,
+               chi2_contrib_micro
+        FROM scored
+        UNION ALL
+        SELECT '*', '*', CAST(SUM(obs) AS BIGINT),
+               CAST(SUM(expected_micro) AS BIGINT),
+               CAST(SUM(chi2_contrib_micro) AS BIGINT)
+        FROM scored
+        ORDER BY o_orderpriority, o_orderstatus
+    """,
+}

@@ -425,3 +425,72 @@ def test_inter_arrival_gap_bounds(spark):
         assert r.n_events >= 2
         assert 0 <= r.min_gap_us <= r.mean_gap_us + 1
         assert r.mean_gap_us <= r.max_gap_us
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """Containment must be exact integer ppm of each side's shingle set;
+    pairs where one side is (near-)fully contained score 1e6 regardless
+    of the other side's size — the subset-duplication signal Jaccard
+    dilutes."""
+    from db_migrator_spark.operators.dedup import (
+        CONTAIN_MIN_PPM,
+        dedup_containment,
+    )
+
+    rows = dedup_containment(spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert max(r.cont_1_ppm, r.cont_2_ppm) >= CONTAIN_MIN_PPM
+        assert 0 < r.cont_1_ppm <= 1_000_000
+        assert 0 < r.cont_2_ppm <= 1_000_000
+        assert r.shared > 0
+
+
+def test_ks_statistic_matches_python(spark):
+    from db_migrator_spark.operators.quality import DRIFT_PIVOT
+    from db_migrator_spark.operators.stats import q_ks_drift_test
+
+    rows = {r.o_orderpriority: r for r in q_ks_drift_test(spark, SF01).collect()}
+    orders = (
+        load_table(spark, SF01, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    import datetime
+
+    pivot = datetime.datetime.fromisoformat(DRIFT_PIVOT)
+    groups = {}
+    for o in orders:
+        h = 1 if o.o_orderdate < pivot else 2
+        groups.setdefault(o.o_orderpriority, []).append(
+            (math.floor(o.o_totalprice * 1_000_000), h)
+        )
+    for prio, vals in groups.items():
+        s1 = sorted(v for v, h in vals if h == 1)
+        s2 = sorted(v for v, h in vals if h == 2)
+        n1, n2 = len(s1), len(s2)
+        support = sorted(set(s1) | set(s2))
+        import bisect
+
+        d_num = max(
+            abs(bisect.bisect_right(s1, x) * n2 - bisect.bisect_right(s2, x) * n1)
+            for x in support
+        )
+        r = rows[prio]
+        assert (r.n1, r.n2, r.d_num) == (n1, n2, d_num)
+        assert r.d_ppm == d_num * 1_000_000 // (n1 * n2)
+
+
+def test_chi_square_total_and_expected(spark):
+    from db_migrator_spark.operators.stats import q_chi_square_independence
+
+    rows = q_chi_square_independence(spark, SF01).collect()
+    cells = [r for r in rows if r.o_orderpriority != "*"]
+    (total,) = [r for r in rows if r.o_orderpriority == "*"]
+    n = sum(r.obs for r in cells)
+    assert total.obs == n
+    # expected counts sum to ~N (micro rounding) and contribs are >= 0
+    assert abs(total.expected_micro - n * 1_000_000) <= len(cells) * 2
+    assert total.chi2_contrib_micro == sum(r.chi2_contrib_micro for r in cells)
+    for r in cells:
+        assert r.chi2_contrib_micro >= 0
