@@ -218,14 +218,85 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard table: per cohort age (weeks since a
+    user's first event), the number of users still at risk, the number
+    whose LAST event falls in that week (churned), and the exact-ppm
+    hazard churned/at_risk — the lifetime-model complement of the
+    retention matrix (retention counts presence; hazard conditions on
+    survival).
+
+    One user-keyed aggregate for (first_wk, last_wk); ages derive per
+    user; at-risk at age a = users with lifetime >= a, a suffix count
+    over the AGE domain (bounded weeks, tiny window). Ages-sized
+    output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.expr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000"
+    ).cast("bigint")
+    spans = ev.select("user_id", wk.alias("wk")).groupBy("user_id").agg(
+        F.min("wk").alias("first_wk"), F.max("wk").alias("last_wk")
+    )
+    per_age = (
+        spans.select((F.col("last_wk") - F.col("first_wk")).alias("age"))
+        .groupBy("age")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    wsuf = (
+        W.orderBy(F.desc("age")).rowsBetween(W.unboundedPreceding, 0)
+    )
+    # The suffix count runs over the AGE domain — weeks of history, a
+    # constants-bounded support (the KS/AUC distinct-support argument),
+    # so the partitionless window is result-sized, not corpus-sized.
+    return (
+        per_age.select(
+            "age",
+            "n_churned",
+            F.sum("n_churned").over(wsuf).cast("bigint").alias("n_at_risk"),
+        )
+        .select(
+            "age",
+            "n_at_risk",
+            "n_churned",
+            F.expr("n_churned * 1000000 div n_at_risk").alias("hazard_ppm"),
+        )
+        .orderBy("age")
+    )
+
+
 QUERIES = {
     "events_conversion_lag": events_conversion_lag,
     "events_funnel_windowed": events_funnel_windowed,
     "q_session_window_native": q_session_window_native,
     "events_inter_arrival": events_inter_arrival,
+    "events_survival_hazard": events_survival_hazard,
 }
 
 ORACLES = {
+    "events_survival_hazard": """
+        WITH spans AS (
+            SELECT user_id,
+                   MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000)
+                       AS first_wk,
+                   MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000)
+                       AS last_wk
+            FROM events GROUP BY user_id),
+        per_age AS (
+            SELECT CAST(last_wk - first_wk AS BIGINT) AS age,
+                   CAST(COUNT(*) AS BIGINT) AS n_churned
+            FROM spans GROUP BY 1),
+        risk AS (
+            SELECT age, n_churned,
+                   CAST(SUM(n_churned) OVER (
+                       ORDER BY age DESC ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS n_at_risk
+            FROM per_age)
+        SELECT age, n_at_risk, n_churned,
+               n_churned * 1000000 // n_at_risk AS hazard_ppm
+        FROM risk
+        ORDER BY age
+    """,
     "events_inter_arrival": """
         WITH g AS (
             SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

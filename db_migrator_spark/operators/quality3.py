@@ -154,12 +154,84 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline) of parts minimizing
+    (retail price, size): every part not STRICTLY dominated by a
+    same-brand part that is <= on both dimensions and < on at least
+    one. Identical (price, size) twins both survive.
+
+    The classic skyline operator, distributed WITHOUT the naive O(n^2)
+    dominance join: 2-d skyline reduces to a sorted scan — a point
+    survives iff (a) the running min size over strictly-cheaper
+    same-brand parts exceeds its size and (b) it has the min size at
+    its own price point. Both are brand-keyed constructs: one
+    (brand, price) min aggregate, one brand-keyed prefix-min window
+    over DISTINCT price points (bounded support), one equi-join back.
+    The dominance-join oracle (NOT EXISTS) proves the rewrite exact.
+    """
+    parts = load_table(spark, sf_dir, "part")
+    pts = parts.select(
+        "p_brand",
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 1_000_000)
+        .cast("bigint")
+        .alias("price_micro"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    per_x = pts.groupBy("p_brand", "price_micro").agg(
+        F.min("p_size").alias("min_size_here")
+    )
+    wpre = (
+        W.partitionBy("p_brand")
+        .orderBy("price_micro")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = per_x.select(
+        "p_brand",
+        "price_micro",
+        "min_size_here",
+        F.min("min_size_here").over(wpre).alias("prefix_min_size"),
+    )
+    return (
+        pts.join(pre, ["p_brand", "price_micro"])
+        .filter(
+            (
+                F.col("prefix_min_size").isNull()
+                | (F.col("prefix_min_size") > F.col("p_size"))
+            )
+            & (F.col("p_size") == F.col("min_size_here"))
+        )
+        .select("p_brand", "p_partkey", "price_micro", "p_size")
+        .orderBy("p_brand", "price_micro", "p_partkey")
+    )
+
+
 QUERIES = {
     "q_percentile_cont": q_percentile_cont,
     "q_decile_lift_table": q_decile_lift_table,
+    "q_pareto_frontier": q_pareto_frontier,
 }
 
 ORACLES = {
+    # Naive dominance-join twin: a part survives iff NO same-brand part
+    # strictly dominates it — proves the sorted-scan rewrite exact.
+    "q_pareto_frontier": """
+        WITH pts AS (
+            SELECT p_brand, p_partkey,
+                   CAST(FLOOR(p_retailprice * 1000000) AS BIGINT)
+                       AS price_micro,
+                   CAST(p_size AS BIGINT) AS p_size
+            FROM part)
+        SELECT p_brand, p_partkey, price_micro, p_size
+        FROM pts a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts b
+            WHERE b.p_brand = a.p_brand
+              AND b.price_micro <= a.price_micro
+              AND b.p_size <= a.p_size
+              AND (b.price_micro < a.price_micro OR b.p_size < a.p_size))
+        ORDER BY p_brand, price_micro, p_partkey
+    """,
     "q_decile_lift_table": """
         WITH rev AS (
             SELECT c.c_nationkey, o.o_custkey,

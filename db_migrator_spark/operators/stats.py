@@ -140,12 +140,126 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per order priority: order totals in
+    date order, signed against the group's exact (type-1 lower) median;
+    ties at the median drop (the standard convention). Surfaces the
+    observed run count and the exact expected count under randomness,
+    E[R] = 1 + 2*n1*n2/(n1+n2), in micros via the decimal contract —
+    the residual-randomness audit for a metric stream.
+
+    All keyed: one rank window picks the median, one broadcast join
+    signs the rows, one lag window counts sign changes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
+    base = orders.select(
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        v.alias("v"),
+    )
+    wrank = W.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
+    ranked = base.select(
+        "o_orderpriority",
+        "v",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    median = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("o_orderpriority", F.col("v").alias("med"))
+    signed = (
+        base.join(F.broadcast(median), "o_orderpriority")
+        .filter(F.col("v") != F.col("med"))
+        .select(
+            "o_orderpriority",
+            "o_orderdate",
+            "o_orderkey",
+            (F.col("v") > F.col("med")).cast("int").alias("s"),
+        )
+    )
+    wseq = W.partitionBy("o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    runs = signed.select(
+        "o_orderpriority",
+        "s",
+        F.when(
+            F.lag("s").over(wseq).isNull()
+            | (F.lag("s").over(wseq) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    return (
+        runs.groupBy("o_orderpriority")
+        .agg(
+            F.sum("s").cast("bigint").alias("n_above"),
+            F.sum(1 - F.col("s")).cast("bigint").alias("n_below"),
+            F.sum("new_run").cast("bigint").alias("n_runs"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST(1000000 + CAST(2 AS DECIMAL(38,0)) * n_above * n_below"
+                " * 1000000 div (n_above + n_below) AS BIGINT)"
+            ).alias("expected_runs_micro"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "q_ks_drift_test": q_ks_drift_test,
     "q_chi_square_independence": q_chi_square_independence,
+    "q_runs_test": q_runs_test,
 }
 
 ORACLES = {
+    "q_runs_test": """
+        WITH base AS (
+            SELECT o_orderpriority, o_orderdate, o_orderkey,
+                   CAST(FLOOR(o_totalprice * 1000000) AS BIGINT) AS v
+            FROM orders),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY v, o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM base),
+        med AS (
+            SELECT o_orderpriority, v AS med
+            FROM ranked WHERE rn = (n + 1) // 2),
+        signed AS (
+            SELECT b.o_orderpriority, b.o_orderdate, b.o_orderkey,
+                   CAST(b.v > m.med AS INTEGER) AS s
+            FROM base b JOIN med m
+              ON m.o_orderpriority = b.o_orderpriority
+            WHERE b.v != m.med),
+        runs AS (
+            SELECT o_orderpriority, s,
+                   CASE WHEN LAG(s) OVER w IS NULL
+                             OR LAG(s) OVER w != s THEN 1 ELSE 0 END
+                       AS new_run
+            FROM signed
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_orderdate, o_orderkey)),
+        agg AS (
+            SELECT o_orderpriority,
+                   CAST(SUM(s) AS BIGINT) AS n_above,
+                   CAST(SUM(1 - s) AS BIGINT) AS n_below,
+                   CAST(SUM(new_run) AS BIGINT) AS n_runs
+            FROM runs GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n_above, n_below, n_runs,
+               CAST(1000000 + CAST(2 AS HUGEINT) * n_above * n_below
+                    * 1000000 // (n_above + n_below) AS BIGINT)
+                   AS expected_runs_micro
+        FROM agg
+        ORDER BY o_orderpriority
+    """,
     "q_ks_drift_test": f"""
         WITH base AS (
             SELECT o_orderpriority,

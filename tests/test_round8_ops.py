@@ -494,3 +494,76 @@ def test_chi_square_total_and_expected(spark):
     assert total.chi2_contrib_micro == sum(r.chi2_contrib_micro for r in cells)
     for r in cells:
         assert r.chi2_contrib_micro >= 0
+
+
+def test_pareto_frontier_no_dominance(spark):
+    """Frontier membership recomputed naively in Python: a part is on
+    the frontier exactly when no same-brand part strictly dominates
+    it."""
+    from db_migrator_spark.operators.quality3 import q_pareto_frontier
+
+    front = q_pareto_frontier(spark, SF01).collect()
+    parts = load_table(spark, SF01, "part").collect()
+    pts = {}
+    for p in parts:
+        pts.setdefault(p.p_brand, []).append(
+            (math.floor(p.p_retailprice * 1_000_000), p.p_size, p.p_partkey)
+        )
+    fkeys = {(r.p_brand, r.p_partkey) for r in front}
+    for brand, group in pts.items():
+        for x, y, k in group:
+            dominated = any(
+                (x2 <= x and y2 <= y and (x2 < x or y2 < y))
+                for x2, y2, _ in group
+            )
+            assert ((brand, k) in fkeys) == (not dominated)
+
+
+def test_survival_hazard_conservation(spark):
+    from db_migrator_spark.operators.events3 import events_survival_hazard
+
+    rows = sorted(
+        events_survival_hazard(spark, SF01).collect(), key=lambda r: r.age
+    )
+    # at_risk at age 0 equals the whole population; monotone decreasing
+    assert rows[0].age == 0 or rows[0].n_at_risk == sum(
+        r.n_churned for r in rows
+    )
+    assert rows[0].n_at_risk == sum(r.n_churned for r in rows)
+    risks = [r.n_at_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    for r in rows:
+        assert r.hazard_ppm == r.n_churned * 1_000_000 // r.n_at_risk
+
+
+def test_runs_test_count_matches_python(spark):
+    from db_migrator_spark.operators.stats import q_runs_test
+
+    rows = {r.o_orderpriority: r for r in q_runs_test(spark, SF01).collect()}
+    orders = (
+        load_table(spark, SF01, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_orderkey", "o_totalprice")
+        .collect()
+    )
+    groups = {}
+    for o in orders:
+        groups.setdefault(o.o_orderpriority, []).append(o)
+    for prio, os_ in groups.items():
+        vals = sorted(
+            (math.floor(o.o_totalprice * 1_000_000), o.o_orderkey) for o in os_
+        )
+        med = vals[(len(vals) + 1) // 2 - 1][0]
+        seq = [
+            1 if math.floor(o.o_totalprice * 1_000_000) > med else 0
+            for o in sorted(os_, key=lambda o: (o.o_orderdate, o.o_orderkey))
+            if math.floor(o.o_totalprice * 1_000_000) != med
+        ]
+        n_runs = sum(
+            1 for i, s in enumerate(seq) if i == 0 or seq[i - 1] != s
+        )
+        r = rows[prio]
+        assert (r.n_above, r.n_below, r.n_runs) == (
+            sum(seq),
+            len(seq) - sum(seq),
+            n_runs,
+        )
