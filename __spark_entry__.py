@@ -83,12 +83,13 @@ _MODULES = [
 #   2. never driver-checked (anything newly added in a recent round),
 #   3. green/rows-only, oldest evidence first.
 #
-# Two-round drain schedule (written at r8): the r7 backlog is 6 red + 21
-# never-checked + ~45 very-stale-green = 72 > one 50-slot window. Round 8's
-# window therefore carries the 6 red + 21 never-checked + the 23 stalest
-# greens; the remaining ~22 stale greens cycle through round 9's window.
-# After r9 every query has evidence within 3 rounds and the rotation
-# degenerates to plain oldest-first refresh.
+# Drain schedule (updated end of r8): the window now carries the 6 r7-red
+# rows, then every never-checked query (21 from r7 + the r8 additions),
+# then the stalest greens in the remaining slots. The ~40 stale greens
+# that miss r8's window cycle through r9/r10; once the backlog clears,
+# the rotation degenerates to plain oldest-first refresh. New-query
+# rounds deliberately displace stale greens — a never-checked query has
+# NO driver evidence while a stale green has old-but-real evidence.
 def _evidence_order(names: list[str], oracles: dict[str, str]) -> list[str]:
     import glob as globmod
     import json
