@@ -265,15 +265,70 @@ def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection over the hourly volume series per event
+    type: an hour is a PEAK when its count strictly exceeds the
+    previous observed hour's and is at least the next observed hour's
+    (ties break toward the earlier hour, so plateaus yield exactly one
+    peak). Neighbors are adjacent OBSERVED hours — zero-volume gap
+    hours do not reset the comparison — and series endpoints compare
+    against 0. The alerting primitive on any metric stream.
+
+    One (type, hour) aggregate + one type-keyed lag/lead window over
+    the HOUR domain (bounded support), peaks-sized output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+    ).cast("bigint")
+    per_hour = ev.select("event_type", hour.alias("hr")).groupBy(
+        "event_type", "hr"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = W.partitionBy("event_type").orderBy("hr")
+    flagged = per_hour.select(
+        "event_type",
+        "hr",
+        "n",
+        F.coalesce(F.lag("n").over(w), F.lit(0)).alias("prev_n"),
+        F.coalesce(F.lead("n").over(w), F.lit(0)).alias("next_n"),
+    )
+    return (
+        flagged.filter(
+            (F.col("n") > F.col("prev_n")) & (F.col("n") >= F.col("next_n"))
+        )
+        .select("event_type", "hr", "n", "prev_n", "next_n")
+        .orderBy("event_type", "hr")
+    )
+
+
 QUERIES = {
     "events_conversion_lag": events_conversion_lag,
     "events_funnel_windowed": events_funnel_windowed,
     "q_session_window_native": q_session_window_native,
     "events_inter_arrival": events_inter_arrival,
     "events_survival_hazard": events_survival_hazard,
+    "events_peak_hours": events_peak_hours,
 }
 
 ORACLES = {
+    "events_peak_hours": """
+        WITH per_hour AS (
+            SELECT event_type,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                        AS BIGINT) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        flagged AS (
+            SELECT event_type, hr, n,
+                   CAST(COALESCE(LAG(n) OVER w, 0) AS BIGINT) AS prev_n,
+                   CAST(COALESCE(LEAD(n) OVER w, 0) AS BIGINT) AS next_n
+            FROM per_hour
+            WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+        SELECT event_type, hr, n, prev_n, next_n
+        FROM flagged
+        WHERE n > prev_n AND n >= next_n
+        ORDER BY event_type, hr
+    """,
     "events_survival_hazard": """
         WITH spans AS (
             SELECT user_id,

@@ -71,9 +71,88 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-QUERIES = {"text_readability": text_readability}
+ZIPF_TOP_K = 20
+
+
+def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit of the corpus vocabulary: the top
+    ``ZIPF_TOP_K`` terms with frequency rank (ties to the
+    lexicographically smaller term), count, the rank x count product
+    (constant under ideal Zipf), and its exact-ppm deviation from the
+    rank-1 product. A corpus whose products collapse or explode has a
+    degenerate token distribution (boilerplate floods or shattered
+    vocab) — the one-glance tokenizer-health check.
+
+    One term-count aggregate, a TakeOrdered top-K, and a broadcast
+    rank-1 scalar — log-free by construction (products, not slopes).
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(ZIPF_TOP_K)
+    )
+    ranked = counts.select(
+        "term",
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), "term"))
+        .cast("bigint")
+        .alias("rank"),
+    ).select("term", "rank", "cnt", (F.col("rank") * F.col("cnt")).alias("rank_cnt"))
+    base = ranked.filter(F.col("rank") == 1).select(
+        F.col("rank_cnt").alias("base_product")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(base))
+        .select(
+            "rank",
+            "term",
+            "cnt",
+            "rank_cnt",
+            F.expr(
+                "(rank_cnt - base_product) * 1000000 div base_product"
+            ).alias("zipf_dev_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+QUERIES = {
+    "text_readability": text_readability,
+    "text_zipf_check": text_zipf_check,
+}
 
 ORACLES = {
+    "text_zipf_check": f"""
+        WITH counts AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE term != ''
+            GROUP BY term
+            ORDER BY cnt DESC, term
+            LIMIT {ZIPF_TOP_K}),
+        ranked AS (
+            SELECT term, cnt,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term)
+                        AS BIGINT) AS rank
+            FROM counts),
+        prod AS (
+            SELECT term, rank, cnt, rank * cnt AS rank_cnt FROM ranked),
+        base AS (
+            SELECT rank_cnt AS base_product FROM prod WHERE rank = 1)
+        SELECT rank, term, cnt, rank_cnt,
+               (rank_cnt - base_product) * 1000000 // base_product
+                   AS zipf_dev_ppm
+        FROM prod, base
+        ORDER BY rank
+    """,
     "text_readability": f"""
         WITH base AS (
             SELECT doc_id,

@@ -567,3 +567,49 @@ def test_runs_test_count_matches_python(spark):
             len(seq) - sum(seq),
             n_runs,
         )
+
+
+def test_peak_hours_are_local_maxima(spark):
+    from db_migrator_spark.operators.events3 import events_peak_hours
+
+    rows = events_peak_hours(spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert r.n > r.prev_n and r.n >= r.next_n
+    # recompute one type's peaks in Python over the observed series
+    ev = (
+        load_table(spark, SF01, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+            .cast("bigint")
+            .alias("hr")
+        )
+        .groupBy("hr")
+        .count()
+        .collect()
+    )
+    series = sorted((r.hr, r["count"]) for r in ev)
+    want = {
+        hr
+        for i, (hr, n) in enumerate(series)
+        if (series[i - 1][1] if i > 0 else 0) < n
+        and n >= (series[i + 1][1] if i + 1 < len(series) else 0)
+    }
+    got = {r.hr for r in rows if r.event_type == "purchase"}
+    assert got == want
+
+
+def test_zipf_check_products(spark):
+    from db_migrator_spark.operators.text_metrics import (
+        ZIPF_TOP_K,
+        text_zipf_check,
+    )
+
+    rows = sorted(text_zipf_check(spark, SF01).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, ZIPF_TOP_K + 1))
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert rows[0].zipf_dev_ppm == 0
+    for r in rows:
+        assert r.rank_cnt == r.rank * r.cnt
