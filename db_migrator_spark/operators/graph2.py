@@ -325,10 +325,99 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Size-3 itemsets repeat far more rarely than pairs (support >= 3
+# triples do not exist at any fixture scale); threshold 2 keeps the
+# operator's output non-degenerate at sf0.01 while the a-priori
+# monotonicity (pair support >= triple support) means the leave-one-out
+# pair lookups must ALSO use this threshold, not the pair-rule one.
+TRIPLE_MIN_SUPPORT = 2
+
+
+def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent size-3 itemsets over order baskets (the next a-priori
+    level above ``q_basket_rules``): item triples co-purchased in at
+    least ``TRIPLE_MIN_SUPPORT`` orders, with support and the exact-ppm
+    all-three conditional rate against each leave-one-out pair.
+
+    Per-order fan-out is C(basket width, 3), bounded by order width;
+    the chained equi-conditions (b joins a's order, c joins b's) keep
+    every join keyed — one condition set per adjacent pair, so no
+    optimizer can degrade an edge to a cartesian. Pair-support lookups
+    broadcast (the support-filtered pair relation is small relative to
+    the basket stream).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b, c = li.alias("a"), li.alias("b"), li.alias("c")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .filter(F.col("n12") >= TRIPLE_MIN_SUPPORT)
+        .localCheckpoint()  # three leave-one-out consumers below
+    )
+    triples = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("c.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+            F.col("c.l_partkey").alias("p3"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
+    )
+    j12 = F.broadcast(pairs.select("p1", "p2", F.col("n12").alias("s12")))
+    j13 = F.broadcast(
+        pairs.select(
+            F.col("p1"), F.col("p2").alias("p3"), F.col("n12").alias("s13")
+        )
+    )
+    j23 = F.broadcast(
+        pairs.select(
+            F.col("p1").alias("p2"),
+            F.col("p2").alias("p3"),
+            F.col("n12").alias("s23"),
+        )
+    )
+    return (
+        triples.join(j12, ["p1", "p2"])
+        .join(j13, ["p1", "p3"])
+        .join(j23, ["p2", "p3"])
+        .select(
+            "p1",
+            "p2",
+            "p3",
+            "support",
+            F.expr("support * 1000000 div s12").alias("conf_12to3_ppm"),
+            F.expr("support * 1000000 div s13").alias("conf_13to2_ppm"),
+            F.expr("support * 1000000 div s23").alias("conf_23to1_ppm"),
+        )
+        .orderBy(F.desc("support"), "p1", "p2", "p3")
+    )
+
+
 QUERIES = {
     "graph_triangle_counts": graph_triangle_counts,
     "graph_kcore": graph_kcore,
     "q_basket_rules": q_basket_rules,
+    "q_basket_triples": q_basket_triples,
 }
 
 ORACLES = {
@@ -379,6 +468,40 @@ ORACLES = {
         ORDER BY p.tri_count DESC, part_key
     """,
     "graph_kcore": _kcore_oracle(),
+    # Chained equi-joins (b on a's order, c on b's): with both edges
+    # keyed, neither engine can reorder a join pair with no shared
+    # condition into a cartesian (the a-c form measured a b x c
+    # nested-loop hang in DuckDB).
+    "q_basket_triples": f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n12
+            FROM li a JOIN li b
+              ON b.l_orderkey = a.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}),
+        triples AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM li a
+            JOIN li b ON b.l_orderkey = a.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            JOIN li c ON c.l_orderkey = b.l_orderkey
+                     AND b.l_partkey < c.l_partkey
+            GROUP BY 1, 2, 3
+            HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT})
+        SELECT t.p1, t.p2, t.p3, t.support,
+               t.support * 1000000 // j12.n12 AS conf_12to3_ppm,
+               t.support * 1000000 // j13.n12 AS conf_13to2_ppm,
+               t.support * 1000000 // j23.n12 AS conf_23to1_ppm
+        FROM triples t
+        JOIN pairs j12 ON j12.p1 = t.p1 AND j12.p2 = t.p2
+        JOIN pairs j13 ON j13.p1 = t.p1 AND j13.p2 = t.p3
+        JOIN pairs j23 ON j23.p1 = t.p2 AND j23.p2 = t.p3
+        ORDER BY t.support DESC, t.p1, t.p2, t.p3
+    """,
     "q_basket_rules": f"""
         WITH li AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

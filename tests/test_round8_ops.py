@@ -613,3 +613,19 @@ def test_zipf_check_products(spark):
     assert rows[0].zipf_dev_ppm == 0
     for r in rows:
         assert r.rank_cnt == r.rank * r.cnt
+
+
+def test_basket_triples_apriori_consistency(spark):
+    """Triple support never exceeds any leave-one-out pair support, and
+    the conditional ppm rates encode exactly that ratio."""
+    from db_migrator_spark.operators.graph2 import (
+        TRIPLE_MIN_SUPPORT,
+        q_basket_triples,
+    )
+
+    rows = q_basket_triples(spark, SF01).collect()
+    assert rows  # support-2 triples exist at sf0.01
+    for r in rows:
+        assert r.support >= TRIPLE_MIN_SUPPORT
+        for c in (r.conf_12to3_ppm, r.conf_13to2_ppm, r.conf_23to1_ppm):
+            assert 0 < c <= 1_000_000  # pair support >= triple support
