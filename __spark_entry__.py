@@ -66,6 +66,7 @@ _MODULES = [
     "db_migrator_spark.operators.quality2",
     "db_migrator_spark.operators.quality3",
     "db_migrator_spark.operators.stats",
+    "db_migrator_spark.operators.stats2",
     "db_migrator_spark.sources.python_source",
     "db_migrator_spark.migrate.queries",
     "db_migrator_spark.streaming.windows",

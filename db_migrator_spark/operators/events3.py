@@ -301,8 +301,84 @@ def events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact autocorrelation of the daily event-count series at lags
+    1..7 — the seasonality detector behind `events_dow_seasonality`
+    generalized to arbitrary lag, with the classic ACF estimator kept
+    fully rational so the cross-engine hash is bit-for-bit:
+
+        r_k = sum_t (x_t - mean)(x_{t+k} - mean) / sum_t (x_t - mean)^2
+
+    Multiplying numerator and denominator by n^2 clears the mean's
+    division: with c_t = n*x_t - S both sides are integer sums, and the
+    only division is the final micro-scaled truncating `div` (signed;
+    Spark `div` == DuckDB `//` truncate toward zero). t is the
+    OBSERVED-day sequence index (row_number over the day domain), the
+    same convention both engines compute.
+
+    Scale notes (100 TB): one map-side-combined day aggregate collapses
+    the table to ~n_days rows; everything after (centering, the 7-lag
+    band self-join, the final ratio) runs on that bounded relation —
+    the band join is days x 7 rows. Overflow: c_t^2 sums reach ~1.5e18
+    at 670k events/day x 150 days; the 1e6 scaling runs in
+    DECIMAL(38,0)/HUGEINT with ~1e13 days-to-spare headroom.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    daily = ev.select(day.alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    wt = W.orderBy("day")
+    seq = daily.select(
+        "day", "x", F.row_number().over(wt).alias("t")
+    )
+    tot = seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    cent = seq.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (F.col("n") * F.col("x") - F.col("s")).alias("c"),
+        "n",
+    )
+    den = cent.agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("den"),
+        F.max("n").alias("n_days"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    nums = (
+        a.join(
+            b,
+            (F.col("b.t") - F.col("a.t") >= 1)
+            & (F.col("b.t") - F.col("a.t") <= 7),
+        )
+        .groupBy((F.col("b.t") - F.col("a.t")).alias("lag"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum(
+                F.col("a.c").cast("decimal(38,0)") * F.col("b.c")
+            ).cast("bigint").alias("num"),
+        )
+    )
+    return (
+        nums.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_days",
+            "n_terms",
+            "num",
+            F.expr(
+                "CAST(CAST(num AS DECIMAL(38,0)) * 1000000 div den"
+                " AS BIGINT)"
+            ).alias("acf_micro"),
+        )
+        .orderBy("lag")
+    )
+
+
 QUERIES = {
     "events_conversion_lag": events_conversion_lag,
+    "events_autocorrelation": events_autocorrelation,
     "events_funnel_windowed": events_funnel_windowed,
     "q_session_window_native": q_session_window_native,
     "events_inter_arrival": events_inter_arrival,
@@ -311,6 +387,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_autocorrelation": """
+        WITH daily AS (
+            SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1),
+        seq AS (
+            SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS t
+            FROM daily),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM seq),
+        cent AS (
+            SELECT t, n * x - s AS c, n FROM seq, tot),
+        den AS (
+            SELECT SUM(CAST(c AS HUGEINT) * c) AS den,
+                   CAST(MAX(n) AS BIGINT) AS n_days
+            FROM cent),
+        nums AS (
+            SELECT b.t - a.t AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS num
+            FROM cent a JOIN cent b
+              ON b.t - a.t BETWEEN 1 AND 7
+            GROUP BY 1)
+        SELECT lag, n_days, n_terms, num,
+               CAST(CAST(num AS HUGEINT) * 1000000 // den AS BIGINT)
+                   AS acf_micro
+        FROM nums, den
+        ORDER BY lag
+    """,
     "events_peak_hours": """
         WITH per_hour AS (
             SELECT event_type,

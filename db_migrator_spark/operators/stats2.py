@@ -1,0 +1,276 @@
+"""Exact outlier and effect-size statistics (round 8, batch c).
+
+The reference has no statistics surface (scope:
+/root/reference/src/migrate/table_migrator.rs:43-114); these extend
+the inferential drift tier (KS, chi-square, runs test in stats.py)
+with the two audits a data-quality pipeline runs next: WHERE are the
+outliers, and HOW BIG is the drift — both in exact integer arithmetic
+so the cross-engine hash match is bit-for-bit:
+
+- ``q_outlier_iqr``: per-priority Tukey-fence outlier audit of order
+  totals. Quartiles are type-1 (ceil-rank order statistics) picked by
+  one rank window; fences at q1 - 3*(q3-q1) div 2 and
+  q3 + 3*(q3-q1) div 2 in micros (the 1.5*IQR rule with the factor
+  kept rational); low/high outlier counts by a broadcast join of the
+  5-row fence table back onto the base.
+- ``q_drift_effect_size``: per-priority effect size of the
+  pre/post-``DRIFT_PIVOT`` shift, complementing the KS test's
+  significance with MAGNITUDE: exact mean gap via integer
+  cross-multiplication (S1*n2 - S2*n1 over n1*n2) and each half's
+  squared coefficient of variation cv2 = (n*SS - S^2) / S^2 — the
+  variance-to-mean-squared ratio whose numerator and denominator are
+  both integers, so no division happens until the final micro-scaled
+  truncating ``div``. The cv2 sums run at CENT precision (micros
+  overflow DECIMAL(38,0) at sf1 already — measured: 4.2e38 on the
+  (n*SS - S^2)*1e6 product); cents keep the same product near 7e29
+  at sf1 with ~1e8x row headroom. Means and the gap stay at micro
+  precision (no squares there).
+
+Scale notes (100 TB): q_outlier_iqr is one rank window per priority
+group (the same keyed-window shape as q_exact_percentiles), one
+broadcast of a groups-sized fence table, one counting aggregate —
+no global sort, no collect. q_drift_effect_size is a single map-side
+combinable aggregate producing five sums per (priority, half); the
+final arithmetic runs on a groups-sized relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+from .quality import DRIFT_PIVOT
+
+
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per order priority (module doc).
+    Output: n, q1/q3/iqr/lo/hi fences in micros, low/high outlier
+    counts, and the total outlier share in ppm."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
+    base = orders.select(
+        "o_orderpriority", v.alias("v"), "o_orderkey"
+    )
+    wrank = W.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
+    ranked = base.select(
+        "o_orderpriority",
+        "v",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    quart = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 3) div 4"))
+            | (F.col("rn") == F.expr("(3 * n + 3) div 4"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.min("v").alias("q1_micro"),
+            F.max("v").alias("q3_micro"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "q1_micro",
+            "q3_micro",
+            (F.col("q3_micro") - F.col("q1_micro")).alias("iqr_micro"),
+            F.expr("q1_micro - (3 * (q3_micro - q1_micro)) div 2").alias(
+                "lo_fence_micro"
+            ),
+            F.expr("q3_micro + (3 * (q3_micro - q1_micro)) div 2").alias(
+                "hi_fence_micro"
+            ),
+        )
+    )
+    counted = (
+        base.join(F.broadcast(quart), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("q1_micro").alias("q1_micro"),
+            F.max("q3_micro").alias("q3_micro"),
+            F.max("iqr_micro").alias("iqr_micro"),
+            F.max("lo_fence_micro").alias("lo_fence_micro"),
+            F.max("hi_fence_micro").alias("hi_fence_micro"),
+            F.sum(
+                (F.col("v") < F.col("lo_fence_micro")).cast("bigint")
+            ).alias("n_low_outliers"),
+            F.sum(
+                (F.col("v") > F.col("hi_fence_micro")).cast("bigint")
+            ).alias("n_high_outliers"),
+        )
+    )
+    return counted.select(
+        "*",
+        F.expr(
+            "CAST(CAST((n_low_outliers + n_high_outliers) AS DECIMAL(38,0))"
+            " * 1000000 div n AS BIGINT)"
+        ).alias("outlier_ppm"),
+    ).orderBy("o_orderpriority")
+
+
+def q_drift_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre/post-pivot drift magnitude per order priority (module doc).
+    Output: n1, n2, mean1_micro, mean2_micro, gap_micro (signed exact
+    cross-multiplied mean difference), cv2_pre_micro, cv2_post_micro."""
+    orders = load_table(spark, sf_dir, "orders")
+    half = F.when(
+        F.col("o_orderdate") < F.lit(DRIFT_PIVOT).cast("timestamp"), 1
+    ).otherwise(2)
+    v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
+    vc = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    sums = (
+        orders.select(
+            "o_orderpriority", half.alias("half"), v.alias("v"), vc.alias("vc")
+        )
+        .groupBy("o_orderpriority", "half")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s"),
+            F.sum("vc").cast("bigint").alias("sc"),
+            F.sum(
+                F.col("vc").cast("decimal(38,0)") * F.col("vc")
+            ).alias("ssc"),
+        )
+    )
+    # cv2 = (n*SS - S^2) / S^2 at cent precision (module doc), scaled to
+    # micros with the repo's truncating-div contract; NULL on empty/zero.
+    cv2 = (
+        "CASE WHEN sc = 0 OR sc IS NULL THEN NULL"
+        " ELSE CAST((CAST(n AS DECIMAL(38,0)) * ssc"
+        " - CAST(sc AS DECIMAL(38,0)) * sc) * 1000000"
+        " div (CAST(sc AS DECIMAL(38,0)) * sc) AS BIGINT) END"
+    )
+    halves = sums.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("half") == 2, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("half") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("half") == 2, F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("half") == 1, F.expr(cv2))).alias(
+            "cv2_pre_micro"
+        ),
+        F.max(F.when(F.col("half") == 2, F.expr(cv2))).alias(
+            "cv2_post_micro"
+        ),
+    )
+    return halves.select(
+        "o_orderpriority",
+        "n1",
+        "n2",
+        F.expr("CAST(CAST(s1 AS DECIMAL(38,0)) div n1 AS BIGINT)").alias(
+            "mean1_micro"
+        ),
+        F.expr("CAST(CAST(s2 AS DECIMAL(38,0)) div n2 AS BIGINT)").alias(
+            "mean2_micro"
+        ),
+        F.expr(
+            "CAST((CAST(s2 AS DECIMAL(38,0)) * n1"
+            " - CAST(s1 AS DECIMAL(38,0)) * n2)"
+            " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+        ).alias("gap_micro"),
+        "cv2_pre_micro",
+        "cv2_post_micro",
+    ).orderBy("o_orderpriority")
+
+
+QUERIES = {
+    "q_outlier_iqr": q_outlier_iqr,
+    "q_drift_effect_size": q_drift_effect_size,
+}
+
+ORACLES = {
+    "q_outlier_iqr": """
+        WITH base AS (
+            SELECT o_orderpriority, o_orderkey,
+                   CAST(FLOOR(o_totalprice * 1000000) AS BIGINT) AS v
+            FROM orders),
+        ranked AS (
+            SELECT o_orderpriority, v,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY v, o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM base),
+        quart AS (
+            SELECT o_orderpriority,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   MIN(v) AS q1_micro,
+                   MAX(v) AS q3_micro
+            FROM ranked
+            WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+            GROUP BY o_orderpriority),
+        fences AS (
+            SELECT *, q3_micro - q1_micro AS iqr_micro,
+                   q1_micro - (3 * (q3_micro - q1_micro)) // 2
+                       AS lo_fence_micro,
+                   q3_micro + (3 * (q3_micro - q1_micro)) // 2
+                       AS hi_fence_micro
+            FROM quart),
+        counted AS (
+            SELECT b.o_orderpriority,
+                   MAX(f.n) AS n,
+                   MAX(f.q1_micro) AS q1_micro,
+                   MAX(f.q3_micro) AS q3_micro,
+                   MAX(f.iqr_micro) AS iqr_micro,
+                   MAX(f.lo_fence_micro) AS lo_fence_micro,
+                   MAX(f.hi_fence_micro) AS hi_fence_micro,
+                   CAST(SUM(CASE WHEN b.v < f.lo_fence_micro
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_low_outliers,
+                   CAST(SUM(CASE WHEN b.v > f.hi_fence_micro
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_high_outliers
+            FROM base b
+            JOIN fences f ON f.o_orderpriority = b.o_orderpriority
+            GROUP BY b.o_orderpriority)
+        SELECT *, CAST(CAST((n_low_outliers + n_high_outliers) AS HUGEINT)
+                       * 1000000 // n AS BIGINT) AS outlier_ppm
+        FROM counted
+        ORDER BY o_orderpriority
+    """,
+    "q_drift_effect_size": f"""
+        WITH sums AS (
+            SELECT o_orderpriority,
+                   CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_PIVOT}'
+                        THEN 1 ELSE 2 END AS half,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS BIGINT))
+                        AS BIGINT) AS s,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sc,
+                   SUM(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                            AS HUGEINT)
+                       * CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS ssc
+            FROM orders GROUP BY 1, 2),
+        cv AS (
+            SELECT *,
+                   CASE WHEN sc = 0 OR sc IS NULL THEN NULL
+                        ELSE CAST((CAST(n AS HUGEINT) * ssc
+                                   - CAST(sc AS HUGEINT) * sc) * 1000000
+                                  // (CAST(sc AS HUGEINT) * sc) AS BIGINT) END
+                       AS cv2_micro
+            FROM sums),
+        halves AS (
+            SELECT o_orderpriority,
+                   MAX(CASE WHEN half = 1 THEN n END) AS n1,
+                   MAX(CASE WHEN half = 2 THEN n END) AS n2,
+                   MAX(CASE WHEN half = 1 THEN s END) AS s1,
+                   MAX(CASE WHEN half = 2 THEN s END) AS s2,
+                   MAX(CASE WHEN half = 1 THEN cv2_micro END)
+                       AS cv2_pre_micro,
+                   MAX(CASE WHEN half = 2 THEN cv2_micro END)
+                       AS cv2_post_micro
+            FROM cv GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n1, n2,
+               CAST(CAST(s1 AS HUGEINT) // n1 AS BIGINT) AS mean1_micro,
+               CAST(CAST(s2 AS HUGEINT) // n2 AS BIGINT) AS mean2_micro,
+               CAST((CAST(s2 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n2)
+                    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS gap_micro,
+               cv2_pre_micro, cv2_post_micro
+        FROM halves
+        ORDER BY o_orderpriority
+    """,
+}

@@ -629,3 +629,104 @@ def test_basket_triples_apriori_consistency(spark):
         assert r.support >= TRIPLE_MIN_SUPPORT
         for c in (r.conf_12to3_ppm, r.conf_13to2_ppm, r.conf_23to1_ppm):
             assert 0 < c <= 1_000_000  # pair support >= triple support
+
+
+def test_outlier_iqr_matches_python(spark):
+    from db_migrator_spark.operators.stats2 import q_outlier_iqr
+
+    rows = {r.o_orderpriority: r for r in q_outlier_iqr(spark, SF01).collect()}
+    vals = {}
+    for r in (
+        load_table(spark, SF01, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        vals.setdefault(r.o_orderpriority, []).append(
+            math.floor(r.o_totalprice * 1_000_000)
+        )
+    assert set(rows) == set(vals)
+    for prio, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        q1 = vs[(n + 3) // 4 - 1]
+        q3 = vs[(3 * n + 3) // 4 - 1]
+        lo = q1 - (3 * (q3 - q1)) // 2
+        hi = q3 + (3 * (q3 - q1)) // 2
+        r = rows[prio]
+        assert (r.n, r.q1_micro, r.q3_micro) == (n, q1, q3)
+        assert (r.lo_fence_micro, r.hi_fence_micro) == (lo, hi)
+        assert r.n_low_outliers == sum(1 for v in vs if v < lo)
+        assert r.n_high_outliers == sum(1 for v in vs if v > hi)
+        assert r.outlier_ppm == (
+            (r.n_low_outliers + r.n_high_outliers) * 1_000_000 // n
+        )
+
+
+def test_drift_effect_size_matches_python(spark):
+    import datetime
+
+    from db_migrator_spark.operators.quality import DRIFT_PIVOT
+    from db_migrator_spark.operators.stats2 import q_drift_effect_size
+
+    rows = {
+        r.o_orderpriority: r
+        for r in q_drift_effect_size(spark, SF01).collect()
+    }
+    pivot = datetime.datetime.fromisoformat(DRIFT_PIVOT)
+    halves = {}
+    for r in (
+        load_table(spark, SF01, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        h = 1 if r.o_orderdate < pivot else 2
+        halves.setdefault((r.o_orderpriority, h), []).append(r.o_totalprice)
+    for prio in rows:
+        r = rows[prio]
+        for h, (n_col, mean_col, cv_col) in {
+            1: ("n1", "mean1_micro", "cv2_pre_micro"),
+            2: ("n2", "mean2_micro", "cv2_post_micro"),
+        }.items():
+            ps = halves[(prio, h)]
+            s = sum(math.floor(p * 1_000_000) for p in ps)
+            sc = sum(math.floor(p * 100) for p in ps)
+            ssc = sum(math.floor(p * 100) ** 2 for p in ps)
+            n = len(ps)
+            assert getattr(r, n_col) == n
+            assert getattr(r, mean_col) == s // n
+            want_cv = (n * ssc - sc * sc) * 1_000_000 // (sc * sc)
+            assert getattr(r, cv_col) == want_cv
+            assert want_cv >= 0  # variance is non-negative
+        s1 = sum(math.floor(p * 1_000_000) for p in halves[(prio, 1)])
+        s2 = sum(math.floor(p * 1_000_000) for p in halves[(prio, 2)])
+        n1, n2 = len(halves[(prio, 1)]), len(halves[(prio, 2)])
+        num = s2 * n1 - s1 * n2
+        den = n1 * n2
+        want_gap = abs(num) // den * (1 if num >= 0 else -1)  # trunc to 0
+        assert r.gap_micro == want_gap
+
+
+def test_autocorrelation_matches_python(spark):
+    from db_migrator_spark.operators.events3 import events_autocorrelation
+
+    rows = {r.lag: r for r in events_autocorrelation(spark, SF01).collect()}
+    assert set(rows) == set(range(1, 8))
+    daily = {}
+    for r in (
+        load_table(spark, SF01, "events")
+        .select(F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"))
+        .collect()
+    ):
+        d = r.us // 86_400_000_000
+        daily[d] = daily.get(d, 0) + 1
+    xs = [daily[d] for d in sorted(daily)]
+    n, s = len(xs), sum(xs)
+    c = [n * x - s for x in xs]
+    den = sum(v * v for v in c)
+    for k in range(1, 8):
+        num = sum(c[t] * c[t + k] for t in range(n - k))
+        r = rows[k]
+        assert (r.n_days, r.n_terms, r.num) == (n, n - k, num)
+        want = abs(num) * 1_000_000 // den * (1 if num >= 0 else -1)
+        assert r.acf_micro == want
+        assert -1_000_000 <= r.acf_micro <= 1_000_000
