@@ -135,5 +135,118 @@ def _lprop_oracle() -> str:
     """
 
 
-QUERIES = {"graph_label_propagation": graph_label_propagation}
-ORACLES = {"graph_label_propagation": _lprop_oracle()}
+# Link prediction: wedge CENTERS above this degree are excluded from
+# common-neighbor generation. Two reasons, both standard: (a) compute —
+# sub-cap centers bound the candidate-pair relation at n*cap^2/2
+# structurally (the same "last reducer" argument as the triangle
+# orientation trick, here as a cap because link prediction needs ALL
+# common-neighbor pairs, not just closed ones, so orientation cannot
+# prune); (b) signal — a hub that neighbors everything certifies no
+# affinity between two of its spokes (the Adamic-Adar 1/log(deg)
+# intuition taken to its limit). The statistic is therefore the
+# HUB-FILTERED Jaccard: cn counts sub-cap common neighbors while the
+# union denominator keeps FULL degrees — deterministic, documented,
+# reproduced exactly by the twin.
+LINKPRED_HUB_CAP = 32
+LINKPRED_TOP_K = 100
+
+
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K predicted links on the sparsified co-purchase graph:
+    non-adjacent part pairs ranked by hub-filtered Jaccard overlap
+    (module constant doc). Output: part pair, sub-cap common-neighbor
+    count, both full degrees, jaccard_micro = cn * 1e6 div
+    (deg_a + deg_b - cn); ties broken by (a, b) for determinism.
+
+    Plan: degrees (one map-side-combined agg), wedge generation keyed
+    by the sub-cap center (bounded fan-out), one anti-join against the
+    edge set to drop existing links, two degree joins, TakeOrdered for
+    the top-K — no global sort, no collect.
+    """
+    arcs = _sparse_arcs(spark, sf_dir).localCheckpoint()
+    deg = arcs.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    centers = deg.filter(F.col("deg") <= LINKPRED_HUB_CAP).select("u")
+    capped = arcs.join(centers, "u", "left_semi")
+    wa = capped.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    wb = capped.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    pairs = (
+        wa.join(wb, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    und = arcs.filter(F.col("u") < F.col("v"))
+    cand = pairs.join(
+        und,
+        (pairs["a"] == und["u"]) & (pairs["b"] == und["v"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "cn * 1000000 div (deg_a + deg_b - cn)"
+            ).alias("jaccard_micro"),
+        )
+        .orderBy(F.desc("jaccard_micro"), "a", "b")
+        .limit(LINKPRED_TOP_K)
+    )
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+        WITH und AS MATERIALIZED (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {KCORE_MIN_COOC}),
+        arcs AS MATERIALIZED (
+            SELECT u, v FROM und
+            UNION ALL
+            SELECT v AS u, u AS v FROM und),
+        deg AS MATERIALIZED (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM arcs GROUP BY u),
+        capped AS MATERIALIZED (
+            SELECT a.u, a.v FROM arcs a
+            JOIN deg d ON d.u = a.u
+            WHERE d.deg <= {LINKPRED_HUB_CAP}),
+        pairs AS MATERIALIZED (
+            SELECT wa.v AS a, wb.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+            FROM capped wa JOIN capped wb ON wb.u = wa.u
+            WHERE wa.v < wb.v
+            GROUP BY 1, 2),
+        cand AS (
+            SELECT p.* FROM pairs p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM und e WHERE e.u = p.a AND e.v = p.b))
+        SELECT c.a, c.b, c.cn, da.deg AS deg_a, db.deg AS deg_b,
+               c.cn * 1000000 // (da.deg + db.deg - c.cn) AS jaccard_micro
+        FROM cand c
+        JOIN deg da ON da.u = c.a
+        JOIN deg db ON db.u = c.b
+        ORDER BY jaccard_micro DESC, c.a, c.b
+        LIMIT {LINKPRED_TOP_K}
+    """
+
+
+QUERIES = {
+    "graph_label_propagation": graph_label_propagation,
+    "graph_jaccard_linkpred": graph_jaccard_linkpred,
+}
+ORACLES = {
+    "graph_label_propagation": _lprop_oracle(),
+    "graph_jaccard_linkpred": _linkpred_oracle(),
+}

@@ -104,12 +104,200 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows).orderBy(F.desc("n_exact"), "word")
 
 
+# Portable Bloom filter (round 8): unlike HLL/CMS above, the bloom
+# membership decision is PURE integer arithmetic both engines can run,
+# so this sketch gets a full value-hash oracle. Kirsch-Mitzenmacher
+# double hashing: pos_i = (h1 + i*h2) mod M with two independent
+# multiplicative hashes reduced by a prime — every step stays on
+# positive bigints (products <= key * 2.7e9 ~ 5e14 at sf1), so `%`
+# agrees across engines with no negative-modulo edge.
+BLOOM_M_BITS = 65536
+BLOOM_K_HASH = 3
+BLOOM_H_PRIME = 1048573  # largest prime < 2^20
+BLOOM_A1 = 2654435761  # Knuth multiplicative
+BLOOM_A2 = 2246822519  # xxhash prime 2
+BLOOM_BUILD_MIN_SIZE = 45  # build side: parts with p_size >= this
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning audit — the 100 TB scan-pruning
+    pattern (runtime row-group filters, join pushdown) made portable:
+    build a BLOOM_M_BITS-bit / BLOOM_K_HASH-hash filter over the part
+    keys of large parts (p_size >= BLOOM_BUILD_MIN_SIZE), probe every
+    distinct lineitem part key, and account exactly for what the
+    filter passes vs the true semi-join: one summary row with build /
+    bit / probe / pass / member / false-positive counts, the FP rate
+    over non-members in ppm, and the row-level effect on lineitem.
+
+    Plan: the bit set is DISTINCT positions of build-keys x K hashes
+    (<= K*|build| rows, broadcast); the probe explodes K positions per
+    DISTINCT key, semi-joins the bit set, and passes keys matching all
+    K. Membership truth is one broadcast semi-join; everything
+    aggregates to one row. At real scale the bit relation IS the
+    serialized filter — k*|build| positions dedup to <= M distinct
+    bigints regardless of build size.
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = (
+        part.filter(F.col("p_size") >= BLOOM_BUILD_MIN_SIZE)
+        .select(F.col("p_partkey").alias("key"))
+        .distinct()
+    )
+    ks = F.array(*[F.lit(i) for i in range(BLOOM_K_HASH)])
+    pos = F.expr(
+        f"((key * {BLOOM_A1}) % {BLOOM_H_PRIME}"
+        f" + i * (1 + (key * {BLOOM_A2}) % {BLOOM_H_PRIME}))"
+        f" % {BLOOM_M_BITS}"
+    )
+    bits = (
+        build.select("key", F.explode(ks).alias("i"))
+        .select(pos.alias("pos"))
+        .distinct()
+    )
+    probe = li.select(F.col("l_partkey").alias("key")).distinct()
+    probe_pos = probe.select("key", F.explode(ks).alias("i")).select(
+        "key", pos.alias("pos")
+    )
+    passing = (
+        probe_pos.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == BLOOM_K_HASH)
+        .select("key")
+    )
+    member = probe.join(F.broadcast(build), "key", "left_semi")
+    classified = (
+        probe.join(
+            F.broadcast(passing.withColumn("p", F.lit(1))), "key", "left"
+        )
+        .join(
+            F.broadcast(member.withColumn("m", F.lit(1))), "key", "left"
+        )
+        .select(
+            "key",
+            F.coalesce(F.col("p"), F.lit(0)).alias("p"),
+            F.coalesce(F.col("m"), F.lit(0)).alias("m"),
+        )
+    )
+    key_stats = classified.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe_keys"),
+        F.sum("p").cast("bigint").alias("n_bloom_pass"),
+        F.sum("m").cast("bigint").alias("n_true_members"),
+        F.sum(F.col("p") * (1 - F.col("m"))).cast("bigint").alias(
+            "n_false_pos"
+        ),
+    )
+    row_stats = (
+        li.select(F.col("l_partkey").alias("key"))
+        .join(F.broadcast(passing.withColumn("p", F.lit(1))), "key", "left")
+        .join(F.broadcast(member.withColumn("m", F.lit(1))), "key", "left")
+        .agg(
+            F.sum(F.coalesce(F.col("p"), F.lit(0)))
+            .cast("bigint")
+            .alias("rows_bloom_pass"),
+            F.sum(F.coalesce(F.col("m"), F.lit(0)))
+            .cast("bigint")
+            .alias("rows_exact"),
+        )
+    )
+    sizes = build.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_build_keys")
+    ).crossJoin(
+        bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    )
+    return (
+        sizes.crossJoin(key_stats)
+        .crossJoin(row_stats)
+        .select(
+            F.lit(BLOOM_M_BITS).cast("bigint").alias("m_bits"),
+            F.lit(BLOOM_K_HASH).cast("bigint").alias("k_hash"),
+            "n_build_keys",
+            "n_bits_set",
+            "n_probe_keys",
+            "n_bloom_pass",
+            "n_true_members",
+            "n_false_pos",
+            F.expr(
+                "CASE WHEN n_probe_keys = n_true_members THEN 0"
+                " ELSE n_false_pos * 1000000"
+                " div (n_probe_keys - n_true_members) END"
+            ).alias("fp_ppm"),
+            "rows_bloom_pass",
+            "rows_exact",
+        )
+    )
+
+
 QUERIES = {
     "q_hll_distinct_by_type": q_hll_distinct_by_type,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
+    "q_bloom_semi_join": q_bloom_semi_join,
 }
 
-# No ORACLES: DuckDB has no Datasketches HLL / CMS twin — rows-only driver
+# HLL / CMS have no DuckDB twin (Datasketches state) — rows-only driver
 # checks; accuracy bounds are pinned against exact answers in
-# tests/test_sketches.py.
-ORACLES: dict[str, str] = {}
+# tests/test_sketches.py. The bloom filter is pure integer arithmetic,
+# so IT gets a full value-hash oracle.
+ORACLES: dict[str, str] = {
+    "q_bloom_semi_join": f"""
+        WITH build AS (
+            SELECT DISTINCT p_partkey AS key FROM part
+            WHERE p_size >= {BLOOM_BUILD_MIN_SIZE}),
+        bits AS (
+            SELECT DISTINCT
+                   ((key * {BLOOM_A1}) % {BLOOM_H_PRIME}
+                    + i * (1 + (key * {BLOOM_A2}) % {BLOOM_H_PRIME}))
+                   % {BLOOM_M_BITS} AS pos
+            FROM build
+            CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i)),
+        probe AS (SELECT DISTINCT l_partkey AS key FROM lineitem),
+        passing AS (
+            SELECT key FROM (
+                SELECT p.key,
+                       ((p.key * {BLOOM_A1}) % {BLOOM_H_PRIME}
+                        + u.i * (1 + (p.key * {BLOOM_A2})
+                                 % {BLOOM_H_PRIME}))
+                       % {BLOOM_M_BITS} AS pos
+                FROM probe p
+                CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) u) pp
+            WHERE pos IN (SELECT pos FROM bits)
+            GROUP BY key
+            HAVING COUNT(*) = {BLOOM_K_HASH}),
+        classified AS (
+            SELECT p.key,
+                   CASE WHEN ps.key IS NULL THEN 0 ELSE 1 END AS p,
+                   CASE WHEN b.key IS NULL THEN 0 ELSE 1 END AS m
+            FROM probe p
+            LEFT JOIN passing ps ON ps.key = p.key
+            LEFT JOIN build b ON b.key = p.key),
+        key_stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+                   CAST(SUM(p) AS BIGINT) AS n_bloom_pass,
+                   CAST(SUM(m) AS BIGINT) AS n_true_members,
+                   CAST(SUM(p * (1 - m)) AS BIGINT) AS n_false_pos
+            FROM classified),
+        row_stats AS (
+            SELECT CAST(SUM(CASE WHEN ps.key IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS rows_bloom_pass,
+                   CAST(SUM(CASE WHEN b.key IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS rows_exact
+            FROM lineitem l
+            LEFT JOIN passing ps ON ps.key = l.l_partkey
+            LEFT JOIN build b ON b.key = l.l_partkey),
+        sizes AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build)
+                       AS n_build_keys,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM bits)
+                       AS n_bits_set)
+        SELECT CAST({BLOOM_M_BITS} AS BIGINT) AS m_bits,
+               CAST({BLOOM_K_HASH} AS BIGINT) AS k_hash,
+               n_build_keys, n_bits_set, n_probe_keys, n_bloom_pass,
+               n_true_members, n_false_pos,
+               CASE WHEN n_probe_keys = n_true_members THEN 0
+                    ELSE n_false_pos * 1000000
+                         // (n_probe_keys - n_true_members) END AS fp_ppm,
+               rows_bloom_pass, rows_exact
+        FROM sizes, key_stats, row_stats
+    """
+}

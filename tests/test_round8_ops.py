@@ -730,3 +730,93 @@ def test_autocorrelation_matches_python(spark):
         want = abs(num) * 1_000_000 // den * (1 if num >= 0 else -1)
         assert r.acf_micro == want
         assert -1_000_000 <= r.acf_micro <= 1_000_000
+
+
+def test_jaccard_linkpred_matches_python(spark):
+    from db_migrator_spark.operators.graph2 import KCORE_MIN_COOC
+    from db_migrator_spark.operators.graph3 import (
+        LINKPRED_HUB_CAP,
+        LINKPRED_TOP_K,
+        graph_jaccard_linkpred,
+    )
+
+    rows = graph_jaccard_linkpred(spark, SF01).collect()
+    assert 0 < len(rows) <= LINKPRED_TOP_K
+    # rebuild the sparsified co-purchase graph in python
+    orders = {}
+    for r in (
+        load_table(spark, SF01, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        orders.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    from collections import Counter
+
+    # join-row multiplicity, not distinct orders: (order, part) repeats
+    # across suppliers and the sparsifier counts every row pair
+    cooc = Counter()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                if ps[i] != ps[j]:
+                    cooc[(ps[i], ps[j])] += 1
+    edges = {p for p, c in cooc.items() if c >= KCORE_MIN_COOC}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    cn = Counter()
+    for w, nbrs in adj.items():
+        if len(nbrs) > LINKPRED_HUB_CAP:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cn[(ns[i], ns[j])] += 1
+    want = {}
+    for (a, b), c in cn.items():
+        if (a, b) in edges:
+            continue
+        da, db = len(adj[a]), len(adj[b])
+        want[(a, b)] = (c, da, db, c * 1_000_000 // (da + db - c))
+    ranked = sorted(
+        want.items(), key=lambda kv: (-kv[1][3], kv[0])
+    )[:LINKPRED_TOP_K]
+    got = [((r.a, r.b), (r.cn, r.deg_a, r.deg_b, r.jaccard_micro)) for r in rows]
+    assert got == ranked
+
+
+def test_bloom_semi_join_matches_python(spark):
+    from db_migrator_spark.operators.sketches import (
+        BLOOM_A1,
+        BLOOM_A2,
+        BLOOM_BUILD_MIN_SIZE,
+        BLOOM_H_PRIME,
+        BLOOM_K_HASH,
+        BLOOM_M_BITS,
+        q_bloom_semi_join,
+    )
+
+    r = q_bloom_semi_join(spark, SF01).collect()[0]
+    part = load_table(spark, SF01, "part").select("p_partkey", "p_size").collect()
+    build = {p.p_partkey for p in part if p.p_size >= BLOOM_BUILD_MIN_SIZE}
+
+    def positions(key):
+        h1 = (key * BLOOM_A1) % BLOOM_H_PRIME
+        h2 = 1 + (key * BLOOM_A2) % BLOOM_H_PRIME
+        return {(h1 + i * h2) % BLOOM_M_BITS for i in range(BLOOM_K_HASH)}
+
+    bits = set()
+    for k in build:
+        bits |= positions(k)
+    li = load_table(spark, SF01, "lineitem").select("l_partkey").collect()
+    probe = {x.l_partkey for x in li}
+    passing = {k for k in probe if positions(k) <= bits}
+    assert passing >= (probe & build)  # no false negatives, ever
+    assert (r.n_build_keys, r.n_bits_set) == (len(build), len(bits))
+    assert (r.n_probe_keys, r.n_bloom_pass) == (len(probe), len(passing))
+    assert r.n_true_members == len(probe & build)
+    assert r.n_false_pos == len(passing - build)
+    assert r.rows_bloom_pass == sum(1 for x in li if x.l_partkey in passing)
+    assert r.rows_exact == sum(1 for x in li if x.l_partkey in build)
