@@ -376,9 +376,98 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic experiment assignment: same salted-md5 mechanics as the
+# corpus splits (engine-exact, re-drawable via the salt), arms split
+# 128/128 of the 256 two-hex-prefix values.
+AB_SALT = "ab-v1"
+AB_ARM_UPPER = "80"
+
+
+def events_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B arm assignment + sample-ratio-mismatch audit:
+    every user hashes into arm A or B (salted md5 prefix, 50/50 by
+    construction), and the audit reports per arm the user count and
+    its exact-ppm share (the SRM check — a share far from 500000 means
+    the assignment or logging is broken), event volume, purchase
+    conversion (converting users ppm), and total purchase value in
+    micros. The experiment-analysis entry point over the events table.
+
+    Scale notes (100 TB): assignment is a pure projection on user_id;
+    the audit is one user-level aggregate (map-side combinable on the
+    user key) followed by a 2-group rollup and a broadcast one-row
+    total. No windows, no collects.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(AB_SALT), F.col("user_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            2,
+        )
+        < AB_ARM_UPPER,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        ev.select(
+            "user_id",
+            arm.alias("arm"),
+            (F.col("event_type") == "purchase").cast("bigint").alias(
+                "is_purchase"
+            ),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1_000_000).cast("bigint"),
+            )
+            .otherwise(0)
+            .alias("v_micro"),
+        )
+        .groupBy("arm", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_purchase").cast("bigint").alias("n_purchases"),
+            F.sum("v_micro").cast("bigint").alias("value_micro"),
+        )
+    )
+    per_arm = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("n_purchases").cast("bigint").alias("n_purchase_events"),
+        F.sum((F.col("n_purchases") > 0).cast("bigint"))
+        .cast("bigint")
+        .alias("converting_users"),
+        F.sum("value_micro").cast("bigint").alias("purchase_value_micro"),
+    )
+    total = per_arm.agg(
+        F.sum("n_users").cast("bigint").alias("total_users")
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(total))
+        .select(
+            "arm",
+            "n_users",
+            F.expr("n_users * 1000000 div total_users").alias(
+                "user_share_ppm"
+            ),
+            "n_events",
+            "n_purchase_events",
+            "converting_users",
+            F.expr("converting_users * 1000000 div n_users").alias(
+                "conv_ppm"
+            ),
+            "purchase_value_micro",
+        )
+        .orderBy("arm")
+    )
+
+
 QUERIES = {
     "events_conversion_lag": events_conversion_lag,
     "events_autocorrelation": events_autocorrelation,
+    "events_ab_assignment": events_ab_assignment,
     "events_funnel_windowed": events_funnel_windowed,
     "q_session_window_native": q_session_window_native,
     "events_inter_arrival": events_inter_arrival,
@@ -387,6 +476,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_ab_assignment": f"""
+        WITH per_user AS (
+            SELECT CASE WHEN substr(md5('{AB_SALT}'
+                                        || CAST(user_id AS VARCHAR)), 1, 2)
+                             < '{AB_ARM_UPPER}'
+                        THEN 'A' ELSE 'B' END AS arm,
+                   user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_purchases,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(FLOOR(value * 1000000) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS value_micro
+            FROM events GROUP BY 1, 2),
+        per_arm AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   CAST(SUM(n_purchases) AS BIGINT) AS n_purchase_events,
+                   CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS converting_users,
+                   CAST(SUM(value_micro) AS BIGINT) AS purchase_value_micro
+            FROM per_user GROUP BY arm),
+        total AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total_users
+                  FROM per_arm)
+        SELECT arm, n_users,
+               n_users * 1000000 // total_users AS user_share_ppm,
+               n_events, n_purchase_events, converting_users,
+               converting_users * 1000000 // n_users AS conv_ppm,
+               purchase_value_micro
+        FROM per_arm, total
+        ORDER BY arm
+    """,
     "events_autocorrelation": """
         WITH daily AS (
             SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,

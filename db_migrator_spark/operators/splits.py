@@ -204,8 +204,64 @@ def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_strategy[0].unionByName(per_strategy[1]).orderBy("strategy")
 
 
+# K-fold cross-validation assignment: same content-hash mechanics as
+# the train split (leakage-safe by construction — byte-identical docs
+# share a fold), five near-equal lexicographic buckets of the 2-hex
+# prefix: 51/51/51/51/52 of 256.
+CV_SALT = "cv-v1"
+CV_FOLD_UPPERS = ("33", "66", "99", "cc")
+
+
+def _fold_col() -> F.Column:
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(CV_SALT), F.col("text")).cast("binary")), 1, 2
+    )
+    col = F.when(bucket < CV_FOLD_UPPERS[0], 0)
+    for i, upper in enumerate(CV_FOLD_UPPERS[1:], start=1):
+        col = col.when(bucket < upper, i)
+    return col.otherwise(len(CV_FOLD_UPPERS))
+
+
+def corpus_crossval_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold audit of the 5-fold content-hash CV assignment: doc and
+    char volume, language coverage, and each fold's exact-ppm share —
+    the balance check a CV harness runs before trusting fold metrics.
+
+    Scale notes (100 TB): assignment is a pure projection (one md5 +
+    four string compares per row, zero shuffle); the audit is one
+    map-side-combined 5-group aggregate plus a broadcast one-row total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_fold = (
+        docs.select(
+            _fold_col().alias("fold"), "lang", "n_chars"
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )
+    total = per_fold.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs")
+    )
+    return (
+        per_fold.crossJoin(F.broadcast(total))
+        .select(
+            "fold",
+            "n_docs",
+            "n_chars",
+            "n_langs",
+            F.expr("n_docs * 1000000 div total_docs").alias("share_ppm"),
+        )
+        .orderBy("fold")
+    )
+
+
 QUERIES = {
     "corpus_train_split": corpus_train_split,
+    "corpus_crossval_folds": corpus_crossval_folds,
     "corpus_split_summary": corpus_split_summary,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_split_leakage_audit": corpus_split_leakage_audit,
@@ -219,7 +275,33 @@ _SPLIT_SQL = f"""
          ELSE 'test' END
 """
 
+_FOLD_SQL = f"""
+    CASE WHEN substr(md5('{CV_SALT}' || text), 1, 2) < '{CV_FOLD_UPPERS[0]}'
+             THEN 0
+         WHEN substr(md5('{CV_SALT}' || text), 1, 2) < '{CV_FOLD_UPPERS[1]}'
+             THEN 1
+         WHEN substr(md5('{CV_SALT}' || text), 1, 2) < '{CV_FOLD_UPPERS[2]}'
+             THEN 2
+         WHEN substr(md5('{CV_SALT}' || text), 1, 2) < '{CV_FOLD_UPPERS[3]}'
+             THEN 3
+         ELSE 4 END
+"""
+
 ORACLES = {
+    "corpus_crossval_folds": f"""
+        WITH per_fold AS (
+            SELECT {_FOLD_SQL} AS fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY 1),
+        total AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs
+                  FROM per_fold)
+        SELECT fold, n_docs, n_chars, n_langs,
+               n_docs * 1000000 // total_docs AS share_ppm
+        FROM per_fold, total
+        ORDER BY fold
+    """,
     "corpus_train_split": f"""
         SELECT doc_id, lang, md5(text) AS content_hash,
                {_SPLIT_SQL} AS split

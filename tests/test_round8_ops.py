@@ -820,3 +820,68 @@ def test_bloom_semi_join_matches_python(spark):
     assert r.n_false_pos == len(passing - build)
     assert r.rows_bloom_pass == sum(1 for x in li if x.l_partkey in passing)
     assert r.rows_exact == sum(1 for x in li if x.l_partkey in build)
+
+
+def test_crossval_folds_partition_documents(spark):
+    import hashlib
+
+    from db_migrator_spark.operators.splits import (
+        CV_FOLD_UPPERS,
+        CV_SALT,
+        corpus_crossval_folds,
+    )
+
+    rows = {r.fold: r for r in corpus_crossval_folds(spark, SF01).collect()}
+    docs = load_table(spark, SF01, "documents").select(
+        "text", "lang", "n_chars"
+    ).collect()
+    want = {}
+    for d in docs:
+        h = hashlib.md5((CV_SALT + d.text).encode()).hexdigest()[:2]
+        fold = sum(1 for u in CV_FOLD_UPPERS if h >= u)
+        st = want.setdefault(fold, [0, 0, set()])
+        st[0] += 1
+        st[1] += d.n_chars
+        st[2].add(d.lang)
+    assert set(rows) == set(want)
+    total = len(docs)
+    for fold, (n, chars, langs) in want.items():
+        r = rows[fold]
+        assert (r.n_docs, r.n_chars, r.n_langs) == (n, chars, len(langs))
+        assert r.share_ppm == n * 1_000_000 // total
+
+
+def test_ab_assignment_srm_and_conversion(spark):
+    import hashlib
+
+    from db_migrator_spark.operators.events3 import (
+        AB_ARM_UPPER,
+        AB_SALT,
+        events_ab_assignment,
+    )
+
+    rows = {r.arm: r for r in events_ab_assignment(spark, SF01).collect()}
+    assert set(rows) == {"A", "B"}
+    ev = load_table(spark, SF01, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    users = {}
+    for e in ev:
+        h = hashlib.md5((AB_SALT + str(e.user_id)).encode()).hexdigest()[:2]
+        arm = "A" if h < AB_ARM_UPPER else "B"
+        st = users.setdefault(e.user_id, [arm, 0, 0, 0])
+        st[1] += 1
+        if e.event_type == "purchase":
+            st[2] += 1
+            st[3] += math.floor(e.value * 1_000_000)
+    for arm in ("A", "B"):
+        us = [u for u in users.values() if u[0] == arm]
+        r = rows[arm]
+        assert r.n_users == len(us)
+        assert r.n_events == sum(u[1] for u in us)
+        assert r.n_purchase_events == sum(u[2] for u in us)
+        assert r.converting_users == sum(1 for u in us if u[2] > 0)
+        assert r.purchase_value_micro == sum(u[3] for u in us)
+        assert r.conv_ppm == r.converting_users * 1_000_000 // r.n_users
+        # SRM check: within 5% of an even split at fixture scale
+        assert abs(r.user_share_ppm - 500_000) < 50_000
