@@ -298,8 +298,102 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Johnson-Lindenstrauss sign projection (round 8): 64 -> JL_OUT_DIMS
+# dims with a +-1 matrix derived from md5 parity (deterministic, no RNG
+# state to ship). Components are quantized to bigints at a POWER-OF-TWO
+# scale first — x * 2^20 is an exponent shift, IEEE-exact in any
+# engine — so every sum is integer and order-free, and the projection
+# gets a full value-hash oracle. At 100 TB this is the ANN preprocessing
+# that cuts every downstream distance computation 8x (embedding_cosine
+# blocking, IVF coarse search) while JL preserves pairwise distances to
+# 1 +- eps; the distortion_ppm column MEASURES that guarantee per
+# vector (E[ratio] = 1e6 under the sign distribution).
+JL_OUT_DIMS = 8
+JL_Q_SCALE = 1 << 20
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"jl-{j}-{i}".encode()).digest()[0] % 2 == 0
+            else -1
+            for i in range(64)
+        ]
+        for j in range(JL_OUT_DIMS)
+    ]
+
+
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector JL sign projection to JL_OUT_DIMS dims (module doc):
+    projected components y0..y{D-1} at 2^20 integer scale, the input
+    and output squared norms, and the norm-preservation ratio
+    distortion_ppm = out_norm2 * 1e6 div (D * in_norm2). Pure codegen
+    array lambdas — zero Python, zero shuffle, one projection pass."""
+    signs = _jl_signs()
+    q = f"CAST(FLOOR(x * {JL_Q_SCALE}) AS BIGINT)"
+    cols = [
+        F.expr(
+            "aggregate(zip_with(CAST(embedding AS array<double>),"
+            f" array({', '.join(str(s) for s in row)}),"
+            f" (x, s) -> {q} * s),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias(f"y{j}")
+        for j, row in enumerate(signs)
+    ]
+    in_norm2 = F.expr(
+        "aggregate(transform(CAST(embedding AS array<double>),"
+        f" x -> {q} * {q}), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    ).alias("in_norm2")
+    emb = load_table(spark, sf_dir, "embeddings")
+    projected = emb.select("vec_id", *cols, in_norm2)
+    out_norm2 = " + ".join(f"y{j} * y{j}" for j in range(JL_OUT_DIMS))
+    return projected.select(
+        "*",
+        F.expr(f"CAST({out_norm2} AS BIGINT)").alias("out_norm2"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST(CAST(out_norm2 AS DECIMAL(38,0)) * 1000000"
+            f" div (CAST({JL_OUT_DIMS} AS DECIMAL(38,0)) * in_norm2)"
+            " AS BIGINT)"
+        ).alias("distortion_ppm"),
+    ).orderBy("vec_id")
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    q = f"CAST(FLOOR(x * {JL_Q_SCALE}) AS BIGINT)"
+    ys = ",\n                   ".join(
+        "CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),"
+        f" (x, i) -> {q} * ([{', '.join(str(s) for s in row)}])[i]))"
+        f" AS BIGINT) AS y{j}"
+        for j, row in enumerate(signs)
+    )
+    out_norm2 = " + ".join(f"y{j} * y{j}" for j in range(JL_OUT_DIMS))
+    return f"""
+        WITH projected AS (
+            SELECT vec_id,
+                   {ys},
+                   CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> {q} * {q})) AS BIGINT) AS in_norm2
+            FROM embeddings),
+        normed AS (
+            SELECT *, CAST({out_norm2} AS BIGINT) AS out_norm2
+            FROM projected)
+        SELECT *, CAST(CAST(out_norm2 AS HUGEINT) * 1000000
+                       // (CAST({JL_OUT_DIMS} AS HUGEINT) * in_norm2)
+                       AS BIGINT) AS distortion_ppm
+        FROM normed
+        ORDER BY vec_id
+    """
+
+
 QUERIES = {
     "q_embedding_centroids": q_embedding_centroids,
+    "embedding_jl_projection": embedding_jl_projection,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_knn_join": similarity_knn_join,
     "similarity_lsh_pairs": similarity_lsh_pairs,
@@ -308,6 +402,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_jl_projection": _jl_oracle(),
     # generate_series instead of UNNEST WITH ORDINALITY (absent in this
     # DuckDB); all fixture embeddings are 64-dim (pinned in tests).
     "q_embedding_centroids": """

@@ -123,12 +123,75 @@ def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_word_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity, log-free: token count, distinct
+    vocabulary, type-token ratio in ppm, and the Gini-Simpson index
+    1 - sum(p_w^2) — the diversity measure that stays RATIONAL
+    (entropy needs log; Simpson is pure count arithmetic):
+    simpson_ppm = (n^2 - sum(c_w^2)) * 1e6 div n^2. A low value flags
+    boilerplate/repetition floods per doc — the per-document
+    counterpart of the corpus-level Zipf audit above.
+
+    Plan: one (doc_id, word) count aggregate, one doc rollup — both
+    map-side combinable; the squared-count sum rides DECIMAL(38,0) so
+    a pathological one-word giant doc can't wrap (c^2 <= 1e12 at a
+    million-token doc, summed ~1e12 per doc, 1e6-scaled ~1e24).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sq"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.expr("n_distinct * 1000000 div n_tokens").alias("ttr_ppm"),
+        F.expr(
+            "CAST((CAST(n_tokens AS DECIMAL(38,0)) * n_tokens - sq)"
+            " * 1000000 div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)"
+            " AS BIGINT)"
+        ).alias("simpson_ppm"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "text_readability": text_readability,
     "text_zipf_check": text_zipf_check,
+    "text_word_diversity": text_word_diversity,
 }
 
 ORACLES = {
+    "text_word_diversity": """
+        WITH wc AS (
+            SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w != ''
+            GROUP BY doc_id, w),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   SUM(CAST(c AS HUGEINT) * c) AS sq
+            FROM wc GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_distinct,
+               n_distinct * 1000000 // n_tokens AS ttr_ppm,
+               CAST((CAST(n_tokens AS HUGEINT) * n_tokens - sq) * 1000000
+                    // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+                   AS simpson_ppm
+        FROM per_doc
+        ORDER BY doc_id
+    """,
     "text_zipf_check": f"""
         WITH counts AS (
             SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -885,3 +885,49 @@ def test_ab_assignment_srm_and_conversion(spark):
         assert r.conv_ppm == r.converting_users * 1_000_000 // r.n_users
         # SRM check: within 5% of an even split at fixture scale
         assert abs(r.user_share_ppm - 500_000) < 50_000
+
+
+def test_jl_projection_matches_python(spark):
+    from db_migrator_spark.operators.similarity import (
+        JL_OUT_DIMS,
+        JL_Q_SCALE,
+        _jl_signs,
+        embedding_jl_projection,
+    )
+
+    rows = {r.vec_id: r for r in embedding_jl_projection(spark, SF01).collect()}
+    emb = load_table(spark, SF01, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    signs = _jl_signs()
+    assert len(rows) == len(emb)
+    for e in emb[:50]:
+        q = [math.floor(float(x) * JL_Q_SCALE) for x in e.embedding]
+        ys = [sum(s * qi for s, qi in zip(row, q)) for row in signs]
+        r = rows[e.vec_id]
+        assert [getattr(r, f"y{j}") for j in range(JL_OUT_DIMS)] == ys
+        in_n2 = sum(x * x for x in q)
+        out_n2 = sum(y * y for y in ys)
+        assert (r.in_norm2, r.out_norm2) == (in_n2, out_n2)
+        assert r.distortion_ppm == out_n2 * 1_000_000 // (JL_OUT_DIMS * in_n2)
+    # JL guarantee in aggregate: mean distortion within 25% of unity
+    mean = sum(r.distortion_ppm for r in rows.values()) // len(rows)
+    assert 750_000 < mean < 1_250_000
+
+
+def test_word_diversity_matches_python(spark):
+    from collections import Counter
+
+    from db_migrator_spark.operators.text_metrics import text_word_diversity
+
+    rows = {r.doc_id: r for r in text_word_diversity(spark, SF01).collect()}
+    docs = load_table(spark, SF01, "documents").select("doc_id", "text").collect()
+    for d in docs[:50]:
+        c = Counter(w for w in d.text.split(" ") if w)
+        n = sum(c.values())
+        sq = sum(v * v for v in c.values())
+        r = rows[d.doc_id]
+        assert (r.n_tokens, r.n_distinct) == (n, len(c))
+        assert r.ttr_ppm == len(c) * 1_000_000 // n
+        assert r.simpson_ppm == (n * n - sq) * 1_000_000 // (n * n)
+        assert 0 <= r.simpson_ppm < 1_000_000
