@@ -614,3 +614,53 @@ def test_fk_discovery_joins_distinct_sets(spark):
     plan = plan_string(q_fk_discovery(spark, SF))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_semi_join_broadcasts_bits_no_cartesian(spark):
+    """The bloom bit set and membership sets must broadcast (they are
+    the serialized filter — <= M rows by construction); the probe side
+    never shuffles by key, and nothing degenerates to a cartesian."""
+    from db_migrator_spark.operators.sketches import q_bloom_semi_join
+
+    plan = plan_string(q_bloom_semi_join(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_linkpred_topk_is_take_ordered(spark):
+    """The top-K cut must be TakeOrdered, never a global Sort of the
+    candidate-pair relation."""
+    from db_migrator_spark.operators.graph3 import graph_jaccard_linkpred
+
+    plan = plan_string(graph_jaccard_linkpred(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_jl_projection_single_scan_no_shuffle(spark):
+    """The JL projection is a pure projection: one embeddings scan,
+    zero Exchange below the output sort."""
+    from db_migrator_spark.operators.similarity import embedding_jl_projection
+
+    import re
+
+    plan = plan_string(embedding_jl_projection(spark, SF))
+    # formatted mode lists each node once in the tree and once in the
+    # detail section — one scan appears as exactly one "(n) Scan" detail
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:1500]
+    # the only allowed exchange is the final presentation orderBy's
+    # rangepartitioning; no hash-partition (aggregation/join) exchange
+    hash_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert hash_ex == [], hash_ex
+
+
+def test_ab_assignment_pure_projection_then_two_aggs(spark):
+    """Arm assignment must not shuffle events by anything except the
+    user-keyed aggregate; no joins of the big side."""
+    from db_migrator_spark.operators.events3 import events_ab_assignment
+
+    plan = plan_string(events_ab_assignment(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # totals come in as broadcast
