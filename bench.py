@@ -71,6 +71,10 @@ HEADLINE = [
     "similarity_mmr",
     "graph_label_propagation",
     "eval_roc_auc",
+    # round-8b representatives: link prediction (the round's heaviest
+    # new graph shape) and the bloom-pruned semi-join audit.
+    "graph_jaccard_linkpred",
+    "q_bloom_semi_join",
 ]
 
 # Queries added to HEADLINE after round 1 — reported separately so the
@@ -94,6 +98,8 @@ ADDED_AFTER_R1 = {
     "similarity_mmr",
     "graph_label_propagation",
     "eval_roc_auc",
+    "graph_jaccard_linkpred",
+    "q_bloom_semi_join",
 }
 
 
