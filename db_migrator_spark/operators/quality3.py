@@ -206,13 +206,181 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor over lineitem — the storage-layout
+    audit a 100 TB table owner runs before picking parquet encodings:
+    per column, global cardinality (dictionary viability), run
+    structure under the table's unique key order (RLE viability), and
+    the max adjacent delta (delta-encoding bit width). Output: one row
+    per audited column with n_rows, n_distinct, distinct_ppm, n_runs,
+    rle_save_ppm = (n_rows - n_runs) * 1e6 div n_rows, and
+    max_abs_delta (quantized micros / epoch-days; NULL for strings).
+
+    Runs are counted WITHIN each order's line group (partition by
+    l_orderkey, ordered by the unique key (l_partkey, l_suppkey)) —
+    deterministic at any parallelism, and the realistic model of
+    row-group-local encoding: a global row order does not survive
+    distributed writes anyway. The multi-column distinct counts expand
+    to one pass per column at this size; at 100 TB swap them for the
+    HLL sketch tier (q_hll_distinct_by_type) — the run/delta stats
+    stay exact one-pass either way.
+    """
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_partkey", "l_suppkey")
+    vals = {
+        "l_returnflag": F.col("l_returnflag"),
+        "l_linestatus": F.col("l_linestatus"),
+        "l_suppkey": F.col("l_suppkey"),
+        "l_quantity": F.floor(F.col("l_quantity") * 1_000_000).cast(
+            "bigint"
+        ),
+        "l_extendedprice": F.floor(
+            F.col("l_extendedprice") * 1_000_000
+        ).cast("bigint"),
+        "l_shipdate": F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"
+        ),
+    }
+    numeric = {"l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate"}
+    proj = li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        *[v.alias(f"v_{c}") for c, v in vals.items()],
+    )
+    flagged = proj.select(
+        *[
+            F.when(
+                F.lag(f"v_{c}").over(w).isNull()
+                | (F.lag(f"v_{c}").over(w) != F.col(f"v_{c}")),
+                1,
+            )
+            .otherwise(0)
+            .alias(f"nr_{c}")
+            for c in vals
+        ],
+        *[
+            F.abs(F.col(f"v_{c}") - F.lag(f"v_{c}").over(w)).alias(
+                f"d_{c}"
+            )
+            for c in numeric
+        ],
+        *[F.col(f"v_{c}") for c in vals],
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.countDistinct(f"v_{c}").cast("bigint").alias(f"nd_{c}")
+            for c in vals
+        ],
+        *[F.sum(f"nr_{c}").cast("bigint").alias(f"runs_{c}") for c in vals],
+        *[
+            F.max(f"d_{c}").cast("bigint").alias(f"maxd_{c}")
+            for c in numeric
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{c}', nd_{c}, runs_{c}, "
+        + (f"maxd_{c}" if c in numeric else "CAST(NULL AS BIGINT)")
+        for c in vals
+    )
+    return (
+        agg.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(vals)}, {stack_args})"
+                " AS (col_name, n_distinct, n_runs, max_abs_delta)"
+            ),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_distinct",
+            F.expr("n_distinct * 1000000 div n_rows").alias("distinct_ppm"),
+            "n_runs",
+            F.expr(
+                "(n_rows - n_runs) * 1000000 div n_rows"
+            ).alias("rle_save_ppm"),
+            "max_abs_delta",
+        )
+        .orderBy("col_name")
+    )
+
+
 QUERIES = {
+    "q_encoding_audit": q_encoding_audit,
     "q_percentile_cont": q_percentile_cont,
     "q_decile_lift_table": q_decile_lift_table,
     "q_pareto_frontier": q_pareto_frontier,
 }
 
+def _encoding_audit_oracle() -> str:
+    vals = {
+        "l_returnflag": "l_returnflag",
+        "l_linestatus": "l_linestatus",
+        "l_suppkey": "l_suppkey",
+        "l_quantity": "CAST(FLOOR(l_quantity * 1000000) AS BIGINT)",
+        "l_extendedprice": (
+            "CAST(FLOOR(l_extendedprice * 1000000) AS BIGINT)"
+        ),
+        "l_shipdate": (
+            "epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000"
+        ),
+    }
+    numeric = {"l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate"}
+    proj = ",\n                   ".join(
+        f"{expr} AS v_{c}" for c, expr in vals.items()
+    )
+    flags = ",\n                   ".join(
+        f"CASE WHEN LAG(v_{c}) OVER w IS NULL"
+        f" OR LAG(v_{c}) OVER w != v_{c} THEN 1 ELSE 0 END AS nr_{c}"
+        for c in vals
+    )
+    deltas = ",\n                   ".join(
+        f"ABS(v_{c} - LAG(v_{c}) OVER w) AS d_{c}" for c in numeric
+    )
+    aggs = ",\n                   ".join(
+        f"CAST(COUNT(DISTINCT v_{c}) AS BIGINT) AS nd_{c},"
+        f" CAST(SUM(nr_{c}) AS BIGINT) AS runs_{c}"
+        for c in vals
+    ) + "," + ",\n                   ".join(
+        f"CAST(MAX(d_{c}) AS BIGINT) AS maxd_{c}" for c in numeric
+    )
+    arms = "\n        UNION ALL\n".join(
+        f"""        SELECT '{c}' AS col_name, n_rows, nd_{c} AS n_distinct,
+               nd_{c} * 1000000 // n_rows AS distinct_ppm,
+               runs_{c} AS n_runs,
+               (n_rows - runs_{c}) * 1000000 // n_rows AS rle_save_ppm,
+               {f'maxd_{c}' if c in numeric else 'CAST(NULL AS BIGINT)'}
+                   AS max_abs_delta
+        FROM agg"""
+        for c in vals
+    )
+    return f"""
+        WITH proj AS (
+            SELECT l_orderkey, l_partkey, l_suppkey,
+                   {proj}
+            FROM lineitem),
+        flagged AS (
+            SELECT *,
+                   {flags},
+                   {deltas}
+            FROM proj
+            WINDOW w AS (PARTITION BY l_orderkey
+                         ORDER BY l_partkey, l_suppkey)),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   {aggs}
+            FROM flagged)
+{arms}
+        ORDER BY col_name
+    """
+
+
 ORACLES = {
+    "q_encoding_audit": _encoding_audit_oracle(),
     # Naive dominance-join twin: a part survives iff NO same-brand part
     # strictly dominates it — proves the sorted-scan rewrite exact.
     "q_pareto_frontier": """

@@ -931,3 +931,54 @@ def test_word_diversity_matches_python(spark):
         assert r.ttr_ppm == len(c) * 1_000_000 // n
         assert r.simpson_ppm == (n * n - sq) * 1_000_000 // (n * n)
         assert 0 <= r.simpson_ppm < 1_000_000
+
+
+def test_encoding_audit_matches_python(spark):
+    from db_migrator_spark.operators.quality3 import q_encoding_audit
+
+    rows = {r.col_name: r for r in q_encoding_audit(spark, SF01).collect()}
+    li = (
+        load_table(spark, SF01, "lineitem")
+        .select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+            "l_quantity",
+            F.expr(
+                "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"
+            ).alias("ship_day"),
+        )
+        .collect()
+    )
+    li.sort(key=lambda r: (r.l_orderkey, r.l_partkey, r.l_suppkey))
+    n = len(li)
+    for col, conv in {
+        "l_returnflag": lambda r: r.l_returnflag,
+        "l_quantity": lambda r: math.floor(r.l_quantity * 1_000_000),
+        "l_shipdate": lambda r: r.ship_day,
+    }.items():
+        runs = 0
+        maxd = None
+        prev_key = None
+        prev_val = None
+        distinct = set()
+        for r in li:
+            v = conv(r)
+            distinct.add(v)
+            if prev_key != r.l_orderkey or prev_val != v:
+                runs += 1
+            if (
+                col != "l_returnflag"
+                and prev_key == r.l_orderkey
+                and prev_val is not None
+            ):
+                d = abs(v - prev_val)
+                maxd = d if maxd is None else max(maxd, d)
+            prev_key, prev_val = r.l_orderkey, v
+        row = rows[col]
+        assert (row.n_rows, row.n_distinct, row.n_runs) == (
+            n, len(distinct), runs,
+        )
+        assert row.rle_save_ppm == (n - runs) * 1_000_000 // n
+        if col == "l_returnflag":
+            assert row.max_abs_delta is None
+        else:
+            assert row.max_abs_delta == maxd
