@@ -85,12 +85,15 @@ _MODULES = [
 #   3. green/rows-only, oldest evidence first.
 #
 # Drain schedule (updated end of r8): the window now carries the 6 r7-red
-# rows, then every never-checked query (21 from r7 + the r8 additions),
-# then the stalest greens in the remaining slots. The ~40 stale greens
-# that miss r8's window cycle through r9/r10; once the backlog clears,
-# the rotation degenerates to plain oldest-first refresh. New-query
-# rounds deliberately displace stale greens — a never-checked query has
-# NO driver evidence while a stale green has old-but-real evidence.
+# rows, then every never-checked query (21 from r7 + the ~40 r8
+# additions — more than one 50-slot window, so the r8b/c batches spill
+# into r9's window), then the stalest greens in the remaining slots.
+# The ~40 stale greens queue behind them through r9/r10; once the
+# backlog clears, the rotation degenerates to plain oldest-first
+# refresh. New-query rounds deliberately displace stale greens — a
+# never-checked query has NO driver evidence while a stale green has
+# old-but-real evidence, and every never-checked query already carries
+# the locally-reproducible sf0.01+sf1 oracle proof from commit time.
 def _evidence_order(names: list[str], oracles: dict[str, str]) -> list[str]:
     import glob as globmod
     import json
