@@ -309,8 +309,70 @@ def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED price percentiles per return flag — "the price
+    at which half the shipped units are cheaper", which no unweighted
+    percentile op answers (a 50-unit line moves the answer 50x more
+    than a 1-unit line). Exact lower weighted percentile: the smallest
+    value v whose cumulative weight reaches the target fraction of
+    total weight, selected by integer cross-multiplication
+    (2*cumw >= W for the median, 10*cumw >= 9*W for p90).
+
+    Scale notes (100 TB): the row stream collapses to DISTINCT values
+    per group first (one map-side-combined aggregate), the running sum
+    runs over that bounded support per group key — the same shape as
+    the KS statistic — and ties inside a value block can't change the
+    selected value by construction (selection is min-v over a
+    per-block condition). No global windows, no collect.
+    """
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 1_000_000)
+            .cast("bigint")
+            .alias("v"),
+            F.floor(F.col("l_quantity")).cast("bigint").alias("w"),
+        )
+        .groupBy("l_returnflag", "v")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "l_returnflag", "v", F.sum("w").over(wcum).alias("cumw")
+    )
+    totals = cells.groupBy("l_returnflag").agg(
+        F.sum("w").cast("bigint").alias("total_w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+    )
+    return (
+        cum.join(F.broadcast(totals), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("total_w").alias("total_w"),
+            F.max("n_values").alias("n_values"),
+            F.min(
+                F.when(F.col("cumw") * 2 >= F.col("total_w"), F.col("v"))
+            ).alias("wmedian_micro"),
+            F.min(
+                F.when(
+                    F.col("cumw") * 10 >= F.col("total_w") * 9, F.col("v")
+                )
+            ).alias("wp90_micro"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q_encoding_audit": q_encoding_audit,
+    "q_weighted_percentiles": q_weighted_percentiles,
     "q_percentile_cont": q_percentile_cont,
     "q_decile_lift_table": q_decile_lift_table,
     "q_pareto_frontier": q_pareto_frontier,
@@ -381,6 +443,34 @@ def _encoding_audit_oracle() -> str:
 
 ORACLES = {
     "q_encoding_audit": _encoding_audit_oracle(),
+    "q_weighted_percentiles": """
+        WITH cells AS (
+            SELECT l_returnflag,
+                   CAST(FLOOR(l_extendedprice * 1000000) AS BIGINT) AS v,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS w
+            FROM lineitem GROUP BY 1, 2),
+        cum AS (
+            SELECT l_returnflag, v,
+                   SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cumw
+            FROM cells),
+        totals AS (
+            SELECT l_returnflag,
+                   CAST(SUM(w) AS BIGINT) AS total_w,
+                   CAST(COUNT(*) AS BIGINT) AS n_values
+            FROM cells GROUP BY 1)
+        SELECT c.l_returnflag,
+               MAX(t.total_w) AS total_w,
+               MAX(t.n_values) AS n_values,
+               MIN(CASE WHEN c.cumw * 2 >= t.total_w THEN c.v END)
+                   AS wmedian_micro,
+               MIN(CASE WHEN c.cumw * 10 >= t.total_w * 9 THEN c.v END)
+                   AS wp90_micro
+        FROM cum c JOIN totals t ON t.l_returnflag = c.l_returnflag
+        GROUP BY c.l_returnflag
+        ORDER BY c.l_returnflag
+    """,
     # Naive dominance-join twin: a part survives iff NO same-brand part
     # strictly dominates it — proves the sorted-scan rewrite exact.
     "q_pareto_frontier": """

@@ -982,3 +982,38 @@ def test_encoding_audit_matches_python(spark):
             assert row.max_abs_delta is None
         else:
             assert row.max_abs_delta == maxd
+
+
+def test_weighted_percentiles_match_python(spark):
+    from db_migrator_spark.operators.quality3 import q_weighted_percentiles
+
+    rows = {
+        r.l_returnflag: r for r in q_weighted_percentiles(spark, SF01).collect()
+    }
+    li = load_table(spark, SF01, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    groups = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            (math.floor(r.l_extendedprice * 1_000_000),
+             math.floor(r.l_quantity))
+        )
+    assert set(rows) == set(groups)
+    for flag, vw in groups.items():
+        agg = {}
+        for v, w in vw:
+            agg[v] = agg.get(v, 0) + w
+        total = sum(agg.values())
+        cum = 0
+        wmed = wp90 = None
+        for v in sorted(agg):
+            cum += agg[v]
+            if wmed is None and cum * 2 >= total:
+                wmed = v
+            if wp90 is None and cum * 10 >= total * 9:
+                wp90 = v
+        r = rows[flag]
+        assert (r.total_w, r.n_values) == (total, len(agg))
+        assert (r.wmedian_micro, r.wp90_micro) == (wmed, wp90)
+        assert wmed <= wp90
