@@ -169,11 +169,46 @@ def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "version_n")
 
 
+# Point-in-time for the as-of reconstruction below; deliberately the
+# same date as the drift pivot so the snapshot slices mid-history.
+SCD2_SNAPSHOT_TS = "1998-07-01"
+
+
+def q_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: reconstruct every customer's
+    dimension row AS OF ``SCD2_SNAPSHOT_TS`` — the consumer side of
+    ``q_scd2_dimension`` (what was this customer's priority when the
+    order shipped?). A row is in the snapshot when its validity
+    interval covers the timestamp: effective_from <= t and
+    (effective_to is NULL or effective_to > t). Exactly one version
+    per customer with history at t, by the half-open interval
+    construction.
+
+    Plan: the SCD2 build's single keyed Exchange + its two windows,
+    then a filter — the snapshot adds no shuffle. At 100 TB the filter
+    lands on the versions relation (run count, not history count).
+    """
+    ts = F.lit(SCD2_SNAPSHOT_TS).cast("timestamp")
+    dim = q_scd2_dimension(spark, sf_dir)
+    return (
+        dim.filter(
+            (F.col("effective_from") <= ts)
+            & (F.col("effective_to").isNull() | (F.col("effective_to") > ts))
+        )
+        .select(
+            "o_custkey", "version_n", "priority", "effective_from",
+            "effective_to",
+        )
+        .orderBy("o_custkey")
+    )
+
+
 QUERIES = {
     "q_merge_upsert": q_merge_upsert,
     "q_change_capture": q_change_capture,
     "q_incremental_agg_refresh": q_incremental_agg_refresh,
     "q_scd2_dimension": q_scd2_dimension,
+    "q_scd2_asof_snapshot": q_scd2_asof_snapshot,
 }
 
 _DELTA_SQL = """
@@ -213,6 +248,31 @@ ORACLES = {
         FROM merged
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
+    """,
+    "q_scd2_asof_snapshot": """
+        WITH runs AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                   LAG(o_orderpriority) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev_p
+            FROM orders),
+        changes AS (
+            SELECT * FROM runs
+            WHERE prev_p IS NULL OR prev_p <> o_orderpriority),
+        dim AS (
+            SELECT o_custkey,
+                   CAST(ROW_NUMBER() OVER w AS INTEGER) AS version_n,
+                   o_orderpriority AS priority,
+                   o_orderdate AS effective_from,
+                   LEAD(o_orderdate) OVER w AS effective_to
+            FROM changes
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey))
+        SELECT o_custkey, version_n, priority, effective_from, effective_to
+        FROM dim
+        WHERE effective_from <= TIMESTAMP '1998-07-01'
+          AND (effective_to IS NULL OR effective_to > TIMESTAMP '1998-07-01')
+        ORDER BY o_custkey
     """,
     "q_scd2_dimension": """
         WITH runs AS (

@@ -1017,3 +1017,27 @@ def test_weighted_percentiles_match_python(spark):
         assert (r.total_w, r.n_values) == (total, len(agg))
         assert (r.wmedian_micro, r.wp90_micro) == (wmed, wp90)
         assert wmed <= wp90
+
+
+def test_scd2_asof_snapshot_one_version_per_customer(spark):
+    import datetime
+
+    from db_migrator_spark.operators.incremental import (
+        SCD2_SNAPSHOT_TS,
+        q_scd2_asof_snapshot,
+        q_scd2_dimension,
+    )
+
+    snap = q_scd2_asof_snapshot(spark, SF01).collect()
+    keys = [r.o_custkey for r in snap]
+    assert len(keys) == len(set(keys))  # at most one version per customer
+    ts = datetime.datetime.fromisoformat(SCD2_SNAPSHOT_TS)
+    for r in snap[:100]:
+        assert r.effective_from <= ts
+        assert r.effective_to is None or r.effective_to > ts
+    # exactly the customers whose history starts at or before the ts
+    dim = q_scd2_dimension(spark, SF01).collect()
+    started = {
+        r.o_custkey for r in dim if r.version_n == 1 and r.effective_from <= ts
+    }
+    assert set(keys) == started
