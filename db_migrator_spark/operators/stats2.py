@@ -177,12 +177,104 @@ def q_drift_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+# Privacy audit thresholds: a quasi-identifier equivalence class is
+# k-anonymous at K_ANON and l-diverse when its sensitive attribute
+# takes at least L_DIVERSE distinct values (Sweeney 2002; Machanavajjhala
+# et al. 2007 — public foundations of release auditing).
+K_ANON = 5
+L_DIVERSE = 2
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-readiness privacy audit of the customer table: group by
+    the quasi-identifier pair (nation, market segment), report each
+    equivalence class's size and the diversity of the sensitive
+    attribute (account-balance thousand-bucket), flag k-anonymity
+    (size >= K_ANON) and l-diversity (distinct >= L_DIVERSE), plus a
+    total row (c_nationkey = -1, c_mktsegment = '*') carrying the
+    record total, the WORST-class diversity, and flags that hold only
+    if EVERY class passes — the one-glance gate before sharing a
+    dataset derived from this table.
+
+    Scale notes (100 TB): one (QI, sensitive) aggregate collapses rows
+    to distinct cells, one QI rollup — both map-side combinable; the
+    audit relation is classes-sized (|nations| x |segments|).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    sens = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    cells = (
+        cust.select(
+            "c_nationkey", "c_mktsegment", sens.alias("s")
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    classes = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("bigint").alias("class_size"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_sensitive"),
+    ).select(
+        "*",
+        (F.col("class_size") >= K_ANON).alias("is_k_anon"),
+        (F.col("distinct_sensitive") >= L_DIVERSE).alias("is_l_diverse"),
+    )
+    total = (
+        classes.agg(
+            F.sum("class_size").cast("bigint").alias("class_size"),
+            F.min("distinct_sensitive").cast("bigint").alias(
+                "distinct_sensitive"
+            ),
+            F.min(F.col("is_k_anon").cast("int")).cast("boolean").alias(
+                "is_k_anon"
+            ),
+            F.min(F.col("is_l_diverse").cast("int")).cast("boolean").alias(
+                "is_l_diverse"
+            ),
+        )
+        .select(
+            F.lit(-1).cast("int").alias("c_nationkey"),
+            F.lit("*").alias("c_mktsegment"),
+            "class_size",
+            "distinct_sensitive",
+            "is_k_anon",
+            "is_l_diverse",
+        )
+    )
+    return classes.unionByName(total).orderBy("c_nationkey", "c_mktsegment")
+
+
 QUERIES = {
     "q_outlier_iqr": q_outlier_iqr,
     "q_drift_effect_size": q_drift_effect_size,
+    "q_k_anonymity_audit": q_k_anonymity_audit,
 }
 
 ORACLES = {
+    "q_k_anonymity_audit": f"""
+        WITH cells AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2, 3),
+        classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(SUM(n) AS BIGINT) AS class_size,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_sensitive
+            FROM cells GROUP BY 1, 2),
+        flagged AS (
+            SELECT *, class_size >= {K_ANON} AS is_k_anon,
+                   distinct_sensitive >= {L_DIVERSE} AS is_l_diverse
+            FROM classes)
+        SELECT c_nationkey, c_mktsegment, class_size, distinct_sensitive,
+               is_k_anon, is_l_diverse
+        FROM flagged
+        UNION ALL
+        SELECT -1, '*', CAST(SUM(class_size) AS BIGINT),
+               CAST(MIN(distinct_sensitive) AS BIGINT),
+               CAST(MIN(CAST(is_k_anon AS INTEGER)) AS BOOLEAN),
+               CAST(MIN(CAST(is_l_diverse AS INTEGER)) AS BOOLEAN)
+        FROM flagged
+        ORDER BY c_nationkey, c_mktsegment
+    """,
     "q_outlier_iqr": """
         WITH base AS (
             SELECT o_orderpriority, o_orderkey,

@@ -1041,3 +1041,35 @@ def test_scd2_asof_snapshot_one_version_per_customer(spark):
         r.o_custkey for r in dim if r.version_n == 1 and r.effective_from <= ts
     }
     assert set(keys) == started
+
+
+def test_k_anonymity_audit_matches_python(spark):
+    from db_migrator_spark.operators.stats2 import (
+        K_ANON,
+        L_DIVERSE,
+        q_k_anonymity_audit,
+    )
+
+    rows = q_k_anonymity_audit(spark, SF01).collect()
+    total = [r for r in rows if r.c_nationkey == -1]
+    classes = [r for r in rows if r.c_nationkey >= 0]
+    assert len(total) == 1
+    cust = load_table(spark, SF01, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    want = {}
+    for c in cust:
+        key = (c.c_nationkey, c.c_mktsegment)
+        want.setdefault(key, []).append(math.floor(c.c_acctbal / 1000))
+    assert {(r.c_nationkey, r.c_mktsegment) for r in classes} == set(want)
+    for r in classes:
+        vs = want[(r.c_nationkey, r.c_mktsegment)]
+        assert r.class_size == len(vs)
+        assert r.distinct_sensitive == len(set(vs))
+        assert r.is_k_anon == (len(vs) >= K_ANON)
+        assert r.is_l_diverse == (len(set(vs)) >= L_DIVERSE)
+    t = total[0]
+    assert t.class_size == len(cust)
+    assert t.distinct_sensitive == min(r.distinct_sensitive for r in classes)
+    assert t.is_k_anon == all(r.is_k_anon for r in classes)
+    assert t.is_l_diverse == all(r.is_l_diverse for r in classes)
