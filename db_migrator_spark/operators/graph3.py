@@ -57,11 +57,10 @@ def _sparse_arcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community label per node after ``LPROP_ROUNDS`` synchronous
-    majority rounds, with each community's final size — most-populous
-    communities first."""
-    arcs = _sparse_arcs(spark, sf_dir).localCheckpoint()
+def _lprop_labels(arcs: DataFrame) -> DataFrame:
+    """Final (u, lbl) relation after ``LPROP_ROUNDS`` synchronous
+    majority rounds (the loop both graph_label_propagation and
+    graph_modularity share)."""
     labels = arcs.select("u").distinct().select(
         "u", F.col("u").alias("lbl")
     )
@@ -79,6 +78,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if (it + 1) % LPROP_CKPT_EVERY == 0 and it + 1 < LPROP_ROUNDS:
             labels = labels.localCheckpoint()
+    return labels
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community label per node after ``LPROP_ROUNDS`` synchronous
+    majority rounds, with each community's final size — most-populous
+    communities first."""
+    arcs = _sparse_arcs(spark, sf_dir).localCheckpoint()
+    labels = _lprop_labels(arcs)
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")
     )
@@ -242,11 +250,161 @@ def _linkpred_oracle() -> str:
     """
 
 
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities, EXACT:
+    with ac = |arcs| (= 2m) and per community c its intra-arc count
+    ia_c (= 2*e_c) and degree sum d_c, the contribution
+    e_c/m - (d_c/2m)^2 scaled by 4m^2 is the INTEGER ac*ia_c - d_c^2
+    (4m*e_c = ac*ia_c exactly), so per-community and total Q surface
+    in micros via one truncating div by ac^2 — the quality score that
+    tells you whether the propagation found real structure (Q > 0) or
+    noise. Output: per community n_nodes / intra_arcs / degree_sum /
+    q_contrib_micro, plus the total row (community = -1) whose
+    q_contrib_micro IS the graph's modularity in micros.
+
+    Scale notes (100 TB): two label joins of the arc list (the same
+    keyed-shuffle shape as one propagation round), one community
+    aggregate, one broadcast of the one-row (ac) scalar. Everything
+    integer; contributions bounded by ac^2 * 1e6 in DECIMAL(38,0).
+    """
+    arcs = _sparse_arcs(spark, sf_dir).localCheckpoint()
+    labels = _lprop_labels(arcs)
+    ac_df = arcs.agg(F.count(F.lit(1)).cast("bigint").alias("ac"))
+    lu = labels.select(F.col("u"), F.col("lbl").alias("lbl_u"))
+    lv = labels.select(F.col("u").alias("v"), F.col("lbl").alias("lbl_v"))
+    intra = (
+        arcs.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lbl_u") == F.col("lbl_v"))
+        .groupBy(F.col("lbl_u").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_arcs"))
+    )
+    deg = arcs.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    dsum = (
+        deg.join(labels, "u")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        )
+    )
+    per = (
+        dsum.join(intra, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("intra_arcs"), F.lit(0)).alias("intra_arcs"),
+            "degree_sum",
+        )
+        .crossJoin(F.broadcast(ac_df))
+    )
+    contrib = (
+        "CAST((CAST(ac AS DECIMAL(38,0)) * intra_arcs"
+        " - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum) * 1000000"
+        " div (CAST(ac AS DECIMAL(38,0)) * ac) AS BIGINT)"
+    )
+    classes = per.select(
+        "community",
+        "n_nodes",
+        "intra_arcs",
+        "degree_sum",
+        F.expr(contrib).alias("q_contrib_micro"),
+    )
+    total = (
+        per.groupBy()
+        .agg(
+            F.sum("n_nodes").cast("bigint").alias("n_nodes"),
+            F.sum("intra_arcs").cast("bigint").alias("intra_arcs"),
+            F.sum("degree_sum").cast("bigint").alias("degree_sum"),
+            F.sum(
+                F.expr(
+                    "CAST(ac AS DECIMAL(38,0)) * intra_arcs"
+                    " - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum"
+                )
+            ).alias("num"),
+            F.max("ac").alias("ac"),
+        )
+        .select(
+            F.lit(-1).cast("bigint").alias("community"),
+            "n_nodes",
+            "intra_arcs",
+            "degree_sum",
+            F.expr(
+                "CAST(num * 1000000 div (CAST(ac AS DECIMAL(38,0)) * ac)"
+                " AS BIGINT)"
+            ).alias("q_contrib_micro"),
+        )
+    )
+    return classes.unionByName(total).orderBy("community")
+
+
+def _modularity_oracle() -> str:
+    return f"""
+        SELECT * FROM (
+        WITH lp AS MATERIALIZED (
+            {_lprop_oracle().replace(chr(10), chr(10) + '    ')}
+        ),
+        arcs2 AS MATERIALIZED (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {KCORE_MIN_COOC}),
+        arcs AS MATERIALIZED (
+            SELECT u, v FROM arcs2
+            UNION ALL
+            SELECT v AS u, u AS v FROM arcs2),
+        ac_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS ac FROM arcs),
+        intra AS (
+            SELECT lu.community AS community,
+                   CAST(COUNT(*) AS BIGINT) AS intra_arcs
+            FROM arcs a
+            JOIN lp lu ON lu.part_key = a.u
+            JOIN lp lv ON lv.part_key = a.v
+            WHERE lu.community = lv.community
+            GROUP BY 1),
+        deg AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM arcs GROUP BY u),
+        dsum AS (
+            SELECT l.community,
+                   CAST(SUM(d.deg) AS BIGINT) AS degree_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM deg d JOIN lp l ON l.part_key = d.u
+            GROUP BY 1),
+        per AS (
+            SELECT s.community, s.n_nodes,
+                   CAST(COALESCE(i.intra_arcs, 0) AS BIGINT) AS intra_arcs,
+                   s.degree_sum, ac_t.ac
+            FROM dsum s
+            LEFT JOIN intra i ON i.community = s.community, ac_t)
+        SELECT community, n_nodes, intra_arcs, degree_sum,
+               CAST((CAST(ac AS HUGEINT) * intra_arcs
+                     - CAST(degree_sum AS HUGEINT) * degree_sum) * 1000000
+                    // (CAST(ac AS HUGEINT) * ac) AS BIGINT)
+                   AS q_contrib_micro
+        FROM per
+        UNION ALL
+        SELECT -1, CAST(SUM(n_nodes) AS BIGINT),
+               CAST(SUM(intra_arcs) AS BIGINT),
+               CAST(SUM(degree_sum) AS BIGINT),
+               CAST(SUM(CAST(ac AS HUGEINT) * intra_arcs
+                        - CAST(degree_sum AS HUGEINT) * degree_sum)
+                    * 1000000 // (CAST(MAX(ac) AS HUGEINT) * MAX(ac))
+                    AS BIGINT)
+        FROM per
+        ) ORDER BY community
+    """
+
+
 QUERIES = {
     "graph_label_propagation": graph_label_propagation,
     "graph_jaccard_linkpred": graph_jaccard_linkpred,
+    "graph_modularity": graph_modularity,
 }
 ORACLES = {
     "graph_label_propagation": _lprop_oracle(),
     "graph_jaccard_linkpred": _linkpred_oracle(),
+    "graph_modularity": _modularity_oracle(),
 }

@@ -1073,3 +1073,34 @@ def test_k_anonymity_audit_matches_python(spark):
     assert t.distinct_sensitive == min(r.distinct_sensitive for r in classes)
     assert t.is_k_anon == all(r.is_k_anon for r in classes)
     assert t.is_l_diverse == all(r.is_l_diverse for r in classes)
+
+
+def test_modularity_total_and_identities(spark):
+    from db_migrator_spark.operators.graph3 import (
+        _sparse_arcs,
+        graph_label_propagation,
+        graph_modularity,
+    )
+
+    rows = graph_modularity(spark, SF01).collect()
+    total = [r for r in rows if r.community == -1]
+    classes = [r for r in rows if r.community != -1]
+    assert len(total) == 1
+    t = total[0]
+    ac = _sparse_arcs(spark, SF01).count()
+    # every arc and every degree lands in exactly one community
+    assert t.degree_sum == ac
+    assert t.n_nodes == sum(r.n_nodes for r in classes)
+    assert t.intra_arcs == sum(r.intra_arcs for r in classes)
+    assert t.intra_arcs % 2 == 0  # symmetric arc list
+    # exact total from the integer formula
+    num = sum(
+        ac * r.intra_arcs - r.degree_sum * r.degree_sum for r in classes
+    )
+    want = abs(num) * 1_000_000 // (ac * ac) * (1 if num >= 0 else -1)
+    assert t.q_contrib_micro == want
+    # propagation found real structure on the fixture graph
+    assert t.q_contrib_micro > 0
+    # community ids match the propagation's labels
+    lprop = {r.community for r in graph_label_propagation(spark, SF01).collect()}
+    assert {r.community for r in classes} == lprop
