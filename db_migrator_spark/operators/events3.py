@@ -464,8 +464,64 @@ def events_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_time_weighted_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-weighted average value (TWAP) per user, exact integer micros.
+
+    Each event's ``value`` is held until the user's next event; the
+    segment weight is the microsecond gap to that next event (the final
+    open segment carries no weight). TWAP = sum(v_micro * dt_us) div
+    sum(dt_us), with the weighted sum promoted through DECIMAL(38,0)
+    because v_micro * dt_us passes 2^63 at fixture scale already.
+
+    Scale notes (100 TB): one shuffle keyed by user for the LEAD
+    window, then a user-sized aggregate that rides the SAME exchange
+    (partitioning reuse — no second shuffle); output is one row per
+    user. Deterministic total order inside a user: (ts micros,
+    event_id). The reference has no event analytics (its data path is
+    a 1:1 table copy, /root/reference/src/migrate/table_migrator.rs).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+    ).withColumn("nxt", F.lead("us").over(w))
+    seg = seq.filter(F.col("nxt").isNotNull()).select(
+        "user_id",
+        "v_micro",
+        (F.col("nxt") - F.col("us")).alias("dt_us"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            F.sum(
+                F.col("v_micro").cast("decimal(38,0)") * F.col("dt_us")
+            ).alias("w_sum"),
+        )
+        .select(
+            "user_id",
+            "n_segments",
+            "span_us",
+            F.expr(
+                "CASE WHEN span_us = 0 THEN NULL"
+                " ELSE CAST(w_sum div CAST(span_us AS DECIMAL(38,0))"
+                " AS BIGINT) END"
+            ).alias("twap_micro"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "events_conversion_lag": events_conversion_lag,
+    "events_time_weighted_value": events_time_weighted_value,
     "events_autocorrelation": events_autocorrelation,
     "events_ab_assignment": events_ab_assignment,
     "events_funnel_windowed": events_funnel_windowed,
@@ -476,6 +532,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_time_weighted_value": """
+        WITH seq AS (
+            SELECT user_id, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro,
+                   LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                   ) AS nxt
+            FROM events),
+        seg AS (
+            SELECT user_id, v_micro, nxt - us AS dt_us
+            FROM seq WHERE nxt IS NOT NULL)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(dt_us) AS BIGINT) AS span_us,
+               CASE WHEN SUM(dt_us) = 0 THEN NULL
+                    ELSE CAST(SUM(CAST(v_micro AS HUGEINT) * dt_us)
+                              // CAST(SUM(dt_us) AS HUGEINT) AS BIGINT)
+                    END AS twap_micro
+        FROM seg GROUP BY user_id
+        ORDER BY user_id
+    """,
     "events_ab_assignment": f"""
         WITH per_user AS (
             SELECT CASE WHEN substr(md5('{AB_SALT}'

@@ -1104,3 +1104,43 @@ def test_modularity_total_and_identities(spark):
     # community ids match the propagation's labels
     lprop = {r.community for r in graph_label_propagation(spark, SF01).collect()}
     assert {r.community for r in classes} == lprop
+
+
+def test_time_weighted_value_matches_python(spark):
+    from db_migrator_spark.operators.events3 import events_time_weighted_value
+
+    rows = {r.user_id: r for r in events_time_weighted_value(spark, SF01).collect()}
+    ev = (
+        load_table(spark, SF01, "events")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("v"),
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.us, r.event_id, r.v))
+    assert set(rows) == {u for u, evs in by_user.items() if len(evs) > 1}
+    for uid, evs in by_user.items():
+        if len(evs) < 2:
+            continue
+        evs.sort()
+        segs = [
+            (evs[i][2], evs[i + 1][0] - evs[i][0])
+            for i in range(len(evs) - 1)
+        ]
+        span = sum(dt for _, dt in segs)
+        w_sum = sum(v * dt for v, dt in segs)
+        got = rows[uid]
+        assert got.n_segments == len(segs)
+        assert got.span_us == span
+        # truncating div contract (all-positive fixture: same as floor)
+        assert got.twap_micro == (
+            None if span == 0 else abs(w_sum) // span * (1 if w_sum >= 0 else -1)
+        )
+        # TWAP is a weighted mean: bounded by min/max held value
+        vals = [v for v, _ in segs]
+        assert min(vals) <= got.twap_micro <= max(vals)
