@@ -367,6 +367,44 @@ def streaming_dedup_events(
     return out.orderBy("event_id")
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: NATIVE ``session_window`` sessionization
+    executed AS A STREAM (complete mode over the bounded fixture replay)
+    — the streaming twin of ``events3.q_session_window_native``, checked
+    by the same gaps-and-islands oracle. The session merge happens in
+    the streaming state store keyed by (user, merged window): windows
+    that an arriving event bridges are coalesced in state, the exact
+    mechanism that serves live session analytics on an unbounded stream.
+
+    Scale notes: in production this runs append-mode with the watermark
+    bounding state (sessions older than the horizon are finalized and
+    evicted); complete mode here only because the bounded replay must
+    surface EVERY session, including each user's last one, which a
+    final-watermark append run would hold back in state forever.
+    """
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "sum_micros"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_micros",
+        )
+    )
+    out = run_bounded(sess, "complete")
+    return out.orderBy("user_id", "session_start")
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming EWMA — the streaming twin of operators.events2.
 # events_ewma (same constants, same integer-micro fold), with bounded
@@ -615,6 +653,7 @@ QUERIES = {
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_ewma": streaming_ewma,
     "streaming_conversions": streaming_conversions,
+    "streaming_session_windows": streaming_session_windows,
 }
 if HAVE_PROTOBUF:  # pragma: no cover - absent in this container
     QUERIES["streaming_running_totals"] = streaming_running_totals
@@ -716,3 +755,10 @@ _TWS_ORACLE_SQL = """
     """
 if HAVE_PROTOBUF:  # pragma: no cover - absent in this container
     ORACLES["streaming_running_totals"] = _TWS_ORACLE_SQL
+
+# The streaming session op must equal its batch twin row-for-row, so it
+# shares the SAME islands oracle (imported, not copied — a gap-constant
+# change can't desynchronize the twins; cf. the streaming_ewma precedent).
+from ..operators.events3 import ORACLES as _EV3_ORACLES  # noqa: E402
+
+ORACLES["streaming_session_windows"] = _EV3_ORACLES["q_session_window_native"]

@@ -1144,3 +1144,19 @@ def test_time_weighted_value_matches_python(spark):
         # TWAP is a weighted mean: bounded by min/max held value
         vals = [v for v, _ in segs]
         assert min(vals) <= got.twap_micro <= max(vals)
+
+
+def test_streaming_sessions_equal_batch_twin(spark):
+    from db_migrator_spark.operators.events3 import q_session_window_native
+    from db_migrator_spark.streaming.windows import streaming_session_windows
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_session_windows(spark, sf).collect()
+    want = q_session_window_native(spark, sf).collect()
+    assert [tuple(r) for r in got] == [
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_micros)
+        for r in want
+    ]
+    # sessions are genuinely merged: fewer sessions than events
+    n_events = load_table(spark, sf, "events").count()
+    assert 0 < len(got) < n_events
