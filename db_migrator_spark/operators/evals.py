@@ -241,8 +241,91 @@ def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.unionByName(summary).orderBy("q_id")
 
 
+def eval_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the lang-id predictor, exact ppm,
+    plus a ``__macro__`` summary row (macro = unweighted class average,
+    absent metrics counted as 0 — the deterministic cross-engine
+    contract; F1 stays rational via 2*TP div (2*TP + FP + FN), never
+    the P/R harmonic-mean float form).
+
+    Scale notes: collapses to a classes-sized relation (one confusion
+    aggregate, then three class-keyed sums that broadcast-join); the
+    macro row folds that relation — O(classes) everywhere after the
+    single corpus scan.
+    """
+    preds = text_language_id(spark, sf_dir).select(
+        "labeled_lang", "predicted_lang"
+    )
+    cells = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lab = cells.groupBy(F.col("labeled_lang").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_labeled")
+    )
+    prd = cells.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_predicted")
+    )
+    tp = (
+        cells.filter(F.col("labeled_lang") == F.col("predicted_lang"))
+        .select(F.col("labeled_lang").alias("lang"), F.col("n").alias("tp"))
+    )
+    per_class = (
+        lab.join(prd, "lang", "full_outer")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+            (
+                F.coalesce(F.col("n_predicted"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).cast("bigint").alias("fp"),
+            (
+                F.coalesce(F.col("n_labeled"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).cast("bigint").alias("fn"),
+        )
+        .select(
+            "lang",
+            "tp",
+            "fp",
+            "fn",
+            F.expr(
+                "CASE WHEN tp + fp = 0 THEN NULL"
+                " ELSE tp * 1000000 div (tp + fp) END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN tp + fn = 0 THEN NULL"
+                " ELSE tp * 1000000 div (tp + fn) END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL"
+                " ELSE 2 * tp * 1000000 div (2 * tp + fp + fn) END"
+            ).alias("f1_ppm"),
+        )
+    )
+    macro = per_class.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("tp").alias("s_tp"),
+        F.sum("fp").alias("s_fp"),
+        F.sum("fn").alias("s_fn"),
+        F.sum(F.coalesce(F.col("precision_ppm"), F.lit(0))).alias("s_p"),
+        F.sum(F.coalesce(F.col("recall_ppm"), F.lit(0))).alias("s_r"),
+        F.sum(F.coalesce(F.col("f1_ppm"), F.lit(0))).alias("s_f1"),
+    ).select(
+        F.lit("__macro__").alias("lang"),
+        F.col("s_tp").cast("bigint").alias("tp"),
+        F.col("s_fp").cast("bigint").alias("fp"),
+        F.col("s_fn").cast("bigint").alias("fn"),
+        F.expr("s_p div n_classes").alias("precision_ppm"),
+        F.expr("s_r div n_classes").alias("recall_ppm"),
+        F.expr("s_f1 div n_classes").alias("f1_ppm"),
+    )
+    return per_class.unionByName(macro).orderBy("lang")
+
+
 QUERIES = {
     "eval_langid_confusion": eval_langid_confusion,
+    "eval_f1_macro": eval_f1_macro,
     "eval_pr_sweep": eval_pr_sweep,
     "eval_calibration_bins": eval_calibration_bins,
     "eval_retrieval_mrr": eval_retrieval_mrr,
@@ -331,6 +414,49 @@ ORACLES = {
                CAST(SUM(rr_ppm) // COUNT(*) AS BIGINT)
         FROM per_q
         ORDER BY q_id
+    """,
+    "eval_f1_macro": f"""
+        {_LANGID_SQL},
+        cells AS (
+            SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+            FROM preds GROUP BY 1, 2),
+        lab AS (SELECT labeled_lang AS lang, CAST(SUM(n) AS BIGINT)
+                           AS n_labeled
+                FROM cells GROUP BY 1),
+        prd AS (SELECT predicted_lang AS lang, CAST(SUM(n) AS BIGINT)
+                           AS n_predicted
+                FROM cells GROUP BY 1),
+        tpt AS (SELECT labeled_lang AS lang, CAST(n AS BIGINT) AS tp
+                FROM cells WHERE labeled_lang = predicted_lang),
+        per_class AS (
+            SELECT COALESCE(l.lang, p.lang) AS lang,
+                   COALESCE(t.tp, 0) AS tp,
+                   COALESCE(p.n_predicted, 0) - COALESCE(t.tp, 0) AS fp,
+                   COALESCE(l.n_labeled, 0) - COALESCE(t.tp, 0) AS fn
+            FROM lab l
+            FULL OUTER JOIN prd p ON p.lang = l.lang
+            LEFT JOIN tpt t ON t.lang = COALESCE(l.lang, p.lang)),
+        clsmetrics AS (
+            SELECT lang, tp, fp, fn,
+                   CASE WHEN tp + fp = 0 THEN NULL
+                        ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+                   CASE WHEN tp + fn = 0 THEN NULL
+                        ELSE tp * 1000000 // (tp + fn) END AS recall_ppm,
+                   CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                        ELSE 2 * tp * 1000000 // (2 * tp + fp + fn)
+                        END AS f1_ppm
+            FROM per_class)
+        SELECT lang, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm
+        FROM clsmetrics
+        UNION ALL
+        SELECT '__macro__',
+               CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT),
+               CAST(SUM(fn) AS BIGINT),
+               SUM(COALESCE(precision_ppm, 0)) // COUNT(*),
+               SUM(COALESCE(recall_ppm, 0)) // COUNT(*),
+               SUM(COALESCE(f1_ppm, 0)) // COUNT(*)
+        FROM clsmetrics
+        ORDER BY lang
     """,
     "eval_langid_confusion": f"""
         {_LANGID_SQL},

@@ -1160,3 +1160,28 @@ def test_streaming_sessions_equal_batch_twin(spark):
     # sessions are genuinely merged: fewer sessions than events
     n_events = load_table(spark, sf, "events").count()
     assert 0 < len(got) < n_events
+
+
+def test_f1_macro_identities(spark):
+    from db_migrator_spark.operators.evals import eval_f1_macro, eval_langid_confusion
+
+    rows = {r.lang: r for r in eval_f1_macro(spark, SF01).collect()}
+    macro = rows.pop("__macro__")
+    cells = eval_langid_confusion(spark, SF01).collect()
+    n_docs = sum(c.n for c in cells)
+    # every doc is exactly one class's TP or FN, and one class's TP or FP
+    assert sum(r.tp + r.fn for r in rows.values()) == n_docs
+    assert sum(r.tp + r.fp for r in rows.values()) == n_docs
+    assert macro.tp == sum(r.tp for r in rows.values())
+    for r in rows.values():
+        # F1 lies between P and R (harmonic-mean bound, ppm tolerance 1)
+        if r.precision_ppm is not None and r.recall_ppm is not None:
+            lo, hi = sorted((r.precision_ppm, r.recall_ppm))
+            assert lo - 1 <= r.f1_ppm <= hi + 1
+        # exact rational: 2tp/(2tp+fp+fn)
+        denom = 2 * r.tp + r.fp + r.fn
+        assert r.f1_ppm == (2 * r.tp * 1_000_000 // denom if denom else None)
+    # macro is the truncated unweighted class average
+    assert macro.f1_ppm == sum(
+        r.f1_ppm or 0 for r in rows.values()
+    ) // len(rows)
