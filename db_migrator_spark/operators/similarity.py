@@ -391,8 +391,64 @@ def _jl_oracle() -> str:
     """
 
 
+# Mutual-kNN graph: an edge (i, j) exists iff j is in i's top-k AND i is
+# in j's top-k — the standard denoised similarity graph clustering /
+# manifold methods build on (one-way neighbors of a hub are dropped).
+# Built over a bounded ANCHOR subset: the graph-construction mechanics
+# (directed top-k -> reciprocal self-join) are corpus-size-free, and at
+# 100 TB the directed top-k input swaps to the IVF shortlist
+# (similarity_hard_negatives_ivf precedent) with identical closing joins.
+MUTUAL_KNN_ANCHORS = 256
+MUTUAL_KNN_K = 3
+
+
+def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual (reciprocal) kNN edges over the anchor subset.
+
+    Directed top-k per anchor (broadcast anchors, per-anchor row_number
+    window), then the reciprocity check is a self-join on the swapped
+    key pair — output keyed src < dst so each mutual edge surfaces
+    once, with both directions' identical cosine carried. Join keys are
+    RENAMED before the self-join (same-attribute-resolution trap).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < MUTUAL_KNN_ANCHORS)
+    qs = anchors.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        anchors.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nb_id"),
+            _cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("nb_id"))
+    directed = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MUTUAL_KNN_K)
+        .select("q_id", "nb_id", "cos_sim")
+    )
+    fwd = directed.select(
+        F.col("q_id").alias("src"),
+        F.col("nb_id").alias("dst"),
+        "cos_sim",
+    )
+    rev = directed.select(
+        F.col("nb_id").alias("src"), F.col("q_id").alias("dst")
+    )
+    return (
+        fwd.join(rev, ["src", "dst"], "inner")
+        .filter(F.col("src") < F.col("dst"))
+        .orderBy("src", "dst")
+    )
+
+
 QUERIES = {
     "q_embedding_centroids": q_embedding_centroids,
+    "similarity_mutual_knn": similarity_mutual_knn,
     "embedding_jl_projection": embedding_jl_projection,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_knn_join": similarity_knn_join,
@@ -461,6 +517,28 @@ ORACLES = {
         SELECT q_id, q_label, neg_id, neg_label, cos_sim, rn
         FROM ranked WHERE rn <= 3
         ORDER BY q_id, rn
+    """,
+    "similarity_mutual_knn": f"""
+        WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < {MUTUAL_KNN_ANCHORS}),
+             scored AS (
+                 SELECT q.vec_id AS q_id, e.vec_id AS nb_id,
+                        list_dot_product(e.v, q.v)
+                            / sqrt(list_dot_product(e.v, e.v)
+                                   * list_dot_product(q.v, q.v)) AS cos_sim
+                 FROM a e, a q WHERE e.vec_id != q.vec_id),
+             directed AS (
+                 SELECT q_id, nb_id, cos_sim,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY cos_sim DESC, nb_id)
+                            AS rn
+                 FROM scored),
+             topk AS (SELECT q_id, nb_id, cos_sim FROM directed
+                      WHERE rn <= {MUTUAL_KNN_K})
+        SELECT f.q_id AS src, f.nb_id AS dst, f.cos_sim
+        FROM topk f JOIN topk r ON r.q_id = f.nb_id AND r.nb_id = f.q_id
+        WHERE f.q_id < f.nb_id
+        ORDER BY src, dst
     """,
     "similarity_knn_join": """
         WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe

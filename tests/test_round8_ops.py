@@ -1185,3 +1185,22 @@ def test_f1_macro_identities(spark):
     assert macro.f1_ppm == sum(
         r.f1_ppm or 0 for r in rows.values()
     ) // len(rows)
+
+
+def test_mutual_knn_reciprocity(spark):
+    from db_migrator_spark.operators.similarity import (
+        MUTUAL_KNN_ANCHORS,
+        MUTUAL_KNN_K,
+        similarity_mutual_knn,
+    )
+
+    edges = similarity_mutual_knn(spark, SF01).collect()
+    assert edges, "fixture anchors must yield some mutual edges"
+    seen = set()
+    for e in edges:
+        assert 0 <= e.src < e.dst < MUTUAL_KNN_ANCHORS
+        assert -1.0001 <= e.cos_sim <= 1.0001
+        seen.add((e.src, e.dst))
+    assert len(seen) == len(edges)  # each mutual edge exactly once
+    # mutual edges are a subset of directed top-k: bounded by k*n/2
+    assert len(edges) <= MUTUAL_KNN_K * MUTUAL_KNN_ANCHORS // 2
