@@ -398,13 +398,104 @@ def _modularity_oracle() -> str:
     """
 
 
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the co-purchase graph, EXACT.
+
+    Pearson correlation of endpoint degrees over the symmetric arc
+    list. Because the arc list contains both directions, the source
+    and target degree distributions are identical (Sx = Sy,
+    Sxx = Syy), so the usual sqrt denominator collapses and
+    r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2) is a RATIO OF INTEGERS —
+    surfaced in signed micros on the decimal `div` contract, no
+    floating point anywhere.
+
+    Plan: one degree aggregate, two keyed joins of the arc list
+    against the |V|-row degree relation (the PageRank shuffle shape),
+    one five-sum fold to a single row. DECIMAL(38,0)/HUGEINT promotion
+    because M*Sxy*1e6 passes 2^63 well before fixture scale.
+    """
+    arcs = _sparse_arcs(spark, sf_dir)
+    deg = arcs.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    xy = (
+        arcs.join(deg.select("u", F.col("deg").alias("dx")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dy")),
+            "v",
+        )
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("dx"),
+            F.col("dy").cast("decimal(38,0)").alias("dy"),
+        )
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    return sums.crossJoin(F.broadcast(nodes)).select(
+        "n_nodes",
+        F.col("m").cast("bigint").alias("n_arcs"),
+        F.expr(
+            "CASE WHEN m * sxx - sx * sx = 0 THEN NULL"
+            " ELSE CAST((m * sxy - sx * sx) * 1000000"
+            " div (m * sxx - sx * sx) AS BIGINT) END"
+        ).alias("assortativity_micro"),
+    )
+
+
+def _assortativity_oracle() -> str:
+    return f"""
+        WITH und AS MATERIALIZED (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {KCORE_MIN_COOC}),
+        arcs AS MATERIALIZED (
+            SELECT u, v FROM und
+            UNION ALL
+            SELECT v AS u, u AS v FROM und),
+        deg AS MATERIALIZED (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM arcs GROUP BY u),
+        xy AS (
+            SELECT CAST(du.deg AS HUGEINT) AS dx,
+                   CAST(dv.deg AS HUGEINT) AS dy
+            FROM arcs a
+            JOIN deg du ON du.u = a.u
+            JOIN deg dv ON dv.u = a.v),
+        sums AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+                   SUM(dx) AS sx,
+                   SUM(dx * dx) AS sxx,
+                   SUM(dx * dy) AS sxy
+            FROM xy),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+        SELECT nn.n_nodes, CAST(sums.m AS BIGINT) AS n_arcs,
+               CASE WHEN sums.m * sums.sxx - sums.sx * sums.sx = 0
+                    THEN NULL
+                    ELSE CAST((sums.m * sums.sxy - sums.sx * sums.sx)
+                              * 1000000
+                              // (sums.m * sums.sxx - sums.sx * sums.sx)
+                              AS BIGINT) END AS assortativity_micro
+        FROM sums, nn
+    """
+
+
 QUERIES = {
     "graph_label_propagation": graph_label_propagation,
+    "graph_degree_assortativity": graph_degree_assortativity,
     "graph_jaccard_linkpred": graph_jaccard_linkpred,
     "graph_modularity": graph_modularity,
 }
 ORACLES = {
     "graph_label_propagation": _lprop_oracle(),
+    "graph_degree_assortativity": _assortativity_oracle(),
     "graph_jaccard_linkpred": _linkpred_oracle(),
     "graph_modularity": _modularity_oracle(),
 }

@@ -1204,3 +1204,31 @@ def test_mutual_knn_reciprocity(spark):
     assert len(seen) == len(edges)  # each mutual edge exactly once
     # mutual edges are a subset of directed top-k: bounded by k*n/2
     assert len(edges) <= MUTUAL_KNN_K * MUTUAL_KNN_ANCHORS // 2
+
+
+def test_assortativity_matches_python(spark):
+    from db_migrator_spark.operators.graph3 import (
+        _sparse_arcs,
+        graph_degree_assortativity,
+    )
+
+    row = graph_degree_assortativity(spark, SF01).collect()[0]
+    arcs = [(r.u, r.v) for r in _sparse_arcs(spark, SF01).collect()]
+    deg = {}
+    for u, _ in arcs:
+        deg[u] = deg.get(u, 0) + 1
+    assert row.n_nodes == len(deg)
+    assert row.n_arcs == len(arcs)
+    m = len(arcs)
+    sx = sum(deg[u] for u, _ in arcs)
+    sxx = sum(deg[u] ** 2 for u, _ in arcs)
+    sxy = sum(deg[u] * deg[v] for u, v in arcs)
+    num, den = m * sxy - sx * sx, m * sxx - sx * sx
+    want = (
+        None
+        if den == 0
+        else abs(num) * 1_000_000 // den * (1 if num >= 0 else -1)
+    )
+    assert row.assortativity_micro == want
+    # correlation coefficient bounds (micro scale)
+    assert -1_000_000 <= row.assortativity_micro <= 1_000_000
