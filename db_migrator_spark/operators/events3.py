@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from ..io import load_table
+from .events2 import ATTR_WINDOW_US
 
 
 def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,9 +520,106 @@ def events_time_weighted_value(
     )
 
 
+# Position-based (U-shaped) multi-touch attribution: first and last
+# touch each take MT_EDGE_PPM, interior touches split MT_MID_PPM evenly
+# (truncating). 1 touch takes everything; 2 touches split evenly.
+MT_EDGE_PPM = 400_000
+MT_MID_PPM = 200_000
+MT_TOUCH_TYPES = ("click", "view")
+
+
+def events_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U-shaped multi-touch attribution: credited revenue per touch
+    type, exact ppm credit splits (the last-touch op's multi-touch
+    sibling — position-based credit is the ad-tech default when
+    first-touch discovery matters as much as closing).
+
+    Per purchase, its touchpoints are the same user's click/view
+    events inside the 7-day lookback. Credit: single touch 1e6 ppm,
+    two touches 500k each, otherwise 400k/400k to first/last and 200k
+    split evenly (truncating div — credit may under-sum by < n ppm,
+    never over) across the middle. Credited value = v_micro *
+    credit_ppm div 1e6 per touch, summed per touch type.
+
+    Plan: one user-keyed join purchases x touches (fan-out bounded by
+    per-user activity inside the ATTRIBUTION WINDOW — the same
+    horizon-bound argument as the interval-overlap join), two
+    rank windows keyed by purchase riding one exchange, one
+    touch-type aggregate. Integer micros/ppm end-to-end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        us.alias("p_us"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
+    )
+    t = ev.filter(F.col("event_type").isin(*MT_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        us.alias("t_us"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(ATTR_WINDOW_US)),
+        "inner",
+    )
+    w_asc = W.partitionBy("p_id").orderBy("t_us", "t_id")
+    w_desc = W.partitionBy("p_id").orderBy(
+        F.col("t_us").desc(), F.col("t_id").desc()
+    )
+    ranked = j.select(
+        "p_id",
+        "v_micro",
+        "touch_type",
+        F.row_number().over(w_asc).alias("rn"),
+        F.row_number().over(w_desc).alias("rn_rev"),
+        F.count(F.lit(1)).over(W.partitionBy("p_id")).alias("n_touches"),
+    )
+    credit = (
+        F.when(F.col("n_touches") == 1, F.lit(1_000_000))
+        .when(F.col("n_touches") == 2, F.lit(500_000))
+        .when(F.col("rn") == 1, F.lit(MT_EDGE_PPM))
+        .when(F.col("rn_rev") == 1, F.lit(MT_EDGE_PPM))
+        .otherwise(
+            F.expr(f"{MT_MID_PPM} div (n_touches - 2)")
+        )
+    )
+    return (
+        ranked.select(
+            "touch_type",
+            credit.cast("bigint").alias("credit_ppm"),
+            "v_micro",
+        )
+        .select(
+            "touch_type",
+            "credit_ppm",
+            F.expr("v_micro * credit_ppm div 1000000").alias(
+                "credited_micro"
+            ),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit_ppm").cast("bigint").alias("credit_ppm_sum"),
+            F.sum("credited_micro").cast("bigint").alias(
+                "credited_value_micro"
+            ),
+        )
+        .orderBy("touch_type")
+    )
+
+
 QUERIES = {
     "events_conversion_lag": events_conversion_lag,
     "events_time_weighted_value": events_time_weighted_value,
+    "events_multitouch_attribution": events_multitouch_attribution,
     "events_autocorrelation": events_autocorrelation,
     "events_ab_assignment": events_ab_assignment,
     "events_funnel_windowed": events_funnel_windowed,
@@ -532,6 +630,52 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_multitouch_attribution": f"""
+        WITH p AS (
+            SELECT event_id AS p_id, user_id AS p_user,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+                   CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+            FROM events WHERE event_type = 'purchase'),
+        t AS (
+            SELECT user_id AS t_user, event_id AS t_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                   event_type AS touch_type
+            FROM events
+            WHERE event_type IN ('click', 'view')),
+        j AS (
+            SELECT p.p_id, p.v_micro, t.touch_type, t.t_us, t.t_id
+            FROM p JOIN t
+              ON t.t_user = p.p_user
+             AND t.t_us < p.p_us
+             AND t.t_us >= p.p_us - {ATTR_WINDOW_US}),
+        ranked AS (
+            SELECT p_id, v_micro, touch_type,
+                   ROW_NUMBER() OVER (PARTITION BY p_id
+                                      ORDER BY t_us, t_id) AS rn,
+                   ROW_NUMBER() OVER (PARTITION BY p_id
+                                      ORDER BY t_us DESC, t_id DESC)
+                       AS rn_rev,
+                   COUNT(*) OVER (PARTITION BY p_id) AS n_touches
+            FROM j),
+        credited AS (
+            SELECT touch_type,
+                   CAST(CASE WHEN n_touches = 1 THEN 1000000
+                             WHEN n_touches = 2 THEN 500000
+                             WHEN rn = 1 THEN {MT_EDGE_PPM}
+                             WHEN rn_rev = 1 THEN {MT_EDGE_PPM}
+                             ELSE {MT_MID_PPM} // (n_touches - 2)
+                        END AS BIGINT) AS credit_ppm,
+                   v_micro
+            FROM ranked)
+        SELECT touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm_sum,
+               CAST(SUM(v_micro * credit_ppm // 1000000) AS BIGINT)
+                   AS credited_value_micro
+        FROM credited
+        GROUP BY touch_type
+        ORDER BY touch_type
+    """,
     "events_time_weighted_value": """
         WITH seq AS (
             SELECT user_id, event_id,

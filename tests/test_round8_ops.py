@@ -1232,3 +1232,49 @@ def test_assortativity_matches_python(spark):
     assert row.assortativity_micro == want
     # correlation coefficient bounds (micro scale)
     assert -1_000_000 <= row.assortativity_micro <= 1_000_000
+
+
+def test_multitouch_credit_conservation(spark):
+    from db_migrator_spark.operators.events2 import ATTR_WINDOW_US
+    from db_migrator_spark.operators.events3 import (
+        events_multitouch_attribution,
+    )
+
+    rows = {
+        r.touch_type: r
+        for r in events_multitouch_attribution(spark, SF01).collect()
+    }
+    assert set(rows) <= {"click", "view"} and rows
+    ev = (
+        load_table(spark, SF01, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .collect()
+    )
+    # python recount of per-purchase touch counts
+    touches = {}
+    for r in ev:
+        if r.event_type in ("click", "view"):
+            touches.setdefault(r.user_id, []).append(r.us)
+    n_by_purchase = []
+    for r in ev:
+        if r.event_type == "purchase":
+            n = sum(
+                1
+                for us in touches.get(r.user_id, ())
+                if r.us - ATTR_WINDOW_US <= us < r.us
+            )
+            if n:
+                n_by_purchase.append(n)
+    # touch-row conservation: every touch of every purchase gets a row
+    assert sum(n_by_purchase) == sum(r.n_touches for r in rows.values())
+    # credit conservation: per purchase, credit sums to 1e6 minus
+    # < n ppm of truncation; totals bound it tightly
+    total_credit = sum(r.credit_ppm_sum for r in rows.values())
+    exact = sum(1_000_000 for _ in n_by_purchase)
+    lost_bound = sum(n for n in n_by_purchase if n > 2)
+    assert exact - lost_bound <= total_credit <= exact
