@@ -616,8 +616,58 @@ def events_multitouch_attribution(
     )
 
 
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every unordered event-type pair,
+    the exact user-set sizes, intersection, and Jaccard in ppm — the
+    segmentation question ("do viewers also click?") answered exactly.
+
+    Plan: one distinct (user, type) collapse (map-side combinable),
+    then a user-keyed self-join whose fan-out is bounded by
+    |types|^2 per user (constant — event types are a vocabulary, not
+    data-scaled), one types^2-sized aggregate joined against the
+    types-sized audience counts. No collects, no windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        both.join(
+            F.broadcast(sizes.select(F.col("t").alias("type_a"),
+                                     F.col("n_users").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("t").alias("type_b"),
+                                     F.col("n_users").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "n_both * 1000000 div (n_a + n_b - n_both)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 QUERIES = {
     "events_conversion_lag": events_conversion_lag,
+    "events_audience_overlap": events_audience_overlap,
     "events_time_weighted_value": events_time_weighted_value,
     "events_multitouch_attribution": events_multitouch_attribution,
     "events_autocorrelation": events_autocorrelation,
@@ -630,6 +680,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_audience_overlap": """
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events),
+        sizes AS (
+            SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ut GROUP BY 1),
+        both_t AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b ON b.user_id = a.user_id
+            WHERE a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT o.type_a, o.type_b,
+               sa.n_users AS n_a, sb.n_users AS n_b, o.n_both,
+               o.n_both * 1000000 // (sa.n_users + sb.n_users - o.n_both)
+                   AS jaccard_ppm
+        FROM both_t o
+        JOIN sizes sa ON sa.t = o.type_a
+        JOIN sizes sb ON sb.t = o.type_b
+        ORDER BY type_a, type_b
+    """,
     "events_multitouch_attribution": f"""
         WITH p AS (
             SELECT event_id AS p_id, user_id AS p_user,

@@ -1278,3 +1278,30 @@ def test_multitouch_credit_conservation(spark):
     exact = sum(1_000_000 for _ in n_by_purchase)
     lost_bound = sum(n for n in n_by_purchase if n > 2)
     assert exact - lost_bound <= total_credit <= exact
+
+
+def test_audience_overlap_matches_python(spark):
+    from db_migrator_spark.operators.events3 import events_audience_overlap
+
+    rows = events_audience_overlap(spark, SF01).collect()
+    ev = load_table(spark, SF01, "events").select(
+        "user_id", "event_type"
+    ).distinct().collect()
+    aud = {}
+    for r in ev:
+        aud.setdefault(r.event_type, set()).add(r.user_id)
+    types = sorted(aud)
+    want_pairs = {
+        (a, b)
+        for i, a in enumerate(types)
+        for b in types[i + 1 :]
+        if aud[a] & aud[b]
+    }
+    assert {(r.type_a, r.type_b) for r in rows} == want_pairs
+    for r in rows:
+        inter = len(aud[r.type_a] & aud[r.type_b])
+        union = len(aud[r.type_a] | aud[r.type_b])
+        assert (r.n_a, r.n_b, r.n_both) == (
+            len(aud[r.type_a]), len(aud[r.type_b]), inter
+        )
+        assert r.jaccard_ppm == inter * 1_000_000 // union
