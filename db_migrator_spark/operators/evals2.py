@@ -317,8 +317,67 @@ def eval_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.unionByName(summary).orderBy("q_id")
 
 
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (AUPRC by step integration) per language:
+    AP = mean over positives of precision@k under the deterministic
+    total ranking (score desc, doc_id) — every quantity an integer,
+    precision@k in truncated ppm, the mean one more truncating div.
+
+    Ties are resolved by doc_id so both engines walk the identical
+    ranking (the contract the midrank-AUC op avoids needing; AP has no
+    closed tie-aware form, so the pinned ranking IS the semantics).
+
+    Plan: one scan to (lang, doc, score, label), a lang-keyed
+    rank+running-sum window pair on one exchange, a langs-sized fold.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        (F.size(F.split(F.col("text"), " ")) >= PR_LABEL_MIN_TOKENS)
+        .cast("int")
+        .alias("label"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    ranked = base.select(
+        "lang",
+        "label",
+        F.row_number().over(w).alias("k"),
+        F.sum("label")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum_pos"),
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+            F.sum(
+                F.when(
+                    F.col("label") == 1,
+                    F.expr("cum_pos * 1000000 div k"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("prec_ppm_sum"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_pos",
+            F.expr(
+                "CASE WHEN n_pos = 0 THEN NULL"
+                " ELSE prec_ppm_sum div n_pos END"
+            ).alias("ap_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "eval_roc_auc": eval_roc_auc,
+    "eval_average_precision": eval_average_precision,
     "eval_ndcg": eval_ndcg,
     "eval_brier_score": eval_brier_score,
     "eval_cohens_kappa": eval_cohens_kappa,
@@ -392,6 +451,34 @@ def _brier_kappa_oracles() -> dict[str, str]:
 
 
 ORACLES = {
+    "eval_average_precision": f"""
+        WITH base AS (
+            SELECT lang, doc_id, n_chars AS score,
+                   CAST(len(string_split(text, ' ')) >= {PR_LABEL_MIN_TOKENS}
+                        AS INTEGER) AS label
+            FROM documents),
+        ranked AS (
+            SELECT lang, label,
+                   ROW_NUMBER() OVER w AS k,
+                   SUM(label) OVER (PARTITION BY lang
+                                    ORDER BY score DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_pos
+            FROM base
+            WINDOW w AS (PARTITION BY lang ORDER BY score DESC, doc_id)),
+        folded AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(label) AS BIGINT) AS n_pos,
+                   CAST(SUM(CASE WHEN label = 1
+                                 THEN cum_pos * 1000000 // k
+                                 ELSE 0 END) AS BIGINT) AS prec_ppm_sum
+            FROM ranked GROUP BY lang)
+        SELECT lang, n_docs, n_pos,
+               CASE WHEN n_pos = 0 THEN NULL
+                    ELSE prec_ppm_sum // n_pos END AS ap_ppm
+        FROM folded
+        ORDER BY lang
+    """,
     "eval_roc_auc": f"""
         WITH base AS (
             SELECT lang, n_chars AS score,

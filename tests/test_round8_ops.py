@@ -1305,3 +1305,40 @@ def test_audience_overlap_matches_python(spark):
             len(aud[r.type_a]), len(aud[r.type_b]), inter
         )
         assert r.jaccard_ppm == inter * 1_000_000 // union
+
+
+def test_average_precision_matches_python(spark):
+    from db_migrator_spark.operators.evals import PR_LABEL_MIN_TOKENS
+    from db_migrator_spark.operators.evals2 import eval_average_precision
+
+    rows = {r.lang: r for r in eval_average_precision(spark, SF01).collect()}
+    docs = (
+        load_table(spark, SF01, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").alias("score"),
+            (F.size(F.split("text", " ")) >= PR_LABEL_MIN_TOKENS).alias("label"),
+        )
+        .collect()
+    )
+    by_lang = {}
+    for d in docs:
+        by_lang.setdefault(d.lang, []).append(d)
+    assert set(rows) == set(by_lang)
+    for lang, ds in by_lang.items():
+        ds.sort(key=lambda d: (-d.score, d.doc_id))
+        cum = 0
+        s = 0
+        npos = 0
+        for k, d in enumerate(ds, 1):
+            if d.label:
+                cum += 1
+                npos += 1
+                s += cum * 1_000_000 // k
+        got = rows[lang]
+        assert (got.n_docs, got.n_pos) == (len(ds), npos)
+        assert got.ap_ppm == (s // npos if npos else None)
+        # AP of a ranked list is at least the base rate (length score
+        # correlates with the token label on this fixture)
+        assert got.ap_ppm >= npos * 1_000_000 // len(ds)
