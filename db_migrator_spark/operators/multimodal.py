@@ -975,8 +975,102 @@ def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Perceptual DCT hash (pHash): 2-D DCT-II of the 8x8 block-gray matrix,
+# 63 AC coefficients thresholded on their exact type-1 median. The DCT
+# basis is quantized ONCE at module load to integer 2^20-scale literals
+# (the repo contract for irrational constants: both engines consume the
+# same integers, neither calls cos() in-plan); with |C_int| <= 2^19 and
+# block gray <= 3060, |D| <= 8^2 * 2^38 * 3060 < 2^63 — the whole
+# transform runs in exact int64/BIGINT matmuls. Unlike aHash (mean
+# threshold, brightness-sensitive), the median-of-AC rule fixes exactly
+# 31 bits set — the classic robustness argument for pHash.
+_PHASH_SCALE = 1 << 20
+
+
+def _phash_basis() -> list[tuple[int, int, int]]:
+    import math
+
+    rows = []
+    for u in range(8):
+        s = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            rows.append(
+                (
+                    u,
+                    x,
+                    round(
+                        s
+                        * math.cos(math.pi * (2 * x + 1) * u / 16)
+                        * _PHASH_SCALE
+                    ),
+                )
+            )
+    return rows
+
+
+_PHASH_C = _phash_basis()
+_PHASH_SCHEMA = "doc_id bigint, ph_hi bigint, ph_lo bigint, n_ones int"
+
+
+def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    C = np.zeros((8, 8), dtype=np.int64)
+    for u, x, c in _PHASH_C:
+        C[u][x] = c
+    for pdf in batches:
+        recs = {"doc_id": [], "ph_hi": [], "ph_lo": [], "n_ones": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(buf[start:pos])
+            pos += 1
+            w, h = int(tokens[1]), int(tokens[2])
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+            gray = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+            blocks = gray.reshape(
+                _AH64_GRID, _AH64_BLOCK, _AH64_GRID, _AH64_BLOCK
+            ).sum(axis=(1, 3))
+            d = C @ blocks @ C.T  # exact int64 (bounds in header note)
+            flat = d.reshape(-1)
+            ac = flat[1:]  # drop DC (k = 0)
+            med = int(np.partition(ac.copy(), 31)[31])  # 32nd smallest
+            bits = [False] + [int(v) > med for v in ac]
+            lo = int(sum(1 << k for k in range(32) if bits[k]))
+            hi = int(sum(1 << (k - 32) for k in range(32, 64) if bits[k]))
+            recs["doc_id"].append(int(doc_id))
+            recs["ph_hi"].append(hi)
+            recs["ph_lo"].append(lo)
+            recs["n_ones"].append(int(sum(bits)))
+        yield pd.DataFrame(recs)
+
+
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual DCT hash per image (real pHash): exact integer 8x8
+    DCT-II of the block-gray matrix, 63 AC bits thresholded on their
+    exact median, packed as two 32-bit halves (no sign-bit shifts).
+
+    The byte-level DuckDB twin replays the identical integer pipeline
+    (same quantized basis literals, same matmuls, same rank-32
+    median), so the full decode->DCT->threshold->pack path is
+    value-hash-checked. One Arrow pass per image; output 3 ints/image.
+    """
+    return (
+        _ppm_payloads(spark, sf_dir)
+        .mapInPandas(_phash, schema=_PHASH_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "multimodal_channel_stats": multimodal_channel_stats,
+    "multimodal_image_phash": multimodal_image_phash,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_feature_extract": multimodal_feature_extract,
@@ -1417,3 +1511,63 @@ ORACLES = {
         ORDER BY d1, d2
     """,
 }
+
+# pHash twin: identical integer pipeline in SQL — the basis VALUES list
+# is generated from the SAME _PHASH_C literals the numpy side consumes.
+_PHASH_BASIS_VALUES = ", ".join(f"({u}, {x}, {c})" for u, x, c in _PHASH_C)
+
+ORACLES["multimodal_image_phash"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(repeat(text,
+                                 CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
+                          1, {_PPM_PIXELS}) AS px
+            FROM {_ASCII_DOCS_SQL}
+            WHERE length(text) > 0),
+        basis(u, x, c) AS (VALUES {_PHASH_BASIS_VALUES}),
+        blocks AS (
+            SELECT doc_id, by_, bx,
+                   CAST(SUM(ascii(substr(px,
+                        ((2 * by_ + dr) * {PPM_W} + (2 * bx + dc)) * 3
+                            + ch + 1, 1))) AS BIGINT) AS g
+            FROM t,
+                 generate_series(0, 7) AS gby(by_),
+                 generate_series(0, 7) AS gbx(bx),
+                 generate_series(0, 1) AS gdr(dr),
+                 generate_series(0, 1) AS gdc(dc),
+                 generate_series(0, 2) AS gch(ch)
+            GROUP BY 1, 2, 3),
+        t1 AS (
+            SELECT b.doc_id, cb.u AS u, b.bx AS v,
+                   CAST(SUM(cb.c * b.g) AS BIGINT) AS tv
+            FROM blocks b JOIN basis cb ON cb.x = b.by_
+            GROUP BY 1, 2, 3),
+        d AS (
+            SELECT t1.doc_id, t1.u AS u, cb2.u AS v2,
+                   CAST(SUM(t1.tv * cb2.c) AS BIGINT) AS dval
+            FROM t1 JOIN basis cb2 ON cb2.x = t1.v
+            GROUP BY 1, 2, 3),
+        ranked AS (
+            SELECT doc_id, dval,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY dval, u, v2) AS rk
+            FROM d WHERE NOT (u = 0 AND v2 = 0)),
+        med AS (
+            SELECT doc_id, dval AS medv FROM ranked WHERE rk = 32),
+        bits AS (
+            SELECT d.doc_id, d.u * 8 + d.v2 AS k,
+                   CASE WHEN d.dval > m.medv THEN 1 ELSE 0 END AS bit
+            FROM d JOIN med m ON m.doc_id = d.doc_id
+            WHERE NOT (d.u = 0 AND d.v2 = 0))
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN k >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                             ELSE 0 END) AS BIGINT) AS ph_hi,
+               CAST(SUM(CASE WHEN k < 32
+                             THEN bit * (CAST(1 AS BIGINT) << k)
+                             ELSE 0 END) AS BIGINT) AS ph_lo,
+               CAST(SUM(bit) AS INTEGER) AS n_ones
+        FROM bits
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """

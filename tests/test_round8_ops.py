@@ -1342,3 +1342,31 @@ def test_average_precision_matches_python(spark):
         # AP of a ranked list is at least the base rate (length score
         # correlates with the token label on this fixture)
         assert got.ap_ppm >= npos * 1_000_000 // len(ds)
+
+
+def test_phash_median_rule_invariants(spark):
+    from db_migrator_spark.operators.multimodal import (
+        _PHASH_C,
+        _PHASH_SCALE,
+        multimodal_image_phash,
+    )
+
+    # basis sanity: orthonormal rows at the quantization scale
+    # (row self-dot ~ SCALE^2; u=0 row is constant)
+    row0 = [c for u, x, c in _PHASH_C if u == 0]
+    assert len(set(row0)) == 1
+    for u in range(8):
+        row = [c for uu, x, c in _PHASH_C if uu == u]
+        dot = sum(c * c for c in row)
+        assert abs(dot - _PHASH_SCALE**2) <= 8 * _PHASH_SCALE
+
+    rows = multimodal_image_phash(spark, SF01).collect()
+    assert rows
+    for r in rows:
+        # DC bit is never set
+        assert r.ph_lo % 2 == 0
+        # strictly-above-median count is at most 31 of 63
+        assert 0 <= r.n_ones <= 31
+        assert 0 <= r.ph_hi < 1 << 32 and 0 <= r.ph_lo < 1 << 32
+    # the hash carries information: many distinct values across docs
+    assert len({(r.ph_hi, r.ph_lo) for r in rows}) > len(rows) // 2
