@@ -370,8 +370,62 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index of customer
+    revenue per nation, exact ppm: HHI = sum(share_i^2) surfaces as
+    sum(y_i^2) * 1e6 div total^2 — a single ratio of integers, never
+    per-customer float shares (the Gini op's concentration sibling;
+    HHI is the antitrust-standard one). The equivalent-competitor
+    count 1/HHI rides the same contract (1e12 div hhi_ppm).
+
+    Plan: one revenue groupBy, one nation-keyed two-sum aggregate
+    (sum y, sum y^2 — both map-side combinable, no rank window at
+    all, cheaper than Gini), nations-sized output. y^2 promotes
+    through DECIMAL(38,0): customer revenue micros pass 1e12, squares
+    1e24.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint"))
+            .alias("y")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    sums = rev.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("y").cast("decimal(38,0)").alias("total"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("ssq"),
+    )
+    return (
+        sums.select(
+            "c_nationkey",
+            "n_customers",
+            F.col("total").cast("bigint").alias("total_micro"),
+            F.expr(
+                "CASE WHEN total = 0 THEN NULL"
+                " ELSE CAST(ssq * 1000000 div (total * total) AS BIGINT)"
+                " END"
+            ).alias("hhi_ppm"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CASE WHEN hhi_ppm IS NULL OR hhi_ppm = 0 THEN NULL"
+                " ELSE CAST(1000000000000 div hhi_ppm AS BIGINT) END"
+            ).alias("effective_n_micro"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 QUERIES = {
     "q_encoding_audit": q_encoding_audit,
+    "q_herfindahl_index": q_herfindahl_index,
     "q_weighted_percentiles": q_weighted_percentiles,
     "q_percentile_cont": q_percentile_cont,
     "q_decile_lift_table": q_decile_lift_table,
@@ -443,6 +497,34 @@ def _encoding_audit_oracle() -> str:
 
 ORACLES = {
     "q_encoding_audit": _encoding_audit_oracle(),
+    "q_herfindahl_index": """
+        WITH rev AS (
+            SELECT o.o_custkey, c.c_nationkey,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 1000000)
+                                 AS BIGINT)) AS HUGEINT) AS y
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2),
+        sums AS (
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   SUM(y) AS total,
+                   SUM(y * y) AS ssq
+            FROM rev GROUP BY c_nationkey),
+        scored AS (
+            SELECT c_nationkey, n_customers,
+                   CAST(total AS BIGINT) AS total_micro,
+                   CASE WHEN total = 0 THEN NULL
+                        ELSE CAST(ssq * 1000000 // (total * total)
+                                  AS BIGINT) END AS hhi_ppm
+            FROM sums)
+        SELECT c_nationkey, n_customers, total_micro, hhi_ppm,
+               CASE WHEN hhi_ppm IS NULL OR hhi_ppm = 0 THEN NULL
+                    ELSE CAST(1000000000000 // hhi_ppm AS BIGINT)
+                    END AS effective_n_micro
+        FROM scored
+        ORDER BY c_nationkey
+    """,
     "q_weighted_percentiles": """
         WITH cells AS (
             SELECT l_returnflag,

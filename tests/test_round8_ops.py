@@ -1370,3 +1370,39 @@ def test_phash_median_rule_invariants(spark):
         assert 0 <= r.ph_hi < 1 << 32 and 0 <= r.ph_lo < 1 << 32
     # the hash carries information: many distinct values across docs
     assert len({(r.ph_hi, r.ph_lo) for r in rows}) > len(rows) // 2
+
+
+def test_herfindahl_matches_python(spark):
+    from fractions import Fraction
+
+    from db_migrator_spark.operators.quality3 import q_herfindahl_index
+
+    rows = {r.c_nationkey: r for r in q_herfindahl_index(spark, SF01).collect()}
+    orders = load_table(spark, SF01, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint").alias("y"),
+    ).collect()
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, SF01, "customer").collect()
+    }
+    rev = {}
+    for o in orders:
+        nk = cust[o.o_custkey]
+        rev.setdefault(nk, {}).setdefault(o.o_custkey, 0)
+        rev[nk][o.o_custkey] += o.y
+    assert set(rows) == set(rev)
+    for nk, custs in rev.items():
+        ys = list(custs.values())
+        total = sum(ys)
+        got = rows[nk]
+        assert got.n_customers == len(ys)
+        assert got.total_micro == total
+        want = sum(y * y for y in ys) * 1_000_000 // (total * total)
+        assert got.hhi_ppm == want
+        # HHI bounds: 1e6/n (perfect competition) .. 1e6 (monopoly)
+        assert want <= 1_000_000
+        assert Fraction(sum(y * y for y in ys), total * total) >= Fraction(
+            1, len(ys)
+        )
+        assert got.effective_n_micro == 1_000_000_000_000 // want
