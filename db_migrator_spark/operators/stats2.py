@@ -242,13 +242,132 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classes.unionByName(total).orderBy("c_nationkey", "c_mktsegment")
 
 
+def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-feature OLS by Cramer's rule: fit
+    price_dollars ~ b0 + b1*quantity + b2*discount_pct over lineitem,
+    solving the 3x3 normal equations with integer determinants — the
+    multi-feature sibling of events_user_trend's closed-form slope.
+    Coefficients surface in micro-dollars on the decimal `div` contract.
+
+    Precision ledger (the drift_effect_size discipline): y runs at
+    WHOLE-DOLLAR scale and discount at whole PERCENT — the Cramer
+    numerators scale as n^3 and the micro-scaled quotient product
+    reaches ~1e36 at sf1 (10M rows), inside DECIMAL(38,0)/HUGEINT
+    with ~100x row headroom; CENT-scale y crosses 1e38 at sf1
+    already (the ANSI overflow canary fires loudly there). One
+    nine-sum map-side-combinable aggregate -> a one-row 3x3 solve in
+    plain column arithmetic; no matrix library, no floats, nothing
+    iterative.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.floor(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("decimal(38,0)").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("decimal(38,0)").alias("s2y"),
+    )
+    # 3x3 determinant of [[n,sx1,sx2],[sx1,s11,s12],[sx2,s12,s22]] and
+    # the three Cramer numerators (RHS column [sy,s1y,s2y] swapped in).
+    det = (
+        "(CAST(n AS DECIMAL(38,0)) * (CAST(s11 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s12)"
+        " - CAST(sx1 AS DECIMAL(38,0)) * (CAST(sx1 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * sx2)"
+        " + CAST(sx2 AS DECIMAL(38,0)) * (CAST(sx1 AS DECIMAL(38,0)) * s12 - CAST(s11 AS DECIMAL(38,0)) * sx2))"
+    )
+    n0 = (
+        "(sy * (CAST(s11 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s12)"
+        " - CAST(sx1 AS DECIMAL(38,0)) * (s1y * s22 - s2y * s12)"
+        " + CAST(sx2 AS DECIMAL(38,0)) * (s1y * s12 - s2y * s11))"
+    )
+    n1 = (
+        "(CAST(n AS DECIMAL(38,0)) * (s1y * s22 - s2y * s12)"
+        " - sy * (CAST(sx1 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * sx2)"
+        " + CAST(sx2 AS DECIMAL(38,0)) * (CAST(sx1 AS DECIMAL(38,0)) * s2y - s1y * sx2))"
+    )
+    n2 = (
+        "(CAST(n AS DECIMAL(38,0)) * (CAST(s11 AS DECIMAL(38,0)) * s2y - s1y * s12)"
+        " - CAST(sx1 AS DECIMAL(38,0)) * (CAST(sx1 AS DECIMAL(38,0)) * s2y - s1y * sx2)"
+        " + sy * (CAST(sx1 AS DECIMAL(38,0)) * s12 - CAST(s11 AS DECIMAL(38,0)) * sx2))"
+    )
+    return s.select(
+        "n",
+        F.expr(
+            f"CASE WHEN {det} = 0 THEN NULL"
+            f" ELSE CAST({n0} * 1000000 div {det} AS BIGINT) END"
+        ).alias("b0_microdollars"),
+        F.expr(
+            f"CASE WHEN {det} = 0 THEN NULL"
+            f" ELSE CAST({n1} * 1000000 div {det} AS BIGINT) END"
+        ).alias("b1_microdollars"),
+        F.expr(
+            f"CASE WHEN {det} = 0 THEN NULL"
+            f" ELSE CAST({n2} * 1000000 div {det} AS BIGINT) END"
+        ).alias("b2_microdollars"),
+    )
+
+
 QUERIES = {
+    "q_multiple_regression": q_multiple_regression,
     "q_outlier_iqr": q_outlier_iqr,
     "q_drift_effect_size": q_drift_effect_size,
     "q_k_anonymity_audit": q_k_anonymity_audit,
 }
 
 ORACLES = {
+    "q_multiple_regression": """
+        WITH base AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(FLOOR(l_discount * 100) AS BIGINT) AS x2,
+                   CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+            FROM lineitem),
+        s AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(x1) AS HUGEINT) AS sx1,
+                   CAST(SUM(x2) AS HUGEINT) AS sx2,
+                   CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+                   CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+                   CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+                   CAST(SUM(x2 * y) AS HUGEINT) AS s2y
+            FROM base),
+        dets AS (
+            SELECT CAST(n AS BIGINT) AS n,
+                   (n * (s11 * s22 - s12 * s12)
+                    - sx1 * (sx1 * s22 - s12 * sx2)
+                    + sx2 * (sx1 * s12 - s11 * sx2)) AS det,
+                   (sy * (s11 * s22 - s12 * s12)
+                    - sx1 * (s1y * s22 - s2y * s12)
+                    + sx2 * (s1y * s12 - s2y * s11)) AS n0,
+                   (n * (s1y * s22 - s2y * s12)
+                    - sy * (sx1 * s22 - s12 * sx2)
+                    + sx2 * (sx1 * s2y - s1y * sx2)) AS n1,
+                   (n * (s11 * s2y - s1y * s12)
+                    - sx1 * (sx1 * s2y - s1y * sx2)
+                    + sy * (sx1 * s12 - s11 * sx2)) AS n2
+            FROM s)
+        SELECT n,
+               CASE WHEN det = 0 THEN NULL
+                    ELSE CAST(n0 * 1000000 // det AS BIGINT)
+                    END AS b0_microdollars,
+               CASE WHEN det = 0 THEN NULL
+                    ELSE CAST(n1 * 1000000 // det AS BIGINT)
+                    END AS b1_microdollars,
+               CASE WHEN det = 0 THEN NULL
+                    ELSE CAST(n2 * 1000000 // det AS BIGINT)
+                    END AS b2_microdollars
+        FROM dets
+    """,
     "q_k_anonymity_audit": f"""
         WITH cells AS (
             SELECT c_nationkey, c_mktsegment,

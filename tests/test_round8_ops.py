@@ -1406,3 +1406,52 @@ def test_herfindahl_matches_python(spark):
             1, len(ys)
         )
         assert got.effective_n_micro == 1_000_000_000_000 // want
+
+
+def test_multiple_regression_matches_fraction_cramer(spark):
+    from fractions import Fraction
+
+    from db_migrator_spark.operators.stats2 import q_multiple_regression
+
+    got = q_multiple_regression(spark, SF01).collect()[0]
+    li = load_table(spark, SF01, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.floor(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    ).collect()
+    n = len(li)
+    sx1 = sum(r.x1 for r in li)
+    sx2 = sum(r.x2 for r in li)
+    s11 = sum(r.x1 * r.x1 for r in li)
+    s12 = sum(r.x1 * r.x2 for r in li)
+    s22 = sum(r.x2 * r.x2 for r in li)
+    sy = sum(r.y for r in li)
+    s1y = sum(r.x1 * r.y for r in li)
+    s2y = sum(r.x2 * r.y for r in li)
+
+    def det3(m):
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+
+    M = [[n, sx1, sx2], [sx1, s11, s12], [sx2, s12, s22]]
+    rhs = [sy, s1y, s2y]
+    d = det3(M)
+    assert got.n == n and d != 0
+    for j, name in enumerate(
+        ("b0_microdollars", "b1_microdollars", "b2_microdollars")
+    ):
+        Mj = [row[:] for row in M]
+        for i in range(3):
+            Mj[i][j] = rhs[i]
+        nj = det3(Mj)
+        want = abs(nj) * 1_000_000 // d * (1 if nj >= 0 else -1)
+        assert getattr(got, name) == want
+        # exact Fraction solution agrees to the truncation ulp
+        frac = Fraction(nj * 1_000_000, d)
+        assert abs(Fraction(want) - frac) < 1
+    # sanity: quantity coefficient is strongly positive (price scales
+    # with quantity in TPC-H), discount coefficient near zero
+    assert got.b1_microdollars > 0
