@@ -405,6 +405,47 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "session_start")
 
 
+# Sliding-active-users delay: windows whose end the final watermark
+# (max event time - this delay) has passed are finalized and emitted;
+# the rest stay in state — append-mode semantics the oracle reproduces.
+SLIDING_ACTIVES_DELAY_US = 600_000_000  # 10 minutes
+
+
+def streaming_sliding_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: EXACT distinct users per sliding window
+    (1 h length, 15 min step) as TWO CHAINED STATEFUL AGGREGATIONS in
+    append mode — (window, user) dedup-count, then a per-window count
+    over the first aggregation's output. Chained stateful operators
+    are the Spark-4 capability this op pins; exact distinct in
+    streaming is otherwise impossible without the dedup stage.
+
+    Append + watermark means the bounded replay emits exactly the
+    windows whose END the final watermark (max event time - 10 min)
+    passed — the oracle applies the same closure predicate, so the op
+    is value-hash-checked INCLUDING the held-back tail (unlike the
+    session op, which must run complete mode to surface every row).
+
+    Scale notes: both aggregation states are watermark-bounded; the
+    first state is (windows x active users in horizon), the second
+    windows-sized. Each event expands to 4 window copies map-side
+    (the Expand operator), keyed shuffles on (window, user) then
+    (window).
+    """
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(F.col("w.start").alias("w_start"), "n_users")
+    )
+    out = run_bounded(agg, "append")
+    return out.orderBy("w_start")
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming EWMA — the streaming twin of operators.events2.
 # events_ewma (same constants, same integer-micro fold), with bounded
@@ -654,6 +695,7 @@ QUERIES = {
     "streaming_ewma": streaming_ewma,
     "streaming_conversions": streaming_conversions,
     "streaming_session_windows": streaming_session_windows,
+    "streaming_sliding_actives": streaming_sliding_actives,
 }
 if HAVE_PROTOBUF:  # pragma: no cover - absent in this container
     QUERIES["streaming_running_totals"] = streaming_running_totals
@@ -762,3 +804,22 @@ if HAVE_PROTOBUF:  # pragma: no cover - absent in this container
 from ..operators.events3 import ORACLES as _EV3_ORACLES  # noqa: E402
 
 ORACLES["streaming_session_windows"] = _EV3_ORACLES["q_session_window_native"]
+
+ORACLES["streaming_sliding_actives"] = f"""
+        WITH b AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events),
+        mx AS (SELECT MAX(us) AS max_us FROM b),
+        wins AS (
+            SELECT DISTINCT user_id,
+                   (us // 900000000 - i) * 900000000 AS w_start_us
+            FROM b, generate_series(0, 3) AS g(i)),
+        counted AS (
+            SELECT w_start_us, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM wins GROUP BY 1)
+        SELECT make_timestamp(w_start_us) AS w_start, n_users
+        FROM counted, mx
+        WHERE w_start_us + 3600000000
+              <= max_us - {SLIDING_ACTIVES_DELAY_US}
+        ORDER BY w_start
+    """

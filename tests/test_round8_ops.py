@@ -1455,3 +1455,39 @@ def test_multiple_regression_matches_fraction_cramer(spark):
     # sanity: quantity coefficient is strongly positive (price scales
     # with quantity in TPC-H), discount coefficient near zero
     assert got.b1_microdollars > 0
+
+
+def test_streaming_sliding_actives_equals_batch_recount(spark):
+    from db_migrator_spark.streaming.windows import (
+        SLIDING_ACTIVES_DELAY_US,
+        streaming_sliding_actives,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_sliding_actives(spark, sf).collect()
+    ev = (
+        load_table(spark, sf, "events")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .collect()
+    )
+    step = 900_000_000
+    wins = {}
+    max_us = max(r.us for r in ev)
+    for r in ev:
+        base = r.us // step * step
+        for i in range(4):
+            wins.setdefault(base - i * step, set()).add(r.user_id)
+    closed = {
+        s: users
+        for s, users in wins.items()
+        if s + 4 * step <= max_us - SLIDING_ACTIVES_DELAY_US
+    }
+    assert len(got) == len(closed)
+    for r in got:
+        s = int(r.w_start.timestamp() * 1_000_000)
+        assert r.n_users == len(closed[s])
+    # the held-back tail is real: some windows were NOT emitted
+    assert len(wins) > len(closed)
