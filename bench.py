@@ -75,6 +75,10 @@ HEADLINE = [
     # new graph shape) and the bloom-pruned semi-join audit.
     "graph_jaccard_linkpred",
     "q_bloom_semi_join",
+    # round-8c representatives: the chained-stateful streaming shape
+    # and the exact-integer DCT hash (heaviest new Arrow pass).
+    "streaming_sliding_actives",
+    "multimodal_image_phash",
 ]
 
 # Queries added to HEADLINE after round 1 — reported separately so the
@@ -100,6 +104,8 @@ ADDED_AFTER_R1 = {
     "eval_roc_auc",
     "graph_jaccard_linkpred",
     "q_bloom_semi_join",
+    "streaming_sliding_actives",
+    "multimodal_image_phash",
 }
 
 
