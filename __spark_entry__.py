@@ -57,6 +57,9 @@ _MODULES = [
     "db_migrator_spark.operators.graph",
     "db_migrator_spark.operators.graph2",
     "db_migrator_spark.operators.graph3",
+    "db_migrator_spark.operators.graph4",
+    "db_migrator_spark.operators.stats3",
+    "db_migrator_spark.operators.evals3",
     "db_migrator_spark.operators.evals",
     "db_migrator_spark.operators.evals2",
     "db_migrator_spark.operators.udtf_ops",

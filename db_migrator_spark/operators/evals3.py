@@ -1,0 +1,247 @@
+"""Correlation-grade evaluation metrics (round 8c).
+
+The reference has no evaluation surface (scope:
+/root/reference/src/migrate/table_migrator.rs:43-114); these extend
+the eval family (confusion, PR sweep, ROC AUC, kappa, Brier, F1) with
+the two metrics a model-quality dashboard asks for next, both exact:
+
+- ``eval_mcc``: one-vs-rest Matthews correlation per labeled language
+  over the lang-id predictions. MCC hides a square root, surfaced
+  exactly in milli units: mcc_milli = sign(num) * isqrt(num^2 * 1e6
+  div den) where num = tp*tn - fp*fn and den = (tp+fp)(tp+fn)(tn+fp)
+  (tn+fn). The division happens in DECIMAL(38,0) (den reaches ~5e24
+  at sf1), its quotient is <= 1e6 so the adjusted integer sqrt
+  (``corpus5._isqrt``) runs on a small bigint — exact at any corpus
+  size until num^2 * 1e6 passes DECIMAL(38,0) (~n of 1e8 per class;
+  past that drop to 1e4 scale, documented). den = 0 (a degenerate
+  class) surfaces 0 by convention.
+- ``eval_spearman_rank``: per-language Spearman rho between document
+  length (n_chars) and whitespace word count. Ranks are row_number
+  over the DETERMINISTIC total order (value, doc_id) — the documented
+  tiebreak contract (identical on both engines, no average-rank
+  fractions), then the d^2 identity rho = 1 - 6*sum(d^2)/(n(n^2-1))
+  in exact ppm on the decimal-div contract. Languages with n < 2
+  surface rho_ppm = 1e6 (a single point is perfectly concordant with
+  itself — documented convention, never hit by the fixtures).
+
+Scale notes (100 TB): MCC reduces the prediction stream to a
+languages-x-languages cell matrix (one map-side-combined groupBy),
+then works at matrix size — margins are two tiny aggs joined back.
+Spearman is two keyed rank windows over (lang) partitions plus one
+groupBy — no global window, no collect; the per-language partition is
+the natural parallel unit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+from .corpus5 import _isqrt
+from .evals import _LANGID_SQL
+from .text import text_language_id
+
+
+def eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language one-vs-rest Matthews correlation (exact milli) over
+    the lang-id predictions (module doc)."""
+    preds = text_language_id(spark, sf_dir).select(
+        "labeled_lang", "predicted_lang"
+    )
+    cells = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rows_m = cells.groupBy("labeled_lang").agg(
+        F.sum("n").cast("bigint").alias("row_n")
+    )
+    cols_m = (
+        cells.groupBy("predicted_lang")
+        .agg(F.sum("n").cast("bigint").alias("col_n"))
+        .withColumnRenamed("predicted_lang", "labeled_lang")
+    )
+    diag = cells.filter(
+        F.col("labeled_lang") == F.col("predicted_lang")
+    ).select("labeled_lang", F.col("n").alias("tp"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("total"))
+    base = (
+        rows_m.join(cols_m, "labeled_lang", "left")
+        .join(diag, "labeled_lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "labeled_lang",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            (F.coalesce("col_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fp"),
+            (F.col("row_n") - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fn"),
+            (
+                F.col("total")
+                - F.col("row_n")
+                - F.coalesce("col_n", F.lit(0))
+                + F.coalesce("tp", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("tn"),
+        )
+    )
+    num = F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")
+    scored = base.select(
+        "*",
+        num.alias("num"),
+        F.expr(
+            "CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"
+            " * (tn + fp) * (tn + fn)"
+        ).alias("den"),
+    )
+    mcc_abs = _isqrt(
+        F.expr(
+            "CAST(CAST(num AS DECIMAL(38,0)) * num * 1000000 div den"
+            " AS BIGINT)"
+        )
+    )
+    return (
+        scored.select(
+            "labeled_lang",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.when(F.col("den") == 0, F.lit(0))
+            .otherwise(
+                F.when(F.col("num") < 0, -mcc_abs).otherwise(mcc_abs)
+            )
+            .cast("bigint")
+            .alias("mcc_milli"),
+        )
+        .orderBy("labeled_lang")
+    )
+
+
+def eval_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Spearman rho (exact ppm, deterministic-tiebreak
+    ranks) between n_chars and word count (module doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("y"),
+    )
+    rx = F.row_number().over(
+        W.partitionBy("lang").orderBy("x", "doc_id")
+    )
+    ry = F.row_number().over(
+        W.partitionBy("lang").orderBy("y", "doc_id")
+    )
+    ranked = base.select(
+        "lang", (rx - ry).cast("bigint").alias("d")
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sum_d2"),
+        )
+        .select(
+            "lang",
+            "n",
+            "sum_d2",
+            F.when(F.col("n") < 2, F.lit(1_000_000))
+            .otherwise(
+                F.expr(
+                    "1000000 - CAST(CAST(6 AS DECIMAL(38,0)) * sum_d2"
+                    " * 1000000 div (n * (n * n - 1)) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("rho_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES = {
+    "eval_mcc": eval_mcc,
+    "eval_spearman_rank": eval_spearman_rank,
+}
+
+ORACLES = {
+    # _isqrt's three-branch CASE transliterated (corpus5 precedent).
+    "eval_mcc": f"""
+        {_LANGID_SQL},
+        cells AS (
+            SELECT labeled_lang, predicted_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM preds GROUP BY 1, 2),
+        rm AS (SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS row_n
+               FROM cells GROUP BY 1),
+        cm AS (SELECT predicted_lang AS labeled_lang,
+                      CAST(SUM(n) AS BIGINT) AS col_n
+               FROM cells GROUP BY 1),
+        dg AS (SELECT labeled_lang, n AS tp FROM cells
+               WHERE labeled_lang = predicted_lang),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells),
+        base2 AS (
+            SELECT rm.labeled_lang,
+                   COALESCE(dg.tp, 0) AS tp,
+                   COALESCE(cm.col_n, 0) - COALESCE(dg.tp, 0) AS fp,
+                   rm.row_n - COALESCE(dg.tp, 0) AS fn,
+                   t.total - rm.row_n - COALESCE(cm.col_n, 0)
+                       + COALESCE(dg.tp, 0) AS tn
+            FROM rm
+            LEFT JOIN cm ON cm.labeled_lang = rm.labeled_lang
+            LEFT JOIN dg ON dg.labeled_lang = rm.labeled_lang, t),
+        ovr AS (
+            SELECT *, tp * tn - fp * fn AS num,
+                   CAST(tp + fp AS HUGEINT) * (tp + fn)
+                       * (tn + fp) * (tn + fn) AS den
+            FROM base2),
+        q AS (
+            SELECT *, CASE WHEN den = 0 THEN 0
+                           ELSE CAST(CAST(num AS HUGEINT) * num * 1000000
+                                     // den AS BIGINT) END AS m2
+            FROM ovr),
+        sq AS (
+            SELECT *, CAST(FLOOR(SQRT(CAST(m2 AS DOUBLE))) AS BIGINT) AS s
+            FROM q),
+        adj AS (
+            SELECT *, CASE WHEN (s + 1) * (s + 1) <= m2 THEN s + 1
+                           WHEN s * s > m2 THEN s - 1
+                           ELSE s END AS mcc_abs
+            FROM sq)
+        SELECT labeled_lang, tp, fp, fn, tn,
+               CAST(CASE WHEN den = 0 THEN 0
+                         WHEN num < 0 THEN -mcc_abs
+                         ELSE mcc_abs END AS BIGINT) AS mcc_milli
+        FROM adj
+        ORDER BY labeled_lang
+    """,
+    "eval_spearman_rank": """
+        WITH base AS (
+            SELECT lang, doc_id, n_chars AS x,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+            FROM documents),
+        ranked AS (
+            SELECT lang,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                           ORDER BY x, doc_id)
+                        - ROW_NUMBER() OVER (PARTITION BY lang
+                                             ORDER BY y, doc_id)
+                        AS BIGINT) AS d
+            FROM base),
+        agg AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(d * d) AS BIGINT) AS sum_d2
+            FROM ranked GROUP BY lang)
+        SELECT lang, n, sum_d2,
+               CAST(CASE WHEN n < 2 THEN 1000000
+                         ELSE 1000000 - CAST(6 AS HUGEINT) * sum_d2
+                              * 1000000 // (n * (n * n - 1)) END
+                    AS BIGINT) AS rho_ppm
+        FROM agg
+        ORDER BY lang
+    """,
+}

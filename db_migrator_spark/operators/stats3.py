@@ -1,0 +1,236 @@
+"""Exact rank and variance tests (round 8c, stats3).
+
+The reference has no statistics surface (its data path is a 1:1 table
+copy, /root/reference/src/migrate/table_migrator.rs:43-114); these
+extend the inferential drift tier (stats.py: KS, chi-square, runs;
+stats2.py: IQR fences, effect size)
+with the two classical "did the distribution move" tests an analytics
+engine is asked for next, both in EXACT integer arithmetic so the
+cross-engine hash match is bit-for-bit:
+
+- ``q_mann_whitney_u``: the Mann-Whitney rank-sum U comparing pre- vs
+  post-pivot order totals per priority, tie-aware. Average ranks stay
+  integral by carrying DOUBLED rank sums: a tie group of size t
+  starting at rank a has 2*avgrank = 2a + t - 1, so
+  2*R1 = sum_v c1(v) * (2a(v) + t(v) - 1) and
+  2*U1 = 2*R1 - n1*(n1+1) are exact bigints. The rank-biserial effect
+  size r = 2*U1/(n1*n2) - 1 surfaces in ppm on the decimal-div
+  contract. Invariant (property-tested): 2*U1 + 2*U2 == 2*n1*n2.
+- ``q_anova_fstat``: one-way ANOVA of order totals (cents) across the
+  five priorities. Sum-of-squares via the computational identities
+  SSB = sum_g S_g^2/n_g - S^2/N and SSW = Q - sum_g S_g^2/n_g, with
+  each per-group division truncated identically on both engines
+  (documented contract: A = sum_g (S_g^2 div n_g) — the residual vs
+  the true rational is < k, invisible at ppm scale but bit-pinned).
+  F = (SSB/(k-1)) / (SSW/(N-k)) surfaces in ppm via one DECIMAL(38,0)
+  cross-multiplication. Sums of squares surface as DECIMAL(38,0)
+  (they pass 2^63 at sf0.01 already — the unbounded-SUM contract).
+
+Scale notes (100 TB): Mann-Whitney groups by (priority, value) FIRST —
+the rank window runs over DISTINCT values per priority (bounded
+support for currency data), never rows; everything after is
+matrix-sized. ANOVA is one map-side-combined groupBy(priority) plus a
+k-row reduction — no window, no second scan. Overflow bounds: ANOVA's
+f_ppm numerator SSB*(N-k)*1e6 stays under DECIMAL(38,0) through
+~sf10 (6.7e37 at 15M rows); past that drop the ppm scale to 1e4
+(documented, asserted by the ANSI overflow canary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+from .quality import DRIFT_PIVOT
+
+
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Mann-Whitney U (doubled, exact) between pre- and
+    post-pivot order totals per priority, with the rank-biserial
+    effect size in ppm (module doc)."""
+    orders = load_table(spark, sf_dir, "orders")
+    half = F.when(
+        F.col("o_orderdate") < F.lit(DRIFT_PIVOT).cast("timestamp"), 1
+    ).otherwise(2)
+    v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
+    base = orders.select(
+        "o_orderpriority", half.alias("half"), v.alias("v")
+    )
+    cells = base.groupBy("o_orderpriority", "v").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wcum = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # Tie group of size t = c1+c2 starting at rank a = cumt - t + 1:
+    # doubled average rank 2a + t - 1 = 2*cumt - t + 1.
+    ranked = cells.select(
+        "o_orderpriority",
+        "c1",
+        "c2",
+        (
+            2 * F.sum(F.col("c1") + F.col("c2")).over(wcum)
+            - (F.col("c1") + F.col("c2"))
+            + 1
+        ).alias("avgrank_x2"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.sum("c1").cast("bigint").alias("n1"),
+            F.sum("c2").cast("bigint").alias("n2"),
+            F.sum(F.col("c1") * F.col("avgrank_x2"))
+            .cast("bigint")
+            .alias("r1_x2"),
+        )
+        .select(
+            "o_orderpriority",
+            "n1",
+            "n2",
+            (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+            .cast("bigint")
+            .alias("u1_x2"),
+            F.expr(
+                "CAST(CAST(r1_x2 - n1 * (n1 + 1) AS DECIMAL(38,0))"
+                " * 1000000 div (n1 * n2) - 1000000 AS BIGINT)"
+            ).alias("rank_biserial_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _ddiv(x: str, y: str) -> str:
+    """Exact truncating division of POSITIVE decimals that stays in the
+    DECIMAL(38,0) domain. Spark's ``div`` on decimals returns LONG, so
+    quotients past 2^63 (S_g^2/n_g crosses it at ~sf1) overflow;
+    ``(x - x % y) / y`` is exactly divisible, hence exact as long as
+    the quotient fits 32 integer digits (the (38,6) division result
+    type). DuckDB's HUGEINT ``//`` is the same truncation natively."""
+    return (
+        f"CAST((({x}) - (({x}) % ({y}))) / ({y}) AS DECIMAL(38,0))"
+    )
+
+
+def q_anova_fstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of order totals (cents) across priorities, one
+    exact summary row: group count, row count, between/within sums of
+    squares (cents^2, DECIMAL — unbounded-SUM contract), F in ppm."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    groups = (
+        orders.select("o_orderpriority", v.alias("v"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("s_g"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias(
+                "q_g"
+            ),
+        )
+    )
+    # A = sum_g (S_g^2 div n_g): per-group truncating division is the
+    # documented cross-engine contract (module doc).
+    return (
+        groups.select(
+            F.expr(_ddiv("s_g * s_g", "n_g")).alias("a_g"),
+            "n_g",
+            "s_g",
+            "q_g",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+            F.sum("n_g").cast("bigint").alias("n_rows"),
+            F.sum("a_g").alias("a"),
+            F.sum("s_g").alias("s"),
+            F.sum("q_g").alias("q"),
+        )
+        .select(
+            "k_groups",
+            "n_rows",
+            F.expr(
+                f"CAST(a - {_ddiv('s * s', 'n_rows')} AS DECIMAL(38,0))"
+            ).alias("ssb_cents2"),
+            F.expr("CAST(q - a AS DECIMAL(38,0))").alias("ssw_cents2"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST(ssb_cents2 * (n_rows - k_groups)"
+                " * 1000000 div (ssw_cents2 * (k_groups - 1)) AS BIGINT)"
+            ).alias("f_ppm"),
+        )
+    )
+
+
+QUERIES = {
+    "q_mann_whitney_u": q_mann_whitney_u,
+    "q_anova_fstat": q_anova_fstat,
+}
+
+ORACLES = {
+    "q_mann_whitney_u": f"""
+        WITH base AS (
+            SELECT o_orderpriority,
+                   CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_PIVOT}'
+                        THEN 1 ELSE 2 END AS half,
+                   CAST(FLOOR(o_totalprice * 1000000) AS BIGINT) AS v
+            FROM orders),
+        cells AS (
+            SELECT o_orderpriority, v,
+                   CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS c1,
+                   CAST(COUNT(*) FILTER (half = 2) AS BIGINT) AS c2
+            FROM base GROUP BY o_orderpriority, v),
+        ranked AS (
+            SELECT o_orderpriority, c1, c2,
+                   2 * SUM(c1 + c2) OVER (PARTITION BY o_orderpriority
+                                          ORDER BY v
+                                          ROWS UNBOUNDED PRECEDING)
+                       - (c1 + c2) + 1 AS avgrank_x2
+            FROM cells),
+        agg AS (
+            SELECT o_orderpriority,
+                   CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2,
+                   CAST(SUM(c1 * avgrank_x2) AS BIGINT) AS r1_x2
+            FROM ranked GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n1, n2,
+               CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+               CAST(CAST(r1_x2 - n1 * (n1 + 1) AS HUGEINT)
+                    * 1000000 // (n1 * n2) - 1000000 AS BIGINT)
+                   AS rank_biserial_ppm
+        FROM agg
+        ORDER BY o_orderpriority
+    """,
+    "q_anova_fstat": """
+        WITH groups AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                        AS HUGEINT) AS s_g,
+                   SUM(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                            AS HUGEINT)
+                       * CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS q_g
+            FROM orders GROUP BY o_orderpriority),
+        red AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                   CAST(SUM(n_g) AS BIGINT) AS n_rows,
+                   SUM(s_g * s_g // n_g) AS a,
+                   SUM(s_g) AS s,
+                   SUM(q_g) AS q
+            FROM groups)
+        SELECT k_groups, n_rows,
+               CAST(a - s * s // n_rows AS DECIMAL(38,0)) AS ssb_cents2,
+               CAST(q - a AS DECIMAL(38,0)) AS ssw_cents2,
+               CAST((a - s * s // n_rows) * (n_rows - k_groups) * 1000000
+                    // ((q - a) * (k_groups - 1)) AS BIGINT) AS f_ppm
+        FROM red
+    """,
+}

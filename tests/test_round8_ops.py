@@ -1491,3 +1491,196 @@ def test_streaming_sliding_actives_equals_batch_recount(spark):
         assert r.n_users == len(closed[s])
     # the held-back tail is real: some windows were NOT emitted
     assert len(wins) > len(closed)
+
+
+def test_mann_whitney_u_identities_and_python(spark):
+    from db_migrator_spark.operators.quality import DRIFT_PIVOT
+    from db_migrator_spark.operators.stats3 import q_mann_whitney_u
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.o_orderpriority: r for r in q_mann_whitney_u(spark, sf).collect()}
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    ).collect()
+    import datetime
+
+    pivot = datetime.datetime.fromisoformat(DRIFT_PIVOT)
+    by_prio = {}
+    for o in orders:
+        v = math.floor(o.o_totalprice * 1_000_000)
+        by_prio.setdefault(o.o_orderpriority, []).append(
+            (v, 1 if o.o_orderdate < pivot else 2)
+        )
+    assert set(rows) == set(by_prio)
+    for prio, sample in by_prio.items():
+        sample.sort()
+        n1 = sum(1 for _, h in sample if h == 1)
+        n2 = len(sample) - n1
+        # doubled tie-averaged rank sum for group 1
+        r1_x2 = 0
+        i = 0
+        while i < len(sample):
+            j = i
+            while j < len(sample) and sample[j][0] == sample[i][0]:
+                j += 1
+            avg2 = 2 * i + (j - i) + 1  # 2a + t - 1 with a = i+1
+            r1_x2 += avg2 * sum(1 for k in range(i, j) if sample[k][1] == 1)
+            i = j
+        u1_x2 = r1_x2 - n1 * (n1 + 1)
+        r = rows[prio]
+        assert (r.n1, r.n2, r.u1_x2) == (n1, n2, u1_x2)
+        # U1 + U2 = n1*n2 (doubled), and the effect size is in range
+        assert 0 <= u1_x2 <= 2 * n1 * n2
+        assert -1_000_000 <= r.rank_biserial_ppm <= 1_000_000
+        assert r.rank_biserial_ppm == u1_x2 * 1_000_000 // (n1 * n2) - 1_000_000
+
+
+def test_anova_fstat_close_to_float_f(spark):
+    from db_migrator_spark.operators.stats3 import q_anova_fstat
+
+    sf = "/root/testdata/sf0.001"
+    row = q_anova_fstat(spark, sf).collect()[0]
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    groups = {}
+    for o in orders:
+        groups.setdefault(o.o_orderpriority, []).append(
+            math.floor(o.o_totalprice * 100)
+        )
+    k, n = len(groups), sum(len(g) for g in groups.values())
+    assert (row.k_groups, row.n_rows) == (k, n)
+    s = sum(sum(g) for g in groups.values())
+    q = sum(v * v for g in groups.values() for v in g)
+    a = sum(sum(g) ** 2 // len(g) for g in groups.values())
+    ssb, ssw = a - s * s // n, q - a
+    assert (int(row.ssb_cents2), int(row.ssw_cents2)) == (ssb, ssw)
+    f_float = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(row.f_ppm / 1e6 - f_float) < 1e-3
+
+
+def test_spearman_matches_python_tiebreak(spark):
+    from db_migrator_spark.operators.evals3 import eval_spearman_rank
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.lang: r for r in eval_spearman_rank(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents").select(
+        "lang", "doc_id", "n_chars", F.size(F.split("text", " ")).alias("y")
+    ).collect()
+    by_lang = {}
+    for d in docs:
+        by_lang.setdefault(d.lang, []).append(d)
+    for lang, ds in by_lang.items():
+        rx = {d.doc_id: i + 1 for i, d in enumerate(sorted(ds, key=lambda d: (d.n_chars, d.doc_id)))}
+        ry = {d.doc_id: i + 1 for i, d in enumerate(sorted(ds, key=lambda d: (d.y, d.doc_id)))}
+        sum_d2 = sum((rx[d.doc_id] - ry[d.doc_id]) ** 2 for d in ds)
+        n = len(ds)
+        r = rows[lang]
+        assert (r.n, r.sum_d2) == (n, sum_d2)
+        assert r.rho_ppm == 1_000_000 - 6 * sum_d2 * 1_000_000 // (n * (n * n - 1))
+
+
+def test_mcc_matches_python(spark):
+    from db_migrator_spark.operators.evals3 import eval_mcc
+    from db_migrator_spark.operators.text import text_language_id
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.labeled_lang: r for r in eval_mcc(spark, sf).collect()}
+    preds = text_language_id(spark, sf).select(
+        "labeled_lang", "predicted_lang"
+    ).collect()
+    total = len(preds)
+    langs = {p.labeled_lang for p in preds}
+    assert set(rows) == langs
+    for lang in langs:
+        tp = sum(1 for p in preds if p.labeled_lang == lang and p.predicted_lang == lang)
+        fp = sum(1 for p in preds if p.labeled_lang != lang and p.predicted_lang == lang)
+        fn = sum(1 for p in preds if p.labeled_lang == lang and p.predicted_lang != lang)
+        tn = total - tp - fp - fn
+        r = rows[lang]
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+        if den == 0:
+            assert r.mcc_milli == 0
+        else:
+            num = tp * tn - fp * fn
+            expect = math.isqrt(num * num * 1_000_000 // den)
+            if num < 0:
+                expect = -expect
+            assert r.mcc_milli == expect
+            mcc_float = num / math.sqrt(den)
+            assert abs(r.mcc_milli / 1000 - mcc_float) < 2e-3
+
+
+def test_clustering_coefficient_matches_python(spark):
+    from db_migrator_spark.operators.graph2 import KCORE_MIN_COOC
+    from db_migrator_spark.operators.graph4 import graph_clustering_coefficient
+
+    sf = "/root/testdata/sf0.001"
+    got = graph_clustering_coefficient(spark, sf).collect()
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").collect()
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    from collections import Counter
+
+    # lineitem-pair co-occurrence (a part can repeat within an order
+    # under different suppliers — each row pair counts, the engine's
+    # self-join semantics)
+    cooc = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                if ps[i] != ps[j]:
+                    cooc[(ps[i], ps[j])] += 1
+    adj = {}
+    for (u, v), w in cooc.items():
+        if w >= KCORE_MIN_COOC:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    tri = {}
+    for u, nbrs in adj.items():
+        ns = sorted(nbrs)
+        t = 0
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                if ns[j] in adj.get(ns[i], ()):
+                    t += 1
+        tri[u] = t
+    local = [r for r in got if r.node != -1]
+    assert {r.node for r in local} == {u for u, n in adj.items() if len(n) >= 2}
+    tot_tri = 0
+    tot_wedges = 0
+    for r in local:
+        d = len(adj[r.node])
+        assert r.degree == d
+        assert r.tri_count == tri[r.node]
+        assert r.cc_ppm == 2 * tri[r.node] * 1_000_000 // (d * (d - 1))
+        tot_tri += tri[r.node]
+        tot_wedges += d * (d - 1) // 2
+    g = [r for r in got if r.node == -1][0]
+    assert g.tri_count == tot_tri // 3
+    assert g.cc_ppm == (tot_tri * 1_000_000 // tot_wedges if tot_wedges else 0)
+
+
+def test_resource_allocation_bounds_and_nonadjacency(spark):
+    from db_migrator_spark.operators.graph3 import LINKPRED_HUB_CAP, _sparse_arcs
+    from db_migrator_spark.operators.graph4 import graph_resource_allocation
+
+    sf = "/root/testdata/sf0.001"
+    got = graph_resource_allocation(spark, sf).collect()
+    assert got, "fixture graph should yield predicted links"
+    edges = {
+        (r.u, r.v)
+        for r in _sparse_arcs(spark, sf).filter("u < v").collect()
+    }
+    for r in got:
+        assert (r.a, r.b) not in edges  # predicted, not existing
+        assert r.a < r.b
+        # each common neighbor contributes 1e6 div deg(w) with
+        # 1 <= deg(w) <= cap
+        assert r.cn * (1_000_000 // LINKPRED_HUB_CAP) <= r.ra_micro <= r.cn * 1_000_000
+    # sorted by score desc then pair
+    scores = [(-r.ra_micro, r.a, r.b) for r in got]
+    assert scores == sorted(scores)
