@@ -245,3 +245,184 @@ ORACLES = {
         ORDER BY lang
     """,
 }
+
+
+# Kendall tau-b rides the CELL-COMPRESSED pair count: documents with
+# equal (x, y) collapse into contingency cells first, so the pair join
+# runs over the distinct value support (bounded for length-like
+# metrics), never over raw row pairs — n^2 becomes cells^2. For
+# unbounded-domain metrics, pre-bucket the values before calling (the
+# cells are the contract, not the raw rows).
+def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Kendall tau-b (exact milli) between n_chars and
+    word count via cell-compressed concordant/discordant counting.
+
+    C = sum over cell pairs with x_a < x_b AND y_a < y_b of c_a*c_b
+    (each unordered concordant pair counted exactly once), D the same
+    with y_a > y_b; tie corrections n1/n2 from the x/y margins; tau_b
+    = (C - D) / sqrt((n0 - n1)(n0 - n2)) surfaced as sign * isqrt of
+    the micro-scaled quotient (den = 0 -> 0 by convention).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("y"),
+    )
+    cells = base.groupBy("lang", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    cd = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.x") < F.col("b.x")),
+        )
+        .groupBy(F.col("a.lang").alias("lang"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("a.y") < F.col("b.y"),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("concordant"),
+            F.sum(
+                F.when(
+                    F.col("a.y") > F.col("b.y"),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("discordant"),
+        )
+    )
+    margins = cells.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    xm = (
+        cells.groupBy("lang", "x")
+        .agg(F.sum("c").alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2")).cast("bigint").alias("n1")
+        )
+    )
+    ym = (
+        cells.groupBy("lang", "y")
+        .agg(F.sum("c").alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2")).cast("bigint").alias("n2")
+        )
+    )
+    joined = (
+        cd.join(margins, "lang")
+        .join(xm, "lang")
+        .join(ym, "lang")
+        .select(
+            "lang",
+            "n",
+            "concordant",
+            "discordant",
+            "n1",
+            "n2",
+            F.expr("n * (n - 1) div 2").alias("n0"),
+        )
+    )
+    tau_abs = _isqrt(
+        F.expr(
+            "CAST(CAST(concordant - discordant AS DECIMAL(38,0))"
+            " * (concordant - discordant) * 1000000"
+            " div (CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n2))"
+            " AS BIGINT)"
+        )
+    )
+    return (
+        joined.select(
+            "lang",
+            "n",
+            "concordant",
+            "discordant",
+            "n1",
+            "n2",
+            F.when(
+                (F.col("n0") == F.col("n1"))
+                | (F.col("n0") == F.col("n2")),
+                F.lit(0),
+            )
+            .otherwise(
+                F.when(
+                    F.col("concordant") < F.col("discordant"), -tau_abs
+                ).otherwise(tau_abs)
+            )
+            .cast("bigint")
+            .alias("tau_b_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["eval_kendall_tau"] = eval_kendall_tau
+
+ORACLES["eval_kendall_tau"] = """
+    WITH base AS (
+        SELECT lang, n_chars AS x,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        FROM documents),
+    cells AS (
+        SELECT lang, x, y, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2, 3),
+    cd AS (
+        SELECT a.lang,
+               CAST(COALESCE(SUM(CASE WHEN a.y < b.y
+                                      THEN a.c * b.c ELSE 0 END), 0)
+                    AS BIGINT) AS concordant,
+               CAST(COALESCE(SUM(CASE WHEN a.y > b.y
+                                      THEN a.c * b.c ELSE 0 END), 0)
+                    AS BIGINT) AS discordant
+        FROM cells a JOIN cells b
+          ON b.lang = a.lang AND a.x < b.x
+        GROUP BY a.lang),
+    margins AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+        FROM cells GROUP BY lang),
+    xm AS (
+        SELECT lang, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1
+        FROM (SELECT lang, x, SUM(c) AS t FROM cells GROUP BY 1, 2)
+        GROUP BY lang),
+    ym AS (
+        SELECT lang, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2
+        FROM (SELECT lang, y, SUM(c) AS t FROM cells GROUP BY 1, 2)
+        GROUP BY lang),
+    j AS (
+        SELECT cd.lang, m.n, cd.concordant, cd.discordant, xm.n1, ym.n2,
+               m.n * (m.n - 1) // 2 AS n0
+        FROM cd JOIN margins m ON m.lang = cd.lang
+        JOIN xm ON xm.lang = cd.lang
+        JOIN ym ON ym.lang = cd.lang),
+    q AS (
+        SELECT *, CASE WHEN n0 = n1 OR n0 = n2 THEN 0
+                       ELSE CAST(CAST(concordant - discordant AS HUGEINT)
+                                 * (concordant - discordant) * 1000000
+                                 // (CAST(n0 - n1 AS HUGEINT) * (n0 - n2))
+                                 AS BIGINT) END AS m2
+        FROM j),
+    sq AS (
+        SELECT *, CAST(FLOOR(SQRT(CAST(m2 AS DOUBLE))) AS BIGINT) AS s
+        FROM q),
+    adj AS (
+        SELECT *, CASE WHEN (s + 1) * (s + 1) <= m2 THEN s + 1
+                       WHEN s * s > m2 THEN s - 1
+                       ELSE s END AS tau_abs
+        FROM sq)
+    SELECT lang, n, concordant, discordant, n1, n2,
+           CAST(CASE WHEN n0 = n1 OR n0 = n2 THEN 0
+                     WHEN concordant < discordant THEN -tau_abs
+                     ELSE tau_abs END AS BIGINT) AS tau_b_milli
+    FROM adj
+    ORDER BY lang
+"""

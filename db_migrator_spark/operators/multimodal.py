@@ -1571,3 +1571,92 @@ ORACLES["multimodal_image_phash"] = f"""
         GROUP BY doc_id
         ORDER BY doc_id
     """
+
+
+# Zero-crossing rate: the classic no-FFT spectral proxy (high ZCR ~
+# noisy/fricative content, low ZCR ~ tonal) — pure integer counting,
+# so the full decode+feature path value-hash-checks. A crossing is a
+# STRICT sign flip (v[i-1] * v[i] < 0, zeros never cross) between
+# consecutive samples INSIDE a frame — frame-boundary pairs belong to
+# neither frame, keeping frames independent units on both engines.
+_ZCR_SCHEMA = "doc_id bigint, frame_id int, n_zc bigint"
+
+
+def _frame_zcr(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas worker: chunk-walk the WAV, count strict sign flips
+    per FRAME_LEN window (vectorized int64 product test)."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        recs = {k: [] for k in ("doc_id", "frame_id", "n_zc")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            pos, samples = 12, None
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                if cid == b"data":
+                    samples = np.frombuffer(
+                        buf[pos + 8 : pos + 8 + size], dtype="<i2"
+                    )
+                pos += 8 + size + (size & 1)
+            if samples is None:
+                raise ValueError("missing data chunk")
+            frames = samples.astype(np.int64)[: _N_FRAMES * FRAME_LEN].reshape(
+                _N_FRAMES, FRAME_LEN
+            )
+            zc = ((frames[:, :-1] * frames[:, 1:]) < 0).sum(axis=1)
+            for fid in range(_N_FRAMES):
+                recs["doc_id"].append(int(doc_id))
+                recs["frame_id"].append(fid)
+                recs["n_zc"].append(int(zc[fid]))
+        yield pd.DataFrame(recs)
+
+
+def multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame zero-crossing counts over the real WAV payloads —
+    the energy sibling's spectral-proxy counterpart (module comment).
+    Same Arrow-batched mapInPandas shape as the decode: payloads never
+    leave the executor, output rows are frames x docs."""
+    return (
+        _wav_payloads(spark, sf_dir)
+        .mapInPandas(_frame_zcr, schema=_ZCR_SCHEMA)
+        .orderBy("doc_id", "frame_id")
+    )
+
+
+QUERIES["multimodal_audio_zcr"] = multimodal_audio_zcr
+
+ORACLES["multimodal_audio_zcr"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               substr(repeat(text,
+                             CAST(ceil({_WAV_DATA_BYTES} / CAST(length(text) AS DOUBLE)) AS INT)),
+                      1, {_WAV_DATA_BYTES}) AS px
+        FROM {_ASCII_DOCS_SQL}
+        WHERE length(text) > 0),
+    u AS (
+        SELECT doc_id,
+               CAST((i - 1) // {FRAME_LEN} AS INTEGER) AS frame_id,
+               CAST(i - 1 AS INTEGER) AS idx,
+               ascii(substr(px, 2 * i - 1, 1))
+                   + 256 * ascii(substr(px, 2 * i, 1)) AS raw
+        FROM t, generate_series(1, {WAV_SAMPLES}) AS g(i)),
+    s AS (
+        SELECT doc_id, frame_id, idx,
+               CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        FROM u),
+    lagged AS (
+        SELECT doc_id, frame_id, v,
+               LAG(v) OVER (PARTITION BY doc_id, frame_id
+                            ORDER BY idx) AS pv
+        FROM s)
+    SELECT doc_id, frame_id,
+           CAST(COUNT(*) FILTER (pv IS NOT NULL AND pv * v < 0)
+                AS BIGINT) AS n_zc
+    FROM lagged
+    GROUP BY doc_id, frame_id
+    ORDER BY doc_id, frame_id
+"""

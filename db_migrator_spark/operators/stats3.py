@@ -234,3 +234,99 @@ ORACLES = {
         FROM red
     """,
 }
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V of the (priority x status) contingency table — the
+    normalized effect size its chi-square sibling
+    (``stats.q_chi_square_independence``) leaves implicit. One exact
+    summary row: V^2 = chi2 / (N * min(r-1, c-1)) with chi2 carried in
+    micros on the per-cell integer cross-product contract, then
+    v_milli = isqrt(V^2 * 1e6) — the division lands the isqrt input
+    under 1e6, inside the adjusted integer sqrt's bigint guarantee at
+    any scale. One cell aggregate + two margin aggregates, all
+    matrix-sized after the first map-side-combined pass."""
+    from .corpus5 import _isqrt
+
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    rows_m = cells.groupBy("o_orderpriority").agg(
+        F.sum("obs").cast("bigint").alias("r")
+    )
+    cols_m = cells.groupBy("o_orderstatus").agg(
+        F.sum("obs").cast("bigint").alias("c")
+    )
+    tot = cells.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.count_distinct("o_orderpriority").cast("bigint").alias("nr"),
+        F.count_distinct("o_orderstatus").cast("bigint").alias("nc"),
+    )
+    chi2 = (
+        cells.join(F.broadcast(rows_m), "o_orderpriority")
+        .join(F.broadcast(cols_m), "o_orderstatus")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nr",
+            "nc",
+            "n",
+            F.expr(
+                "CAST(CAST((obs * n - r * c) AS DECIMAL(38,0))"
+                " * (obs * n - r * c) * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+            ).alias("contrib"),
+        )
+        .groupBy("nr", "nc", "n")
+        .agg(F.sum("contrib").cast("bigint").alias("chi2_micro"))
+    )
+    return chi2.select(
+        "n",
+        F.col("nr").alias("n_rows_dim"),
+        F.col("nc").alias("n_cols_dim"),
+        "chi2_micro",
+        _isqrt(
+            F.expr("chi2_micro div (n * least(nr - 1, nc - 1))").cast(
+                "bigint"
+            )
+        ).alias("v_milli"),
+    )
+
+
+QUERIES["q_cramers_v"] = q_cramers_v
+
+ORACLES["q_cramers_v"] = """
+    WITH cells AS (
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2),
+    rm AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS r
+           FROM cells GROUP BY 1),
+    cm AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS c
+           FROM cells GROUP BY 1),
+    t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nr,
+                 CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nc
+          FROM cells),
+    chi AS (
+        SELECT t.nr, t.nc, t.n,
+               CAST(SUM(CAST((x.obs * t.n - rm.r * cm.c) AS HUGEINT)
+                        * (x.obs * t.n - rm.r * cm.c) * 1000000
+                        // (CAST(t.n AS HUGEINT) * rm.r * cm.c))
+                    AS BIGINT) AS chi2_micro
+        FROM cells x
+        JOIN rm ON rm.o_orderpriority = x.o_orderpriority
+        JOIN cm ON cm.o_orderstatus = x.o_orderstatus, t
+        GROUP BY t.nr, t.nc, t.n),
+    q AS (
+        SELECT *, chi2_micro // (n * LEAST(nr - 1, nc - 1)) AS m2
+        FROM chi),
+    sq AS (
+        SELECT *, CAST(FLOOR(SQRT(CAST(m2 AS DOUBLE))) AS BIGINT) AS s
+        FROM q)
+    SELECT n, nr AS n_rows_dim, nc AS n_cols_dim, chi2_micro,
+           CAST(CASE WHEN (s + 1) * (s + 1) <= m2 THEN s + 1
+                     WHEN s * s > m2 THEN s - 1
+                     ELSE s END AS BIGINT) AS v_milli
+    FROM sq
+"""

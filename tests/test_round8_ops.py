@@ -1684,3 +1684,107 @@ def test_resource_allocation_bounds_and_nonadjacency(spark):
     # sorted by score desc then pair
     scores = [(-r.ra_micro, r.a, r.b) for r in got]
     assert scores == sorted(scores)
+
+
+def test_kendall_tau_matches_python_bruteforce(spark):
+    from db_migrator_spark.operators.evals3 import eval_kendall_tau
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.lang: r for r in eval_kendall_tau(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents").select(
+        "lang", "n_chars", F.size(F.split("text", " ")).alias("y")
+    ).collect()
+    by_lang = {}
+    for d in docs:
+        by_lang.setdefault(d.lang, []).append((d.n_chars, d.y))
+    for lang, pts in by_lang.items():
+        c = d_ = tx = ty = 0
+        n = len(pts)
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = pts[j][0] - pts[i][0]
+                dy = pts[j][1] - pts[i][1]
+                if dx == 0 and dy == 0:
+                    tx += 1
+                    ty += 1
+                elif dx == 0:
+                    tx += 1
+                elif dy == 0:
+                    ty += 1
+                elif (dx > 0) == (dy > 0):
+                    c += 1
+                else:
+                    d_ += 1
+        n0 = n * (n - 1) // 2
+        r = rows[lang]
+        assert (r.concordant, r.discordant) == (c, d_)
+        assert (r.n1, r.n2) == (tx, ty)
+        den = (n0 - tx) * (n0 - ty)
+        if den == 0:
+            assert r.tau_b_milli == 0
+        else:
+            expect = math.isqrt((c - d_) ** 2 * 1_000_000 // den)
+            if c < d_:
+                expect = -expect
+            assert r.tau_b_milli == expect
+            # sanity vs float tau-b
+            assert abs(r.tau_b_milli / 1000 - (c - d_) / math.sqrt(den)) < 2e-3
+
+
+def test_cramers_v_matches_python(spark):
+    from db_migrator_spark.operators.stats3 import q_cramers_v
+
+    sf = "/root/testdata/sf0.001"
+    row = q_cramers_v(spark, sf).collect()[0]
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    from collections import Counter
+
+    cells = Counter((o.o_orderpriority, o.o_orderstatus) for o in orders)
+    rm = Counter()
+    cm = Counter()
+    for (p, s), c in cells.items():
+        rm[p] += c
+        cm[s] += c
+    n = sum(cells.values())
+    chi2_micro = sum(
+        (obs * n - rm[p] * cm[s]) ** 2 * 1_000_000 // (n * rm[p] * cm[s])
+        for (p, s), obs in cells.items()
+    )
+    assert row.n == n
+    assert (row.n_rows_dim, row.n_cols_dim) == (len(rm), len(cm))
+    assert row.chi2_micro == chi2_micro
+    m = min(len(rm) - 1, len(cm) - 1)
+    assert row.v_milli == math.isqrt(chi2_micro // (n * m))
+    assert 0 <= row.v_milli <= 1000
+
+
+def test_audio_zcr_matches_python_decode(spark):
+    from db_migrator_spark.operators.multimodal import (
+        FRAME_LEN,
+        WAV_SAMPLES,
+        _N_FRAMES,
+        multimodal_audio_zcr,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = multimodal_audio_zcr(spark, sf).collect()
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for d in docs:
+        txt = d.text.encode("ascii", "replace")
+        if not txt:
+            continue
+        data = (txt * (2 * WAV_SAMPLES // len(txt) + 1))[: 2 * WAV_SAMPLES]
+        import struct
+
+        samples = struct.unpack(f"<{WAV_SAMPLES}h", data)
+        for fid in range(_N_FRAMES):
+            fr = samples[fid * FRAME_LEN : (fid + 1) * FRAME_LEN]
+            expect[(d.doc_id, fid)] = sum(
+                1 for a, b in zip(fr, fr[1:]) if a * b < 0
+            )
+    assert len(got) == len(expect)
+    for r in got:
+        assert r.n_zc == expect[(r.doc_id, r.frame_id)]
