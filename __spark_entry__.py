@@ -45,6 +45,7 @@ _MODULES = [
     "db_migrator_spark.operators.events",
     "db_migrator_spark.operators.events2",
     "db_migrator_spark.operators.events3",
+    "db_migrator_spark.operators.events4",
     "db_migrator_spark.operators.text_metrics",
     "db_migrator_spark.operators.corpus",
     "db_migrator_spark.operators.corpus2",

@@ -1,0 +1,232 @@
+"""Lifecycle analytics and exact allocation (round 8c).
+
+The reference has no events surface (scope:
+/root/reference/src/migrate/table_migrator.rs:43-114); these extend
+the events family (funnel, retention, stickiness, rolling actives,
+cohort LTV) with the product-analytics daily lifecycle ledger, and
+the relational tier with the classic exact-rounding allocator:
+
+- ``events_user_lifecycle_states``: every (user, active-day) labeled
+  by the standard lifecycle state machine — ``new`` (first active day
+  ever), ``retained`` (active the previous day), ``returning`` (gap
+  2..RESURRECT_GAP_DAYS), ``resurrected`` (gap > RESURRECT_GAP_DAYS)
+  — then rolled up to per-day state counts with DAU. Pure integer
+  date arithmetic over one (user) ordered window; the states partition
+  DAU exactly (property-tested).
+- ``q_largest_remainder_allocation``: ALLOCATION_BUDGET units split
+  across nations proportionally to revenue by the largest-remainder
+  (Hamilton) method — floor shares first, then one unit to each of
+  the largest remainders, ties broken by nation name for determinism.
+  Everything integral: remainders compare as exact cross-products
+  (rev * budget mod total), the final shares sum to the budget
+  EXACTLY (property-tested) — the rounding-drift-free way to fan a
+  fixed budget out over proportions.
+
+Scale notes (100 TB): lifecycle is one distinct-(user, day) shuffle,
+one per-user ordered window (lag), one map-side-combined day rollup —
+the user partition is the parallel unit, no global window. The
+allocator is two aggregates and a nations-sized rank window; the
+"one unit each to the top-r remainders" step is rank <= r on the
+matrix-sized relation — no iteration, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+
+# Gap (days) past which a returning user counts as resurrected, not
+# merely returning. 7 = the common weekly-habit boundary.
+RESURRECT_GAP_DAYS = 7
+
+# Units to allocate in the largest-remainder demo (a budget in whole
+# units — seats, dollars, shards).
+ALLOCATION_BUDGET = 1000
+
+
+def events_user_lifecycle_states(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day lifecycle ledger: dau + new/retained/returning/
+    resurrected counts (module doc). States partition DAU exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+    ).distinct()
+    wprev = W.partitionBy("user_id").orderBy("day")
+    gapped = days.select(
+        "user_id",
+        "day",
+        F.datediff(F.col("day"), F.lag("day").over(wprev)).alias("gap"),
+    )
+    state = (
+        F.when(F.col("gap").isNull(), F.lit("new"))
+        .when(F.col("gap") == 1, F.lit("retained"))
+        .when(F.col("gap") <= RESURRECT_GAP_DAYS, F.lit("returning"))
+        .otherwise(F.lit("resurrected"))
+    )
+    return (
+        gapped.select("day", state.alias("state"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dau"),
+            F.sum((F.col("state") == "new").cast("int"))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum((F.col("state") == "retained").cast("int"))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.sum((F.col("state") == "returning").cast("int"))
+            .cast("bigint")
+            .alias("n_returning"),
+            F.sum((F.col("state") == "resurrected").cast("int"))
+            .cast("bigint")
+            .alias("n_resurrected"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_largest_remainder_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamilton largest-remainder split of ALLOCATION_BUDGET across
+    nations by customer account balance mass (module doc). Output:
+    nation, revenue cents, floor share, +1 remainder flag, final
+    share; shares sum to the budget exactly."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    # Mass must be non-negative for the method: shift acctbal cents by
+    # its global minimum (rank-preserving, documented).
+    cents = F.floor(F.col("c_acctbal") * 100).cast("bigint")
+    per_cust = cust.select(
+        F.col("c_nationkey").alias("n_nationkey"), cents.alias("v")
+    )
+    gmin = per_cust.agg(F.min("v").alias("gmin"))
+    mass = (
+        per_cust.crossJoin(F.broadcast(gmin))
+        .select(
+            "n_nationkey", (F.col("v") - F.col("gmin")).alias("m")
+        )
+        .groupBy("n_nationkey")
+        .agg(F.sum("m").cast("bigint").alias("mass"))
+    )
+    tot = mass.agg(F.sum("mass").cast("bigint").alias("total"))
+    scored = (
+        mass.join(F.broadcast(nat), "n_nationkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            "mass",
+            F.expr(
+                f"CAST(CAST(mass AS DECIMAL(38,0)) * {ALLOCATION_BUDGET}"
+                " div total AS BIGINT)"
+            ).alias("floor_share"),
+            F.expr(
+                f"CAST(CAST(mass AS DECIMAL(38,0)) * {ALLOCATION_BUDGET}"
+                " % total AS BIGINT)"
+            ).alias("remainder"),
+        )
+    )
+    leftover = scored.agg(
+        (
+            F.lit(ALLOCATION_BUDGET) - F.sum("floor_share")
+        ).cast("bigint").alias("r")
+    )
+    wrem = W.orderBy(F.desc("remainder"), "n_name")
+    return (
+        scored.crossJoin(F.broadcast(leftover))
+        .select(
+            "n_name",
+            "mass",
+            "floor_share",
+            (F.row_number().over(wrem) <= F.col("r")).alias("gets_extra"),
+        )
+        .select(
+            "n_name",
+            "mass",
+            "floor_share",
+            "gets_extra",
+            (
+                F.col("floor_share") + F.col("gets_extra").cast("bigint")
+            ).alias("final_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+QUERIES = {
+    "events_user_lifecycle_states": events_user_lifecycle_states,
+    "q_largest_remainder_allocation": q_largest_remainder_allocation,
+}
+
+ORACLES = {
+    "events_user_lifecycle_states": f"""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+            FROM events),
+        gapped AS (
+            SELECT day,
+                   day - LAG(day) OVER (PARTITION BY user_id
+                                        ORDER BY day) AS gap
+            FROM days),
+        labeled AS (
+            SELECT day,
+                   CASE WHEN gap IS NULL THEN 'new'
+                        WHEN gap = 1 THEN 'retained'
+                        WHEN gap <= {RESURRECT_GAP_DAYS} THEN 'returning'
+                        ELSE 'resurrected' END AS state
+            FROM gapped)
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS dau,
+               CAST(COUNT(*) FILTER (state = 'new') AS BIGINT) AS n_new,
+               CAST(COUNT(*) FILTER (state = 'retained') AS BIGINT)
+                   AS n_retained,
+               CAST(COUNT(*) FILTER (state = 'returning') AS BIGINT)
+                   AS n_returning,
+               CAST(COUNT(*) FILTER (state = 'resurrected') AS BIGINT)
+                   AS n_resurrected
+        FROM labeled
+        GROUP BY day
+        ORDER BY day
+    """,
+    "q_largest_remainder_allocation": f"""
+        WITH per_cust AS (
+            SELECT c_nationkey,
+                   CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v
+            FROM customer),
+        gmin AS (SELECT MIN(v) AS gm FROM per_cust),
+        mass AS (
+            SELECT c_nationkey,
+                   CAST(SUM(v - gm) AS BIGINT) AS mass
+            FROM per_cust, gmin GROUP BY c_nationkey),
+        tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS total FROM mass),
+        scored AS (
+            SELECT n.n_name, m.mass,
+                   CAST(CAST(m.mass AS HUGEINT) * {ALLOCATION_BUDGET}
+                        // t.total AS BIGINT) AS floor_share,
+                   CAST(CAST(m.mass AS HUGEINT) * {ALLOCATION_BUDGET}
+                        % t.total AS BIGINT) AS remainder
+            FROM mass m JOIN nation n ON n.n_nationkey = m.c_nationkey, tot t),
+        leftover AS (
+            SELECT {ALLOCATION_BUDGET} - SUM(floor_share) AS r
+            FROM scored),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, n_name)
+                       AS rn
+            FROM scored)
+        SELECT n_name, mass, floor_share,
+               rn <= (SELECT r FROM leftover) AS gets_extra,
+               CAST(floor_share
+                    + CASE WHEN rn <= (SELECT r FROM leftover)
+                           THEN 1 ELSE 0 END AS BIGINT) AS final_share
+        FROM ranked
+        ORDER BY n_name
+    """,
+}

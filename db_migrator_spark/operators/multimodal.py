@@ -1660,3 +1660,120 @@ ORACLES["multimodal_audio_zcr"] = f"""
     GROUP BY doc_id, frame_id
     ORDER BY doc_id, frame_id
 """
+
+
+# Sobel edge energy: the classic 3x3 gradient operator on the summed-
+# channel gray image (r+g+b, the aHash convention — range 0..765).
+# All-integer: gx/gy are small weighted sums, the per-pixel gradient
+# magnitude is kept SQUARED (gx^2 + gy^2, no sqrt), so the whole
+# decode+convolve+aggregate path value-hash-checks. Border pixels have
+# no full 3x3 neighborhood and are excluded (interior-only, the
+# "valid" convolution mode) — identical on both engines by
+# construction. Kernel weights factor as wx = dc * (2 - |dr|),
+# wy = dr * (2 - |dc|).
+STRONG_GRAD2 = 500_000  # per-pixel gx^2+gy^2 above this = strong edge
+
+_SOBEL_SCHEMA = (
+    "doc_id bigint, edge_energy bigint, max_grad2 bigint, n_strong bigint"
+)
+
+
+def _sobel_energy(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas worker: parse P6, gray = channel sum, valid-mode
+    integer Sobel via shifted-slice accumulation, per-image totals."""
+    import numpy as np
+
+    for pdf in batches:
+        recs = {k: [] for k in ("doc_id", "edge_energy", "max_grad2", "n_strong")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(buf[start:pos])
+            pos += 1
+            w, h = int(tokens[1]), int(tokens[2])
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+            gray = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+            gx = np.zeros((h - 2, w - 2), dtype=np.int64)
+            gy = np.zeros((h - 2, w - 2), dtype=np.int64)
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    wx = dc * (2 - abs(dr))
+                    wy = dr * (2 - abs(dc))
+                    if wx == 0 and wy == 0:
+                        continue
+                    sl = gray[1 + dr : h - 1 + dr, 1 + dc : w - 1 + dc]
+                    if wx:
+                        gx += wx * sl
+                    if wy:
+                        gy += wy * sl
+            grad2 = gx * gx + gy * gy
+            recs["doc_id"].append(int(doc_id))
+            recs["edge_energy"].append(int(grad2.sum()))
+            recs["max_grad2"].append(int(grad2.max()))
+            recs["n_strong"].append(int((grad2 > STRONG_GRAD2).sum()))
+        yield pd.DataFrame(recs)
+
+
+def multimodal_image_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image integer Sobel edge profile: total squared-gradient
+    energy, the sharpest pixel's squared magnitude, and the count of
+    strong-edge pixels (module comment). Same Arrow-batched
+    mapInPandas shape as the other image ops."""
+    return (
+        _ppm_payloads(spark, sf_dir)
+        .mapInPandas(_sobel_energy, schema=_SOBEL_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["multimodal_image_sobel"] = multimodal_image_sobel
+
+ORACLES["multimodal_image_sobel"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               substr(repeat(text,
+                             CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
+                      1, {_PPM_PIXELS}) AS px
+        FROM {_ASCII_DOCS_SQL}
+        WHERE length(text) > 0),
+    gray AS (
+        SELECT doc_id,
+               CAST((i - 1) // {PPM_W} AS INTEGER) AS r,
+               CAST((i - 1) % {PPM_W} AS INTEGER) AS c,
+               ascii(substr(px, (i - 1) * 3 + 1, 1))
+                   + ascii(substr(px, (i - 1) * 3 + 2, 1))
+                   + ascii(substr(px, (i - 1) * 3 + 3, 1)) AS g
+        FROM t, generate_series(1, {PPM_W * PPM_H}) AS gs(i)),
+    kernel(dr, dc, wx, wy) AS (
+        SELECT dr, dc, dc * (2 - abs(dr)), dr * (2 - abs(dc))
+        FROM (SELECT unnest([-1, 0, 1]) AS dr),
+             (SELECT unnest([-1, 0, 1]) AS dc)
+        WHERE NOT (dr = 0 AND dc = 0)),
+    grads AS (
+        SELECT ctr.doc_id, ctr.r, ctr.c,
+               SUM(k.wx * nb.g) AS gx,
+               SUM(k.wy * nb.g) AS gy
+        FROM gray ctr
+        JOIN kernel k ON TRUE
+        JOIN gray nb ON nb.doc_id = ctr.doc_id
+                    AND nb.r = ctr.r + k.dr AND nb.c = ctr.c + k.dc
+        WHERE ctr.r BETWEEN 1 AND {PPM_H - 2}
+          AND ctr.c BETWEEN 1 AND {PPM_W - 2}
+        GROUP BY 1, 2, 3),
+    g2 AS (
+        SELECT doc_id, gx * gx + gy * gy AS grad2 FROM grads)
+    SELECT doc_id,
+           CAST(SUM(grad2) AS BIGINT) AS edge_energy,
+           CAST(MAX(grad2) AS BIGINT) AS max_grad2,
+           CAST(COUNT(*) FILTER (grad2 > {STRONG_GRAD2}) AS BIGINT)
+               AS n_strong
+    FROM g2
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

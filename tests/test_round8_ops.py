@@ -1788,3 +1788,117 @@ def test_audio_zcr_matches_python_decode(spark):
     assert len(got) == len(expect)
     for r in got:
         assert r.n_zc == expect[(r.doc_id, r.frame_id)]
+
+
+def test_lifecycle_states_partition_dau(spark):
+    from db_migrator_spark.operators.events4 import (
+        RESURRECT_GAP_DAYS,
+        events_user_lifecycle_states,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = events_user_lifecycle_states(spark, sf).collect()
+    assert got, "fixture has activity"
+    # the four states partition DAU on every day
+    for r in got:
+        assert r.n_new + r.n_retained + r.n_returning + r.n_resurrected == r.dau
+    # recompute from raw events
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).distinct().collect()
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e.day)
+    from collections import Counter
+
+    states = Counter()
+    for days in by_user.values():
+        days.sort()
+        prev = None
+        for d in days:
+            if prev is None:
+                s = "new"
+            else:
+                gap = (d - prev).days
+                s = (
+                    "retained"
+                    if gap == 1
+                    else "returning"
+                    if gap <= RESURRECT_GAP_DAYS
+                    else "resurrected"
+                )
+            states[(d, s)] += 1
+            prev = d
+    for r in got:
+        assert r.n_new == states.get((r.day, "new"), 0)
+        assert r.n_retained == states.get((r.day, "retained"), 0)
+        assert r.n_returning == states.get((r.day, "returning"), 0)
+        assert r.n_resurrected == states.get((r.day, "resurrected"), 0)
+
+
+def test_largest_remainder_allocation_sums_exactly(spark):
+    from db_migrator_spark.operators.events4 import (
+        ALLOCATION_BUDGET,
+        q_largest_remainder_allocation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_largest_remainder_allocation(spark, sf).collect()
+    assert sum(r.final_share for r in got) == ALLOCATION_BUDGET
+    total_mass = sum(r.mass for r in got)
+    for r in got:
+        # Hamilton bracketing: floor <= final <= floor + 1, and floor
+        # is the exact proportional floor
+        assert r.floor_share == r.mass * ALLOCATION_BUDGET // total_mass
+        assert r.final_share in (r.floor_share, r.floor_share + 1)
+        assert r.gets_extra == (r.final_share == r.floor_share + 1)
+
+
+def test_sobel_matches_python_convolution(spark):
+    from db_migrator_spark.operators.multimodal import (
+        PPM_H,
+        PPM_W,
+        STRONG_GRAD2,
+        _PPM_PIXELS,
+        multimodal_image_sobel,
+    )
+    import re
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: r for r in multimodal_image_sobel(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    checked = 0
+    for d in docs:
+        txt = re.sub(r"[^\x20-\x7E]", "", d.text)
+        if not txt:
+            continue
+        raw = (txt * (_PPM_PIXELS // len(txt) + 1))[:_PPM_PIXELS].encode("ascii")
+        gray = [
+            [
+                raw[(r * PPM_W + c) * 3]
+                + raw[(r * PPM_W + c) * 3 + 1]
+                + raw[(r * PPM_W + c) * 3 + 2]
+                for c in range(PPM_W)
+            ]
+            for r in range(PPM_H)
+        ]
+        energy = mx = strong = 0
+        for r in range(1, PPM_H - 1):
+            for c in range(1, PPM_W - 1):
+                gx = gy = 0
+                for dr in (-1, 0, 1):
+                    for dc in (-1, 0, 1):
+                        gx += dc * (2 - abs(dr)) * gray[r + dr][c + dc]
+                        gy += dr * (2 - abs(dc)) * gray[r + dr][c + dc]
+                g2 = gx * gx + gy * gy
+                energy += g2
+                mx = max(mx, g2)
+                strong += g2 > STRONG_GRAD2
+        row = got[d.doc_id]
+        assert (row.edge_energy, row.max_grad2, row.n_strong) == (
+            energy,
+            mx,
+            strong,
+        )
+        checked += 1
+    assert checked == len(got)
