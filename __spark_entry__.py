@@ -76,6 +76,7 @@ _MODULES = [
     "db_migrator_spark.streaming.windows",
     "db_migrator_spark.streaming.joins",
     "db_migrator_spark.streaming.foreach_batch",
+    "db_migrator_spark.streaming.scd2_stream",
 ]
 
 # Driver-evidence bookkeeping: the external driver checks the FIRST 50

@@ -1902,3 +1902,48 @@ def test_sobel_matches_python_convolution(spark):
         )
         checked += 1
     assert checked == len(got)
+
+
+def test_streaming_scd2_history_chains_and_matches_batch(spark):
+    from db_migrator_spark.streaming.scd2_stream import (
+        streaming_scd2_maintenance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_scd2_maintenance(spark, sf).collect()
+    by_cust = {}
+    for r in got:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for cust, vs in by_cust.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        # half-open chaining: each version closes exactly where the
+        # next opens; only the last is open
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+            assert not a.is_current
+            # a real change: consecutive versions differ
+            assert a.attr != b.attr
+        assert vs[-1].valid_to is None and vs[-1].is_current
+    # equals the one-shot batch collapse (same logic, no micro-batches)
+    ev = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+        "o_orderpriority",
+    ).collect()
+    daily = {}
+    for e in ev:
+        k = (e.o_custkey, e.d)
+        if k not in daily or e.o_orderkey > daily[k][0]:
+            daily[k] = (e.o_orderkey, e.o_orderpriority)
+    hist = {}
+    for (cust, d), (_, attr) in sorted(daily.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        vs = hist.setdefault(cust, [])
+        if not vs or vs[-1][1] != attr:
+            vs.append((d, attr))
+    for cust, vs in hist.items():
+        rows = by_cust[cust]
+        assert len(rows) == len(vs)
+        for r, (d, attr) in zip(rows, vs):
+            assert (r.valid_from, r.attr) == (d, attr)
