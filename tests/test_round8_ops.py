@@ -1947,3 +1947,53 @@ def test_streaming_scd2_history_chains_and_matches_batch(spark):
         assert len(rows) == len(vs)
         for r, (d, attr) in zip(rows, vs):
             assert (r.valid_from, r.attr) == (d, attr)
+
+
+def test_pca_power_exact_iterate_and_rayleigh_bounds(spark):
+    import numpy as np
+
+    from db_migrator_spark.operators.similarity_pca import (
+        POWER_ITERS,
+        embedding_pca_power,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_pca_power(spark, sf).collect()
+    assert [r.i for r in got] == list(range(64))
+    v = [r.v_micro for r in got]
+    assert max(abs(x) for x in v) == 1_000_000  # rescale contract
+    # bit-exact replication of the integer pipeline in plain Python
+    emb = load_table(spark, sf, "embeddings").select("embedding").collect()
+    q = [[math.floor(float(x) * 1_000_000) for x in r.embedding] for r in emb]
+    n, dim = len(q), 64
+    s_ = [sum(row[i] for row in q) for i in range(dim)]
+    c = [
+        [
+            n * sum(row[i] * row[j] for row in q) - s_[i] * s_[j]
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    for r in got:
+        assert int(r.cov_diag_scaled) == c[r.i][r.i]
+    vv = [1_000_000] * dim
+    for _ in range(POWER_ITERS):
+        w = [sum(c[i][j] * vv[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        # truncation toward zero, both engines' div contract
+        vv = [
+            (abs(x) * 1_000_000 // m) * (1 if x >= 0 else -1) for x in w
+        ]
+    sgn = next((1 if x > 0 else -1 for x in vv if x != 0), 1)
+    vv = [sgn * x for x in vv]
+    assert v == vv
+    # Rayleigh invariants: any iterate's quotient is <= lambda_1 and
+    # this one must beat the uniform 1/64 share
+    cnp = np.array(c, dtype=float)
+    l1 = np.linalg.eigvalsh(cnp)[-1]
+    share = got[0].var_share_ppm / 1e6
+    assert share <= l1 / np.trace(cnp) + 1e-3
+    assert share > 1 / 64
+    # sign contract: first nonzero component positive
+    nz = [x for x in v if x != 0]
+    assert nz[0] > 0
