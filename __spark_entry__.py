@@ -70,6 +70,7 @@ _MODULES = [
     "db_migrator_spark.operators.quality",
     "db_migrator_spark.operators.quality2",
     "db_migrator_spark.operators.quality3",
+    "db_migrator_spark.operators.quality4",
     "db_migrator_spark.operators.stats",
     "db_migrator_spark.operators.stats2",
     "db_migrator_spark.sources.python_source",

@@ -1997,3 +1997,90 @@ def test_pca_power_exact_iterate_and_rayleigh_bounds(spark):
     # sign contract: first nonzero component positive
     nz = [x for x in v if x != 0]
     assert nz[0] > 0
+
+
+def test_winsorize_bounds_and_means(spark):
+    from db_migrator_spark.operators.quality4 import (
+        WINSOR_HI_PCT,
+        WINSOR_LO_PCT,
+        q_winsorize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.o_orderpriority: r for r in q_winsorize(spark, sf).collect()}
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_prio = {}
+    for o in orders:
+        by_prio.setdefault(o.o_orderpriority, []).append(
+            math.floor(o.o_totalprice * 1_000_000)
+        )
+    for prio, vs in by_prio.items():
+        vs.sort()
+        n = len(vs)
+        p05 = vs[math.ceil(n * WINSOR_LO_PCT / 100.0) - 1]
+        p95 = vs[math.ceil(n * WINSOR_HI_PCT / 100.0) - 1]
+        r = rows[prio]
+        assert (r.n, r.p05_micro, r.p95_micro) == (n, p05, p95)
+        assert r.n_clipped_low == sum(1 for v in vs if v < p05)
+        assert r.n_clipped_high == sum(1 for v in vs if v > p95)
+        w = [min(max(v, p05), p95) for v in vs]
+        assert r.raw_mean_micro == sum(vs) // n
+        assert r.winsor_mean_micro == sum(w) // n
+        # winsorized mean is inside the clip bounds
+        assert p05 <= r.winsor_mean_micro <= p95
+
+
+def test_impute_missing_mass_and_mask(spark):
+    import hashlib
+
+    from db_migrator_spark.operators.quality4 import (
+        IMPUTE_MASK_DIGITS,
+        q_impute_missing,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_impute_missing(spark, sf).collect()
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "value",
+    ).collect()
+
+    def masked(eid):
+        return hashlib.md5(str(eid).encode()).hexdigest()[-1] in IMPUTE_MASK_DIGITS
+
+    def tdiv(s, n):
+        return s // n if s >= 0 else -((-s) // n)
+
+    obs = [e for e in ev if not masked(e.event_id)]
+    user_mean = {}
+    for e in obs:
+        user_mean.setdefault(e.user_id, []).append(
+            math.floor(e.value * 1_000_000)
+        )
+    gmean = tdiv(
+        sum(v for vs in user_mean.values() for v in vs),
+        sum(len(vs) for vs in user_mean.values()),
+    )
+    user_mean = {u: tdiv(sum(vs), len(vs)) for u, vs in user_mean.items()}
+    from collections import defaultdict
+
+    exp = defaultdict(lambda: [0, 0, 0, 0])
+    for e in ev:
+        d = exp[e.day]
+        if masked(e.event_id):
+            d[1] += 1
+            d[3] += user_mean.get(e.user_id, gmean)
+        else:
+            d[0] += 1
+            d[2] += math.floor(e.value * 1_000_000)
+    assert len(got) == len(exp)
+    for r in got:
+        d = exp[r.day]
+        assert (r.n_observed, r.n_missing) == (d[0], d[1])
+        assert (int(r.observed_total_micro), int(r.imputed_total_micro)) == (
+            d[2],
+            d[3],
+        )
