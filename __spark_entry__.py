@@ -55,6 +55,7 @@ _MODULES = [
     "db_migrator_spark.operators.corpus5",
     "db_migrator_spark.operators.corpus6",
     "db_migrator_spark.operators.corpus7",
+    "db_migrator_spark.operators.corpus8",
     "db_migrator_spark.operators.splits",
     "db_migrator_spark.operators.graph",
     "db_migrator_spark.operators.graph2",

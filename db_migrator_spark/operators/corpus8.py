@@ -1,0 +1,193 @@
+"""Span-corruption planning and novelty curves (round 8c).
+
+The reference has no corpus surface (scope:
+/root/reference/src/migrate/table_migrator.rs:43-114); these extend
+the training-data tier (chunking, packing, splits, sampling, BPE)
+with two preprocessing plans a denoising-LM pipeline needs, both
+exact and collect-free:
+
+- ``corpus_span_corruption_plan``: the T5-style span-corruption MASK
+  PLAN, deterministic: each document's token stream is cut into
+  CORRUPT_BLOCK-token blocks, and each FULL block masks one
+  SPAN_LEN-token span whose offset is the md5 lottery
+  md5(doc_id:block) mod (CORRUPT_BLOCK - SPAN_LEN + 1) — md5 is
+  bit-identical cross-engine (the splits contract), so the mask is
+  reproducible anywhere, span density is SPAN_LEN/CORRUPT_BLOCK
+  (3/20 = 15%, the T5 recipe) on full blocks, and spans can never
+  overlap BY CONSTRUCTION (one per block) — no sequential rejection
+  pass, which is what makes the plan embarrassingly parallel at
+  100 TB. Output: one row per span (doc, block, span start, sentinel
+  id), plus each doc's token/block accounting carried on the row.
+- ``text_bigram_novelty``: the dataset novelty curve — per document
+  (in doc_id order), how many of its distinct bigrams appear here
+  FIRST (min doc_id over the corpus is this doc). Novelty share in
+  ppm flags the point where a growing corpus stops contributing new
+  phrase structure — the diminishing-returns audit for data
+  collection. One distinct-(bigram, doc) projection, one min-doc
+  aggregate per bigram, one join back: two shuffles keyed by bigram,
+  map-side combinable.
+
+Scale notes (100 TB): the corruption plan is a pure projection +
+bounded explode (one row per CORRUPT_BLOCK tokens — output is ~5% of
+token count); the novelty curve's bigram relation is the same shape
+as the n-gram vocab builders (corpus5) — the min-doc aggregate is
+map-side combinable and the join back is bigram-keyed, no skew (the
+per-doc distinct cap bounds any hot bigram's fan-in contribution to
+one row per doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+CORRUPT_BLOCK = 20  # tokens per block, one span masked per full block
+SPAN_LEN = 3  # masked span length (T5 mean-3 recipe, fixed)
+
+
+def corpus_span_corruption_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic T5-style span mask plan (module doc): one row per
+    masked span with doc accounting and the md5-lottery offset."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    ).filter(F.col("n_tokens") >= CORRUPT_BLOCK)
+    blocks = base.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"n_tokens div {CORRUPT_BLOCK}").alias("n_blocks"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_blocks",
+        F.explode(F.sequence(F.lit(0), F.col("n_blocks") - 1)).alias(
+            "block"
+        ),
+    )
+    # offset lottery: first 8 md5 hex chars as an unsigned int, mod
+    # the legal offset count (conv is exact for 32-bit inputs)
+    lot = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',"
+        " CAST(block AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return blocks.select(
+        "doc_id",
+        "n_tokens",
+        "n_blocks",
+        "block",
+        (
+            F.col("block") * CORRUPT_BLOCK
+            + lot % (CORRUPT_BLOCK - SPAN_LEN + 1)
+        ).alias("span_start"),
+        F.lit(SPAN_LEN).alias("span_len"),
+        F.col("block").alias("sentinel_id"),
+    ).orderBy("doc_id", "block")
+
+
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty in doc_id order (module doc):
+    distinct bigrams, first-seen-here bigrams, novelty share ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    bigrams = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    lambda w, i: F.concat_ws(
+                        " ", w, F.col("ws")[i + 1]
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+    )
+    first_doc = bigrams.groupBy("bg").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        bigrams.join(first_doc, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_novel",
+            F.expr("n_novel * 1000000 div n_bigrams").alias(
+                "novelty_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "corpus_span_corruption_plan": corpus_span_corruption_plan,
+    "text_bigram_novelty": text_bigram_novelty,
+}
+
+ORACLES = {
+    "corpus_span_corruption_plan": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents),
+        docs AS (
+            SELECT doc_id, n_tokens,
+                   n_tokens // {CORRUPT_BLOCK} AS n_blocks
+            FROM base WHERE n_tokens >= {CORRUPT_BLOCK}),
+        blocks AS (
+            SELECT doc_id, n_tokens, n_blocks,
+                   unnest(generate_series(0, CAST(n_blocks - 1 AS BIGINT)))
+                       AS block
+            FROM docs)
+        SELECT doc_id, n_tokens, n_blocks, block,
+               block * {CORRUPT_BLOCK}
+                   + CAST(from_hex(substr(md5(CAST(doc_id AS VARCHAR)
+                              || ':' || CAST(block AS VARCHAR)), 1, 8))
+                          ::BIT::UINTEGER AS BIGINT)
+                       % ({CORRUPT_BLOCK} - {SPAN_LEN} + 1) AS span_start,
+               {SPAN_LEN} AS span_len,
+               block AS sentinel_id
+        FROM blocks
+        ORDER BY doc_id, block
+    """,
+    "text_bigram_novelty": """
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+        idx AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM ws WHERE len(w) >= 2),
+        bigrams AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS bg
+            FROM idx),
+        fd AS (
+            SELECT bg, MIN(doc_id) AS first_doc FROM bigrams GROUP BY bg)
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) FILTER (fd.first_doc = b.doc_id) AS BIGINT)
+                   AS n_novel,
+               COUNT(*) FILTER (fd.first_doc = b.doc_id) * 1000000
+                   // COUNT(*) AS novelty_ppm
+        FROM bigrams b JOIN fd ON fd.bg = b.bg
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
+    """,
+}

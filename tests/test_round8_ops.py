@@ -2084,3 +2084,71 @@ def test_impute_missing_mass_and_mask(spark):
             d[2],
             d[3],
         )
+
+
+def test_span_corruption_plan_properties(spark):
+    import hashlib
+
+    from db_migrator_spark.operators.corpus8 import (
+        CORRUPT_BLOCK,
+        SPAN_LEN,
+        corpus_span_corruption_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = corpus_span_corruption_plan(spark, sf).collect()
+    assert got
+    docs = {
+        d.doc_id: len(d.text.split(" "))
+        for d in load_table(spark, sf, "documents").select(
+            "doc_id", "text"
+        ).collect()
+    }
+    from collections import defaultdict
+
+    spans = defaultdict(list)
+    for r in got:
+        spans[r.doc_id].append(r)
+        assert docs[r.doc_id] == r.n_tokens
+        assert r.n_blocks == r.n_tokens // CORRUPT_BLOCK
+        # span inside its own block -> never overlaps, never escapes
+        assert (
+            r.block * CORRUPT_BLOCK
+            <= r.span_start
+            <= (r.block + 1) * CORRUPT_BLOCK - SPAN_LEN
+        )
+        # md5 lottery replicated
+        h = hashlib.md5(f"{r.doc_id}:{r.block}".encode()).hexdigest()
+        off = int(h[:8], 16) % (CORRUPT_BLOCK - SPAN_LEN + 1)
+        assert r.span_start == r.block * CORRUPT_BLOCK + off
+    for doc_id, rs in spans.items():
+        assert len(rs) == rs[0].n_blocks  # one span per full block
+    # docs shorter than one block are excluded
+    assert all(
+        docs[d] >= CORRUPT_BLOCK for d in spans
+    ) and all(d in spans for d, n in docs.items() if n >= CORRUPT_BLOCK)
+
+
+def test_bigram_novelty_partition_and_firsts(spark):
+    from db_migrator_spark.operators.corpus8 import text_bigram_novelty
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: r for r in text_bigram_novelty(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    first = {}
+    per_doc = {}
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        ws = d.text.split(" ")
+        bgs = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+        per_doc[d.doc_id] = bgs
+        for bg in bgs:
+            first.setdefault(bg, d.doc_id)
+    for doc_id, bgs in per_doc.items():
+        if not bgs:
+            continue
+        r = got[doc_id]
+        novel = sum(1 for bg in bgs if first[bg] == doc_id)
+        assert (r.n_bigrams, r.n_novel) == (len(bgs), novel)
+        assert r.novelty_ppm == novel * 1_000_000 // len(bgs)
+    # total novelty equals the vocabulary size
+    assert sum(r.n_novel for r in got.values()) == len(first)
