@@ -1777,3 +1777,86 @@ ORACLES["multimodal_image_sobel"] = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+# Luminance histogram: the exposure/contrast profile every image QA
+# pass starts with. Bins are the summed-channel gray (0..765) cut into
+# HIST_BINS equal-width buckets — pure integer binning, so the
+# decode+bin path value-hash-checks end-to-end.
+HIST_BINS = 8
+_HIST_BIN_W = 768 // HIST_BINS  # 96 gray levels per bin
+
+_HISTO_SCHEMA = "doc_id bigint, bin int, n_px bigint"
+
+
+def _lum_histogram(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas worker: parse P6, gray = channel sum, fixed-width
+    bincount per image."""
+    import numpy as np
+
+    for pdf in batches:
+        recs = {k: [] for k in ("doc_id", "bin", "n_px")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(buf[start:pos])
+            pos += 1
+            w, h = int(tokens[1]), int(tokens[2])
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+            gray = px.reshape(h * w, 3).astype(np.int64).sum(axis=1)
+            counts = np.bincount(gray // _HIST_BIN_W, minlength=HIST_BINS)
+            for b in range(HIST_BINS):
+                recs["doc_id"].append(int(doc_id))
+                recs["bin"].append(b)
+                recs["n_px"].append(int(counts[b]))
+        yield pd.DataFrame(recs)
+
+
+def multimodal_image_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-image 8-bin luminance histogram (module comment) — every
+    image emits all HIST_BINS rows (zeros included) so downstream
+    contrast metrics never need an existence join."""
+    return (
+        _ppm_payloads(spark, sf_dir)
+        .mapInPandas(_lum_histogram, schema=_HISTO_SCHEMA)
+        .orderBy("doc_id", "bin")
+    )
+
+
+QUERIES["multimodal_image_histogram"] = multimodal_image_histogram
+
+ORACLES["multimodal_image_histogram"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               substr(repeat(text,
+                             CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
+                      1, {_PPM_PIXELS}) AS px
+        FROM {_ASCII_DOCS_SQL}
+        WHERE length(text) > 0),
+    gray AS (
+        SELECT doc_id,
+               (ascii(substr(px, (i - 1) * 3 + 1, 1))
+                + ascii(substr(px, (i - 1) * 3 + 2, 1))
+                + ascii(substr(px, (i - 1) * 3 + 3, 1)))
+                   // {_HIST_BIN_W} AS bin
+        FROM t, generate_series(1, {PPM_W * PPM_H}) AS g(i)),
+    bins AS (
+        SELECT DISTINCT doc_id, unnest(generate_series(0,
+                   {HIST_BINS - 1})) AS bin
+        FROM t)
+    SELECT b.doc_id, CAST(b.bin AS INTEGER) AS bin,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_px
+    FROM bins b
+    LEFT JOIN (SELECT doc_id, bin, COUNT(*) AS n
+               FROM gray GROUP BY 1, 2) c
+      ON c.doc_id = b.doc_id AND c.bin = b.bin
+    ORDER BY b.doc_id, b.bin
+"""

@@ -398,3 +398,64 @@ ORACLES = {
         ORDER BY c_custkey
     """,
 }
+
+
+# Staleness bound for the tolerance-banded as-of join: previous-order
+# matches older than this many days are rejected (NULL) — the
+# repeat-purchase window. 180 days accepts roughly the faster half of
+# the fixture's inter-order gaps, so both branches stay exercised.
+ASOF_TOLERANCE_DAYS = 180
+
+
+def q_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self as-of with a staleness tolerance: each order matched to the
+    same customer's most recent PRIOR order, accepted only within
+    ASOF_TOLERANCE_DAYS — the repeat-purchase linkage every retention
+    model starts from, with stale carries rejected to NULL.
+
+    Plan: ONE keyed window (lag over (custkey, date, orderkey)) — the
+    self-as-of degenerates to lag, so there is no join at all; the
+    tolerance test is one datediff per row. Output keeps the exact gap
+    in days for accepted matches — the freshness audit column.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    prev = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "d",
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lag("d").over(w).alias("prev_d"),
+    )
+    gap = F.datediff(F.col("d"), F.col("prev_d")).cast("bigint")
+    fresh = gap <= ASOF_TOLERANCE_DAYS
+    return prev.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(fresh, F.col("prev_key")).alias("asof_prev_orderkey"),
+        F.when(fresh, gap).alias("staleness_days"),
+    ).orderBy("o_orderkey")
+
+
+QUERIES["q_asof_tolerance_join"] = q_asof_tolerance_join
+
+ORACLES["q_asof_tolerance_join"] = f"""
+    WITH prev AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+               LAG(o_orderkey) OVER w AS prev_key,
+               LAG(CAST(o_orderdate AS DATE)) OVER w AS prev_d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE), o_orderkey))
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN d - prev_d <= {ASOF_TOLERANCE_DAYS}
+                THEN prev_key END AS asof_prev_orderkey,
+           CASE WHEN d - prev_d <= {ASOF_TOLERANCE_DAYS}
+                THEN CAST(d - prev_d AS BIGINT) END AS staleness_days
+    FROM prev
+    ORDER BY o_orderkey
+"""

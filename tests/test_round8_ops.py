@@ -2152,3 +2152,62 @@ def test_bigram_novelty_partition_and_firsts(spark):
         assert r.novelty_ppm == novel * 1_000_000 // len(bgs)
     # total novelty equals the vocabulary size
     assert sum(r.n_novel for r in got.values()) == len(first)
+
+
+def test_asof_tolerance_rejects_stale(spark):
+    from db_migrator_spark.operators.relational2 import (
+        ASOF_TOLERANCE_DAYS,
+        q_asof_tolerance_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.o_orderkey: r for r in q_asof_tolerance_join(spark, sf).collect()}
+    orders = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).collect()
+    by_cust = {}
+    for o in orders:
+        by_cust.setdefault(o.o_custkey, []).append(o)
+    n_match = n_reject = n_first = 0
+    for cust, os_ in by_cust.items():
+        os_.sort(key=lambda o: (o.d, o.o_orderkey))
+        prev = None
+        for o in os_:
+            r = got[o.o_orderkey]
+            if prev is None:
+                assert r.asof_prev_orderkey is None
+                n_first += 1
+            else:
+                gap = (o.d - prev.d).days
+                if gap <= ASOF_TOLERANCE_DAYS:
+                    assert r.asof_prev_orderkey == prev.o_orderkey
+                    assert r.staleness_days == gap
+                    n_match += 1
+                else:
+                    assert r.asof_prev_orderkey is None
+                    assert r.staleness_days is None
+                    n_reject += 1
+            prev = o
+    # the bound genuinely bites in both directions
+    assert n_match > 0 and n_reject > 0 and n_first > 0
+
+
+def test_image_histogram_partitions_pixels(spark):
+    from db_migrator_spark.operators.multimodal import (
+        HIST_BINS,
+        PPM_H,
+        PPM_W,
+        multimodal_image_histogram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = multimodal_image_histogram(spark, sf).collect()
+    from collections import defaultdict
+
+    per_doc = defaultdict(dict)
+    for r in got:
+        per_doc[r.doc_id][r.bin] = r.n_px
+    for doc_id, bins in per_doc.items():
+        assert sorted(bins) == list(range(HIST_BINS))
+        assert sum(bins.values()) == PPM_W * PPM_H
