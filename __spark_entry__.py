@@ -80,6 +80,7 @@ _MODULES = [
     "db_migrator_spark.streaming.joins",
     "db_migrator_spark.streaming.foreach_batch",
     "db_migrator_spark.streaming.scd2_stream",
+    "db_migrator_spark.streaming.late_data",
 ]
 
 # Driver-evidence bookkeeping: the external driver checks the FIRST 50

@@ -1,0 +1,166 @@
+"""Late-data drop semantics, pinned end-to-end (round 8c).
+
+The reference has no streaming surface (its data path is a bounded
+1:1 copy, /root/reference/src/migrate/table_migrator.rs:43-114). The
+streaming family already pins watermark CLOSURE (which windows emit —
+``streaming_sliding_actives``); this op pins the DROP side: what
+happens to rows that arrive after the watermark passed them — the
+subtlest Structured Streaming semantic, and the one that silently
+loses data when a pipeline misjudges its out-of-orderness.
+
+Replay layout (4 files, modification times pinned ascending so the
+file source's (mtime, path) ordering is deterministic):
+
+  batch 0: days  1-15          (on time)
+  batch 1: days 16-23 MINUS the straggler day     (on time)
+  batch 2: days 24-30          (advances the watermark far ahead)
+  batch 3: the STRAGGLER day (Jan 22) — a full day arriving after
+           the watermark left it behind
+
+Pinned semantics (probed empirically, both directions — see the
+test's replication):
+
+- The row-level late filter in batch k uses the watermark computed
+  through batch k-2's data (``batchWatermarkMs`` of offset k-1): a
+  row is ACCEPTED iff its window end > that LAGGING watermark. This
+  is why a late row whose window state is still live merges fine
+  (probe: holdout one batch late -> counted), while a straggler
+  whose windows were already evicted drops (this op's layout).
+- State eviction/emission in batch k uses batch k's OWN watermark —
+  one batch ahead of the filter. Windows whose only data was dropped
+  never emit at all (the Jan-22 hole in this op's output).
+- Final emission: windows with end <= final watermark (max event
+  time across ALL batches - delay; stragglers are old, so they never
+  move it).
+
+The DuckDB oracle replays this exact model from the literal file
+predicates — batch assignment, the per-batch watermark sequence, the
+lagging filter, the final closure — so the full drop semantics are
+value-hash-checked, not just asserted.
+
+Scale notes (100 TB): the aggregation is the standard watermark-
+bounded tumbling count (state = open windows only); the audit adds
+nothing to the steady-state footprint. The pinned lag-one-batch
+filter rule is exactly what capacity-planning late-data SLAs must be
+written against.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+WATERMARK_DELAY = "2 hours"
+_DELAY_US = 2 * 3600 * 1_000_000
+
+# Literal batch predicates (the straggler day arrives LAST).
+_STRAGGLER = "(ts >= '2024-01-22' AND ts < '2024-01-23')"
+_BATCH_PREDS = (
+    "ts < '2024-01-16'",
+    f"ts >= '2024-01-16' AND ts < '2024-01-24' AND NOT {_STRAGGLER}",
+    "ts >= '2024-01-24'",
+    _STRAGGLER,
+)
+
+
+def streaming_late_data_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly event counts under the straggler replay (module doc):
+    the emitted windows exclude every straggler row AND the
+    straggler-only windows — the value-hash pin of watermark drops."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(
+        tempfile.gettempdir(), f"db_migrator_spark_late_{tag}"
+    )
+    replay = os.path.join(base, "replay")
+    if not os.path.isdir(replay):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+        )
+        for i, pred in enumerate(_BATCH_PREDS):
+            d = os.path.join(replay, f"p{i}")
+            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(d)
+            for root, _dirs, files in os.walk(d):
+                for fn in files:
+                    t = 1_700_000_000 + i * 100
+                    os.utime(os.path.join(root, fn), (t, t))
+    s = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(replay, "p*"))
+    )
+    agg = (
+        s.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    sink = os.path.join(base, "sink")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.schema("w_start timestamp, n bigint")
+        .parquet(sink)
+        .orderBy("w_start")
+    )
+
+
+QUERIES = {"streaming_late_data_audit": streaming_late_data_audit}
+
+
+def _late_oracle() -> str:
+    batch_case = " ".join(
+        f"WHEN {p} THEN {i}" for i, p in enumerate(_BATCH_PREDS)
+    )
+    return f"""
+        WITH tagged AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts,
+                   CASE {batch_case} END AS batch
+            FROM events),
+        batch_max AS (
+            SELECT batch, MAX(epoch_us(ts)) AS mx
+            FROM tagged GROUP BY batch),
+        -- wm(k) = max event time through batch k-1, minus the delay;
+        -- the row filter in batch k uses wm(k-1) (lags one more batch)
+        wm AS (
+            SELECT b.batch,
+                   COALESCE((SELECT MAX(m2.mx) FROM batch_max m2
+                             WHERE m2.batch <= b.batch - 2), 0)
+                       - {_DELAY_US} AS filter_wm_us
+            FROM batch_max b),
+        final_wm AS (
+            SELECT MAX(mx) - {_DELAY_US} AS wm_us FROM batch_max),
+        accepted AS (
+            SELECT date_trunc('hour', t.ts) AS w_start
+            FROM tagged t JOIN wm ON wm.batch = t.batch
+            WHERE epoch_us(date_trunc('hour', t.ts)) + 3600000000
+                  > wm.filter_wm_us),
+        counts AS (
+            SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n
+            FROM accepted GROUP BY w_start)
+        SELECT c.w_start, c.n
+        FROM counts c, final_wm f
+        WHERE epoch_us(c.w_start) + 3600000000 <= f.wm_us
+        ORDER BY c.w_start
+    """
+
+
+ORACLES = {"streaming_late_data_audit": _late_oracle()}

@@ -2211,3 +2211,39 @@ def test_image_histogram_partitions_pixels(spark):
     for doc_id, bins in per_doc.items():
         assert sorted(bins) == list(range(HIST_BINS))
         assert sum(bins.values()) == PPM_W * PPM_H
+
+
+def test_late_data_audit_drops_stragglers_only(spark):
+    import datetime
+
+    from db_migrator_spark.streaming.late_data import (
+        streaming_late_data_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_late_data_audit(spark, sf).collect()
+    ev = load_table(spark, sf, "events").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    ).collect()
+    strag_lo = datetime.datetime(2024, 1, 22)
+    strag_hi = datetime.datetime(2024, 1, 23)
+    on_time = [e.ts for e in ev if not (strag_lo <= e.ts < strag_hi)]
+    stragglers = [e.ts for e in ev if strag_lo <= e.ts < strag_hi]
+    assert stragglers, "fixture must contain the straggler day"
+    final_wm = max(on_time) - datetime.timedelta(hours=2)
+    from collections import Counter
+
+    per_window = Counter(
+        t.replace(minute=0, second=0, microsecond=0) for t in on_time
+    )
+    expected = {
+        w: n
+        for w, n in per_window.items()
+        if w + datetime.timedelta(hours=1) <= final_wm
+    }
+    got_map = {r.w_start: r.n for r in got}
+    # every straggler row was dropped; straggler-only windows missing
+    assert got_map == expected
+    assert not any(strag_lo <= w < strag_hi for w in got_map)
+    # the on-time tail past the final watermark is held back, not lost
+    assert len(per_window) > len(expected)
