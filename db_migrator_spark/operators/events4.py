@@ -230,3 +230,92 @@ ORACLES = {
         ORDER BY n_name
     """,
 }
+
+
+# Seasonal-naive backtest: forecast(day d) = actual(day d - 7) — THE
+# baseline every forecasting system must beat. Exact integers: daily
+# totals in micros, absolute errors summed exactly, MAE via the
+# truncating-div contract.
+FORECAST_SEASON_DAYS = 7
+
+
+def events_naive_forecast_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day seasonal-naive backtest of daily event value totals:
+    actual, the 7-day-lag forecast, signed error and absolute error in
+    micros, plus a trailing row (day = NULL is avoided: the summary
+    surfaces per-day; the MAE lives in mae_to_date_micro, the running
+    mean absolute error over scored days — the backtest curve)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias(
+                "vm"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("vm").cast("bigint").alias("actual_micro"))
+    )
+    w = W.orderBy("day")
+    scored = daily.select(
+        "day",
+        "actual_micro",
+        F.lag("actual_micro", FORECAST_SEASON_DAYS).over(w).alias(
+            "forecast_micro"
+        ),
+    ).withColumn(
+        "abs_err_micro",
+        F.abs(F.col("actual_micro") - F.col("forecast_micro")),
+    )
+    wrun = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return scored.select(
+        "day",
+        "actual_micro",
+        "forecast_micro",
+        (F.col("actual_micro") - F.col("forecast_micro")).alias(
+            "err_micro"
+        ),
+        "abs_err_micro",
+        F.when(
+            F.count("abs_err_micro").over(wrun) > 0,
+            F.expr(
+                "CAST(CASE WHEN SUM(abs_err_micro) OVER ("
+                "ORDER BY day ROWS UNBOUNDED PRECEDING) IS NULL THEN NULL"
+                " ELSE SUM(abs_err_micro) OVER ("
+                "ORDER BY day ROWS UNBOUNDED PRECEDING)"
+                " div COUNT(abs_err_micro) OVER ("
+                "ORDER BY day ROWS UNBOUNDED PRECEDING) END AS BIGINT)"
+            ),
+        ).alias("mae_to_date_micro"),
+    ).orderBy("day")
+
+
+QUERIES["events_naive_forecast_backtest"] = events_naive_forecast_backtest
+
+ORACLES["events_naive_forecast_backtest"] = f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS actual_micro
+        FROM events GROUP BY 1),
+    scored AS (
+        SELECT day, actual_micro,
+               LAG(actual_micro, {FORECAST_SEASON_DAYS})
+                   OVER (ORDER BY day) AS forecast_micro
+        FROM daily),
+    err AS (
+        SELECT *, ABS(actual_micro - forecast_micro) AS abs_err_micro
+        FROM scored)
+    SELECT day, actual_micro, forecast_micro,
+           actual_micro - forecast_micro AS err_micro,
+           abs_err_micro,
+           CASE WHEN SUM(abs_err_micro) OVER w IS NULL THEN NULL
+                ELSE CAST(SUM(abs_err_micro) OVER w
+                          // COUNT(abs_err_micro) OVER w AS BIGINT) END
+               AS mae_to_date_micro
+    FROM err
+    WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ORDER BY day
+"""

@@ -140,3 +140,45 @@ ORACLES = {
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
     """,
 }
+
+
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 SQL PIPE syntax surface (|>): a multi-stage
+    filter -> aggregate -> derive -> order pipeline written as the
+    linear dataflow it is. Same Catalyst plan as the nested-SELECT
+    equivalent — the oracle IS that equivalent in ANSI form, so this
+    pins that the pipe surface parses AND optimizes identically
+    (pushdown/pruning included). Decimal-contract money arithmetic.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "pipe_orders"
+    )
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_orderdate >= DATE '1995-01-01'
+        |> AGGREGATE COUNT(*) AS n,
+                     SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+           GROUP BY o_orderpriority
+        |> EXTEND CAST(cents div n AS BIGINT) AS mean_cents
+        |> WHERE n >= 10
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+QUERIES["q_sql_pipe_syntax"] = q_sql_pipe_syntax
+
+ORACLES["q_sql_pipe_syntax"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) // COUNT(*)
+                AS BIGINT) AS mean_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) >= 10
+    ORDER BY o_orderpriority
+"""

@@ -2247,3 +2247,55 @@ def test_late_data_audit_drops_stragglers_only(spark):
     assert not any(strag_lo <= w < strag_hi for w in got_map)
     # the on-time tail past the final watermark is held back, not lost
     assert len(per_window) > len(expected)
+
+
+def test_pipe_syntax_equals_dataframe_equivalent(spark):
+    from db_migrator_spark.operators.relational7 import q_sql_pipe_syntax
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.o_orderpriority: r for r in q_sql_pipe_syntax(spark, sf).collect()}
+    df = (
+        load_table(spark, sf, "orders")
+        .filter("o_orderdate >= DATE '1995-01-01'")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .filter("n >= 10")
+        .collect()
+    )
+    assert {r.o_orderpriority for r in df} == set(got)
+    for r in df:
+        g = got[r.o_orderpriority]
+        assert (g.n, g.cents, g.mean_cents) == (r.n, r.cents, r.cents // r.n)
+
+
+def test_naive_forecast_backtest_lag7(spark):
+    from db_migrator_spark.operators.events4 import (
+        FORECAST_SEASON_DAYS,
+        events_naive_forecast_backtest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = events_naive_forecast_backtest(spark, sf).collect()
+    days = [r.day for r in got]
+    actual = {r.day: r.actual_micro for r in got}
+    mae_num = mae_den = 0
+    for r in got:
+        import datetime
+
+        src = r.day - datetime.timedelta(days=FORECAST_SEASON_DAYS)
+        if src in actual:
+            assert r.forecast_micro == actual[src]
+            assert r.err_micro == r.actual_micro - r.forecast_micro
+            assert r.abs_err_micro == abs(r.err_micro)
+            mae_num += r.abs_err_micro
+            mae_den += 1
+            assert r.mae_to_date_micro == mae_num // mae_den
+        else:
+            assert r.forecast_micro is None and r.abs_err_micro is None
+    assert mae_den > 0  # the backtest scored real days
+    assert days == sorted(days)
