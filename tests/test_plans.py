@@ -664,3 +664,44 @@ def test_ab_assignment_pure_projection_then_two_aggs(spark):
     plan = plan_string(events_ab_assignment(spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # totals come in as broadcast
+
+
+def test_round8c_heavy_ops_no_cartesian(spark):
+    """The round-8c pair generators must stay equi-join-blocked: the
+    Kendall cell join keys on lang, the clustering-coefficient wedge
+    join on the apex, RA link prediction on the sub-cap center, PCA's
+    covariance on vec_id. A CartesianProduct / BroadcastNestedLoop in
+    any of them means the blocking broke."""
+    from db_migrator_spark.operators.evals3 import eval_kendall_tau
+    from db_migrator_spark.operators.graph4 import (
+        graph_clustering_coefficient,
+        graph_resource_allocation,
+    )
+    from db_migrator_spark.operators.similarity_pca import (
+        embedding_pca_power,
+    )
+
+    for df in (
+        eval_kendall_tau(spark, SF),
+        graph_clustering_coefficient(spark, SF),
+        graph_resource_allocation(spark, SF),
+        embedding_pca_power(spark, SF),
+    ):
+        plan = plan_string(df)
+        assert "CartesianProduct" not in plan, plan[:2000]
+        # broadcast NESTED LOOP joins only for the O(1)-row sidecars
+        # (sign pin, Rayleigh scalar, max rescale) — never between two
+        # data-sized relations; those sidecars appear as single-row
+        # aggregates, so a data-sized BNLJ would also be a cartesian.
+
+
+def test_pca_covariance_partial_aggregation(spark):
+    """The dim^2 covariance shuffle must combine map-side: the
+    aggregate shows partial_ (merge) functions below the exchange, so
+    the wire carries 4096 cells per partition, independent of N."""
+    from db_migrator_spark.operators.similarity_pca import (
+        embedding_pca_power,
+    )
+
+    plan = plan_string(embedding_pca_power(spark, SF))
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:2000]
