@@ -319,3 +319,126 @@ ORACLES["events_naive_forecast_backtest"] = f"""
     WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
     ORDER BY day
 """
+
+
+def events_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout for the A/B experiment
+    (``events3.events_ab_assignment``'s arms): is the outcome-rate
+    difference real? The outcome is SCALE-INVARIANT by design — a
+    user "converts" when their purchase events outnumber their error
+    events (a per-user ratio comparison, so the conversion rate stays
+    non-degenerate at any fixture scale, unlike has-any-purchase,
+    which saturates at 100%). The z statistic hides a square root,
+    so the surface carries the SIGNED SQUARED statistic exactly:
+
+        z^2 = (p1 - p2)^2 / (p (1 - p) (1/n1 + 1/n2))
+
+    with p the pooled conversion — every term a ratio of integers, so
+    z^2 reduces to one DECIMAL(38,0) cross-multiplication:
+
+        z2_milli = sign(x1 n2 - x2 n1) *
+            (x1 n2 - x2 n1)^2 * N * 1000
+            div (n1 n2 (x1 + x2) (N - x1 - x2))
+
+    (N = n1 + n2; derivation: substitute p = (x1+x2)/N and clear
+    denominators). |z| >= 1.96 <=> z2 >= 3.84 (3840 milli) at 95% —
+    readable directly off the output. Degenerate pools (all or none
+    converting) surface NULL.
+
+    One user-level aggregate (map-side combinable), a 2-row arm
+    rollup, then scalar arithmetic — the same shape as the SRM audit
+    it completes.
+    """
+    from .events3 import AB_ARM_UPPER, AB_SALT
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(AB_SALT), F.col("user_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            2,
+        )
+        < AB_ARM_UPPER,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        ev.select("user_id", arm.alias("arm"), "event_type")
+        .groupBy("user_id", "arm")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int"))
+                > F.sum((F.col("event_type") == "error").cast("int"))
+            )
+            .cast("int")
+            .alias("converted")
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("x"),
+    )
+    wide = arms.groupBy().agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "A", F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == "B", F.col("x"))).alias("x2"),
+    )
+    return wide.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr("x1 * 1000000 div n1").cast("bigint").alias("p1_ppm"),
+        F.expr("x2 * 1000000 div n2").cast("bigint").alias("p2_ppm"),
+        F.expr(
+            "CASE WHEN x1 + x2 = 0 OR x1 + x2 = n1 + n2 THEN NULL ELSE"
+            " (CASE WHEN x1 * n2 - x2 * n1 < 0 THEN -1 ELSE 1 END)"
+            " * (CAST(x1 * n2 - x2 * n1 AS DECIMAL(38,0))"
+            "    * (x1 * n2 - x2 * n1) * (n1 + n2) * 1000"
+            "    div (CAST(n1 AS DECIMAL(38,0)) * n2 * (x1 + x2)"
+            "         * (n1 + n2 - x1 - x2))) END"
+        )
+        .cast("bigint")
+        .alias("z2_signed_milli"),
+    )
+
+
+QUERIES["events_ab_significance"] = events_ab_significance
+
+ORACLES["events_ab_significance"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5('ab-v1' || CAST(user_id AS VARCHAR)),
+                                1, 2) < '80'
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END)
+                    > SUM(CASE WHEN event_type = 'error' THEN 1
+                               ELSE 0 END) AS BIGINT) AS converted
+        FROM events GROUP BY user_id),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS x
+        FROM per_user GROUP BY arm),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n1,
+               MAX(CASE WHEN arm = 'A' THEN x END) AS x1,
+               MAX(CASE WHEN arm = 'B' THEN n END) AS n2,
+               MAX(CASE WHEN arm = 'B' THEN x END) AS x2
+        FROM arms)
+    SELECT n1, x1, n2, x2,
+           x1 * 1000000 // n1 AS p1_ppm,
+           x2 * 1000000 // n2 AS p2_ppm,
+           CASE WHEN x1 + x2 = 0 OR x1 + x2 = n1 + n2 THEN NULL ELSE
+                CAST(CASE WHEN x1 * n2 - x2 * n1 < 0 THEN -1 ELSE 1 END
+                     * CAST(x1 * n2 - x2 * n1 AS HUGEINT)
+                     * (x1 * n2 - x2 * n1) * (n1 + n2) * 1000
+                     // (CAST(n1 AS HUGEINT) * n2 * (x1 + x2)
+                         * (n1 + n2 - x1 - x2)) AS BIGINT) END
+               AS z2_signed_milli
+    FROM wide
+"""

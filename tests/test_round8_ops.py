@@ -2299,3 +2299,44 @@ def test_naive_forecast_backtest_lag7(spark):
             assert r.forecast_micro is None and r.abs_err_micro is None
     assert mae_den > 0  # the backtest scored real days
     assert days == sorted(days)
+
+
+def test_ab_significance_matches_python_ztest(spark):
+    import hashlib
+
+    from db_migrator_spark.operators.events4 import events_ab_significance
+
+    sf = "/root/testdata/sf0.001"
+    row = events_ab_significance(spark, sf).collect()[0]
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    counts = {}
+    for e in ev:
+        arm = (
+            "A"
+            if hashlib.md5(f"ab-v1{e.user_id}".encode()).hexdigest()[:2] < "80"
+            else "B"
+        )
+        k = (e.user_id, arm)
+        p, er = counts.get(k, (0, 0))
+        counts[k] = (
+            p + int(e.event_type == "purchase"),
+            er + int(e.event_type == "error"),
+        )
+    users = {k: int(p > er) for k, (p, er) in counts.items()}
+    n1 = sum(1 for (_, a) in users if a == "A")
+    x1 = sum(v for (u, a), v in users.items() if a == "A")
+    n2 = len(users) - n1
+    x2 = sum(users.values()) - x1
+    assert (row.n1, row.x1, row.n2, row.x2) == (n1, x1, n2, x2)
+    num = x1 * n2 - x2 * n1
+    expect = (1 if num >= 0 else -1) * (
+        (num * num * (n1 + n2) * 1000)
+        // (n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2))
+    )
+    assert row.z2_signed_milli == expect
+    # cross-check against the float z^2
+    p1, p2, p = x1 / n1, x2 / n2, (x1 + x2) / (n1 + n2)
+    z2 = (p1 - p2) ** 2 / (p * (1 - p) * (1 / n1 + 1 / n2))
+    assert abs(abs(row.z2_signed_milli) / 1000 - z2) < 2e-3
