@@ -99,17 +99,10 @@ def clicks_left_outer(events: DataFrame, attribution_window: str = "1 hour") -> 
     )
 
 
-def streaming_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract entry: the LEFT OUTER interval join as two streams.
-
-    Unmatched clicks need the watermark to pass their window before the
-    null row emits, and a bounded file replay ends with the watermark at
-    max-event-time minus delay — stranding the tail's unmatched clicks in
-    state. The replay therefore appends a far-future FLUSH event (a
-    sentinel user's click) whose arrival pushes the watermark past every
-    real window; the sentinel is filtered from the result. Same flush
-    recipe as the session-window parity test (tests/test_streaming.py).
-    """
+def _ensure_outer_replay(sf_dir: str) -> tuple[str, int]:
+    """Build (once) the flush-sentinel replay dir shared by the
+    outer stream-stream joins; returns (replay_dir, FLUSH_USER).
+    Rationale in streaming_click_outer_join's docstring."""
     import hashlib
     import os
     import tempfile
@@ -179,6 +172,21 @@ def streaming_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Lost the race to a concurrent builder: theirs is complete
             # (rename is atomic), ours is redundant.
             shutil.rmtree(build, ignore_errors=True)
+    return replay, FLUSH_USER
+
+
+def streaming_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the LEFT OUTER interval join as two streams.
+
+    Unmatched clicks need the watermark to pass their window before the
+    null row emits, and a bounded file replay ends with the watermark at
+    max-event-time minus delay — stranding the tail's unmatched clicks in
+    state. The replay therefore appends a far-future FLUSH event (a
+    sentinel user's click) whose arrival pushes the watermark past every
+    real window; the sentinel is filtered from the result. Same flush
+    recipe as the session-window parity test (tests/test_streaming.py).
+    """
+    replay, FLUSH_USER = _ensure_outer_replay(sf_dir)
     ev = stream_events(spark, replay)
     out = run_bounded(clicks_left_outer(ev), "append")
     return (
@@ -233,13 +241,93 @@ def streaming_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("c_mktsegment")
 
 
+
+
+def clicks_full_outer(events: DataFrame, attribution_window: str = "1 hour") -> DataFrame:
+    """FULL OUTER stream-stream interval join: every click AND every
+    purchase, matched where the window allows, null-padded otherwise.
+
+    Both outer sides wait on the OPPOSITE stream's watermark: an
+    unmatched click emits once no matching purchase can arrive, an
+    unmatched purchase (no prior click within the window — the organic
+    conversion) emits once no matching click can. State on both sides
+    stays bounded by the interval condition."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + interval {attribution_window}"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.when(
+            F.col("click_id").isNull(), F.lit("organic_purchase")
+        )
+        .when(F.col("purchase_id").isNull(), F.lit("unconverted_click"))
+        .otherwise(F.lit("attributed"))
+        .alias("kind"),
+    )
+
+
+def streaming_click_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the FULL OUTER interval join as two
+    streams over the flush-sentinel replay (shared with the left-outer
+    entry — both sides need the watermark pushed past the tail before
+    their unmatched rows emit)."""
+    replay, FLUSH_USER = _ensure_outer_replay(sf_dir)
+    ev = stream_events(spark, replay)
+    out = run_bounded(clicks_full_outer(ev), "append")
+    return (
+        out.filter(F.col("user_id") != FLUSH_USER)
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 QUERIES = {
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_click_outer_join": streaming_click_outer_join,
+    "streaming_click_full_outer": streaming_click_full_outer,
     "streaming_segment_enrichment": streaming_segment_enrichment,
 }
 
 ORACLES = {
+    "streaming_click_full_outer": """
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          CAST(ts AS TIMESTAMP) AS ts FROM events),
+        c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+              FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+              FROM e WHERE event_type = 'purchase')
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               click_id, purchase_id,
+               CASE WHEN click_id IS NULL THEN 'organic_purchase'
+                    WHEN purchase_id IS NULL THEN 'unconverted_click'
+                    ELSE 'attributed' END AS kind
+        FROM c FULL JOIN p ON c.user_id = p.user_id
+                          AND p_ts > c_ts
+                          AND p_ts <= c_ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
     "streaming_click_outer_join": """
         WITH e AS (SELECT event_id, user_id, event_type,
                           CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -2340,3 +2340,27 @@ def test_ab_significance_matches_python_ztest(spark):
     p1, p2, p = x1 / n1, x2 / n2, (x1 + x2) / (n1 + n2)
     z2 = (p1 - p2) ** 2 / (p * (1 - p) * (1 / n1 + 1 / n2))
     assert abs(abs(row.z2_signed_milli) / 1000 - z2) < 2e-3
+
+
+def test_full_outer_stream_join_kinds_partition(spark):
+    from db_migrator_spark.streaming.joins import streaming_click_full_outer
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_click_full_outer(spark, sf).collect()
+    kinds = {r.kind for r in got}
+    assert kinds == {"attributed", "unconverted_click", "organic_purchase"}
+    for r in got:
+        if r.kind == "attributed":
+            assert r.click_id is not None and r.purchase_id is not None
+        elif r.kind == "unconverted_click":
+            assert r.click_id is not None and r.purchase_id is None
+        else:
+            assert r.click_id is None and r.purchase_id is not None
+    # every click and every purchase appears at least once
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type"
+    ).collect()
+    clicks = {e.event_id for e in ev if e.event_type == "click"}
+    purchases = {e.event_id for e in ev if e.event_type == "purchase"}
+    assert {r.click_id for r in got if r.click_id is not None} == clicks
+    assert {r.purchase_id for r in got if r.purchase_id is not None} == purchases
