@@ -270,3 +270,92 @@ ORACLES = {
     "graph_clustering_coefficient": _cc_oracle(),
     "graph_resource_allocation": _ra_oracle(),
 }
+
+
+# Multi-source BFS: distances from the BFS_N_SEEDS lowest-id nodes,
+# expanded BFS_ROUNDS rounds — the traversal primitive the graph
+# family lacked (PageRank/label-prop/k-core are all value iterations;
+# this one is frontier expansion). Fixed rounds, so the surface is the
+# exact radius-R distance table (the PageRank fixed-round contract).
+BFS_N_SEEDS = 10
+BFS_ROUNDS = 4
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-seed BFS distances (<= BFS_ROUNDS hops) from the
+    lowest-id seeds over the sparsified co-purchase graph (module
+    comment). One arcs-keyed join + min-combine per round, frontier
+    localCheckpointed (the iterate feeds both the union and the next
+    expansion — the 2^rounds lineage lesson)."""
+    arcs = _sparse_arcs(spark, sf_dir).localCheckpoint()
+    seeds = (
+        arcs.select("u")
+        .distinct()
+        .orderBy("u")
+        .limit(BFS_N_SEEDS)
+        .select(F.col("u").alias("seed"))
+    )
+    dist = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    for _ in range(BFS_ROUNDS):
+        hop = (
+            dist.join(arcs, dist["node"] == arcs["u"])
+            .select("seed", F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select(
+        "seed", "node", F.col("dist").cast("bigint").alias("dist")
+    ).orderBy("seed", "node")
+
+
+QUERIES["graph_bfs_distances"] = graph_bfs_distances
+
+
+def _bfs_oracle() -> str:
+    stmts = [
+        f"""
+        CREATE OR REPLACE TEMP TABLE bfs_und AS
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {KCORE_MIN_COOC};
+        CREATE OR REPLACE TEMP TABLE bfs_arcs AS
+            SELECT u, v FROM bfs_und
+            UNION ALL SELECT v, u FROM bfs_und;
+        CREATE OR REPLACE TEMP TABLE bfs_dist AS
+            SELECT u AS seed, u AS node, 0 AS dist
+            FROM (SELECT DISTINCT u FROM bfs_arcs ORDER BY u
+                  LIMIT {BFS_N_SEEDS});
+        """
+    ]
+    for _ in range(BFS_ROUNDS):
+        stmts.append(
+            """
+        CREATE OR REPLACE TEMP TABLE bfs_dist AS
+            SELECT seed, node, MIN(dist) AS dist FROM (
+                SELECT seed, node, dist FROM bfs_dist
+                UNION ALL
+                SELECT d.seed, a.v AS node, d.dist + 1
+                FROM bfs_dist d JOIN bfs_arcs a ON a.u = d.node)
+            GROUP BY seed, node;
+        """
+        )
+    stmts.append(
+        """
+        SELECT seed, node, CAST(dist AS BIGINT) AS dist
+        FROM bfs_dist
+        ORDER BY seed, node
+        """
+    )
+    return ";".join(stmts)
+
+
+ORACLES["graph_bfs_distances"] = _bfs_oracle()

@@ -2364,3 +2364,37 @@ def test_full_outer_stream_join_kinds_partition(spark):
     purchases = {e.event_id for e in ev if e.event_type == "purchase"}
     assert {r.click_id for r in got if r.click_id is not None} == clicks
     assert {r.purchase_id for r in got if r.purchase_id is not None} == purchases
+
+
+def test_bfs_distances_match_python(spark):
+    from db_migrator_spark.operators.graph3 import _sparse_arcs
+    from db_migrator_spark.operators.graph4 import (
+        BFS_N_SEEDS,
+        BFS_ROUNDS,
+        graph_bfs_distances,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.seed, r.node): r.dist for r in graph_bfs_distances(spark, sf).collect()}
+    arcs = _sparse_arcs(spark, sf).collect()
+    adj = {}
+    for a in arcs:
+        adj.setdefault(a.u, set()).add(a.v)
+    seeds = sorted(adj)[:BFS_N_SEEDS]
+    from collections import deque
+
+    expect = {}
+    for s in seeds:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            n = dq.popleft()
+            if dist[n] >= BFS_ROUNDS:
+                continue
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = dist[n] + 1
+                    dq.append(m)
+        for n, d in dist.items():
+            expect[(s, n)] = d
+    assert got == expect
