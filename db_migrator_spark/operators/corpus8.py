@@ -191,3 +191,85 @@ ORACLES = {
         ORDER BY b.doc_id
     """,
 }
+
+
+def corpus_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram on power-of-two bins — the
+    max_seq_len-selection view a packing planner reads: choosing the
+    context length means knowing how many documents (and tokens) land
+    in each 2^k bucket and what share of the corpus a given cutoff
+    covers. Bin k holds docs with 2^k <= n_tokens < 2^(k+1) (bin 0
+    holds 0..1); cumulative token share in exact ppm via the
+    decimal-div contract.
+
+    One projection + one map-side-combined groupBy on the bin id
+    (O(log max_len) groups), a broadcast one-row total, one
+    matrix-sized cumulative window. floor(log2) computed by BIT
+    LENGTH, not floating log — exact at any magnitude.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    # floor(log2(n)) == bit_length(n) - 1; Spark: bit_length of the
+    # BINARY of... simplest exact route: compare against powers via
+    # width_bucket? Use shiftright loop-free: floor(log2) via
+    # 63 - bit_count needs intrinsics — portable exact form:
+    # length of the binary string representation.
+    bin_id = (
+        F.when(n_tok <= 1, F.lit(0))
+        .otherwise(F.length(F.conv(n_tok.cast("string"), 10, 2)) - 1)
+        .cast("int")
+    )
+    binned = docs.select(
+        bin_id.alias("bin"), n_tok.alias("n_tokens")
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+    )
+    tot = hist.agg(F.sum("tokens").cast("bigint").alias("total"))
+    from pyspark.sql.window import Window as W
+
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.expr("CAST(pow(2, bin) AS BIGINT)").alias("min_len"),
+            "n_docs",
+            "tokens",
+            F.expr(
+                "CAST(CAST(SUM(tokens) OVER (ORDER BY bin"
+                " ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0))"
+                " * 1000000 div total AS BIGINT)"
+            ).alias("cum_token_share_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES["corpus_seq_len_histogram"] = corpus_seq_len_histogram
+
+ORACLES["corpus_seq_len_histogram"] = """
+    WITH base AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    binned AS (
+        SELECT CASE WHEN n_tokens <= 1 THEN 0
+                    ELSE CAST(length(bin(n_tokens)) - 1 AS INTEGER) END
+                   AS bin,
+               n_tokens
+        FROM base),
+    hist AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens
+        FROM binned GROUP BY bin),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM hist)
+    SELECT bin,
+           CAST(POW(2, bin) AS BIGINT) AS min_len,
+           n_docs, tokens,
+           CAST(CAST(SUM(tokens) OVER (ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+                * 1000000 // total AS BIGINT) AS cum_token_share_ppm
+    FROM hist, tot
+    ORDER BY bin
+"""

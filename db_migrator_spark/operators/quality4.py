@@ -293,3 +293,97 @@ ORACLES = {
         ORDER BY day
     """,
 }
+
+
+# XmR (individuals / moving-range) control chart: the SPC classic.
+# Limits = center +/- 2.66 * mean moving range; 2.66 is the d2-derived
+# E2 constant for n=2 — a RATIONAL literal (266/100), so the whole
+# chart is exact integer arithmetic (the CUSUM/MAD siblings' contract).
+XMR_E2_NUM, XMR_E2_DEN = 266, 100
+
+
+def q_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individuals control chart over daily event value totals: per
+    day the value, moving range |x_i - x_{i-1}|, the exact center
+    line and 2.66*mR control limits in micros, and the out-of-control
+    flag (module comment). One day rollup, two matrix-sized windows
+    over the ~O(days) daily relation, one broadcast two-value summary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias(
+                "vm"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("vm").cast("bigint").alias("x"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy("day")
+    mr = daily.select(
+        "day",
+        "x",
+        F.abs(F.col("x") - F.lag("x").over(w)).alias("mr"),
+    )
+    summary = mr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.count("mr").cast("bigint").alias("nmr"),
+        F.sum(F.col("mr").cast("decimal(38,0)")).alias("smr"),
+    ).select(
+        F.expr(
+            "CAST(CASE WHEN sx >= 0 THEN sx div n"
+            " ELSE -((-sx) div n) END AS BIGINT)"
+        ).alias("center"),
+        F.expr(
+            f"CAST(smr * {XMR_E2_NUM} div (nmr * {XMR_E2_DEN})"
+            " AS BIGINT)"
+        ).alias("band"),
+    )
+    return (
+        mr.crossJoin(F.broadcast(summary))
+        .select(
+            "day",
+            "x",
+            "mr",
+            "center",
+            (F.col("center") - F.col("band")).alias("lcl"),
+            (F.col("center") + F.col("band")).alias("ucl"),
+            (
+                (F.col("x") < F.col("center") - F.col("band"))
+                | (F.col("x") > F.col("center") + F.col("band"))
+            ).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["q_xmr_control_chart"] = q_xmr_control_chart
+
+ORACLES["q_xmr_control_chart"] = f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events GROUP BY 1),
+    mr AS (
+        SELECT day, x, ABS(x - LAG(x) OVER (ORDER BY day)) AS mr
+        FROM daily),
+    summary AS (
+        SELECT CAST(CASE WHEN SUM(CAST(x AS HUGEINT)) >= 0
+                    THEN SUM(CAST(x AS HUGEINT)) // COUNT(*)
+                    ELSE -((-SUM(CAST(x AS HUGEINT))) // COUNT(*)) END
+                    AS BIGINT) AS center,
+               CAST(SUM(CAST(mr AS HUGEINT)) * {XMR_E2_NUM}
+                    // (COUNT(mr) * {XMR_E2_DEN}) AS BIGINT) AS band
+        FROM mr)
+    SELECT day, x, mr, center,
+           center - band AS lcl,
+           center + band AS ucl,
+           x < center - band OR x > center + band AS out_of_control
+    FROM mr, summary
+    ORDER BY day
+"""

@@ -2398,3 +2398,59 @@ def test_bfs_distances_match_python(spark):
         for n, d in dist.items():
             expect[(s, n)] = d
     assert got == expect
+
+
+def test_seq_len_histogram_bins_and_shares(spark):
+    from db_migrator_spark.operators.corpus8 import corpus_seq_len_histogram
+
+    sf = "/root/testdata/sf0.001"
+    got = corpus_seq_len_histogram(spark, sf).collect()
+    docs = load_table(spark, sf, "documents").select("text").collect()
+    lens = [len(d.text.split(" ")) for d in docs]
+    from collections import Counter
+
+    bins = Counter()
+    toks = Counter()
+    for n in lens:
+        b = 0 if n <= 1 else n.bit_length() - 1
+        bins[b] += 1
+        toks[b] += n
+    total = sum(toks.values())
+    assert {r.bin for r in got} == set(bins)
+    cum = 0
+    for r in sorted(got, key=lambda r: r.bin):
+        assert r.min_len == 2 ** r.bin
+        assert (r.n_docs, r.tokens) == (bins[r.bin], toks[r.bin])
+        cum += toks[r.bin]
+        assert r.cum_token_share_ppm == cum * 1_000_000 // total
+    assert sorted(got, key=lambda r: r.bin)[-1].cum_token_share_ppm == 1_000_000
+
+
+def test_xmr_chart_matches_python(spark):
+    from db_migrator_spark.operators.quality4 import (
+        XMR_E2_DEN,
+        XMR_E2_NUM,
+        q_xmr_control_chart,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_xmr_control_chart(spark, sf).collect()
+    ev = load_table(spark, sf, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "value"
+    ).collect()
+    from collections import defaultdict
+
+    daily = defaultdict(int)
+    for e in ev:
+        daily[e.day] += math.floor(e.value * 1_000_000)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    mrs = [abs(b - a) for a, b in zip(xs, xs[1:])]
+    s = sum(xs)
+    center = s // len(xs) if s >= 0 else -((-s) // len(xs))
+    band = sum(mrs) * XMR_E2_NUM // (len(mrs) * XMR_E2_DEN)
+    for i, r in enumerate(sorted(got, key=lambda r: r.day)):
+        assert r.x == xs[i]
+        assert r.mr == (None if i == 0 else mrs[i - 1])
+        assert (r.center, r.lcl, r.ucl) == (center, center - band, center + band)
+        assert r.out_of_control == (xs[i] < center - band or xs[i] > center + band)
