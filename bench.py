@@ -79,6 +79,12 @@ HEADLINE = [
     # and the exact-integer DCT hash (heaviest new Arrow pass).
     "streaming_sliding_actives",
     "multimodal_image_phash",
+    # round-8d representative: the in-plan power-iteration PCA
+    # (heaviest new embedding shape; fixed-round cost, data-size
+    # independent after the one covariance shuffle). The SCD2 stream
+    # is NOT here: its replay/checkpoint dirs persist, so a repeat
+    # run measures a warm no-op, not the merge.
+    "embedding_pca_power",
 ]
 
 # Queries added to HEADLINE after round 1 — reported separately so the
@@ -106,6 +112,7 @@ ADDED_AFTER_R1 = {
     "q_bloom_semi_join",
     "streaming_sliding_actives",
     "multimodal_image_phash",
+    "embedding_pca_power",
 }
 
 
