@@ -770,3 +770,65 @@ ORACLES = {
         ORDER BY cluster_id
     """,
 }
+
+
+PREFIX_WORDS = 5  # template-identity opening-words key
+
+
+def dedup_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-conflict audit over TEMPLATE duplicate groups —
+    documents sharing their opening PREFIX_WORDS words (the
+    boilerplate/template signal exact-hash dedup misses, and the one
+    that exists at every fixture scale; exact-text groups only appear
+    at sf0.1+). For each multi-member group: how many distinct langs
+    and sources the members claim. A conflicting group means per-lang
+    or per-source statistics depend on WHICH member a keep-best pass
+    retains — what a curator must see before choosing the keep rule.
+
+    One prefix-keyed shuffle (the dedup_exact shape); single-column
+    count_distinct has no tuple-NULL divergence (the
+    q_expectation_checks lesson only bites multi-column).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.col("text"), " "), 1, PREFIX_WORDS)
+    )
+    return (
+        docs.groupBy(prefix.alias("prefix"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "prefix",
+            "keep_doc_id",
+            "n_members",
+            "n_langs",
+            "n_sources",
+            ((F.col("n_langs") > 1) | (F.col("n_sources") > 1)).alias(
+                "metadata_conflict"
+            ),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+QUERIES["dedup_conflict_audit"] = dedup_conflict_audit
+
+ORACLES["dedup_conflict_audit"] = f"""
+    SELECT array_to_string(string_split(text, ' ')[1:{PREFIX_WORDS}], ' ')
+               AS prefix,
+           MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           COUNT(DISTINCT lang) > 1 OR COUNT(DISTINCT source) > 1
+               AS metadata_conflict
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    ORDER BY keep_doc_id
+"""

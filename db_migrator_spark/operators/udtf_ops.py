@@ -89,3 +89,94 @@ ORACLES = {
         ORDER BY doc_id, chunk_id
     """,
 }
+
+
+# Polymorphic UDTF: output schema resolved by a static analyze() from
+# the call-site LITERAL — the Spark 4 table-function contract the
+# word-chunk UDTF (fixed returnType) doesn't exercise. TopWords(text,
+# k) emits each document's top-k words; k arrives as a literal, is
+# validated in analyze(), and parameterizes the plan-time schema
+# (rank column width is k-independent here, but the validation +
+# AnalyzeResult path is the point being pinned).
+TOPWORDS_K = 3
+
+
+def _make_top_words_udtf():
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    class TopWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            if k.value is None or not isinstance(k.value, int) or k.value < 1:
+                raise ValueError("k must be a positive integer literal")
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField("rank", IntegerType()),
+                        StructField("word", StringType()),
+                        StructField("cnt", LongType()),
+                    ]
+                )
+            )
+
+        def eval(self, text: str, k: int):
+            from collections import Counter
+
+            words = [w for w in (text or "").split(" ") if w]
+            # deterministic tiebreak: count desc, then word asc
+            top = sorted(
+                Counter(words).items(), key=lambda wc: (-wc[1], wc[0])
+            )[:k]
+            for rank, (word, cnt) in enumerate(top, start=1):
+                yield rank, word, cnt
+
+    return udtf(TopWords, useArrow=False)
+
+
+def text_top_words_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: per-document top-K words via a
+    POLYMORPHIC UDTF (static analyze() resolves the schema and
+    validates the k literal at plan time — module comment)."""
+    import uuid
+
+    spark.udtf.register("top_words_udtf", _make_top_words_udtf())
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    view = f"__udtf_topw_src_{uuid.uuid4().hex[:8]}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, t.rank, t.word, t.cnt
+        FROM {view} AS d,
+             LATERAL top_words_udtf(d.text, {TOPWORDS_K}) AS t
+        """
+    ).orderBy("doc_id", "rank")
+
+
+QUERIES["text_top_words_udtf"] = text_top_words_udtf
+
+ORACLES["text_top_words_udtf"] = f"""
+    WITH words AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w != ''),
+    counts AS (
+        SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM words GROUP BY 1, 2),
+    ranked AS (
+        SELECT doc_id, word, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, word) AS rank
+        FROM counts)
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, word, cnt
+    FROM ranked
+    WHERE rank <= {TOPWORDS_K}
+    ORDER BY doc_id, rank
+"""

@@ -2454,3 +2454,66 @@ def test_xmr_chart_matches_python(spark):
         assert r.mr == (None if i == 0 else mrs[i - 1])
         assert (r.center, r.lcl, r.ucl) == (center, center - band, center + band)
         assert r.out_of_control == (xs[i] < center - band or xs[i] > center + band)
+
+
+def test_top_words_udtf_analyze_and_values(spark):
+    from db_migrator_spark.operators.udtf_ops import (
+        TOPWORDS_K,
+        _make_top_words_udtf,
+        text_top_words_udtf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = text_top_words_udtf(spark, sf).collect()
+    from collections import Counter, defaultdict
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    per_doc = defaultdict(list)
+    for r in got:
+        per_doc[r.doc_id].append(r)
+    for d in docs:
+        words = [w for w in d.text.split(" ") if w]
+        if not words:
+            assert d.doc_id not in per_doc
+            continue
+        top = sorted(Counter(words).items(), key=lambda wc: (-wc[1], wc[0]))[
+            :TOPWORDS_K
+        ]
+        rows = sorted(per_doc[d.doc_id], key=lambda r: r.rank)
+        assert [(r.word, r.cnt) for r in rows] == top
+        assert [r.rank for r in rows] == list(range(1, len(top) + 1))
+    # analyze() rejects a bad literal at plan time
+    spark.udtf.register("top_words_udtf_t", _make_top_words_udtf())
+    import pytest
+
+    with pytest.raises(Exception, match="positive integer"):
+        spark.sql(
+            "SELECT * FROM top_words_udtf_t('a b', 0)"
+        ).collect()
+
+
+def test_dedup_conflict_audit_matches_python(spark):
+    from db_migrator_spark.operators.dedup import (
+        PREFIX_WORDS,
+        dedup_conflict_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.prefix: r for r in dedup_conflict_audit(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d in docs:
+        groups[" ".join(d.text.split(" ")[:PREFIX_WORDS])].append(d)
+    multi = {p: ds for p, ds in groups.items() if len(ds) >= 2}
+    assert set(got) == set(multi)
+    for p, ds in multi.items():
+        r = got[p]
+        assert r.keep_doc_id == min(d.doc_id for d in ds)
+        assert r.n_members == len(ds)
+        assert r.n_langs == len({d.lang for d in ds})
+        assert r.n_sources == len({d.source for d in ds})
+        assert r.metadata_conflict == (r.n_langs > 1 or r.n_sources > 1)
