@@ -182,3 +182,65 @@ ORACLES["q_sql_pipe_syntax"] = """
     HAVING COUNT(*) >= 10
     ORDER BY o_orderpriority
 """
+
+
+def q_transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 ``DataFrame.transpose`` surface: a per-priority
+    metrics table flipped so METRICS become rows and priorities become
+    columns — the report-orientation pivot analysts ask for last.
+    Transpose keys on the first column; the metric values share one
+    BIGINT type (cents / counts — the decimal money contract keeps
+    them integral). The oracle rebuilds the transposed shape with
+    literal conditional aggregates, pinning both the values and the
+    column-naming behavior.
+
+    Scale note: transpose is driver-bounded by design — it runs on the
+    GROUPS-sized aggregate (5 rows), never on data-sized input.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    metrics = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.count_distinct("o_custkey").cast("bigint").alias(
+                "n_customers"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return metrics.transpose().orderBy("key")
+
+
+QUERIES["q_transpose_metrics"] = q_transpose_metrics
+
+ORACLES["q_transpose_metrics"] = """
+    WITH m AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders GROUP BY o_orderpriority)
+    SELECT k AS key,
+           MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN v END)
+               AS "1-URGENT",
+           MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN v END)
+               AS "2-HIGH",
+           MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN v END)
+               AS "3-MEDIUM",
+           MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN v END)
+               AS "4-NOT SPECIFIED",
+           MAX(CASE WHEN o_orderpriority = '5-LOW' THEN v END)
+               AS "5-LOW"
+    FROM (
+        SELECT o_orderpriority, 'n_orders' AS k, n_orders AS v FROM m
+        UNION ALL
+        SELECT o_orderpriority, 'sum_cents', sum_cents FROM m
+        UNION ALL
+        SELECT o_orderpriority, 'n_customers', n_customers FROM m)
+    GROUP BY k
+    ORDER BY key
+"""

@@ -558,3 +558,62 @@ ORACLES = {
         ORDER BY q_id, rn
     """,
 }
+
+
+def embedding_sumsq_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector quantized energy via ``mapInArrow`` — the RecordBatch
+    -level Python API (one tier below mapInPandas: no pandas
+    materialization, pyarrow compute end-to-end). Each component
+    quantizes to floor(x * 1e3) (IEEE-exact both engines) and the
+    vector's sum of squared milli-components surfaces as an exact
+    bigint — so even the Arrow-kernel path is value-hash-checked.
+
+    Scale notes: embarrassingly parallel projection; Arrow batches
+    never convert to pandas, so the per-batch overhead is one C++
+    kernel pass per column — the cheapest possible Python touchpoint
+    for wide numeric payloads.
+    """
+    import pyarrow as pa
+
+    def batches(it):
+        import numpy as np
+
+        for rb in it:
+            tbl = pa.table(
+                {"vec_id": rb.column(0), "embedding": rb.column(1)}
+            )
+            vec_id = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = tbl.column("embedding")
+            out = []
+            for chunk_idx in range(len(emb)):
+                v = np.asarray(emb[chunk_idx].as_py(), dtype=np.float64)
+                q = np.floor(v * 1_000).astype(np.int64)
+                out.append(int((q * q).sum()))
+            yield pa.record_batch(
+                {
+                    "vec_id": pa.array(vec_id, pa.int64()),
+                    "sumsq_milli2": pa.array(out, pa.int64()),
+                }
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return emb.mapInArrow(
+        batches, schema="vec_id bigint, sumsq_milli2 bigint"
+    ).orderBy("vec_id")
+
+
+QUERIES["embedding_sumsq_arrow"] = embedding_sumsq_arrow
+
+ORACLES["embedding_sumsq_arrow"] = """
+    SELECT vec_id,
+           CAST(SUM(q * q) AS BIGINT) AS sumsq_milli2
+    FROM (
+        SELECT vec_id,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                          * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS q
+        FROM embeddings, generate_series(1, 64) AS g(i))
+    GROUP BY vec_id
+    ORDER BY vec_id
+"""

@@ -2517,3 +2517,39 @@ def test_dedup_conflict_audit_matches_python(spark):
         assert r.n_langs == len({d.lang for d in ds})
         assert r.n_sources == len({d.source for d in ds})
         assert r.metadata_conflict == (r.n_langs > 1 or r.n_sources > 1)
+
+
+def test_transpose_metrics_shape_and_values(spark):
+    from db_migrator_spark.operators.relational7 import q_transpose_metrics
+
+    sf = "/root/testdata/sf0.001"
+    got = q_transpose_metrics(spark, sf).collect()
+    assert [r.key for r in got] == ["n_customers", "n_orders", "sum_cents"]
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderpriority", "o_custkey", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, set()])
+    for o in orders:
+        a = agg[o.o_orderpriority]
+        a[0] += 1
+        a[1] += math.floor(o.o_totalprice * 100)
+        a[2].add(o.o_custkey)
+    by_key = {r.key: r for r in got}
+    for prio, (n, cents, custs) in agg.items():
+        assert by_key["n_orders"][prio] == n
+        assert by_key["sum_cents"][prio] == cents
+        assert by_key["n_customers"][prio] == len(custs)
+
+
+def test_sumsq_arrow_matches_python(spark):
+    from db_migrator_spark.operators.similarity import embedding_sumsq_arrow
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.vec_id: r.sumsq_milli2 for r in embedding_sumsq_arrow(spark, sf).collect()}
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    assert len(got) == len(emb)
+    for r in emb:
+        expect = sum(math.floor(float(x) * 1000) ** 2 for x in r.embedding)
+        assert got[r.vec_id] == expect
