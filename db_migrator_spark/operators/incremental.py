@@ -314,3 +314,110 @@ ORACLES = {
         GROUP BY change ORDER BY change
     """,
 }
+
+
+# Retraction-aware maintenance: the CDC stream is deterministic —
+# md5(orderkey)'s last hex digit selects DELETEs ('0','1') and
+# UPDATEs ('2','3', +10% exact cents); everything else is untouched.
+RETRACT_DELETE_DIGITS = ("0", "1")
+RETRACT_UPDATE_DIGITS = ("2", "3")
+
+
+def q_incremental_agg_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialized-view maintenance UNDER RETRACTIONS: the per-priority
+    (count, revenue-cents) view updated by a CDC batch containing
+    deletes and in-place updates — the negative-delta algebra
+    ``q_incremental_agg_refresh`` (insert-only) doesn't exercise.
+
+    The maintained result is computed as base-view PLUS delta-aggregate
+    (deletes contribute (-1, -cents), updates (0, new - old)) — never
+    by rescanning surviving rows — and the oracle recomputes the final
+    state directly from the post-CDC table, so the hash match IS the
+    proof the retraction algebra is exact. All integer cents; the
+    update is +cents div 10 (truncating-div contract).
+
+    Scale notes (100 TB): the delta aggregate touches ONLY the CDC
+    rows (map-side combinable on priority); the merge is a groups-
+    sized outer join. The view never rescans history — the whole point
+    of maintaining it.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.substring(
+            F.md5(F.col("o_orderkey").cast("string")), 32, 1
+        ).alias("tag"),
+    )
+    base_view = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sum_cents"),
+    )
+    deltas = (
+        orders.filter(
+            F.col("tag").isin(
+                *(RETRACT_DELETE_DIGITS + RETRACT_UPDATE_DIGITS)
+            )
+        )
+        .select(
+            "o_orderpriority",
+            F.when(
+                F.col("tag").isin(*RETRACT_DELETE_DIGITS), F.lit(-1)
+            )
+            .otherwise(F.lit(0))
+            .alias("dn"),
+            F.when(
+                F.col("tag").isin(*RETRACT_DELETE_DIGITS),
+                -F.col("cents"),
+            )
+            .otherwise(F.expr("cents div 10"))
+            .alias("dcents"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("dn").cast("bigint").alias("dn"),
+            F.sum(F.col("dcents").cast("decimal(38,0)")).alias("dcents"),
+        )
+    )
+    return (
+        base_view.join(deltas, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            (F.col("n") + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n"),
+            F.expr(
+                "CAST(sum_cents + COALESCE(dcents, 0) AS DECIMAL(38,0))"
+            ).alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["q_incremental_agg_retract"] = q_incremental_agg_retract
+
+# The oracle NEVER sees the delta algebra: it recomputes the view from
+# the post-CDC table state — equality proves the retraction math.
+ORACLES["q_incremental_agg_retract"] = f"""
+    WITH tagged AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               substr(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) AS tag
+        FROM orders),
+    post AS (
+        SELECT o_orderpriority,
+               CASE WHEN tag IN {RETRACT_UPDATE_DIGITS}
+                    THEN cents + cents // 10 ELSE cents END AS cents
+        FROM tagged
+        WHERE tag NOT IN {RETRACT_DELETE_DIGITS})
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS sum_cents
+    FROM post
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

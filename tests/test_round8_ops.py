@@ -2553,3 +2553,39 @@ def test_sumsq_arrow_matches_python(spark):
     for r in emb:
         expect = sum(math.floor(float(x) * 1000) ** 2 for x in r.embedding)
         assert got[r.vec_id] == expect
+
+
+def test_incremental_retract_equals_recompute(spark):
+    import hashlib
+
+    from db_migrator_spark.operators.incremental import (
+        RETRACT_DELETE_DIGITS,
+        RETRACT_UPDATE_DIGITS,
+        q_incremental_agg_retract,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.o_orderpriority: r for r in q_incremental_agg_retract(spark, sf).collect()}
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+
+    post = defaultdict(lambda: [0, 0])
+    n_del = n_upd = 0
+    for o in orders:
+        tag = hashlib.md5(str(o.o_orderkey).encode()).hexdigest()[-1]
+        cents = math.floor(o.o_totalprice * 100)
+        if tag in RETRACT_DELETE_DIGITS:
+            n_del += 1
+            continue
+        if tag in RETRACT_UPDATE_DIGITS:
+            n_upd += 1
+            cents += cents // 10
+        a = post[o.o_orderpriority]
+        a[0] += 1
+        a[1] += cents
+    assert n_del > 0 and n_upd > 0  # the CDC batch genuinely bites
+    assert set(got) == set(post)
+    for prio, (n, cents) in post.items():
+        assert (got[prio].n, int(got[prio].sum_cents)) == (n, cents)
