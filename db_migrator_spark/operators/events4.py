@@ -442,3 +442,78 @@ ORACLES["events_ab_significance"] = """
                AS z2_signed_milli
     FROM wide
 """
+
+
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users since launch, per day — the growth
+    curve nobody can compute with a window COUNT(DISTINCT) (unsupported
+    over running frames). The scalable identity: a user enters the
+    curve exactly once, on their FIRST active day — so cumulative
+    distinct = running sum of first-day counts. One per-user min
+    aggregate (map-side combinable), one day rollup joined to the DAU
+    rollup, one matrix-sized running window. Also surfaces the
+    new-vs-returning DAU split ppm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pres = ev.select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+    ).distinct()
+    dau = pres.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    firsts = (
+        pres.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_first"))
+    )
+    from pyspark.sql.window import Window as W
+
+    wrun = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        dau.join(firsts, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("n_first", F.lit(0)).cast("bigint").alias(
+                "n_new_users"
+            ),
+        )
+        .select(
+            "day",
+            "dau",
+            "n_new_users",
+            F.sum("n_new_users").over(wrun).cast("bigint").alias(
+                "cumulative_users"
+            ),
+            F.expr("n_new_users * 1000000 div dau").alias(
+                "new_share_ppm"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["events_cumulative_users"] = events_cumulative_users
+
+ORACLES["events_cumulative_users"] = """
+    WITH pres AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM pres GROUP BY day),
+    firsts AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_first
+        FROM (SELECT user_id, MIN(day) AS day FROM pres GROUP BY user_id)
+        GROUP BY day)
+    SELECT d.day, d.dau,
+           COALESCE(f.n_first, 0) AS n_new_users,
+           CAST(SUM(COALESCE(f.n_first, 0)) OVER (ORDER BY d.day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users,
+           COALESCE(f.n_first, 0) * 1000000 // d.dau AS new_share_ppm
+    FROM dau d LEFT JOIN firsts f ON f.day = d.day
+    ORDER BY d.day
+"""
