@@ -119,9 +119,16 @@ def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for step in range(2, MMR_K + 1):
         mmr = F.lit(0.5) * (F.col("rel") - F.col("cur_max"))
         wm = W.partitionBy("q_id").orderBy(F.desc("mmr"), "vec_id")
-        scored_c = cand.withColumn("mmr", mmr)
-        pick = scored_c.withColumn("rn", F.row_number().over(wm)).filter(
-            F.col("rn") == 1
+        scored_c = cand.withColumn("mmr", mmr).localCheckpoint()
+        # localCheckpoint: scored_c feeds the pick window AND the next
+        # cur_max update; pick feeds the selected union AND the next
+        # similarity probe — without the cuts each step re-derives the
+        # whole prior greedy lineage (the PCA 2^rounds lesson), which
+        # at shortlist size is pure scheduling overhead.
+        pick = (
+            scored_c.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .localCheckpoint()
         )
         selected = selected.unionByName(
             pick.select(
