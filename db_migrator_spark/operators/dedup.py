@@ -832,3 +832,176 @@ ORACLES["dedup_conflict_audit"] = f"""
     HAVING COUNT(*) >= 2
     ORDER BY keep_doc_id
 """
+
+
+# Portable MinHash-LSH: md5-based signatures so the WHOLE LSH path —
+# signatures, banding, bucket capping, candidate generation, exact
+# verify — is value-hash-provable against the DuckDB twin. The fast
+# sibling (dedup_minhash_lsh) keeps xxhash64 (JVM-side, ~3x cheaper)
+# and stays rows-only; this one is the end-to-end-verifiable variant.
+# Signatures are the min md5 HEX STRING per salt: fixed-width
+# lowercase hex compares lexicographically == numerically, so no hex
+# -> int conversion is needed anywhere.
+PORTABLE_MINHASH_K = 8  # signature length (md5 salts 0..K-1)
+PORTABLE_MINHASH_BANDS = 4  # 2 signatures per band
+PORTABLE_BUCKET_CAP = 64  # bucket members kept (by doc_id; deterministic)
+PORTABLE_JACCARD_PPM = 200_000  # exact-verify threshold
+
+
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a FULL value-hash oracle
+    (module comment): md5 signatures, 4 two-signature bands,
+    deterministic bucket cap, exact shingle-Jaccard verify in ppm.
+
+    Plan: one distinct-(doc, 3-gram) projection; signatures are 8 MIN
+    aggregates in ONE map-side-combinable groupBy; banding explodes 4
+    rows per doc; buckets cap at PORTABLE_BUCKET_CAP members by
+    doc_id rank (the skew bound — a boilerplate band key contributes
+    C(cap,2) pairs, never C(bucket,2)); candidates dedup across bands;
+    the verify joins the candidate set back to the shingle index on
+    the shingle key. No cartesian anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    shingles = (
+        ws.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 2),
+                    lambda w, i: F.concat_ws(
+                        " ", w, F.col("ws")[i + 1], F.col("ws")[i + 2]
+                    ),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds signatures, sizes, and both verify sides
+    )
+    sigs = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(
+                f"sig{k}"
+            )
+            for k in range(PORTABLE_MINHASH_K)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}")
+                        ).alias("key"),
+                    )
+                    for b in range(PORTABLE_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    from pyspark.sql.window import Window as W
+
+    capped = (
+        bands.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("band", "key").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= PORTABLE_BUCKET_CAP)
+        .drop("rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    sa = shingles.select(F.col("doc_id").alias("d1"), "s")
+    sb = shingles.select(F.col("doc_id").alias("d2"), "s")
+    shared = (
+        cand.join(sa, "d1")
+        .join(sb, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.expr(
+                "CAST(shared * 1000000 div (n1 + n2 - shared) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= PORTABLE_JACCARD_PPM)
+        .orderBy("d1", "d2")
+    )
+
+
+QUERIES["dedup_minhash_portable"] = dedup_minhash_portable
+
+ORACLES["dedup_minhash_portable"] = f"""
+    CREATE OR REPLACE TEMP TABLE pmh_sh AS
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 2)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents)
+              WHERE len(w) >= 3);
+    CREATE OR REPLACE TEMP TABLE pmh_sig AS
+        SELECT doc_id,
+               {", ".join(f"MIN(md5('{k}:' || s)) AS sig{k}" for k in range(PORTABLE_MINHASH_K))}
+        FROM pmh_sh GROUP BY doc_id;
+    CREATE OR REPLACE TEMP TABLE pmh_capped AS
+        SELECT doc_id, band, key FROM (
+            SELECT doc_id, band, key,
+                   ROW_NUMBER() OVER (PARTITION BY band, key
+                                      ORDER BY doc_id) AS rn
+            FROM (
+                {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig{2*b} || sig{2*b+1} AS key FROM pmh_sig" for b in range(PORTABLE_MINHASH_BANDS))}
+            ))
+        WHERE rn <= {PORTABLE_BUCKET_CAP};
+    CREATE OR REPLACE TEMP TABLE pmh_cand AS
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM pmh_capped a
+        JOIN pmh_capped b
+          ON b.band = a.band AND b.key = a.key AND a.doc_id < b.doc_id;
+    WITH sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pmh_sh GROUP BY doc_id),
+    shared AS (
+        SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM pmh_cand c
+        JOIN pmh_sh sa ON sa.doc_id = c.d1
+        JOIN pmh_sh sb ON sb.doc_id = c.d2 AND sb.s = sa.s
+        GROUP BY c.d1, c.d2)
+    SELECT sh.d1, sh.d2,
+           CAST(CAST(sh.shared AS HUGEINT) * 1000000
+                // (n1.n + n2.n - sh.shared) AS BIGINT) AS jaccard_ppm
+    FROM shared sh
+    JOIN sizes n1 ON n1.doc_id = sh.d1
+    JOIN sizes n2 ON n2.doc_id = sh.d2
+    WHERE CAST(sh.shared AS HUGEINT) * 1000000
+          // (n1.n + n2.n - sh.shared) >= {PORTABLE_JACCARD_PPM}
+    ORDER BY sh.d1, sh.d2
+"""

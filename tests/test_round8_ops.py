@@ -2589,3 +2589,38 @@ def test_incremental_retract_equals_recompute(spark):
     assert set(got) == set(post)
     for prio, (n, cents) in post.items():
         assert (got[prio].n, int(got[prio].sum_cents)) == (n, cents)
+
+
+def test_minhash_portable_recall_and_exactness(spark):
+    from db_migrator_spark.operators.dedup import (
+        PORTABLE_JACCARD_PPM,
+        dedup_minhash_portable,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.d1, r.d2): r.jaccard_ppm for r in dedup_minhash_portable(spark, sf).collect()}
+    # ground truth: exact jaccard over string 3-gram shingles
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    sh = {}
+    for d in docs:
+        w = d.text.split(" ")
+        if len(w) >= 3:
+            sh[d.doc_id] = {
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            }
+    truth = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter:
+                ppm = inter * 1_000_000 // (len(sh[a]) + len(sh[b]) - inter)
+                if ppm >= PORTABLE_JACCARD_PPM:
+                    truth[(a, b)] = ppm
+    # every emitted pair is a true pair with the exact score
+    for pair, ppm in got.items():
+        assert truth.get(pair) == ppm
+    # banded recall over the true near-dup set
+    if truth:
+        recall = len(got) / len(truth)
+        assert recall >= 0.8, (len(got), len(truth))
