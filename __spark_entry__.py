@@ -40,6 +40,7 @@ _MODULES = [
     "db_migrator_spark.operators.similarity_pq",
     "db_migrator_spark.operators.similarity_mmr",
     "db_migrator_spark.operators.similarity_pca",
+    "db_migrator_spark.operators.similarity_lsh2",
     "db_migrator_spark.operators.multimodal",
     "db_migrator_spark.operators.incremental",
     "db_migrator_spark.operators.grouped",

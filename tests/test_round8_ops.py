@@ -2624,3 +2624,32 @@ def test_minhash_portable_recall_and_exactness(spark):
     if truth:
         recall = len(got) / len(truth)
         assert recall >= 0.8, (len(got), len(truth))
+
+
+def test_lsh_portable_exactness_and_recall(spark):
+    from db_migrator_spark.operators.similarity_lsh2 import (
+        LSH2_COS_MILLI,
+        similarity_lsh_portable,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.v1, r.v2): r.cos_milli for r in similarity_lsh_portable(spark, sf).collect()}
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    q = {r.vec_id: [math.floor(float(x) * 1000) for x in r.embedding] for r in emb}
+    # every emitted pair carries the exact signed isqrt cosine
+    truth = {}
+    ids = sorted(q)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            dot = sum(x * y for x, y in zip(q[a], q[b]))
+            na = sum(x * x for x in q[a])
+            nb = sum(x * x for x in q[b])
+            m = math.isqrt(dot * dot * 1_000_000 // (na * nb))
+            cm = -m if dot < 0 else m
+            if cm >= LSH2_COS_MILLI:
+                truth[(a, b)] = cm
+    for pair, cm in got.items():
+        assert truth.get(pair) == cm
+    # banded recall floor over the true >= threshold pairs
+    if truth:
+        assert len(got) / len(truth) >= 0.5, (len(got), len(truth))
