@@ -34,6 +34,7 @@ _MODULES = [
     "db_migrator_spark.operators.bucketed",
     "db_migrator_spark.operators.skew",
     "db_migrator_spark.operators.dedup",
+    "db_migrator_spark.operators.dedup2",
     "db_migrator_spark.operators.text",
     "db_migrator_spark.operators.similarity",
     "db_migrator_spark.operators.similarity_ivf",

@@ -1,0 +1,287 @@
+"""Portable SimHash with a full value-hash oracle (round 8c).
+
+Completes the portable trilogy (``dedup.dedup_minhash_portable``,
+``similarity_lsh2.similarity_lsh_portable``): every LSH family in the
+engine now has a variant whose ENTIRE pipeline — fingerprints,
+banding, bucket capping, Hamming gate, exact verify — is value-hash-
+provable against the DuckDB twin. The xxhash64 sibling
+(``dedup.dedup_simhash``) stays the fast path.
+
+Construction (bit-identical cross-engine):
+
+- Per (doc, word): the term count (frequency-weighted votes, like the
+  sibling) and the word's 64 hash bits, read as 16 md5 hex digits of
+  4 bits each (Spark ``conv(hex,16,10)`` == DuckDB
+  ``strpos('0123456789abcdef', c) - 1`` — pinned by the span-plan
+  lottery precedent).
+- Vote j = sum over words count * (2*bit_j - 1); fingerprint = the
+  64-char '0'/'1' string of vote signs (a string, not a long — no
+  sign-bit games, and band keys are plain substrings).
+- Bands: 4 x 16-char substrings; buckets cap at SIMHASH2_BUCKET_CAP
+  members by doc_id (deterministic C(cap,2) pair bound).
+- Gate: Hamming <= SIMHASH2_HAM_MAX over the 64 positions (an
+  unrolled 64-term comparison — generated SQL, identical on both
+  engines).
+- Verify: exact word-3-gram Jaccard >= SIMHASH2_JACCARD_PPM ppm (the
+  minhash-portable contract).
+
+Scale notes (100 TB): votes are ONE map-side-combinable groupBy over
+the (doc, word) projection (64 sums wide, rows narrow); everything
+after works on doc-sized fingerprints and cap-bounded candidate
+pairs. No cartesian, no floats, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import load_table
+
+SIMHASH2_BANDS = 4
+SIMHASH2_BUCKET_CAP = 64
+SIMHASH2_HAM_MAX = 6
+SIMHASH2_JACCARD_PPM = 200_000
+
+
+def dedup_simhash_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Banded 64-bit SimHash near-dup pairs, fully value-hash-proven
+    (module doc). Output: pair, Hamming distance, exact Jaccard ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # 16 hex digit values of md5(w) -> 64 bits, 4 per digit
+    digs = words.select(
+        "doc_id",
+        "cnt",
+        *[
+            F.expr(
+                f"CAST(conv(substring(md5(w), {k + 1}, 1), 16, 10)"
+                " AS INT)"
+            ).alias(f"v{k}")
+            for k in range(16)
+        ],
+    )
+    votes = digs.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("cnt")
+                * (
+                    2 * F.shiftright(F.col(f"v{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+                    - 1
+                )
+            ).alias(f"s{j}")
+            for j in range(64)
+        ]
+    )
+    fp = votes.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for j in range(64)
+            ]
+        ).alias("fp"),
+    ).localCheckpoint()  # feeds banding + both Hamming sides
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(F.col("fp"), 16 * b + 1, 16).alias(
+                            "key"
+                        ),
+                    )
+                    for b in range(SIMHASH2_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    capped = (
+        bands.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("band", "key").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= SIMHASH2_BUCKET_CAP)
+        .drop("rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    hamming = sum(
+        (
+            F.substring(F.col("f1"), j + 1, 1)
+            != F.substring(F.col("f2"), j + 1, 1)
+        ).cast("int")
+        for j in range(64)
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.fp").alias("f1"),
+            F.col("b.fp").alias("f2"),
+        )
+        .distinct()
+        .withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= SIMHASH2_HAM_MAX)
+        .select("d1", "d2", "hamming")
+    )
+    # exact 3-gram jaccard verify (the minhash-portable contract)
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    shingles = (
+        ws.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 2),
+                    lambda w, i: F.concat_ws(
+                        " ", w, F.col("ws")[i + 1], F.col("ws")[i + 2]
+                    ),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    sa = shingles.select(F.col("doc_id").alias("d1"), "s")
+    sb = shingles.select(F.col("doc_id").alias("d2"), "s")
+    shared = (
+        cand.join(sa, "d1")
+        .join(sb, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        cand.join(shared, ["d1", "d2"], "left")
+        .join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "hamming",
+            F.expr(
+                "CAST(COALESCE(shared, 0) * 1000000"
+                " div (n1 + n2 - COALESCE(shared, 0)) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= SIMHASH2_JACCARD_PPM)
+        .orderBy("d1", "d2")
+    )
+
+
+QUERIES = {"dedup_simhash_portable": dedup_simhash_portable}
+
+
+def _simhash2_oracle() -> str:
+    vote_cols = ", ".join(
+        f"SUM(cnt * (2 * ((v{j // 4} >> {j % 4}) & 1) - 1)) AS s{j}"
+        for j in range(64)
+    )
+    fp_concat = " || ".join(
+        f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END" for j in range(64)
+    )
+    dig_cols = ", ".join(
+        f"strpos('0123456789abcdef', substr(md5(w), {k + 1}, 1)) - 1"
+        f" AS v{k}"
+        for k in range(16)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(a.fp, {j + 1}, 1) != substr(b.fp, {j + 1}, 1)"
+        " THEN 1 ELSE 0 END"
+        for j in range(64)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, fp, {b} AS band,"
+        f" substr(fp, {16 * b + 1}, 16) AS key FROM psh_fp"
+        for b in range(SIMHASH2_BANDS)
+    )
+    return f"""
+    CREATE OR REPLACE TEMP TABLE psh_words AS
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w;
+    CREATE OR REPLACE TEMP TABLE psh_digs AS
+        SELECT doc_id, cnt, {dig_cols}
+        FROM psh_words;
+    CREATE OR REPLACE TEMP TABLE psh_votes AS
+        SELECT doc_id, {vote_cols}
+        FROM psh_digs GROUP BY doc_id;
+    CREATE OR REPLACE TEMP TABLE psh_fp AS
+        SELECT doc_id, {fp_concat} AS fp FROM psh_votes;
+    CREATE OR REPLACE TEMP TABLE psh_capped AS
+        SELECT doc_id, fp, band, key FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY band, key
+                                         ORDER BY doc_id) AS rn
+            FROM ({band_union}))
+        WHERE rn <= {SIMHASH2_BUCKET_CAP};
+    CREATE OR REPLACE TEMP TABLE psh_cand AS
+        SELECT d1, d2, CAST(hamming AS BIGINT) AS hamming FROM (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                   a.fp, b.fp AS fp2, {ham} AS hamming
+            FROM psh_capped a
+            JOIN psh_capped b
+              ON b.band = a.band AND b.key = a.key
+             AND a.doc_id < b.doc_id)
+        WHERE hamming <= {SIMHASH2_HAM_MAX};
+    CREATE OR REPLACE TEMP TABLE psh_sh AS
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 2)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents)
+              WHERE len(w) >= 3);
+    WITH sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM psh_sh GROUP BY doc_id),
+    shared AS (
+        SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM psh_cand c
+        JOIN psh_sh sa ON sa.doc_id = c.d1
+        JOIN psh_sh sb ON sb.doc_id = c.d2 AND sb.s = sa.s
+        GROUP BY c.d1, c.d2)
+    SELECT c.d1, c.d2, c.hamming,
+           CAST(CAST(COALESCE(sh.shared, 0) AS HUGEINT) * 1000000
+                // (n1.n + n2.n - COALESCE(sh.shared, 0)) AS BIGINT)
+               AS jaccard_ppm
+    FROM psh_cand c
+    LEFT JOIN shared sh ON sh.d1 = c.d1 AND sh.d2 = c.d2
+    JOIN sizes n1 ON n1.doc_id = c.d1
+    JOIN sizes n2 ON n2.doc_id = c.d2
+    WHERE CAST(COALESCE(sh.shared, 0) AS HUGEINT) * 1000000
+          // (n1.n + n2.n - COALESCE(sh.shared, 0))
+          >= {SIMHASH2_JACCARD_PPM}
+    ORDER BY c.d1, c.d2
+"""
+
+
+ORACLES = {"dedup_simhash_portable": _simhash2_oracle()}

@@ -2653,3 +2653,45 @@ def test_lsh_portable_exactness_and_recall(spark):
     # banded recall floor over the true >= threshold pairs
     if truth:
         assert len(got) / len(truth) >= 0.5, (len(got), len(truth))
+
+
+def test_simhash_portable_bits_and_verify(spark):
+    import hashlib
+
+    from db_migrator_spark.operators.dedup2 import (
+        SIMHASH2_HAM_MAX,
+        SIMHASH2_JACCARD_PPM,
+        dedup_simhash_portable,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.d1, r.d2): r for r in dedup_simhash_portable(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+
+    def fingerprint(text):
+        from collections import Counter
+
+        votes = [0] * 64
+        for w, cnt in Counter(text.split(" ")).items():
+            h = hashlib.md5(w.encode()).hexdigest()
+            for j in range(64):
+                bit = (int(h[j // 4], 16) >> (j % 4)) & 1
+                votes[j] += cnt * (2 * bit - 1)
+        return "".join("1" if v >= 0 else "0" for v in votes)
+
+    fps = {d.doc_id: fingerprint(d.text) for d in docs}
+    sh = {
+        d.doc_id: {
+            " ".join(d.text.split(" ")[i : i + 3])
+            for i in range(len(d.text.split(" ")) - 2)
+        }
+        for d in docs
+        if len(d.text.split(" ")) >= 3
+    }
+    for (d1, d2), r in got.items():
+        ham = sum(a != b for a, b in zip(fps[d1], fps[d2]))
+        assert r.hamming == ham <= SIMHASH2_HAM_MAX
+        inter = len(sh[d1] & sh[d2])
+        ppm = inter * 1_000_000 // (len(sh[d1]) + len(sh[d2]) - inter)
+        assert r.jaccard_ppm == ppm >= SIMHASH2_JACCARD_PPM
+    assert got, "fixture should yield simhash near-dup pairs"
