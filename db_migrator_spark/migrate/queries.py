@@ -193,3 +193,80 @@ ORACLES = {
         FROM orders
     """,
 }
+
+
+def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition order-insensitive fingerprints of ``orders`` (by
+    order YEAR — the natural migration chunk): row count + the decimal
+    -domain sum of per-row md5 signatures for each partition, plus the
+    '*' total row. The INCREMENTAL validation primitive
+    ``q_table_checksum`` lacks: after re-migrating one partition, only
+    that partition's two scalars need re-comparing — the diff localizes
+    to the chunk, not the table. Same embarrassingly-parallel shape:
+    per-row hash in the scan, one map-side-combined groupBy(year)."""
+    from pyspark.sql import functions as F
+
+    from ..io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        "o_orderpriority",
+    )
+    sig = F.conv(
+        F.substring(F.md5(row_str.cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+    per_year = (
+        orders.select(
+            F.year(F.col("o_orderdate").cast("date"))
+            .cast("string")
+            .alias("part"),
+            sig.alias("sig"),
+        )
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("sig").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("checksum"),
+        )
+    )
+    total = per_year.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum(F.col("checksum").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("checksum"),
+    ).select(F.lit("*").alias("part"), "n_rows", "checksum")
+    return per_year.unionByName(total).orderBy("part")
+
+
+QUERIES["q_partition_checksums"] = q_partition_checksums
+
+ORACLES["q_partition_checksums"] = """
+    WITH sigs AS (
+        SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE))
+                    AS VARCHAR) AS part,
+               ('0x' || substr(md5(
+                   concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                             CAST(o_custkey AS VARCHAR), o_orderstatus,
+                             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                  AS VARCHAR),
+                             CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                             o_orderpriority)), 1, 8))::BIGINT AS sig
+        FROM orders),
+    per_year AS (
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(sig AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+        FROM sigs GROUP BY part)
+    SELECT part, n_rows, checksum FROM per_year
+    UNION ALL
+    SELECT '*', CAST(SUM(n_rows) AS BIGINT),
+           CAST(SUM(CAST(checksum AS DECIMAL(38,0))) AS VARCHAR)
+    FROM per_year
+    ORDER BY part
+"""
