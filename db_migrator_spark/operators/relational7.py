@@ -244,3 +244,56 @@ ORACLES["q_transpose_metrics"] = """
     GROUP BY k
     ORDER BY key
 """
+
+
+def q_sql_udf_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDFs (Spark 4's CREATE FUNCTION ... RETURN):
+    a money-to-cents function and a balance-tier classifier, composed
+    in a query — the catalog-function surface that lets analysts share
+    logic WITHOUT Python UDF serialization (the body inlines into the
+    plan, so whole-stage codegen keeps running; no row-at-a-time
+    interpreter anywhere). The oracle re-expresses the bodies inline,
+    pinning that the function surface is pure sugar over the same
+    expressions.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION mig_cents(x DOUBLE)"
+        " RETURNS BIGINT RETURN CAST(FLOOR(x * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION mig_tier(b BIGINT)"
+        " RETURNS STRING RETURN CASE WHEN b >= 500000 THEN 'high'"
+        " WHEN b >= 0 THEN 'mid' ELSE 'low' END"
+    )
+    import uuid
+
+    view = f"__sqludf_cust_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT mig_tier(mig_cents(c_acctbal)) AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(mig_cents(c_acctbal)) AS BIGINT) AS total_cents
+        FROM {view}
+        GROUP BY mig_tier(mig_cents(c_acctbal))
+        ORDER BY tier
+        """
+    )
+
+
+QUERIES["q_sql_udf_tiering"] = q_sql_udf_tiering
+
+ORACLES["q_sql_udf_tiering"] = """
+    WITH cents AS (
+        SELECT CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS b
+        FROM customer),
+    tiered AS (
+        SELECT CASE WHEN b >= 500000 THEN 'high'
+                    WHEN b >= 0 THEN 'mid' ELSE 'low' END AS tier, b
+        FROM cents)
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(b) AS BIGINT) AS total_cents
+    FROM tiered
+    GROUP BY tier
+    ORDER BY tier
+"""

@@ -2695,3 +2695,26 @@ def test_simhash_portable_bits_and_verify(spark):
         ppm = inter * 1_000_000 // (len(sh[d1]) + len(sh[d2]) - inter)
         assert r.jaccard_ppm == ppm >= SIMHASH2_JACCARD_PPM
     assert got, "fixture should yield simhash near-dup pairs"
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    from db_migrator_spark.operators.relational7 import q_sql_udf_tiering
+
+    sf = "/root/testdata/sf0.001"
+    df = q_sql_udf_tiering(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the SQL UDF body must inline: no Python runner, no plan-level UDF node
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {r.tier: r for r in df.collect()}
+    cust = load_table(spark, sf, "customer").select("c_acctbal").collect()
+    from collections import Counter, defaultdict
+
+    n = Counter()
+    tot = defaultdict(int)
+    for c in cust:
+        b = math.floor(c.c_acctbal * 100)
+        t = "high" if b >= 500_000 else "mid" if b >= 0 else "low"
+        n[t] += 1
+        tot[t] += b
+    for t in n:
+        assert (rows[t].n, rows[t].total_cents) == (n[t], tot[t])
