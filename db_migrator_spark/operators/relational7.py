@@ -297,3 +297,50 @@ ORACLES["q_sql_udf_tiering"] = """
     GROUP BY tier
     ORDER BY tier
 """
+
+
+def q_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (CREATE FUNCTION ... RETURNS TABLE),
+    applied LATERALLY: a calendar-decomposition function expanded per
+    order row, feeding a quarterly revenue rollup — the declarative
+    (and codegen-preserving) alternative to a Python UDTF for
+    row-expanding logic. The oracle inlines the function body, pinning
+    the lateral-apply semantics.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION mig_date_parts(d DATE)"
+        " RETURNS TABLE(y INT, q INT)"
+        " RETURN SELECT year(d), quarter(d)"
+    )
+    import uuid
+
+    view = f"__sqltf_orders_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT p.y, p.q,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM {view} o,
+             LATERAL mig_date_parts(CAST(o.o_orderdate AS DATE)) p
+        GROUP BY p.y, p.q
+        ORDER BY p.y, p.q
+        """
+    )
+
+
+QUERIES["q_sql_table_function"] = q_sql_table_function
+
+ORACLES["q_sql_table_function"] = """
+    SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS y,
+           CAST(EXTRACT(quarter FROM CAST(o_orderdate AS DATE))
+                AS INTEGER) AS q,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY y, q
+"""
