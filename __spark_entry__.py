@@ -96,9 +96,9 @@ _MODULES = [
 #   3. green/rows-only, oldest evidence first.
 #
 # Drain schedule (updated end of r8): the window now carries the 6 r7-red
-# rows, then every never-checked query (21 from r7 + the ~40 r8
-# additions — more than one 50-slot window, so the r8b/c batches spill
-# into r9's window), then the stalest greens in the remaining slots.
+# rows, then every never-checked query (21 from r7 + the ~95 r8
+# additions — roughly two 50-slot windows, so the r8b/c/d batches spill
+# through r9 and into r10's window), then the stalest greens.
 # The ~40 stale greens queue behind them through r9/r10; once the
 # backlog clears, the rotation degenerates to plain oldest-first
 # refresh. New-query rounds deliberately displace stale greens — a

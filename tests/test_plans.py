@@ -705,3 +705,22 @@ def test_pca_covariance_partial_aggregation(spark):
 
     plan = plan_string(embedding_pca_power(spark, SF))
     assert "partial_sum" in plan or "partial_count" in plan, plan[:2000]
+
+
+def test_portable_lsh_trio_no_cartesian(spark):
+    """The portable (fully-oracled) LSH variants must stay bucket-
+    blocked equi-joins like their fast siblings: candidates join on
+    (band, key), verify joins on the shingle/dimension key."""
+    from db_migrator_spark.operators.dedup import dedup_minhash_portable
+    from db_migrator_spark.operators.dedup2 import dedup_simhash_portable
+    from db_migrator_spark.operators.similarity_lsh2 import (
+        similarity_lsh_portable,
+    )
+
+    for df in (
+        dedup_minhash_portable(spark, SF),
+        dedup_simhash_portable(spark, SF),
+        similarity_lsh_portable(spark, SF),
+    ):
+        plan = plan_string(df)
+        assert "CartesianProduct" not in plan, plan[:2000]
