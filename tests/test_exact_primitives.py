@@ -103,3 +103,61 @@ def test_floor_micros_matches_duckdb_on_negatives(spark, vals):
             "SELECT CAST(FLOOR(CAST(? AS DOUBLE) * 1000000) AS BIGINT)", [v]
         ).fetchone()
         assert g == duck == math.floor(v * 1_000_000)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from([1, 2])),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda s: len({h for _, h in s}) == 2)
+)
+@settings(max_examples=30, deadline=None)
+def test_doubled_rank_identity_u1_plus_u2(sample):
+    """The Mann-Whitney doubled-rank construction (stats3): with
+    tie-averaged ranks carried DOUBLED, 2U1 + 2U2 == 2 * n1 * n2 for
+    ANY multiset — the identity q_mann_whitney_u's arithmetic rides."""
+    sample.sort()
+    n1 = sum(1 for _, h in sample if h == 1)
+    n2 = len(sample) - n1
+
+    def r_x2(group):
+        out = i = 0
+        while i < len(sample):
+            j = i
+            while j < len(sample) and sample[j][0] == sample[i][0]:
+                j += 1
+            avg2 = 2 * i + (j - i) + 1
+            out += avg2 * sum(
+                1 for k in range(i, j) if sample[k][1] == group
+            )
+            i = j
+        return out
+
+    u1_x2 = r_x2(1) - n1 * (n1 + 1)
+    u2_x2 = r_x2(2) - n2 * (n2 + 1)
+    assert u1_x2 + u2_x2 == 2 * n1 * n2
+    assert 0 <= u1_x2 <= 2 * n1 * n2
+
+
+@given(
+    st.lists(st.integers(0, 10**9), min_size=1, max_size=30).filter(
+        lambda m: sum(m) > 0
+    ),
+    st.integers(1, 10_000),
+)
+@settings(max_examples=50, deadline=None)
+def test_largest_remainder_sums_exactly(masses, budget):
+    """The Hamilton allocation (events4): floor shares + top-r
+    remainders sum to the budget EXACTLY for any masses."""
+    total = sum(masses)
+    floors = [m * budget // total for m in masses]
+    rems = [(m * budget) % total for m in masses]
+    r = budget - sum(floors)
+    assert 0 <= r < len(masses) or (r == 0 and len(masses) >= 0)
+    order = sorted(range(len(masses)), key=lambda i: (-rems[i], i))
+    finals = list(floors)
+    for i in order[:r]:
+        finals[i] += 1
+    assert sum(finals) == budget
+    assert all(f in (fl, fl + 1) for f, fl in zip(finals, floors))
