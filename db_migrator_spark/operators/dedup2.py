@@ -285,3 +285,189 @@ def _simhash2_oracle() -> str:
 
 
 ORACLES = {"dedup_simhash_portable": _simhash2_oracle()}
+
+
+def dedup_minhash_estimator_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash ESTIMATOR-QUALITY audit: for the portable pipeline's
+    candidate pairs, the signature-agreement estimate (matching
+    signatures / K — the statistic LSH actually thresholds on at
+    scale) side-by-side with the exact shingle Jaccard, and their
+    signed error — all integral (match counts and ppm ratios), so the
+    estimator's bias/variance on THIS corpus is a value-hash-checked
+    artifact rather than folklore. The decision every LSH deployment
+    owes its curator: how wrong is K=8 here?
+    """
+    from .dedup import (
+        PORTABLE_MINHASH_BANDS,
+        PORTABLE_MINHASH_K,
+        dedup_minhash_portable,  # noqa: F401 — shared constants' home
+    )
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    shingles = (
+        ws.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 2),
+                    lambda w, i: F.concat_ws(
+                        " ", w, F.col("ws")[i + 1], F.col("ws")[i + 2]
+                    ),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sigs = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(
+                f"sig{k}"
+            )
+            for k in range(PORTABLE_MINHASH_K)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        *[F.col(f"sig{k}") for k in range(PORTABLE_MINHASH_K)],
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}")
+                    )
+                    for b in range(PORTABLE_MINHASH_BANDS)
+                ]
+            )
+        ).alias("key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    matches = sum(
+        (F.col(f"a.sig{k}") == F.col(f"b.sig{k}")).cast("int")
+        for k in range(PORTABLE_MINHASH_K)
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            matches.cast("bigint").alias("sig_matches"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    sa = shingles.select(F.col("doc_id").alias("d1"), "s")
+    sb = shingles.select(F.col("doc_id").alias("d2"), "s")
+    shared = (
+        cand.join(sa, "d1")
+        .join(sb, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        cand.join(shared, ["d1", "d2"], "left")
+        .join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "sig_matches",
+            F.expr(
+                f"sig_matches * 1000000 div {PORTABLE_MINHASH_K}"
+            ).alias("estimate_ppm"),
+            F.expr(
+                "CAST(COALESCE(shared, 0) * 1000000"
+                " div (n1 + n2 - COALESCE(shared, 0)) AS BIGINT)"
+            ).alias("exact_ppm"),
+        )
+        .select(
+            "*",
+            (F.col("estimate_ppm") - F.col("exact_ppm")).alias(
+                "error_ppm"
+            ),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+QUERIES["dedup_minhash_estimator_audit"] = dedup_minhash_estimator_audit
+
+
+def _estimator_oracle() -> str:
+    from .dedup import PORTABLE_MINHASH_BANDS, PORTABLE_MINHASH_K
+
+    sig_cols = ", ".join(
+        f"MIN(md5('{k}:' || s)) AS sig{k}"
+        for k in range(PORTABLE_MINHASH_K)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {', '.join(f'sig{k}' for k in range(PORTABLE_MINHASH_K))},"
+        f" sig{2*b} || sig{2*b+1} AS key FROM est_sig"
+        for b in range(PORTABLE_MINHASH_BANDS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.sig{k} = b.sig{k} THEN 1 ELSE 0 END"
+        for k in range(PORTABLE_MINHASH_K)
+    )
+    return f"""
+    CREATE OR REPLACE TEMP TABLE est_sh AS
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 2)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents)
+              WHERE len(w) >= 3);
+    CREATE OR REPLACE TEMP TABLE est_sig AS
+        SELECT doc_id, {sig_cols}
+        FROM est_sh GROUP BY doc_id;
+    CREATE OR REPLACE TEMP TABLE est_bands AS
+        {band_union};
+    CREATE OR REPLACE TEMP TABLE est_cand AS
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+               CAST({match_sum} AS BIGINT) AS sig_matches
+        FROM est_bands a
+        JOIN est_bands b
+          ON b.key = a.key AND a.doc_id < b.doc_id;
+    WITH sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM est_sh GROUP BY doc_id),
+    shared AS (
+        SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM est_cand c
+        JOIN est_sh sa ON sa.doc_id = c.d1
+        JOIN est_sh sb ON sb.doc_id = c.d2 AND sb.s = sa.s
+        GROUP BY c.d1, c.d2),
+    scored AS (
+        SELECT c.d1, c.d2, c.sig_matches,
+               c.sig_matches * 1000000 // {PORTABLE_MINHASH_K}
+                   AS estimate_ppm,
+               CAST(CAST(COALESCE(sh.shared, 0) AS HUGEINT) * 1000000
+                    // (n1.n + n2.n - COALESCE(sh.shared, 0)) AS BIGINT)
+                   AS exact_ppm
+        FROM est_cand c
+        LEFT JOIN shared sh ON sh.d1 = c.d1 AND sh.d2 = c.d2
+        JOIN sizes n1 ON n1.doc_id = c.d1
+        JOIN sizes n2 ON n2.doc_id = c.d2)
+    SELECT d1, d2, sig_matches, estimate_ppm, exact_ppm,
+           estimate_ppm - exact_ppm AS error_ppm
+    FROM scored
+    ORDER BY d1, d2
+"""
+
+
+ORACLES["dedup_minhash_estimator_audit"] = _estimator_oracle()

@@ -344,3 +344,70 @@ ORACLES["q_sql_table_function"] = """
     GROUP BY 1, 2
     ORDER BY y, q
 """
+
+
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution append: two "versions" of the orders feed —
+    v1 lacks o_clerk-era columns (priority), v2 lacks the legacy
+    status — merged with ``unionByName(allowMissingColumns=True)``,
+    the engine's answer to a source system adding/dropping columns
+    mid-migration. Missing columns null-fill per version; the rollup
+    counts per version and per present-column so the evolution is
+    auditable. The oracle rebuilds the union with explicit NULL
+    projections — pinning that allowMissingColumns is pure sugar.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter("o_orderkey % 2 = 0").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.lit("v1").alias("src_version"),
+    )
+    v2 = orders.filter("o_orderkey % 2 = 1").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.lit("v2").alias("src_version"),
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        merged.groupBy("src_version")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("status").cast("bigint").alias("n_status"),
+            F.count("priority").cast("bigint").alias("n_priority"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("src_version")
+    )
+
+
+QUERIES["q_schema_evolution_union"] = q_schema_evolution_union
+
+ORACLES["q_schema_evolution_union"] = """
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus AS status,
+               CAST(NULL AS VARCHAR) AS priority,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               'v1' AS src_version
+        FROM orders WHERE o_orderkey % 2 = 0),
+    v2 AS (
+        SELECT o_orderkey, CAST(NULL AS VARCHAR) AS status,
+               o_orderpriority AS priority,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               'v2' AS src_version
+        FROM orders WHERE o_orderkey % 2 = 1),
+    merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT src_version,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(status) AS BIGINT) AS n_status,
+           CAST(COUNT(priority) AS BIGINT) AS n_priority,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM merged
+    GROUP BY src_version
+    ORDER BY src_version
+"""

@@ -2718,3 +2718,45 @@ def test_sql_udf_inlines_into_codegen(spark):
         tot[t] += b
     for t in n:
         assert (rows[t].n, rows[t].total_cents) == (n[t], tot[t])
+
+
+def test_schema_evolution_union_accounts(spark):
+    from db_migrator_spark.operators.relational7 import (
+        q_schema_evolution_union,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.src_version: r for r in q_schema_evolution_union(spark, sf).collect()}
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    n1 = sum(1 for o in orders if o.o_orderkey % 2 == 0)
+    n2 = len(orders) - n1
+    assert (got["v1"].n, got["v2"].n) == (n1, n2)
+    # each version's missing column null-fills: counted as absent
+    assert got["v1"].n_status == n1 and got["v1"].n_priority == 0
+    assert got["v2"].n_status == 0 and got["v2"].n_priority == n2
+
+
+def test_minhash_estimator_audit_consistency(spark):
+    from db_migrator_spark.operators.dedup import (
+        PORTABLE_JACCARD_PPM,
+        PORTABLE_MINHASH_K,
+        dedup_minhash_portable,
+    )
+    from db_migrator_spark.operators.dedup2 import (
+        dedup_minhash_estimator_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    audit = {(r.d1, r.d2): r for r in dedup_minhash_estimator_audit(spark, sf).collect()}
+    assert audit
+    for r in audit.values():
+        assert 0 <= r.sig_matches <= PORTABLE_MINHASH_K
+        assert r.estimate_ppm == r.sig_matches * 1_000_000 // PORTABLE_MINHASH_K
+        assert r.error_ppm == r.estimate_ppm - r.exact_ppm
+    # the portable dedup's accepted pairs are a subset of the audited
+    # candidates, with identical exact scores
+    pairs = {(r.d1, r.d2): r.jaccard_ppm for r in dedup_minhash_portable(spark, sf).collect()}
+    for pair, ppm in pairs.items():
+        assert pair in audit and audit[pair].exact_ppm == ppm >= PORTABLE_JACCARD_PPM
