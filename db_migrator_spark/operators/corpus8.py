@@ -273,3 +273,58 @@ ORACLES["corpus_seq_len_histogram"] = """
     FROM hist, tot
     ORDER BY bin
 """
+
+
+# Feature hashing (the "hashing trick"): words map to a fixed number
+# of buckets via md5 mod D — the constant-memory featurizer used when
+# a vocabulary is too large to materialize. Collisions are the price;
+# the audit column counts them so the D choice is evidence-based.
+FEATHASH_DIM = 64
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words features in long form: per (doc, bucket)
+    the term-count mass, plus the distinct-word collision audit
+    (module comment). md5-derived bucket = first 8 md5 hex chars mod
+    FEATHASH_DIM (the span-plan lottery contract), so the featurizer
+    is bit-identical anywhere. One map-side-combinable groupBy over
+    the (doc, word) projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"
+    ) % FEATHASH_DIM
+    return (
+        words.select("doc_id", bucket.alias("bucket"), "w")
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("mass"),
+            F.count_distinct("w").cast("bigint").alias("n_words"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+QUERIES["text_feature_hashing"] = text_feature_hashing
+
+ORACLES["text_feature_hashing"] = f"""
+    WITH words AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w != ''),
+    hashed AS (
+        SELECT doc_id,
+               CAST(from_hex(substr(md5(w), 1, 8))::BIT::UINTEGER
+                    AS BIGINT) % {FEATHASH_DIM} AS bucket,
+               w
+        FROM words)
+    SELECT doc_id, bucket,
+           CAST(COUNT(*) AS BIGINT) AS mass,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+    FROM hashed
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+"""

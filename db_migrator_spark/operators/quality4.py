@@ -387,3 +387,108 @@ ORACLES["q_xmr_control_chart"] = f"""
     FROM mr, summary
     ORDER BY day
 """
+
+
+# Deterministic dirtying mask for the dirty-data expectation check: a
+# lineitem key column goes NULL when md5(orderkey:linenumber:col) ends
+# in '0' (1/16 of cells per column).
+DIRTY_MASK_DIGIT = "0"
+
+
+def q_expectation_checks_dirty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expectation checks ON DIRTY DATA: lineitem key columns are
+    deterministically NULLed (md5 cell mask), then the uniqueness
+    expectation runs with the NULL-SENTINEL concat identity — the
+    exact contract the clean-data sibling (quality.q_expectation_
+    checks) documents but never exercises (its fixture has no NULL
+    keys; the r7 ADVICE call-out). Surfaces: injected-null counts per
+    key column, total rows, distinct identities under the sentinel
+    contract, and the duplicate count those NULLs create — proving
+    the sentinel identity counts NULL-bearing tuples identically on
+    both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dirty(col: str):
+        mask = (
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                        F.lit(col),
+                    )
+                ),
+                32,
+                1,
+            )
+            == DIRTY_MASK_DIGIT
+        )
+        return F.when(~mask, F.col(col))
+
+    base = li.select(
+        dirty("l_orderkey").alias("k1"),
+        dirty("l_partkey").alias("k2"),
+        dirty("l_suppkey").alias("k3"),
+    )
+    ident = F.md5(
+        F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("N"))
+                for c in ("k1", "k2", "k3")
+            ],
+        )
+    )
+    return base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("k1").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_null_k1"),
+        F.sum(F.col("k2").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_null_k2"),
+        F.sum(F.col("k3").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_null_k3"),
+        F.count_distinct(ident).cast("bigint").alias("n_identities"),
+    ).select(
+        "*",
+        (F.col("n_rows") - F.col("n_identities")).alias("n_duplicates"),
+    )
+
+
+QUERIES["q_expectation_checks_dirty"] = q_expectation_checks_dirty
+
+ORACLES["q_expectation_checks_dirty"] = f"""
+    WITH dirty AS (
+        SELECT CASE WHEN substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                       || CAST(l_linenumber AS VARCHAR) || ':l_orderkey'),
+                       32, 1) = '{DIRTY_MASK_DIGIT}'
+                    THEN NULL ELSE l_orderkey END AS k1,
+               CASE WHEN substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                       || CAST(l_linenumber AS VARCHAR) || ':l_partkey'),
+                       32, 1) = '{DIRTY_MASK_DIGIT}'
+                    THEN NULL ELSE l_partkey END AS k2,
+               CASE WHEN substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                       || CAST(l_linenumber AS VARCHAR) || ':l_suppkey'),
+                       32, 1) = '{DIRTY_MASK_DIGIT}'
+                    THEN NULL ELSE l_suppkey END AS k3
+        FROM lineitem),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (k1 IS NULL) AS BIGINT) AS n_null_k1,
+               CAST(COUNT(*) FILTER (k2 IS NULL) AS BIGINT) AS n_null_k2,
+               CAST(COUNT(*) FILTER (k3 IS NULL) AS BIGINT) AS n_null_k3,
+               CAST(COUNT(DISTINCT md5(
+                   concat_ws('|',
+                       COALESCE(CAST(k1 AS VARCHAR), 'N'),
+                       COALESCE(CAST(k2 AS VARCHAR), 'N'),
+                       COALESCE(CAST(k3 AS VARCHAR), 'N'))))
+                    AS BIGINT) AS n_identities
+        FROM dirty)
+    SELECT *, n_rows - n_identities AS n_duplicates FROM agg
+"""

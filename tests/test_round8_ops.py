@@ -2760,3 +2760,47 @@ def test_minhash_estimator_audit_consistency(spark):
     pairs = {(r.d1, r.d2): r.jaccard_ppm for r in dedup_minhash_portable(spark, sf).collect()}
     for pair, ppm in pairs.items():
         assert pair in audit and audit[pair].exact_ppm == ppm >= PORTABLE_JACCARD_PPM
+
+
+def test_expectation_dirty_nulls_counted_in_identity(spark):
+    import hashlib
+
+    from db_migrator_spark.operators.quality4 import (
+        DIRTY_MASK_DIGIT,
+        q_expectation_checks_dirty,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = q_expectation_checks_dirty(spark, sf).collect()[0]
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    ).collect()
+
+    def masked(ok, ln, col):
+        return (
+            hashlib.md5(f"{ok}:{ln}:{col}".encode()).hexdigest()[-1]
+            == DIRTY_MASK_DIGIT
+        )
+
+    idents = set()
+    nulls = [0, 0, 0]
+    for r in li:
+        ks = []
+        for i, (col, v) in enumerate(
+            [
+                ("l_orderkey", r.l_orderkey),
+                ("l_partkey", r.l_partkey),
+                ("l_suppkey", r.l_suppkey),
+            ]
+        ):
+            if masked(r.l_orderkey, r.l_linenumber, col):
+                nulls[i] += 1
+                ks.append("N")
+            else:
+                ks.append(str(v))
+        idents.add("|".join(ks))
+    assert (row.n_null_k1, row.n_null_k2, row.n_null_k3) == tuple(nulls)
+    assert all(n > 0 for n in nulls), "the mask genuinely dirties"
+    assert row.n_identities == len(idents)
+    assert row.n_duplicates == row.n_rows - len(idents)
+    assert row.n_duplicates > 0, "NULL-bearing tuples must collide"
