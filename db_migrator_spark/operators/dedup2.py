@@ -471,3 +471,135 @@ def _estimator_oracle() -> str:
 
 
 ORACLES["dedup_minhash_estimator_audit"] = _estimator_oracle()
+
+
+# Threshold sweep grid (ppm) for the dedup ROC: how many pairs (and
+# docs) each candidate Jaccard cutoff would merge.
+DEDUP_SWEEP_PPM = (100_000, 200_000, 300_000, 400_000, 500_000)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-selection evidence for near-dup cleanup: for each
+    candidate Jaccard cutoff, the number of 3-gram near-dup pairs at
+    or above it and the number of distinct documents those pairs
+    touch — the dedup analog of the PR sweep, ONE pass over the exact
+    pair scores (every threshold is a conditional sum over the same
+    relation, so adding thresholds widens the aggregate, not the
+    passes). Pairs come from the same inverted-index self-join as
+    ``dedup.dedup_ngram_jaccard`` with the shared-shingle >= 1 floor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    shingles = (
+        ws.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 2),
+                    lambda w, i: F.concat_ws(
+                        " ", w, F.col("ws")[i + 1], F.col("ws")[i + 2]
+                    ),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    s1 = F.broadcast(
+        sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    )
+    s2 = F.broadcast(
+        sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    )
+    scored = (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.expr(
+                "CAST(shared * 1000000 div (n1 + n2 - shared) AS BIGINT)"
+            ).alias("j_ppm"),
+        )
+        .localCheckpoint()  # one pair relation feeds every threshold
+    )
+    # each threshold reads the SAME checkpointed pair relation
+    out = None
+    for t in DEDUP_SWEEP_PPM:
+        hit = scored.filter(F.col("j_ppm") >= t)
+        docs_touched = (
+            hit.select(F.explode(F.array("d1", "d2")).alias("d"))
+            .agg(F.count_distinct("d").cast("bigint").alias("n_docs"))
+        )
+        pairs = hit.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+        )
+        row = (
+            pairs.crossJoin(docs_touched)
+            .select(
+                F.lit(t).cast("bigint").alias("threshold_ppm"),
+                "n_pairs",
+                "n_docs",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("threshold_ppm")
+
+
+QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
+
+ORACLES["dedup_threshold_sweep"] = f"""
+    CREATE OR REPLACE TEMP TABLE sw_sh AS
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 2)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents)
+              WHERE len(w) >= 3);
+    CREATE OR REPLACE TEMP TABLE sw_scored AS
+        WITH sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM sw_sh GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM sw_sh a JOIN sw_sh b
+              ON b.s = a.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT sh.d1, sh.d2,
+               CAST(CAST(sh.shared AS HUGEINT) * 1000000
+                    // (n1.n + n2.n - sh.shared) AS BIGINT) AS j_ppm
+        FROM shared sh
+        JOIN sizes n1 ON n1.doc_id = sh.d1
+        JOIN sizes n2 ON n2.doc_id = sh.d2;
+    {" UNION ALL ".join(
+        f'''SELECT CAST({t} AS BIGINT) AS threshold_ppm,
+               CAST((SELECT COUNT(*) FROM sw_scored WHERE j_ppm >= {t})
+                    AS BIGINT) AS n_pairs,
+               CAST((SELECT COUNT(DISTINCT d) FROM (
+                       SELECT d1 AS d FROM sw_scored WHERE j_ppm >= {t}
+                       UNION ALL
+                       SELECT d2 FROM sw_scored WHERE j_ppm >= {t}))
+                    AS BIGINT) AS n_docs'''
+        for t in DEDUP_SWEEP_PPM
+    )}
+    ORDER BY threshold_ppm
+"""
