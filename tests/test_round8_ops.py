@@ -2804,3 +2804,33 @@ def test_expectation_dirty_nulls_counted_in_identity(spark):
     assert row.n_identities == len(idents)
     assert row.n_duplicates == row.n_rows - len(idents)
     assert row.n_duplicates > 0, "NULL-bearing tuples must collide"
+
+
+def test_cumulative_users_first_day_identity(spark):
+    from db_migrator_spark.operators.events4 import events_cumulative_users
+
+    sf = "/root/testdata/sf0.001"
+    got = events_cumulative_users(spark, sf).collect()
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).distinct().collect()
+    from collections import defaultdict
+
+    dau = defaultdict(set)
+    first = {}
+    for e in ev:
+        dau[e.day].add(e.user_id)
+        if e.user_id not in first or e.day < first[e.user_id]:
+            first[e.user_id] = e.day
+    firsts = defaultdict(int)
+    for u, d in first.items():
+        firsts[d] += 1
+    cum = 0
+    for r in sorted(got, key=lambda r: r.day):
+        assert r.dau == len(dau[r.day])
+        assert r.n_new_users == firsts.get(r.day, 0)
+        cum += firsts.get(r.day, 0)
+        assert r.cumulative_users == cum
+        assert r.new_share_ppm == r.n_new_users * 1_000_000 // r.dau
+    # the curve ends at the total distinct user count
+    assert cum == len(first)
