@@ -339,8 +339,9 @@ def q_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE -((-sx) div n) END AS BIGINT)"
         ).alias("center"),
         F.expr(
-            f"CAST(smr * {XMR_E2_NUM} div (nmr * {XMR_E2_DEN})"
-            " AS BIGINT)"
+            f"CASE WHEN nmr = 0 THEN NULL ELSE"
+            f" CAST(smr * {XMR_E2_NUM} div (nmr * {XMR_E2_DEN})"
+            " AS BIGINT) END"
         ).alias("band"),
     )
     return (
@@ -377,8 +378,10 @@ ORACLES["q_xmr_control_chart"] = f"""
                     THEN SUM(CAST(x AS HUGEINT)) // COUNT(*)
                     ELSE -((-SUM(CAST(x AS HUGEINT))) // COUNT(*)) END
                     AS BIGINT) AS center,
-               CAST(SUM(CAST(mr AS HUGEINT)) * {XMR_E2_NUM}
-                    // (COUNT(mr) * {XMR_E2_DEN}) AS BIGINT) AS band
+               CASE WHEN COUNT(mr) = 0 THEN NULL ELSE
+                    CAST(SUM(CAST(mr AS HUGEINT)) * {XMR_E2_NUM}
+                         // (COUNT(mr) * {XMR_E2_DEN}) AS BIGINT) END
+                   AS band
         FROM mr)
     SELECT day, x, mr, center,
            center - band AS lcl,

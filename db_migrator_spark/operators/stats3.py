@@ -99,8 +99,9 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("u1_x2"),
             F.expr(
-                "CAST(CAST(r1_x2 - n1 * (n1 + 1) AS DECIMAL(38,0))"
-                " * 1000000 div (n1 * n2) - 1000000 AS BIGINT)"
+                "CASE WHEN n1 * n2 = 0 THEN NULL ELSE"
+                " CAST(CAST(r1_x2 - n1 * (n1 + 1) AS DECIMAL(38,0))"
+                " * 1000000 div (n1 * n2) - 1000000 AS BIGINT) END"
             ).alias("rank_biserial_ppm"),
         )
         .orderBy("o_orderpriority")
@@ -203,8 +204,9 @@ ORACLES = {
             FROM ranked GROUP BY o_orderpriority)
         SELECT o_orderpriority, n1, n2,
                CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
-               CAST(CAST(r1_x2 - n1 * (n1 + 1) AS HUGEINT)
-                    * 1000000 // (n1 * n2) - 1000000 AS BIGINT)
+               CASE WHEN n1 * n2 = 0 THEN NULL ELSE
+                    CAST(CAST(r1_x2 - n1 * (n1 + 1) AS HUGEINT)
+                         * 1000000 // (n1 * n2) - 1000000 AS BIGINT) END
                    AS rank_biserial_ppm
         FROM agg
         ORDER BY o_orderpriority
