@@ -495,3 +495,59 @@ ORACLES["q_expectation_checks_dirty"] = f"""
         FROM dirty)
     SELECT *, n_rows - n_identities AS n_duplicates FROM agg
 """
+
+
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority — the
+    leakage-safe categorical encoder: each row's feature is its
+    group's mean totalprice EXCLUDING the row itself,
+    (S_g - x) div (n_g - 1) in exact micros, alongside the frequency
+    encoding (group count) — the two workhorse encodings of tabular
+    ML, both exactly integral. Groups of one encode NULL (no
+    leave-one-out evidence). One map-side-combined group aggregate
+    broadcast back onto the rows; zero windows, zero leakage.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
+    base = orders.select(
+        "o_orderkey", "o_orderpriority", v.alias("x")
+    )
+    grp = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s_g"),
+    )
+    return (
+        base.join(F.broadcast(grp), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("n_g").alias("freq_encoding"),
+            F.expr(
+                "CASE WHEN n_g <= 1 THEN NULL ELSE"
+                " CAST((s_g - x) div (n_g - 1) AS BIGINT) END"
+            ).alias("loo_mean_micro"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+QUERIES["q_target_encoding_loo"] = q_target_encoding_loo
+
+ORACLES["q_target_encoding_loo"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 1000000) AS BIGINT) AS x
+        FROM orders),
+    grp AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               SUM(CAST(x AS HUGEINT)) AS s_g
+        FROM base GROUP BY o_orderpriority)
+    SELECT b.o_orderkey, b.o_orderpriority,
+           g.n_g AS freq_encoding,
+           CASE WHEN g.n_g <= 1 THEN NULL ELSE
+                CAST((g.s_g - b.x) // (g.n_g - 1) AS BIGINT) END
+               AS loo_mean_micro
+    FROM base b JOIN grp g ON g.o_orderpriority = b.o_orderpriority
+    ORDER BY b.o_orderkey
+"""

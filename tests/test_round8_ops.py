@@ -2834,3 +2834,28 @@ def test_cumulative_users_first_day_identity(spark):
         assert r.new_share_ppm == r.n_new_users * 1_000_000 // r.dau
     # the curve ends at the total distinct user count
     assert cum == len(first)
+
+
+def test_target_encoding_loo_excludes_self(spark):
+    from db_migrator_spark.operators.quality4 import q_target_encoding_loo
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.o_orderkey: r for r in q_target_encoding_loo(spark, sf).collect()}
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+
+    grp = defaultdict(list)
+    for o in orders:
+        grp[o.o_orderpriority].append(math.floor(o.o_totalprice * 1_000_000))
+    sums = {p: (len(v), sum(v)) for p, v in grp.items()}
+    for o in orders:
+        r = got[o.o_orderkey]
+        n, s = sums[o.o_orderpriority]
+        assert r.freq_encoding == n
+        x = math.floor(o.o_totalprice * 1_000_000)
+        if n <= 1:
+            assert r.loo_mean_micro is None
+        else:
+            assert r.loo_mean_micro == (s - x) // (n - 1)
