@@ -517,3 +517,216 @@ ORACLES["events_cumulative_users"] = """
     FROM dau d LEFT JOIN firsts f ON f.day = d.day
     ORDER BY d.day
 """
+
+
+# Growth-accounting periods: first vs second half of the orders
+# fixture's date range (literal pivot, the DRIFT_PIVOT convention).
+GROWTH_PIVOT = "1995-06-01"
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue growth accounting between the pre- and post-pivot
+    periods: every customer classified as new (0 -> x), churned
+    (x -> 0), expansion (up) or contraction (down), with each
+    bucket's cent mass — and the books must balance:
+    rev_post - rev_pre == new + expansion - contraction - churned
+    (property-tested; every term exact cents). One per-customer
+    two-period aggregate (map-side combinable), then a buckets-sized
+    rollup — the SaaS growth ledger at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pre = F.col("o_orderdate") < F.lit(GROWTH_PIVOT).cast("timestamp")
+    cents = F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(pre, cents).otherwise(0)).cast("bigint").alias("r1"),
+        F.sum(F.when(~pre, cents).otherwise(0)).cast("bigint").alias("r2"),
+    )
+    bucket = (
+        F.when((F.col("r1") == 0) & (F.col("r2") > 0), "new")
+        .when((F.col("r1") > 0) & (F.col("r2") == 0), "churned")
+        .when(F.col("r2") > F.col("r1"), "expansion")
+        .when(F.col("r2") < F.col("r1"), "contraction")
+        .otherwise("flat")
+    )
+    delta = F.when(
+        bucket == "contraction", F.col("r1") - F.col("r2")
+    ).otherwise(F.abs(F.col("r2") - F.col("r1")))
+    return (
+        per_cust.select(
+            bucket.alias("bucket"),
+            "r1",
+            "r2",
+            delta.alias("delta_cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("r1").cast("bigint").alias("rev_pre_cents"),
+            F.sum("r2").cast("bigint").alias("rev_post_cents"),
+            F.sum("delta_cents").cast("bigint").alias("delta_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["q_growth_accounting"] = q_growth_accounting
+
+ORACLES["q_growth_accounting"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{GROWTH_PIVOT}'
+                        THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS r1,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{GROWTH_PIVOT}'
+                        THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS r2
+        FROM orders GROUP BY o_custkey),
+    labeled AS (
+        SELECT *,
+               CASE WHEN r1 = 0 AND r2 > 0 THEN 'new'
+                    WHEN r1 > 0 AND r2 = 0 THEN 'churned'
+                    WHEN r2 > r1 THEN 'expansion'
+                    WHEN r2 < r1 THEN 'contraction'
+                    ELSE 'flat' END AS bucket
+        FROM per_cust)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r1) AS BIGINT) AS rev_pre_cents,
+           CAST(SUM(r2) AS BIGINT) AS rev_post_cents,
+           CAST(SUM(CASE WHEN bucket = 'contraction' THEN r1 - r2
+                         ELSE ABS(r2 - r1) END) AS BIGINT) AS delta_cents
+    FROM labeled
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+# DiD pivot: mid-fixture (events span 2024-01).
+DID_PIVOT = "2024-01-16"
+
+
+def events_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout over the A/B arms and the
+    mid-month pivot: the 2x2 of per-(arm, period) mean event value in
+    micros (each cell a truncating-div mean — documented cell
+    truncation), the within-arm post-pre deltas, and the DiD estimate
+    (treatment delta minus control delta) — the causal-analytics
+    counterpart of the A/B z-test. One map-side 4-cell aggregate;
+    everything after is constant-size.
+    """
+    from .events3 import AB_ARM_UPPER, AB_SALT
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(AB_SALT), F.col("user_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            2,
+        )
+        < AB_ARM_UPPER,
+        "A",
+    ).otherwise("B")
+    post = F.col("ts").cast("timestamp") >= F.lit(DID_PIVOT).cast(
+        "timestamp"
+    )
+    cells = (
+        ev.select(
+            arm.alias("arm"),
+            post.alias("post"),
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias(
+                "vm"
+            ),
+        )
+        .groupBy("arm", "post")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("vm").cast("decimal(38,0)")).alias("s"),
+        )
+        .select(
+            "arm",
+            "post",
+            "n",
+            F.expr(
+                "CAST(CASE WHEN s >= 0 THEN s div n"
+                " ELSE -((-s) div n) END AS BIGINT)"
+            ).alias("mean_micro"),
+        )
+    )
+    wide = cells.groupBy().agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("arm") == a) & (F.col("post") == p),
+                    F.col(c),
+                )
+            ).alias(f"{c}_{a.lower()}_{'post' if p else 'pre'}")
+            for a in ("A", "B")
+            for p in (False, True)
+            for c in ("n", "mean_micro")
+        ]
+    )
+    return wide.select(
+        "*",
+        (
+            F.col("mean_micro_a_post") - F.col("mean_micro_a_pre")
+        ).alias("delta_a_micro"),
+        (
+            F.col("mean_micro_b_post") - F.col("mean_micro_b_pre")
+        ).alias("delta_b_micro"),
+        (
+            (F.col("mean_micro_a_post") - F.col("mean_micro_a_pre"))
+            - (F.col("mean_micro_b_post") - F.col("mean_micro_b_pre"))
+        ).alias("did_micro"),
+    )
+
+
+QUERIES["events_did_analysis"] = events_did_analysis
+
+ORACLES["events_did_analysis"] = f"""
+    WITH cells AS (
+        SELECT CASE WHEN substr(md5('ab-v1' || CAST(user_id AS VARCHAR)),
+                               1, 2) < '80' THEN 'A' ELSE 'B' END AS arm,
+               CAST(ts AS TIMESTAMP) >= TIMESTAMP '{DID_PIVOT}' AS post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CASE WHEN SUM(CAST(FLOOR(value * 1000000) AS HUGEINT)) >= 0
+                    THEN SUM(CAST(FLOOR(value * 1000000) AS HUGEINT))
+                         // COUNT(*)
+                    ELSE -((-SUM(CAST(FLOOR(value * 1000000) AS HUGEINT)))
+                           // COUNT(*)) END AS mean_micro
+        FROM events GROUP BY 1, 2),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN arm='A' AND NOT post THEN n END) AS n_a_pre,
+            MAX(CASE WHEN arm='A' AND NOT post THEN mean_micro END)
+                AS mean_micro_a_pre,
+            MAX(CASE WHEN arm='A' AND post THEN n END) AS n_a_post,
+            MAX(CASE WHEN arm='A' AND post THEN mean_micro END)
+                AS mean_micro_a_post,
+            MAX(CASE WHEN arm='B' AND NOT post THEN n END) AS n_b_pre,
+            MAX(CASE WHEN arm='B' AND NOT post THEN mean_micro END)
+                AS mean_micro_b_pre,
+            MAX(CASE WHEN arm='B' AND post THEN n END) AS n_b_post,
+            MAX(CASE WHEN arm='B' AND post THEN mean_micro END)
+                AS mean_micro_b_post
+        FROM cells)
+    SELECT CAST(n_a_pre AS BIGINT) AS n_a_pre,
+           CAST(mean_micro_a_pre AS BIGINT) AS mean_micro_a_pre,
+           CAST(n_a_post AS BIGINT) AS n_a_post,
+           CAST(mean_micro_a_post AS BIGINT) AS mean_micro_a_post,
+           CAST(n_b_pre AS BIGINT) AS n_b_pre,
+           CAST(mean_micro_b_pre AS BIGINT) AS mean_micro_b_pre,
+           CAST(n_b_post AS BIGINT) AS n_b_post,
+           CAST(mean_micro_b_post AS BIGINT) AS mean_micro_b_post,
+           CAST(mean_micro_a_post - mean_micro_a_pre AS BIGINT)
+               AS delta_a_micro,
+           CAST(mean_micro_b_post - mean_micro_b_pre AS BIGINT)
+               AS delta_b_micro,
+           CAST((mean_micro_a_post - mean_micro_a_pre)
+                - (mean_micro_b_post - mean_micro_b_pre) AS BIGINT)
+               AS did_micro
+    FROM wide
+"""

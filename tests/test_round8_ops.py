@@ -2859,3 +2859,68 @@ def test_target_encoding_loo_excludes_self(spark):
             assert r.loo_mean_micro is None
         else:
             assert r.loo_mean_micro == (s - x) // (n - 1)
+
+
+def test_growth_accounting_books_balance(spark):
+    from db_migrator_spark.operators.events4 import q_growth_accounting
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.bucket: r for r in q_growth_accounting(spark, sf).collect()}
+    rev_pre = sum(r.rev_pre_cents for r in got.values())
+    rev_post = sum(r.rev_post_cents for r in got.values())
+
+    def d(b):
+        return got[b].delta_cents if b in got else 0
+
+    # the growth ledger identity
+    assert rev_post - rev_pre == (
+        d("new") + d("expansion") - d("contraction") - d("churned")
+    )
+    # every bucket's delta is consistent with its own pre/post mass
+    for b, r in got.items():
+        if b == "new":
+            assert r.rev_pre_cents == 0
+        if b == "churned":
+            assert r.rev_post_cents == 0
+
+
+def test_did_cells_match_python(spark):
+    import hashlib
+    import datetime
+
+    from db_migrator_spark.operators.events4 import (
+        DID_PIVOT,
+        events_did_analysis,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = events_did_analysis(spark, sf).collect()[0]
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).collect()
+    pivot = datetime.datetime.fromisoformat(DID_PIVOT)
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0])
+    for e in ev:
+        arm = (
+            "a"
+            if hashlib.md5(f"ab-v1{e.user_id}".encode()).hexdigest()[:2] < "80"
+            else "b"
+        )
+        per = "post" if e.ts >= pivot else "pre"
+        c = cells[(arm, per)]
+        c[0] += 1
+        c[1] += math.floor(e.value * 1_000_000)
+
+    def tdiv(s, n):
+        return s // n if s >= 0 else -((-s) // n)
+
+    means = {}
+    for (arm, per), (n, s) in cells.items():
+        assert getattr(row, f"n_{arm}_{per}") == n
+        means[(arm, per)] = tdiv(s, n)
+        assert getattr(row, f"mean_micro_{arm}_{per}") == means[(arm, per)]
+    assert row.did_micro == (
+        means[("a", "post")] - means[("a", "pre")]
+    ) - (means[("b", "post")] - means[("b", "pre")])
