@@ -730,3 +730,84 @@ ORACLES["events_did_analysis"] = f"""
                AS did_micro
     FROM wide
 """
+
+
+def q_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer VALUE-QUINTILE migration between the growth-accounting
+    periods: each active-in-both customer gets a revenue quintile per
+    period (ntile over period revenue cents, orderkey... custkey
+    tiebreak), and the matrix counts (q_pre, q_post) transitions with
+    the share of the pre-quintile row in exact ppm — the CRM
+    "segment migration" artifact, the per-customer sibling of the
+    Markov event-transition matrix. Two keyed rank windows over the
+    customer aggregate (dimension-sized), one matrix rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pre = F.col("o_orderdate") < F.lit(GROWTH_PIVOT).cast("timestamp")
+    cents = F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(pre, cents).otherwise(0))
+            .cast("bigint")
+            .alias("r1"),
+            F.sum(F.when(~pre, cents).otherwise(0))
+            .cast("bigint")
+            .alias("r2"),
+        )
+        .filter((F.col("r1") > 0) & (F.col("r2") > 0))
+    )
+    from pyspark.sql.window import Window as W
+
+    q1 = F.ntile(5).over(W.orderBy("r1", "o_custkey"))
+    q2 = F.ntile(5).over(W.orderBy("r2", "o_custkey"))
+    scored = per_cust.select(
+        "o_custkey", q1.alias("q_pre"), q2.alias("q_post")
+    )
+    cells = scored.groupBy("q_pre", "q_post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    row_tot = cells.groupBy("q_pre").agg(
+        F.sum("n").cast("bigint").alias("n_row")
+    )
+    return (
+        cells.join(F.broadcast(row_tot), "q_pre")
+        .select(
+            "q_pre",
+            "q_post",
+            "n",
+            F.expr("n * 1000000 div n_row").alias("row_share_ppm"),
+        )
+        .orderBy("q_pre", "q_post")
+    )
+
+
+QUERIES["q_rfm_migration_matrix"] = q_rfm_migration_matrix
+
+ORACLES["q_rfm_migration_matrix"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{GROWTH_PIVOT}'
+                        THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS r1,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{GROWTH_PIVOT}'
+                        THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS r2
+        FROM orders GROUP BY o_custkey
+        HAVING r1 > 0 AND r2 > 0),
+    scored AS (
+        SELECT o_custkey,
+               NTILE(5) OVER (ORDER BY r1, o_custkey) AS q_pre,
+               NTILE(5) OVER (ORDER BY r2, o_custkey) AS q_post
+        FROM per_cust),
+    cells AS (
+        SELECT q_pre, q_post, CAST(COUNT(*) AS BIGINT) AS n
+        FROM scored GROUP BY 1, 2),
+    rt AS (
+        SELECT q_pre, CAST(SUM(n) AS BIGINT) AS n_row
+        FROM cells GROUP BY q_pre)
+    SELECT c.q_pre, c.q_post, c.n,
+           c.n * 1000000 // rt.n_row AS row_share_ppm
+    FROM cells c JOIN rt ON rt.q_pre = c.q_pre
+    ORDER BY c.q_pre, c.q_post
+"""
