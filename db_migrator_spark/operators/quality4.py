@@ -551,3 +551,142 @@ ORACLES["q_target_encoding_loo"] = """
     FROM base b JOIN grp g ON g.o_orderpriority = b.o_orderpriority
     ORDER BY b.o_orderkey
 """
+
+
+# ABC-XYZ thresholds: ABC on cumulative revenue share (80/95%), XYZ on
+# demand variability via the exact cv2 contract (cv2 = (n*SS - S^2) /
+# S^2 in micros): X stable (< XYZ_X), Y moderate (< XYZ_Y), Z erratic.
+XYZ_X_CV2_MICRO = 250_000  # cv ~ 0.5
+XYZ_Y_CV2_MICRO = 1_000_000  # cv ~ 1.0
+
+
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ inventory matrix over parts: ABC class from each
+    part's cumulative revenue share (80/95 ppm cuts over lineitem
+    revenue, global ranking — parts are dimension-sized), XYZ class
+    from monthly demand variability (exact cv2 of monthly quantity in
+    micros, the q_drift_effect_size contract). Output: the 9(+)-cell
+    matrix with part counts and revenue mass — the stocking-policy
+    report every supply chain asks of an analytics engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.expr(
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)"
+        " AS BIGINT)"
+    )
+    month = F.date_trunc(
+        "month", F.col("l_shipdate").cast("timestamp")
+    )
+    per_month = (
+        li.select(
+            "l_partkey",
+            month.alias("m"),
+            rev.alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("l_partkey", "m")
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.sum("qty").cast("bigint").alias("qty"),
+        )
+    )
+    per_part = per_month.groupBy("l_partkey").agg(
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_m"),
+        F.sum(F.col("qty").cast("decimal(38,0)")).alias("sq"),
+        F.sum(
+            F.col("qty").cast("decimal(38,0)") * F.col("qty")
+        ).alias("ssq"),
+    )
+    from pyspark.sql.window import Window as W
+
+    wcum = W.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    tot = per_part.agg(F.sum("cents").cast("bigint").alias("total"))
+    scored = (
+        per_part.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_ppm",
+            F.expr(
+                "CAST(CAST(SUM(cents) OVER (ORDER BY cents DESC,"
+                " l_partkey ROWS UNBOUNDED PRECEDING)"
+                " AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "abc",
+            F.when(F.col("cum_ppm") <= 800_000, "A")
+            .when(F.col("cum_ppm") <= 950_000, "B")
+            .otherwise("C"),
+        )
+        .withColumn(
+            "cv2_micro",
+            F.expr(
+                "CASE WHEN sq = 0 THEN NULL ELSE"
+                " CAST((CAST(n_m AS DECIMAL(38,0)) * ssq - sq * sq)"
+                " * 1000000 div (sq * sq) AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "xyz",
+            F.when(F.col("cv2_micro").isNull(), "Z")
+            .when(F.col("cv2_micro") < XYZ_X_CV2_MICRO, "X")
+            .when(F.col("cv2_micro") < XYZ_Y_CV2_MICRO, "Y")
+            .otherwise("Z"),
+        )
+    )
+    return (
+        scored.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+QUERIES["q_abc_xyz_matrix"] = q_abc_xyz_matrix
+
+ORACLES["q_abc_xyz_matrix"] = f"""
+    WITH per_month AS (
+        SELECT l_partkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2),
+    per_part AS (
+        SELECT l_partkey,
+               CAST(SUM(cents) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n_m,
+               SUM(CAST(qty AS HUGEINT)) AS sq,
+               SUM(CAST(qty AS HUGEINT) * qty) AS ssq
+        FROM per_month GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM per_part),
+    scored AS (
+        SELECT p.*,
+               CAST(CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+                    * 1000000 // t.total AS BIGINT) AS cum_ppm,
+               CASE WHEN sq = 0 THEN NULL ELSE
+                    CAST((CAST(n_m AS HUGEINT) * ssq - sq * sq)
+                         * 1000000 // (sq * sq) AS BIGINT) END
+                   AS cv2_micro
+        FROM per_part p, tot t),
+    labeled AS (
+        SELECT *,
+               CASE WHEN cum_ppm <= 800000 THEN 'A'
+                    WHEN cum_ppm <= 950000 THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN cv2_micro IS NULL THEN 'Z'
+                    WHEN cv2_micro < {XYZ_X_CV2_MICRO} THEN 'X'
+                    WHEN cv2_micro < {XYZ_Y_CV2_MICRO} THEN 'Y'
+                    ELSE 'Z' END AS xyz
+        FROM scored)
+    SELECT abc, xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents
+    FROM labeled
+    GROUP BY abc, xyz
+    ORDER BY abc, xyz
+"""
