@@ -690,3 +690,92 @@ ORACLES["q_abc_xyz_matrix"] = f"""
     GROUP BY abc, xyz
     ORDER BY abc, xyz
 """
+
+
+def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the profiling complement of
+    containment-based FK discovery (``quality2.q_fk_discovery``): for
+    each CANDIDATE dependency LHS -> RHS, how many LHS groups map to
+    more than one RHS value, and the worst group's fan-out. A clean
+    FD (0 violations) certifies a denormalization or a natural key;
+    violations localize dirty rows. Candidates cover the fixture's
+    intended keys plus one deliberately-false dependency per table so
+    both verdicts are exercised. One groupBy per candidate over a
+    two-column projection (map-side combinable count_distinct), all
+    unioned into one report.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    cands = [
+        ("orders", "o_orderkey", "o_custkey", orders),
+        ("orders", "o_custkey", "o_orderpriority", orders),  # false
+        ("lineitem", "l_orderkey", "l_returnflag", li),  # false
+        ("customer", "c_custkey", "c_nationkey", cust),
+    ]
+    out = None
+    for table, lhs, rhs, df in cands:
+        grouped = (
+            df.select(F.col(lhs).alias("k"), F.col(rhs).alias("v"))
+            .groupBy("k")
+            .agg(F.count_distinct("v").cast("bigint").alias("nv"))
+        )
+        rep = grouped.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(f"{lhs}->{rhs}").alias("dependency"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum((F.col("nv") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("nv").cast("bigint").alias("max_fanout"),
+        ).select(
+            "table_name",
+            "dependency",
+            "n_groups",
+            "n_violating",
+            "max_fanout",
+            (F.col("n_violating") == 0).alias("holds"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("table_name", "dependency")
+
+
+QUERIES["q_fd_violation_audit"] = q_fd_violation_audit
+
+ORACLES["q_fd_violation_audit"] = """
+    WITH c1 AS (
+        SELECT 'orders' AS table_name, 'o_orderkey->o_custkey' AS dependency,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(COUNT(*) FILTER (nv > 1) AS BIGINT) AS n_violating,
+               CAST(MAX(nv) AS BIGINT) AS max_fanout
+        FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nv
+              FROM orders GROUP BY o_orderkey)),
+    c2 AS (
+        SELECT 'orders', 'o_custkey->o_orderpriority',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (nv > 1) AS BIGINT),
+               CAST(MAX(nv) AS BIGINT)
+        FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nv
+              FROM orders GROUP BY o_custkey)),
+    c3 AS (
+        SELECT 'lineitem', 'l_orderkey->l_returnflag',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (nv > 1) AS BIGINT),
+               CAST(MAX(nv) AS BIGINT)
+        FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS nv
+              FROM lineitem GROUP BY l_orderkey)),
+    c4 AS (
+        SELECT 'customer', 'c_custkey->c_nationkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (nv > 1) AS BIGINT),
+               CAST(MAX(nv) AS BIGINT)
+        FROM (SELECT c_custkey, COUNT(DISTINCT c_nationkey) AS nv
+              FROM customer GROUP BY c_custkey)),
+    allc AS (
+        SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+    SELECT table_name, dependency, n_groups, n_violating, max_fanout,
+           n_violating = 0 AS holds
+    FROM allc
+    ORDER BY table_name, dependency
+"""

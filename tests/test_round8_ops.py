@@ -2924,3 +2924,18 @@ def test_did_cells_match_python(spark):
     assert row.did_micro == (
         means[("a", "post")] - means[("a", "pre")]
     ) - (means[("b", "post")] - means[("b", "pre")])
+
+
+def test_fd_audit_true_and_false_dependencies(spark):
+    from db_migrator_spark.operators.quality4 import q_fd_violation_audit
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.dependency: r for r in q_fd_violation_audit(spark, sf).collect()}
+    # key-based FDs hold; the deliberately-false ones must not
+    assert got["o_orderkey->o_custkey"].holds
+    assert got["c_custkey->c_nationkey"].holds
+    assert not got["o_custkey->o_orderpriority"].holds
+    assert not got["l_orderkey->l_returnflag"].holds
+    for r in got.values():
+        assert r.holds == (r.n_violating == 0)
+        assert r.max_fanout >= 1
