@@ -811,3 +811,64 @@ ORACLES["q_rfm_migration_matrix"] = f"""
     FROM cells c JOIN rt ON rt.q_pre = c.q_pre
     ORDER BY c.q_pre, c.q_post
 """
+
+
+def events_streak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity STREAKS (the habit metric): longest run of
+    consecutive active days, number of distinct streaks, and total
+    active days — the gaps-and-islands identity (day - dense row
+    number is constant within a run) on exact date arithmetic. One
+    distinct-(user, day) shuffle, one per-user rank window, one
+    two-level rollup; the user partition is the parallel unit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+    ).distinct()
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["events_streak_analysis"] = events_streak_analysis
+
+ORACLES["events_streak_analysis"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events),
+    islands AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INTEGER)
+                   AS grp
+        FROM days),
+    streaks AS (
+        SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        FROM islands GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+"""

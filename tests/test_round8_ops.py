@@ -2939,3 +2939,33 @@ def test_fd_audit_true_and_false_dependencies(spark):
     for r in got.values():
         assert r.holds == (r.n_violating == 0)
         assert r.max_fanout >= 1
+
+
+def test_streak_analysis_matches_python(spark):
+    from db_migrator_spark.operators.events4 import events_streak_analysis
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.user_id: r for r in events_streak_analysis(spark, sf).collect()}
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).distinct().collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(set)
+    for e in ev:
+        by_user[e.user_id].add(e.day)
+    for u, days in by_user.items():
+        ds = sorted(days)
+        streaks = []
+        run = 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                run += 1
+            else:
+                streaks.append(run)
+                run = 1
+        streaks.append(run)
+        r = got[u]
+        assert r.n_active_days == len(ds)
+        assert r.n_streaks == len(streaks)
+        assert r.longest_streak == max(streaks)
