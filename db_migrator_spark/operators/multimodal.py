@@ -1860,3 +1860,109 @@ ORACLES["multimodal_image_histogram"] = f"""
       ON c.doc_id = b.doc_id AND c.bin = b.bin
     ORDER BY b.doc_id, b.bin
 """
+
+
+# Raw image moments m00/m10/m01 (gray mass and its row/column first
+# moments) — the centroid-of-brightness feature (orientation, framing
+# drift). All-integer numerators; centroids surface in milli-pixels
+# via the truncating-div contract.
+_MOMENTS_SCHEMA = (
+    "doc_id bigint, m00 bigint, m10 bigint, m01 bigint,"
+    " centroid_r_milli bigint, centroid_c_milli bigint"
+)
+
+
+def _image_moments(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas worker: parse P6, gray = channel sum, vectorized
+    raw moments + milli centroids."""
+    import numpy as np
+
+    for pdf in batches:
+        recs = {
+            k: []
+            for k in (
+                "doc_id",
+                "m00",
+                "m10",
+                "m01",
+                "centroid_r_milli",
+                "centroid_c_milli",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(buf[start:pos])
+            pos += 1
+            w, h = int(tokens[1]), int(tokens[2])
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+            gray = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+            m00 = int(gray.sum())
+            rows = np.arange(h, dtype=np.int64)[:, None]
+            cols = np.arange(w, dtype=np.int64)[None, :]
+            m10 = int((rows * gray).sum())
+            m01 = int((cols * gray).sum())
+            recs["doc_id"].append(int(doc_id))
+            recs["m00"].append(m00)
+            recs["m10"].append(m10)
+            recs["m01"].append(m01)
+            recs["centroid_r_milli"].append(
+                m10 * 1000 // m00 if m00 else 0
+            )
+            recs["centroid_c_milli"].append(
+                m01 * 1000 // m00 if m00 else 0
+            )
+        yield pd.DataFrame(recs)
+
+
+def multimodal_image_moments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-image raw brightness moments and milli-pixel centroid
+    (module comment) — the same Arrow-batched decode shape as the
+    other image features."""
+    return (
+        _ppm_payloads(spark, sf_dir)
+        .mapInPandas(_image_moments, schema=_MOMENTS_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["multimodal_image_moments"] = multimodal_image_moments
+
+ORACLES["multimodal_image_moments"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               substr(repeat(text,
+                             CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
+                      1, {_PPM_PIXELS}) AS px
+        FROM {_ASCII_DOCS_SQL}
+        WHERE length(text) > 0),
+    gray AS (
+        SELECT doc_id,
+               (i - 1) // {PPM_W} AS r,
+               (i - 1) % {PPM_W} AS c,
+               ascii(substr(px, (i - 1) * 3 + 1, 1))
+                   + ascii(substr(px, (i - 1) * 3 + 2, 1))
+                   + ascii(substr(px, (i - 1) * 3 + 3, 1)) AS g
+        FROM t, generate_series(1, {PPM_W * PPM_H}) AS gs(i)),
+    mom AS (
+        SELECT doc_id,
+               CAST(SUM(g) AS BIGINT) AS m00,
+               CAST(SUM(r * g) AS BIGINT) AS m10,
+               CAST(SUM(c * g) AS BIGINT) AS m01
+        FROM gray GROUP BY doc_id)
+    SELECT doc_id, m00, m10, m01,
+           CAST(CASE WHEN m00 = 0 THEN 0
+                ELSE m10 * 1000 // m00 END AS BIGINT) AS centroid_r_milli,
+           CAST(CASE WHEN m00 = 0 THEN 0
+                ELSE m01 * 1000 // m00 END AS BIGINT) AS centroid_c_milli
+    FROM mom
+    ORDER BY doc_id
+"""
