@@ -328,3 +328,70 @@ ORACLES["text_feature_hashing"] = f"""
     GROUP BY doc_id, bucket
     ORDER BY doc_id, bucket
 """
+
+
+# Burstiness floor: only words with at least this many total
+# occurrences rank (rarer words' repeat shares are noise).
+BURST_MIN_TF = 50
+
+
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church & Gale's observation: real words
+    REPEAT within documents; function-like tokens spread evenly):
+    per word the total occurrences (tf), the documents containing it
+    (df), and the repeat share (tf - df) / tf in exact ppm — high
+    means the word clumps (topical), low means it sprinkles
+    (functional). The mean-occurrences-per-containing-doc surfaces in
+    milli alongside. One (doc, word) count projection, one word
+    rollup — both map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        per_doc.groupBy("w")
+        .agg(
+            F.sum("c").cast("bigint").alias("tf"),
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+        )
+        .filter(F.col("tf") >= BURST_MIN_TF)
+        .select(
+            "w",
+            "tf",
+            "df",
+            F.expr("(tf - df) * 1000000 div tf").alias(
+                "repeat_share_ppm"
+            ),
+            F.expr("tf * 1000 div df").alias("mean_per_doc_milli"),
+        )
+        .orderBy(F.desc("repeat_share_ppm"), "w")
+    )
+
+
+QUERIES["text_burstiness"] = text_burstiness
+
+ORACLES["text_burstiness"] = f"""
+    WITH per_doc AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w != ''
+        GROUP BY doc_id, w),
+    agg AS (
+        SELECT w, CAST(SUM(c) AS BIGINT) AS tf,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM per_doc GROUP BY w)
+    SELECT w, tf, df,
+           (tf - df) * 1000000 // tf AS repeat_share_ppm,
+           tf * 1000 // df AS mean_per_doc_milli
+    FROM agg
+    WHERE tf >= {BURST_MIN_TF}
+    ORDER BY repeat_share_ppm DESC, w
+"""
