@@ -779,3 +779,111 @@ ORACLES["q_fd_violation_audit"] = """
     FROM allc
     ORDER BY table_name, dependency
 """
+
+
+# Campaign budget for the greedy selection demo (cents).
+SELECT_BUDGET_CENTS = 50_000_000
+
+
+def q_budget_greedy_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Budget-constrained greedy selection (the knapsack LP
+    relaxation): customers ranked by exact value density — revenue
+    cents per account-balance cent of "cost" (shifted non-negative,
+    the allocation op's contract) — are taken in density order while
+    the cumulative cost fits SELECT_BUDGET_CENTS. Density compares as
+    an exact CROSS-MULTIPLICATION sort key (rev * 1e6 div cost — one
+    truncating div, documented tie-break by custkey), the running
+    cost is an integer window sum, and the take/skip frontier is one
+    comparison — the distributed version of the classic greedy.
+    Output: selected customers with density, cost, running total.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    cents = F.floor(F.col("c_acctbal") * 100).cast("bigint")
+    costs = cust.select(
+        F.col("c_custkey").alias("o_custkey"), cents.alias("raw_cost")
+    )
+    gmin = costs.agg(F.min("raw_cost").alias("gmin"))
+    base = (
+        rev.join(costs, "o_custkey")
+        .crossJoin(F.broadcast(gmin))
+        .select(
+            "o_custkey",
+            "rev_cents",
+            (F.col("raw_cost") - F.col("gmin") + 1).alias("cost_cents"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    density = F.expr(
+        "CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000"
+        " div cost_cents AS BIGINT)"
+    )
+    scored = base.select(
+        "o_custkey", "rev_cents", "cost_cents", density.alias("density_ppm")
+    )
+    wrun = W.orderBy(
+        F.desc("density_ppm"), "o_custkey"
+    ).rowsBetween(W.unboundedPreceding, 0)
+    return (
+        scored.withColumn(
+            "cum_cost_cents", F.sum("cost_cents").over(wrun)
+        )
+        .filter(F.col("cum_cost_cents") <= SELECT_BUDGET_CENTS)
+        .select(
+            "o_custkey",
+            "rev_cents",
+            "cost_cents",
+            "density_ppm",
+            F.col("cum_cost_cents").cast("bigint").alias(
+                "cum_cost_cents"
+            ),
+        )
+        .orderBy(F.desc("density_ppm"), "o_custkey")
+    )
+
+
+QUERIES["q_budget_greedy_selection"] = q_budget_greedy_selection
+
+ORACLES["q_budget_greedy_selection"] = f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY o_custkey),
+    costs AS (
+        SELECT c_custkey AS o_custkey,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS raw_cost
+        FROM customer),
+    gmin AS (SELECT MIN(raw_cost) AS gm FROM costs),
+    base AS (
+        SELECT r.o_custkey, r.rev_cents,
+               c.raw_cost - g.gm + 1 AS cost_cents
+        FROM rev r JOIN costs c ON c.o_custkey = r.o_custkey, gmin g),
+    scored AS (
+        SELECT o_custkey, rev_cents, cost_cents,
+               CAST(CAST(rev_cents AS HUGEINT) * 1000000 // cost_cents
+                    AS BIGINT) AS density_ppm
+        FROM base),
+    running AS (
+        SELECT *, SUM(cost_cents) OVER (ORDER BY density_ppm DESC,
+                                        o_custkey
+                                        ROWS UNBOUNDED PRECEDING)
+                      AS cum_cost_cents
+        FROM scored)
+    SELECT o_custkey, rev_cents, cost_cents, density_ppm,
+           CAST(cum_cost_cents AS BIGINT) AS cum_cost_cents
+    FROM running
+    WHERE cum_cost_cents <= {SELECT_BUDGET_CENTS}
+    ORDER BY density_ppm DESC, o_custkey
+"""

@@ -2969,3 +2969,98 @@ def test_streak_analysis_matches_python(spark):
         assert r.n_active_days == len(ds)
         assert r.n_streaks == len(streaks)
         assert r.longest_streak == max(streaks)
+
+
+def test_budget_greedy_selection_is_greedy_prefix(spark):
+    from db_migrator_spark.operators.quality4 import (
+        SELECT_BUDGET_CENTS,
+        q_budget_greedy_selection,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_budget_greedy_selection(spark, sf).collect()
+    assert got
+    # running cost monotone, within budget, density non-increasing
+    prev_cum, prev_d = 0, None
+    for r in got:
+        assert r.cum_cost_cents == prev_cum + r.cost_cents
+        assert r.cum_cost_cents <= SELECT_BUDGET_CENTS
+        if prev_d is not None:
+            assert r.density_ppm <= prev_d
+        prev_cum, prev_d = r.cum_cost_cents, r.density_ppm
+        assert r.density_ppm == r.rev_cents * 1_000_000 // r.cost_cents
+
+
+def test_rfm_migration_matrix_row_shares(spark):
+    from db_migrator_spark.operators.events4 import q_rfm_migration_matrix
+
+    sf = "/root/testdata/sf0.001"
+    got = q_rfm_migration_matrix(spark, sf).collect()
+    assert got
+    from collections import defaultdict
+
+    rows = defaultdict(list)
+    for r in got:
+        assert 1 <= r.q_pre <= 5 and 1 <= r.q_post <= 5
+        rows[r.q_pre].append(r)
+    for q, rs in rows.items():
+        n_row = sum(r.n for r in rs)
+        for r in rs:
+            assert r.row_share_ppm == r.n * 1_000_000 // n_row
+
+
+def test_image_moments_match_python(spark):
+    import re
+
+    from db_migrator_spark.operators.multimodal import (
+        PPM_H,
+        PPM_W,
+        _PPM_PIXELS,
+        multimodal_image_moments,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: r for r in multimodal_image_moments(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    for d in docs:
+        txt = re.sub(r"[^\x20-\x7E]", "", d.text)
+        if not txt:
+            continue
+        raw = (txt * (_PPM_PIXELS // len(txt) + 1))[:_PPM_PIXELS].encode("ascii")
+        m00 = m10 = m01 = 0
+        for rr in range(PPM_H):
+            for cc in range(PPM_W):
+                g = sum(raw[(rr * PPM_W + cc) * 3 + ch] for ch in range(3))
+                m00 += g
+                m10 += rr * g
+                m01 += cc * g
+        r = got[d.doc_id]
+        assert (r.m00, r.m10, r.m01) == (m00, m10, m01)
+        assert r.centroid_r_milli == (m10 * 1000 // m00 if m00 else 0)
+        assert r.centroid_c_milli == (m01 * 1000 // m00 if m00 else 0)
+
+
+def test_burstiness_identities(spark):
+    from db_migrator_spark.operators.corpus8 import (
+        BURST_MIN_TF,
+        text_burstiness,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = text_burstiness(spark, sf).collect()
+    assert got
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    from collections import Counter, defaultdict
+
+    tf = Counter()
+    df = Counter()
+    for d in docs:
+        ws = [w for w in d.text.split(" ") if w]
+        tf.update(ws)
+        df.update(set(ws))
+    for r in got:
+        assert r.tf == tf[r.w] >= BURST_MIN_TF
+        assert r.df == df[r.w]
+        assert r.repeat_share_ppm == (r.tf - r.df) * 1_000_000 // r.tf
+        assert r.mean_per_doc_milli == r.tf * 1000 // r.df
+    assert {r.w for r in got} == {w for w, n in tf.items() if n >= BURST_MIN_TF}
