@@ -872,3 +872,117 @@ ORACLES["events_streak_analysis"] = """
     GROUP BY user_id
     ORDER BY user_id
 """
+
+
+def events_seasonal_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive seasonal decomposition of daily event value totals —
+    trend (centered 7-day moving average, exact truncating div over
+    FULL windows only), seasonality (per-weekday mean of the
+    detrended series), residual (value - trend - seasonal) — every
+    component integral micros, the classical STL-lite a monitoring
+    stack runs before alerting on the residual. Two matrix-sized
+    windows + one 7-row weekday aggregate over the daily rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias(
+                "vm"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("vm").cast("bigint").alias("x"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "x",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.expr(
+                "CAST(CASE WHEN SUM(x) OVER (ORDER BY day"
+                " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) >= 0"
+                " THEN SUM(x) OVER (ORDER BY day"
+                " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7"
+                " ELSE -((-SUM(x) OVER (ORDER BY day"
+                " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) div 7)"
+                " END AS BIGINT)"
+            ),
+        ).alias("trend"),
+    )
+    detr = trended.select(
+        "day",
+        "x",
+        "trend",
+        F.dayofweek("day").cast("int").alias("dow"),
+        (F.col("x") - F.col("trend")).alias("d"),
+    )
+    seas = (
+        detr.filter(F.col("d").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("d").cast("decimal(38,0)")).alias("s"),
+        )
+        .select(
+            "dow",
+            F.expr(
+                "CAST(CASE WHEN s >= 0 THEN s div n"
+                " ELSE -((-s) div n) END AS BIGINT)"
+            ).alias("seasonal"),
+        )
+    )
+    return (
+        detr.join(F.broadcast(seas), "dow", "left")
+        .select(
+            "day",
+            "x",
+            "trend",
+            "seasonal",
+            (
+                F.col("x") - F.col("trend") - F.col("seasonal")
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["events_seasonal_decompose"] = events_seasonal_decompose
+
+ORACLES["events_seasonal_decompose"] = """
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events GROUP BY 1),
+    trended AS (
+        SELECT day, x,
+               CASE WHEN COUNT(*) OVER w = 7 THEN
+                    CAST(CASE WHEN SUM(x) OVER w >= 0
+                         THEN SUM(x) OVER w // 7
+                         ELSE -((-SUM(x) OVER w) // 7) END AS BIGINT)
+               END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    detr AS (
+        SELECT *, CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+               x - trend AS d
+        FROM trended),
+    seas AS (
+        SELECT dow,
+               CAST(CASE WHEN SUM(CAST(d AS HUGEINT)) >= 0
+                    THEN SUM(CAST(d AS HUGEINT)) // COUNT(*)
+                    ELSE -((-SUM(CAST(d AS HUGEINT))) // COUNT(*)) END
+                    AS BIGINT) AS seasonal
+        FROM detr WHERE d IS NOT NULL GROUP BY dow)
+    SELECT t.day, t.x, t.trend, s.seasonal,
+           t.x - t.trend - s.seasonal AS residual
+    FROM detr t LEFT JOIN seas s ON s.dow = t.dow
+    ORDER BY t.day
+"""
