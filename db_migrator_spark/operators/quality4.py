@@ -887,3 +887,157 @@ ORACLES["q_budget_greedy_selection"] = f"""
     WHERE cum_cost_cents <= {SELECT_BUDGET_CENTS}
     ORDER BY density_ppm DESC, o_custkey
 """
+
+
+# Benford expected first-digit shares in ppm — log10(1+1/d) as pinned
+# integer LITERALS (the irrational-constants contract: never log() in
+# plan). Nigrini MAD conformity cuts (ppm of proportion): close < 6k,
+# acceptable < 12k, marginal < 15k, else nonconforming.
+BENFORD_PPM = {
+    1: 301_030, 2: 176_091, 3: 124_939, 4: 96_910, 5: 79_181,
+    6: 66_947, 7: 57_992, 8: 51_153, 9: 45_757,
+}
+NIGRINI_CUTS_PPM = (6_000, 12_000, 15_000)
+
+
+def q_benford_conformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Benford VERDICT the digit table leaves implicit: mean
+    absolute deviation of observed first-digit shares from Benford in
+    ppm (each share exact via the decimal-div contract, the deviation
+    mean a 9-term integral average), classified on the Nigrini cuts —
+    one forensic-accounting row. First digits come from the exact
+    bigint micro string (the q_benford_digits contract), never float
+    log10.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 1_000_000)
+        .cast("bigint")
+        .cast("string"),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        orders.select(digit.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    expected = F.create_map(
+        *[
+            x
+            for d, ppm in BENFORD_PPM.items()
+            for x in (F.lit(d), F.lit(ppm))
+        ]
+    )
+    devs = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.expr("n * 1000000 div t") - expected[F.col("d")]
+            ).alias("dev_ppm")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_digits"),
+            F.sum("dev_ppm").cast("bigint").alias("sum_dev"),
+        )
+        .select(
+            "n_digits",
+            F.expr("CAST(sum_dev div n_digits AS BIGINT)").alias(
+                "mad_ppm"
+            ),
+        )
+    )
+    c1, c2, c3 = NIGRINI_CUTS_PPM
+    return devs.select(
+        "n_digits",
+        "mad_ppm",
+        F.when(F.col("mad_ppm") < c1, "close")
+        .when(F.col("mad_ppm") < c2, "acceptable")
+        .when(F.col("mad_ppm") < c3, "marginal")
+        .otherwise("nonconforming")
+        .alias("verdict"),
+    )
+
+
+QUERIES["q_benford_conformity"] = q_benford_conformity
+
+ORACLES["q_benford_conformity"] = f"""
+    WITH counts AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 1000000)
+                                     AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+    exp_tab(d, ppm) AS (VALUES
+        {", ".join(f"({d}, {ppm})" for d, ppm in BENFORD_PPM.items())}),
+    devs AS (
+        SELECT ABS(c.n * 1000000 // t.t - e.ppm) AS dev_ppm
+        FROM counts c JOIN exp_tab e ON e.d = c.d, tot t),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_digits,
+               CAST(SUM(dev_ppm) // COUNT(*) AS BIGINT) AS mad_ppm
+        FROM devs)
+    SELECT n_digits, mad_ppm,
+           CASE WHEN mad_ppm < {NIGRINI_CUTS_PPM[0]} THEN 'close'
+                WHEN mad_ppm < {NIGRINI_CUTS_PPM[1]} THEN 'acceptable'
+                WHEN mad_ppm < {NIGRINI_CUTS_PPM[2]} THEN 'marginal'
+                ELSE 'nonconforming' END AS verdict
+    FROM agg
+"""
+
+
+def q_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number bias audit of order totals — the pricing/fraud
+    forensic: shares of amounts with .00 cents, .99 cents, and
+    whole-hundred dollar values, in exact ppm against the ~1% (.00,
+    .99) and ~0.01%-scale (whole-hundred) uniform baselines. One scan,
+    one row; every share the decimal-div contract.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(cents.alias("c"))
+    return base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("c") % 100 == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_cents00"),
+        F.sum((F.col("c") % 100 == 99).cast("bigint"))
+        .cast("bigint")
+        .alias("n_cents99"),
+        F.sum((F.col("c") % 10000 == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_whole_hundred"),
+    ).select(
+        "n",
+        "n_cents00",
+        "n_cents99",
+        "n_whole_hundred",
+        F.expr("n_cents00 * 1000000 div n").alias("share00_ppm"),
+        F.expr("n_cents99 * 1000000 div n").alias("share99_ppm"),
+        F.expr("n_whole_hundred * 1000000 div n").alias(
+            "share_hundred_ppm"
+        ),
+    )
+
+
+QUERIES["q_round_number_bias"] = q_round_number_bias
+
+ORACLES["q_round_number_bias"] = """
+    WITH base AS (
+        SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (c % 100 = 0) AS BIGINT) AS n_cents00,
+               CAST(COUNT(*) FILTER (c % 100 = 99) AS BIGINT) AS n_cents99,
+               CAST(COUNT(*) FILTER (c % 10000 = 0) AS BIGINT)
+                   AS n_whole_hundred
+        FROM base)
+    SELECT n, n_cents00, n_cents99, n_whole_hundred,
+           n_cents00 * 1000000 // n AS share00_ppm,
+           n_cents99 * 1000000 // n AS share99_ppm,
+           n_whole_hundred * 1000000 // n AS share_hundred_ppm
+    FROM agg
+"""

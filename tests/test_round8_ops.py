@@ -3064,3 +3064,28 @@ def test_burstiness_identities(spark):
         assert r.repeat_share_ppm == (r.tf - r.df) * 1_000_000 // r.tf
         assert r.mean_per_doc_milli == r.tf * 1000 // r.df
     assert {r.w for r in got} == {w for w, n in tf.items() if n >= BURST_MIN_TF}
+
+
+def test_benford_conformity_matches_python(spark):
+    from db_migrator_spark.operators.quality4 import (
+        BENFORD_PPM,
+        q_benford_conformity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = q_benford_conformity(spark, sf).collect()[0]
+    orders = load_table(spark, sf, "orders").select("o_totalprice").collect()
+    from collections import Counter
+
+    counts = Counter(
+        int(str(math.floor(o.o_totalprice * 1_000_000))[0]) for o in orders
+    )
+    t = sum(counts.values())
+    devs = [
+        abs(n * 1_000_000 // t - BENFORD_PPM[d]) for d, n in counts.items()
+    ]
+    assert row.n_digits == len(counts)
+    assert row.mad_ppm == sum(devs) // len(devs)
+    assert row.verdict in ("close", "acceptable", "marginal", "nonconforming")
+    # benford literals sum to ~1e6 (sanity of the pinned constants)
+    assert abs(sum(BENFORD_PPM.values()) - 1_000_000) <= 2
