@@ -986,3 +986,89 @@ ORACLES["events_seasonal_decompose"] = """
     FROM detr t LEFT JOIN seas s ON s.dow = t.dow
     ORDER BY t.day
 """
+
+
+# SLO for the error-budget ledger: at most SLO_ERROR_PPM of events may
+# be errors over the period.
+SLO_ERROR_PPM = 200_000
+
+
+def events_error_budget_burn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SRE error-budget ledger: per day the event/error counts, the
+    day's error rate (exact ppm), the budget consumed so far
+    (cumulative errors minus the SLO allowance over cumulative
+    events, in EVENTS — positive means burning ahead of allowance),
+    and the burn flag. The budget identity is pure integers:
+    allowance_k = cum_events_k * SLO_PPM div 1e6. One day rollup, one
+    matrix-sized running window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            (F.col("event_type") == "error").cast("int").alias("is_err"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_err").cast("bigint").alias("n_errors"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    wrun = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        daily.select(
+            "day",
+            "n_events",
+            "n_errors",
+            F.expr("n_errors * 1000000 div n_events").alias(
+                "day_error_ppm"
+            ),
+            F.sum("n_events").over(wrun).alias("cum_events"),
+            F.sum("n_errors").over(wrun).alias("cum_errors"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "n_errors",
+            "day_error_ppm",
+            F.expr(
+                f"CAST(cum_errors - cum_events * {SLO_ERROR_PPM}"
+                " div 1000000 AS BIGINT)"
+            ).alias("budget_overrun_events"),
+        )
+        .select(
+            "*",
+            (F.col("budget_overrun_events") > 0).alias("burning"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["events_error_budget_burn"] = events_error_budget_burn
+
+ORACLES["events_error_budget_burn"] = f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                   AS n_errors
+        FROM events GROUP BY 1),
+    run AS (
+        SELECT day, n_events, n_errors,
+               n_errors * 1000000 // n_events AS day_error_ppm,
+               SUM(n_events) OVER w AS cum_events,
+               SUM(n_errors) OVER w AS cum_errors
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING))
+    SELECT day, n_events, n_errors, day_error_ppm,
+           CAST(cum_errors - cum_events * {SLO_ERROR_PPM} // 1000000
+                AS BIGINT) AS budget_overrun_events,
+           cum_errors - cum_events * {SLO_ERROR_PPM} // 1000000 > 0
+               AS burning
+    FROM run
+    ORDER BY day
+"""
