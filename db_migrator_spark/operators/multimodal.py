@@ -1966,3 +1966,98 @@ ORACLES["multimodal_image_moments"] = f"""
     FROM mom
     ORDER BY doc_id
 """
+
+
+# Horizontal-mirror symmetry: sum of |gray(r,c) - gray(r, W-1-c)| over
+# the left half — 0 means perfectly mirror-symmetric. Normalized
+# against total gray mass in ppm (truncating div).
+_SYMMETRY_SCHEMA = (
+    "doc_id bigint, asym_sum bigint, gray_mass bigint, asym_ppm bigint"
+)
+
+
+def _image_symmetry(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas worker: parse P6, gray = channel sum, vectorized
+    mirror-difference accumulation."""
+    import numpy as np
+
+    for pdf in batches:
+        recs = {k: [] for k in ("doc_id", "asym_sum", "gray_mass", "asym_ppm")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(buf[start:pos])
+            pos += 1
+            w, h = int(tokens[1]), int(tokens[2])
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+            gray = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+            half = w // 2
+            asym = int(
+                np.abs(gray[:, :half] - gray[:, ::-1][:, :half]).sum()
+            )
+            mass = int(gray.sum())
+            recs["doc_id"].append(int(doc_id))
+            recs["asym_sum"].append(asym)
+            recs["gray_mass"].append(mass)
+            recs["asym_ppm"].append(
+                asym * 1_000_000 // mass if mass else 0
+            )
+        yield pd.DataFrame(recs)
+
+
+def multimodal_image_symmetry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-image horizontal-mirror asymmetry (module comment): exact
+    integer mirror-difference mass and its ppm share of total gray —
+    the composition/framing feature; same Arrow-batched decode
+    shape."""
+    return (
+        _ppm_payloads(spark, sf_dir)
+        .mapInPandas(_image_symmetry, schema=_SYMMETRY_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["multimodal_image_symmetry"] = multimodal_image_symmetry
+
+ORACLES["multimodal_image_symmetry"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               substr(repeat(text,
+                             CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
+                      1, {_PPM_PIXELS}) AS px
+        FROM {_ASCII_DOCS_SQL}
+        WHERE length(text) > 0),
+    gray AS (
+        SELECT doc_id,
+               (i - 1) // {PPM_W} AS r,
+               (i - 1) % {PPM_W} AS c,
+               ascii(substr(px, (i - 1) * 3 + 1, 1))
+                   + ascii(substr(px, (i - 1) * 3 + 2, 1))
+                   + ascii(substr(px, (i - 1) * 3 + 3, 1)) AS g
+        FROM t, generate_series(1, {PPM_W * PPM_H}) AS gs(i)),
+    asym AS (
+        SELECT a.doc_id,
+               CAST(SUM(ABS(a.g - b.g)) AS BIGINT) AS asym_sum
+        FROM gray a
+        JOIN gray b ON b.doc_id = a.doc_id AND b.r = a.r
+                   AND b.c = {PPM_W - 1} - a.c
+        WHERE a.c < {PPM_W // 2}
+        GROUP BY a.doc_id),
+    mass AS (
+        SELECT doc_id, CAST(SUM(g) AS BIGINT) AS gray_mass
+        FROM gray GROUP BY doc_id)
+    SELECT m.doc_id, COALESCE(a.asym_sum, 0) AS asym_sum, m.gray_mass,
+           CAST(CASE WHEN m.gray_mass = 0 THEN 0
+                ELSE COALESCE(a.asym_sum, 0) * 1000000 // m.gray_mass END
+                AS BIGINT) AS asym_ppm
+    FROM mass m LEFT JOIN asym a ON a.doc_id = m.doc_id
+    ORDER BY m.doc_id
+"""
