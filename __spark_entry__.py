@@ -95,16 +95,30 @@ _MODULES = [
 #   2. never driver-checked (anything newly added in a recent round),
 #   3. green/rows-only, oldest evidence first.
 #
-# Drain schedule (updated end of r8): the window now carries the 6 r7-red
-# rows, then every never-checked query (21 from r7 + the ~95 r8
-# additions — roughly two 50-slot windows, so the r8b/c/d batches spill
-# through r9 and into r10's window), then the stalest greens.
-# The ~40 stale greens queue behind them through r9/r10; once the
-# backlog clears, the rotation degenerates to plain oldest-first
-# refresh. New-query rounds deliberately displace stale greens — a
-# never-checked query has NO driver evidence while a stale green has
-# old-but-real evidence, and every never-checked query already carries
-# the locally-reproducible sf0.01+sf1 oracle proof from commit time.
+# Drain schedule (updated start of r9, measured): 332 declared; driver
+# cumulative latest-status 231 green + 8 red + 93 never-checked. Round 9
+# adds ZERO new queries (surface frozen per VERDICT r8 #3), so the r9
+# window = 8 re-attesting reds + 42 oldest never-checked; r10's window
+# absorbs the remaining 51 never-checked; stale greens (evidence <= r5)
+# start cycling oldest-first from r10/r11. Full-surface refresh period
+# once drained: 332/50 ≈ 7 rounds. Never-checked rank-1 drains by
+# FIRST-APPEARANCE ROUND then name (first_seen.json, generated from git
+# history) so an r7 straggler like q_weighted_sample is not starved
+# behind the r8 alphabet (VERDICT r8 what's-wrong #3). A never-checked
+# query still outranks a stale green: it has NO driver evidence, while
+# every never-checked query carries the locally-reproducible sf0.01+sf1
+# oracle proof from commit time.
+def _first_seen() -> dict[str, int]:
+    import json
+
+    try:
+        with open(os.path.join(
+                _HERE, "db_migrator_spark", "first_seen.json")) as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+    except Exception:
+        return {}
+
+
 def _evidence_order(names: list[str], oracles: dict[str, str]) -> list[str]:
     import glob as globmod
     import json
@@ -137,12 +151,15 @@ def _evidence_order(names: list[str], oracles: dict[str, str]) -> list[str]:
                 last[k] = (rnd, green, rows_only)
 
     newest = max((rnd for rnd, _g, _r in last.values()), default=0)
+    first_seen = _first_seen()
 
     def key(name: str):
         if name not in last:
-            # Never driver-checked: right after red. New queries carry the
-            # locally-reproducible oracle gate until their slot arrives.
-            return (1, 0, name)
+            # Never driver-checked: right after red, draining OLDEST
+            # first-appearance round first (not alphabetically — r8's
+            # what's-wrong #3). New queries carry the locally-reproducible
+            # oracle gate until their slot arrives.
+            return (1, first_seen.get(name, 99), name)
         rnd, green, rows_only = last[name]
         if rows_only and name in oracles:
             # Oracle declared after the last rows-only check: the evidence
@@ -185,18 +202,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    qs, _ = _collect()
+    qs, oracles = _collect()
 
-    def wrap(fn):
+    def wrap(name, fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             configure(spark)
-            return fn(spark, sf_dir)
+            df = fn(spark, sf_dir)
+            if name in _DIAG_NAMES:
+                # In-driver diagnostic for the CORRECTNESS_r08 red rows:
+                # captures rows + engine versions from INSIDE whatever
+                # environment executes this (VERDICT r8 next-step #1).
+                try:
+                    from db_migrator_spark.diagnostics import maybe_capture
+
+                    maybe_capture(name, df, spark, sf_dir, oracles.get(name))
+                except Exception:
+                    pass
+            return df
 
         run.__name__ = getattr(fn, "__name__", "query")
         run.__doc__ = fn.__doc__
         return run
 
-    return {name: wrap(fn) for name, fn in qs.items()}
+    try:
+        from db_migrator_spark.diagnostics import RED_QUERIES as _DIAG_NAMES
+    except Exception:
+        _DIAG_NAMES = ()
+    return {name: wrap(name, fn) for name, fn in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -117,6 +117,10 @@ ADDED_AFTER_R1 = {
 
 
 def main() -> None:
+    # The red-row diagnostic capture (db_migrator_spark/diagnostics.py)
+    # re-collects a query once — harmless for correctness runs, but it
+    # would distort bench timings, so bench opts out.
+    os.environ.setdefault("SPARK_GRAFT_NO_DIAG", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
