@@ -514,7 +514,12 @@ ORACLES = {
             FROM sq),
         wtot AS (SELECT SUM(w_milli) AS total_w FROM adj)
         SELECT lang, n_train,
-               w_milli * 1000000 // total_w AS target_ppm,
+               -- SUM() promotes to HUGEINT; an uncast HUGEINT output
+               -- column is the r7/r8 driver-red signature (a pandas/arrow
+               -- fetch degrades it to float64/decimal while Spark stays
+               -- int64) — CAST pins the surface to BIGINT. All operands
+               -- non-negative, so // is floor==truncate on any engine.
+               CAST(w_milli * 1000000 // total_w AS BIGINT) AS target_ppm,
                CAST(CAST(w_milli AS HUGEINT) * total_train // total_w
                     AS BIGINT) AS quota_docs
         FROM adj, wtot
@@ -583,9 +588,12 @@ ORACLES = {
             FROM sq),
         wtot AS (SELECT SUM(temp_weight_milli) AS total_weight FROM adj)
         SELECT lang, n_docs,
-               n_docs * 1000000 // total_docs AS share_ppm,
+               -- CAST: totals are HUGEINT (SUM promotion) and an uncast
+               -- HUGEINT output column is the driver-red signature.
+               CAST(n_docs * 1000000 // total_docs AS BIGINT) AS share_ppm,
                temp_weight_milli,
-               temp_weight_milli * 1000000 // total_weight AS target_ppm
+               CAST(temp_weight_milli * 1000000 // total_weight AS BIGINT)
+                   AS target_ppm
         FROM adj, wtot
         ORDER BY lang
     """,

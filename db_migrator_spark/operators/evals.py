@@ -248,6 +248,14 @@ def eval_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract; F1 stays rational via 2*TP div (2*TP + FP + FN), never
     the P/R harmonic-mean float form).
 
+    Undefined metrics (tp+fp = 0, a class never predicted) surface as
+    the sentinel -1, NOT NULL: a NULL-bearing BIGINT column degrades to
+    float64 under any pandas-based comparator while a non-null column
+    stays int64 — the r8 driver-red normalization hazard (VERDICT r8
+    what's-wrong #1b). -1 is unambiguous (real ppm values are >= 0) and
+    the macro average counts sentinels as 0 via GREATEST, preserving
+    the absent-metrics-are-0 contract.
+
     Scale notes: collapses to a classes-sized relation (one confusion
     aggregate, then three class-keyed sums that broadcast-join); the
     macro row folds that relation — O(classes) everywhere after the
@@ -290,15 +298,15 @@ def eval_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp",
             "fn",
             F.expr(
-                "CASE WHEN tp + fp = 0 THEN NULL"
+                "CASE WHEN tp + fp = 0 THEN CAST(-1 AS BIGINT)"
                 " ELSE tp * 1000000 div (tp + fp) END"
             ).alias("precision_ppm"),
             F.expr(
-                "CASE WHEN tp + fn = 0 THEN NULL"
+                "CASE WHEN tp + fn = 0 THEN CAST(-1 AS BIGINT)"
                 " ELSE tp * 1000000 div (tp + fn) END"
             ).alias("recall_ppm"),
             F.expr(
-                "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL"
+                "CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(-1 AS BIGINT)"
                 " ELSE 2 * tp * 1000000 div (2 * tp + fp + fn) END"
             ).alias("f1_ppm"),
         )
@@ -308,9 +316,9 @@ def eval_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tp").alias("s_tp"),
         F.sum("fp").alias("s_fp"),
         F.sum("fn").alias("s_fn"),
-        F.sum(F.coalesce(F.col("precision_ppm"), F.lit(0))).alias("s_p"),
-        F.sum(F.coalesce(F.col("recall_ppm"), F.lit(0))).alias("s_r"),
-        F.sum(F.coalesce(F.col("f1_ppm"), F.lit(0))).alias("s_f1"),
+        F.sum(F.greatest(F.col("precision_ppm"), F.lit(0))).alias("s_p"),
+        F.sum(F.greatest(F.col("recall_ppm"), F.lit(0))).alias("s_r"),
+        F.sum(F.greatest(F.col("f1_ppm"), F.lit(0))).alias("s_f1"),
     ).select(
         F.lit("__macro__").alias("lang"),
         F.col("s_tp").cast("bigint").alias("tp"),
@@ -437,14 +445,20 @@ ORACLES = {
             FULL OUTER JOIN prd p ON p.lang = l.lang
             LEFT JOIN tpt t ON t.lang = COALESCE(l.lang, p.lang)),
         clsmetrics AS (
+            -- -1 sentinel, not NULL (NULL-bearing BIGINT degrades to
+            -- float64 under pandas-based comparators); CAST pins every
+            -- ppm column to BIGINT (HUGEINT output is the driver-red
+            -- signature). All divisions have non-negative operands.
             SELECT lang, tp, fp, fn,
-                   CASE WHEN tp + fp = 0 THEN NULL
-                        ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
-                   CASE WHEN tp + fn = 0 THEN NULL
-                        ELSE tp * 1000000 // (tp + fn) END AS recall_ppm,
-                   CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                   CAST(CASE WHEN tp + fp = 0 THEN -1
+                        ELSE tp * 1000000 // (tp + fp) END AS BIGINT)
+                       AS precision_ppm,
+                   CAST(CASE WHEN tp + fn = 0 THEN -1
+                        ELSE tp * 1000000 // (tp + fn) END AS BIGINT)
+                       AS recall_ppm,
+                   CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN -1
                         ELSE 2 * tp * 1000000 // (2 * tp + fp + fn)
-                        END AS f1_ppm
+                        END AS BIGINT) AS f1_ppm
             FROM per_class)
         SELECT lang, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm
         FROM clsmetrics
@@ -452,9 +466,9 @@ ORACLES = {
         SELECT '__macro__',
                CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT),
                CAST(SUM(fn) AS BIGINT),
-               SUM(COALESCE(precision_ppm, 0)) // COUNT(*),
-               SUM(COALESCE(recall_ppm, 0)) // COUNT(*),
-               SUM(COALESCE(f1_ppm, 0)) // COUNT(*)
+               CAST(SUM(GREATEST(precision_ppm, 0)) // COUNT(*) AS BIGINT),
+               CAST(SUM(GREATEST(recall_ppm, 0)) // COUNT(*) AS BIGINT),
+               CAST(SUM(GREATEST(f1_ppm, 0)) // COUNT(*) AS BIGINT)
         FROM clsmetrics
         ORDER BY lang
     """,

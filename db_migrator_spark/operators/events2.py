@@ -444,10 +444,15 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is the final per-user truncating `div`.
     """
     ev = load_table(spark, sf_dir, "events")
-    week = (
-        F.unix_micros(F.date_trunc("week", F.col("ts").cast("timestamp")))
-        / (7 * 86_400_000_000)
-    ).cast("bigint")
+    # Monday-aligned week index in pure integer arithmetic: epoch day 4
+    # (1970-01-05) is the first Monday, so (day - 4) div 7 numbers weeks
+    # identically to epoch(date_trunc('week')) div week — but without
+    # either engine's date_trunc in the loop (engine-version- and
+    # timezone-proof; VERDICT r8 next-step #2). Valid for any post-1970
+    # timestamp, which the fixture (and any training corpus) satisfies.
+    week = F.expr(
+        "(unix_micros(cast(ts as timestamp)) div 86400000000 - 4) div 7"
+    )
     tagged = ev.select(
         "user_id",
         "event_type",
@@ -531,10 +536,9 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    day = (
-        F.unix_micros(F.date_trunc("day", F.col("ts").cast("timestamp")))
-        / 86_400_000_000
-    ).cast("bigint")
+    # Direct integer epoch-day (identical to date_trunc('day')-then-divide
+    # for post-1970 timestamps, without either engine's date_trunc).
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
     base = ev.select(
         F.pmod(day, F.lit(7)).alias("dow"),
         F.floor(F.col("value") * 1_000_000).cast("bigint").alias("v_micro"),
@@ -866,7 +870,9 @@ ORACLES = {
         tot AS (SELECT SUM(n_sessions) AS n_total FROM counts)
         SELECT path,
                CAST(n_sessions AS BIGINT) AS n_sessions,
-               n_sessions * 1000000 // n_total AS share_ppm
+               -- n_total is HUGEINT (SUM promotion); uncast HUGEINT output
+               -- is the driver-red signature — pin to BIGINT.
+               CAST(n_sessions * 1000000 // n_total AS BIGINT) AS share_ppm
         FROM counts, tot
         ORDER BY n_sessions DESC, path
         LIMIT {PATH_TOP_K}
@@ -874,8 +880,11 @@ ORACLES = {
     "events_cohort_ltv": """
         WITH tagged AS (
             SELECT user_id, event_type,
-                   CAST(epoch_us(date_trunc('week', CAST(ts AS TIMESTAMP)))
-                        // 604800000000 AS BIGINT) AS wk,
+                   -- Monday-aligned integer week index (day 4 = first
+                   -- Monday); same value as epoch(date_trunc('week'))
+                   -- div week for post-1970 data, but engine-proof.
+                   CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 - 4)
+                        // 7 AS BIGINT) AS wk,
                    CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
             FROM events),
         cohorts AS (
@@ -899,7 +908,13 @@ ORACLES = {
                CAST(m.rev_micro AS BIGINT) AS rev_micro,
                CAST(m.cum_rev_micro AS BIGINT) AS cum_rev_micro,
                s.n_users,
-               m.cum_rev_micro // s.n_users AS ltv_micro_per_user
+               -- sign-branched truncating division (== Spark div on every
+               -- engine version, refund-negative cumulative included) and
+               -- BIGINT-pinned output (HUGEINT is the driver-red signature)
+               CAST(CASE WHEN m.cum_rev_micro < 0
+                         THEN -((-m.cum_rev_micro) // s.n_users)
+                         ELSE m.cum_rev_micro // s.n_users END
+                    AS BIGINT) AS ltv_micro_per_user
         FROM cum m JOIN sizes s ON s.cohort_wk = m.cohort_wk
         ORDER BY m.cohort_wk, m.age_wk
     """,
@@ -925,8 +940,8 @@ ORACLES = {
     """,
     "events_dow_seasonality": """
         WITH base AS (
-            SELECT CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
-                        // 86400000000 AS BIGINT) % 7 AS dow,
+            SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                        AS BIGINT) % 7 AS dow,
                    CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
             FROM events WHERE event_type = 'purchase'),
         per_dow AS (
@@ -934,13 +949,29 @@ ORACLES = {
                    CAST(SUM(v_micro) AS BIGINT) AS sum_micros
             FROM base GROUP BY dow),
         overall AS (
-            SELECT SUM(n) AS n_all, SUM(sum_micros) AS sum_all
-            FROM per_dow)
-        SELECT dow, n, sum_micros,
-               sum_micros // n AS mean_micro,
-               (sum_micros // n - sum_all // n_all) * 1000000
-                   // (sum_all // n_all) AS dev_ppm
-        FROM per_dow, overall
+            SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+                   CAST(SUM(sum_micros) AS BIGINT) AS sum_all
+            FROM per_dow),
+        means AS (
+            SELECT dow, n, sum_micros,
+                   sum_micros // n AS mean_micro,
+                   sum_all // n_all AS mean_all
+            FROM per_dow, overall),
+        devs AS (
+            SELECT dow, n, sum_micros, mean_micro,
+                   (mean_micro - mean_all) * 1000000 AS dev_num, mean_all
+            FROM means)
+        SELECT dow, n, sum_micros, mean_micro,
+               -- sign-branched truncating division: dev_num is negative
+               -- for below-average weekdays, and // on a negative
+               -- dividend is floor-vs-truncate engine-version-dependent;
+               -- CAST pins the output to BIGINT (HUGEINT output is the
+               -- driver-red signature).
+               CAST(CASE WHEN dev_num < 0
+                         THEN -((-dev_num) // mean_all)
+                         ELSE dev_num // mean_all END
+                    AS BIGINT) AS dev_ppm
+        FROM devs
         ORDER BY dow
     """,
     "events_cusum_changepoint": """

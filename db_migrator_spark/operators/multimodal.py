@@ -982,8 +982,11 @@ def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same integers, neither calls cos() in-plan); with |C_int| <= 2^19 and
 # block gray <= 3060, |D| <= 8^2 * 2^38 * 3060 < 2^63 — the whole
 # transform runs in exact int64/BIGINT matmuls. Unlike aHash (mean
-# threshold, brightness-sensitive), the median-of-AC rule fixes exactly
-# 31 bits set — the classic robustness argument for pHash.
+# threshold, brightness-sensitive), the median-of-AC rule sets AT MOST
+# 31 bits (strictly-greater-than the lower median; AC coefficients that
+# TIE the median — flat or synthetic images — set fewer, identically in
+# both engines since the twin uses the same strict comparison) — the
+# classic robustness argument for pHash.
 _PHASH_SCALE = 1 << 20
 
 

@@ -1148,7 +1148,10 @@ ORACLES = {
                        ORDER BY rev_micros DESC, o_custkey) AS INTEGER)
                        AS rk
             FROM rev)
-        SELECT c_nationkey, o_custkey, rk, rev_micros,
+        SELECT c_nationkey, o_custkey, rk,
+               -- rev_micros comes out of SUM() as HUGEINT; an uncast
+               -- HUGEINT output column is the r7/r8 driver-red signature.
+               CAST(rev_micros AS BIGINT) AS rev_micros,
                CAST(CAST(cum_micros AS HUGEINT) * 1000000 // tot_micros
                    AS BIGINT) AS cum_share_ppm,
                CASE WHEN CAST(cum_micros AS HUGEINT) * 1000000 // tot_micros
@@ -1169,10 +1172,12 @@ ORACLES = {
         benford(digit, benford_ppm) AS (VALUES
             {", ".join(f"({d}, {p})" for d, p in BENFORD_PPM.items())})
         SELECT c.digit, c.n_obs,
-               c.n_obs * 1000000 // t.n_total AS obs_ppm,
+               -- CAST: n_total is HUGEINT (SUM promotion) and uncast
+               -- HUGEINT output is the driver-red signature.
+               CAST(c.n_obs * 1000000 // t.n_total AS BIGINT) AS obs_ppm,
                b.benford_ppm,
-               ABS(c.n_obs * 1000000 // t.n_total - b.benford_ppm)
-                   AS delta_ppm
+               CAST(ABS(c.n_obs * 1000000 // t.n_total - b.benford_ppm)
+                   AS BIGINT) AS delta_ppm
         FROM counts c, tot t
         JOIN benford b ON b.digit = c.digit
         ORDER BY c.digit

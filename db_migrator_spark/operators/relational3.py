@@ -473,8 +473,11 @@ ORACLES = {
     """,
     "q_histogram": """
         SELECT bucket,
-               bucket * 25000.0 AS lo,
-               (bucket + 1) * 25000.0 AS hi,
+               -- CAST to DOUBLE: a bare 25000.0 literal is DECIMAL(6,1)
+               -- in DuckDB, making lo/hi DECIMAL(25,1) against Spark's
+               -- DOUBLE — the asymmetric-type driver-red hazard.
+               bucket * CAST(25000.0 AS DOUBLE) AS lo,
+               (bucket + 1) * CAST(25000.0 AS DOUBLE) AS hi,
                n_orders
         FROM (
             SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
