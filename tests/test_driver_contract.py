@@ -90,3 +90,67 @@ def test_no_oracle_loss():
     oracles = set(e.oracle_sql())
     lost = sorted(ever_oracled & qs - oracles)
     assert not lost, f"oracles regressed to rows-only (previously hash-checked): {lost}"
+
+
+def test_driver_window_budget():
+    """Attestation-debt budget (VERDICT r8 next-step #7): the driver
+    checks 50 queries per round, so (never-checked + latest-red) must
+    stay within TWO windows (100) — and while the debt exceeds that
+    budget, registering NEW queries is frozen outright. Round 8 added
+    ~116 queries against the 50-slot window and never-checked ballooned
+    21 -> 93; this test makes that process failure a red test instead
+    of a verdict finding. "New" = any declared query absent from
+    first_seen.json (regenerated when a round adds surface) or first
+    seen after the newest CORRECTNESS round."""
+    import glob
+    import json
+    import os
+    import re
+
+    import __spark_entry__ as e
+
+    budget = 100  # two 50-slot driver windows
+    last: dict[str, tuple[int, bool]] = {}
+    newest = 0
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        newest = max(newest, rnd)
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        for k, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            green = v.get("err") == "no_oracle" or (
+                bool(v.get("rows_match"))
+                and bool(v.get("schema_match"))
+                and v.get("hash_match") is not False
+            )
+            if k not in last or rnd >= last[k][0]:
+                last[k] = (rnd, green)
+
+    declared = set(e.queries())
+    first_seen = e._first_seen()
+    reds = {k for k, (_r, g) in last.items() if not g and k in declared}
+    never = declared - set(last)
+    new_this_round = {
+        k for k in never
+        if k not in first_seen or first_seen[k] > newest
+    }
+    debt = len(reds) + len(never - new_this_round)
+    assert debt + len(new_this_round) <= max(budget, debt), (
+        f"attestation debt {debt} (red {len(reds)} + never-checked "
+        f"{len(never - new_this_round)}) already exceeds the {budget} "
+        f"budget — new-query registration is frozen, but "
+        f"{sorted(new_this_round)[:10]}... were added this round"
+    )
+    if debt <= budget:
+        assert debt + len(new_this_round) <= budget, (
+            f"adding {len(new_this_round)} new queries would push "
+            f"attestation debt past {budget}: drain first "
+            f"(drain schedule: __spark_entry__ module docstring)"
+        )
