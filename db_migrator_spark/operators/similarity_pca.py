@@ -102,7 +102,7 @@ def _covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = q.select(F.posexplode("q").alias("i", "qi"), "q").select(
         "i",
         "qi",
-        F.expr("posexplode(slice(q, i + 1, 64))").alias("jo", "qj"),
+        F.expr(f"posexplode(slice(q, i + 1, {DIM}))").alias("jo", "qj"),
     ).select("i", "qi", (F.col("i") + F.col("jo")).alias("j"), "qj")
     # Two-stage exact sum: the hot partial aggregate runs in LONG (a
     # measured 4x over summing DECIMAL(38,0) directly — 0.98s vs 5.2s at

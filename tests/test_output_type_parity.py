@@ -1,0 +1,134 @@
+"""Structural guard against the round-7/8 driver-red failure mode.
+
+CORRECTNESS_r07/r08's eight deterministic hash-reds were exactly the
+queries whose ORACLE result schema carried a column DuckDB types as
+HUGEINT or DECIMAL while the Spark side emits BIGINT/DOUBLE (SUM()
+promotion, ``x // HUGEINT``, a bare ``25000.0`` literal): any
+pandas/arrow-based comparator degrades such a column to float64/decimal
+on ONE side only, flipping the value hash while row counts and column
+names still match (evidence: tools/type_scan.py cross-reference — every
+red had the signature, no driver-green query did).
+
+This test makes the signature unrepresentable: for EVERY declared
+query/oracle pair, the oracle's DESCRIBE-d column types must not be
+HUGEINT, and may be DECIMAL only where the Spark column is decimal too
+(symmetric decimals — the TPC-H money columns — are driver-green-proven
+since round 1). DESCRIBE resolves types without executing, so the whole
+332-query sweep is seconds of DuckDB planning plus lazy Spark schema
+analysis; queries that materialize driver-side (the PCA fold) run once
+at sf0.001.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# Queries whose construction executes Spark jobs (driver-side folds /
+# collected sidecars) — schema analysis still works, just slower; listed
+# here only so a future skip decision has the inventory in one place.
+_EXECUTES_ON_BUILD = {"embedding_pca_power"}
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    return qs, oracles
+
+
+def _split_statements(sql: str) -> list[str]:
+    """Split on top-level ';' only — a bare .split(';') chops semicolons
+    inside '...' string literals and -- comments (several oracles carry
+    both). No oracle uses /* */ blocks or $$ quoting."""
+    stmts, buf, i, n = [], [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # string literal ('' is the escape)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(sql[i:j + 1])
+            i = j + 1
+        elif c == "-" and sql[i:i + 2] == "--":  # comment to end of line
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            buf.append(sql[i:j])
+            i = j
+        elif c == ";":
+            stmts.append("".join(buf))
+            buf = []
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    stmts.append("".join(buf))
+    return [s for s in stmts if s.strip()]
+
+
+def _duck_types(con, sql: str) -> dict[str, str]:
+    """Column -> DuckDB type of an oracle's LAST statement, via DESCRIBE
+    (plans, never executes). Multi-statement oracles (temp-table staged)
+    execute their setup statements and DESCRIBE only the final SELECT."""
+    stmts = _split_statements(sql)
+    for s in stmts[:-1]:
+        con.execute(s)
+    return {
+        r[0]: r[1]
+        for r in con.execute("DESCRIBE " + stmts[-1]).fetchall()
+    }
+
+
+def test_no_asymmetric_oracle_output_types(spark, pairs):
+    import duckdb
+
+    from db_migrator_spark.io import TABLES
+
+    qs, oracles = pairs
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    offenders: list[str] = []
+    for name, sql in sorted(oracles.items()):
+        if name not in qs:
+            continue
+        try:
+            dtypes = _duck_types(con, sql)
+        except Exception as e:  # a broken oracle is verify_oracle's job
+            offenders.append(f"{name}: DESCRIBE failed: {e}")
+            continue
+        stypes = {
+            f.name: f.dataType.simpleString()
+            for f in qs[name](spark, SF).schema.fields
+        }
+        for col, dt in dtypes.items():
+            if dt == "HUGEINT":
+                offenders.append(
+                    f"{name}.{col}: oracle HUGEINT vs spark "
+                    f"{stypes.get(col)} — CAST the oracle output to BIGINT"
+                )
+            elif dt.startswith("DECIMAL") and not str(
+                stypes.get(col, "")
+            ).startswith("decimal"):
+                offenders.append(
+                    f"{name}.{col}: oracle {dt} vs spark "
+                    f"{stypes.get(col)} — align both sides"
+                )
+    assert not offenders, (
+        "asymmetric oracle output types (the r7/r8 driver-red "
+        "signature):\n" + "\n".join(offenders)
+    )
