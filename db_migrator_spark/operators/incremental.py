@@ -390,8 +390,12 @@ def q_incremental_agg_retract(
             (F.col("n") + F.coalesce("dn", F.lit(0)))
             .cast("bigint")
             .alias("n"),
+            # Digits-as-text surface (q_anova_fstat rationale in
+            # stats3.py): DECIMAL output columns stringify differently
+            # across comparator fetch models; VARCHAR digits are stable.
             F.expr(
-                "CAST(sum_cents + COALESCE(dcents, 0) AS DECIMAL(38,0))"
+                "CAST(CAST(sum_cents + COALESCE(dcents, 0)"
+                " AS DECIMAL(38,0)) AS STRING)"
             ).alias("sum_cents"),
         )
         .orderBy("o_orderpriority")
@@ -416,7 +420,7 @@ ORACLES["q_incremental_agg_retract"] = f"""
         WHERE tag NOT IN {RETRACT_DELETE_DIGITS})
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS sum_cents
+           CAST(SUM(CAST(cents AS HUGEINT)) AS VARCHAR) AS sum_cents
     FROM post
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority

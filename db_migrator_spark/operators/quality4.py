@@ -190,17 +190,23 @@ def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("missing").cast("bigint"))
             .cast("bigint")
             .alias("n_missing"),
+            # Digits-as-text surface (q_anova_fstat rationale in
+            # stats3.py: DECIMAL output columns stringify differently
+            # across comparator fetch models; VARCHAR digits are
+            # bit-stable under every one). Accumulation stays DECIMAL.
             F.sum(
                 F.when(~F.col("missing"), F.col("v_filled")).otherwise(0)
                 .cast("decimal(38,0)")
             )
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("observed_total_micro"),
             F.sum(
                 F.when(F.col("missing"), F.col("v_filled")).otherwise(0)
                 .cast("decimal(38,0)")
             )
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("imputed_total_micro"),
         )
         .orderBy("day")
@@ -284,10 +290,10 @@ ORACLES = {
                CAST(COUNT(*) FILTER (missing) AS BIGINT) AS n_missing,
                CAST(COALESCE(SUM(CAST(v_filled AS HUGEINT))
                                  FILTER (NOT missing), 0)
-                    AS DECIMAL(38,0)) AS observed_total_micro,
+                    AS VARCHAR) AS observed_total_micro,
                CAST(COALESCE(SUM(CAST(v_filled AS HUGEINT))
                                  FILTER (missing), 0)
-                    AS DECIMAL(38,0)) AS imputed_total_micro
+                    AS VARCHAR) AS imputed_total_micro
         FROM filled
         GROUP BY day
         ORDER BY day

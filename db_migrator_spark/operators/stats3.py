@@ -158,14 +158,23 @@ def q_anova_fstat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             F.expr(
                 f"CAST(a - {_ddiv('s * s', 'n_rows')} AS DECIMAL(38,0))"
-            ).alias("ssb_cents2"),
-            F.expr("CAST(q - a AS DECIMAL(38,0))").alias("ssw_cents2"),
+            ).alias("_ssb"),
+            F.expr("CAST(q - a AS DECIMAL(38,0))").alias("_ssw"),
         )
         .select(
-            "*",
+            "k_groups",
+            "n_rows",
+            # Digits-as-text surface: the sums of squares exceed float64
+            # exactness (~3e18 at sf0.01 already), and DECIMAL output
+            # columns stringify differently across comparator fetch
+            # models even when typed symmetrically (the q_anova finding
+            # in tools/verify_pandas_model.py) — VARCHAR digits are
+            # bit-stable under every model. f_ppm keeps the ratio exact.
+            F.col("_ssb").cast("string").alias("ssb_cents2"),
+            F.col("_ssw").cast("string").alias("ssw_cents2"),
             F.expr(
-                "CAST(ssb_cents2 * (n_rows - k_groups)"
-                " * 1000000 div (ssw_cents2 * (k_groups - 1)) AS BIGINT)"
+                "CAST(_ssb * (n_rows - k_groups)"
+                " * 1000000 div (_ssw * (k_groups - 1)) AS BIGINT)"
             ).alias("f_ppm"),
         )
     )
@@ -229,8 +238,8 @@ ORACLES = {
                    SUM(q_g) AS q
             FROM groups)
         SELECT k_groups, n_rows,
-               CAST(a - s * s // n_rows AS DECIMAL(38,0)) AS ssb_cents2,
-               CAST(q - a AS DECIMAL(38,0)) AS ssw_cents2,
+               CAST(a - s * s // n_rows AS VARCHAR) AS ssb_cents2,
+               CAST(q - a AS VARCHAR) AS ssw_cents2,
                CAST((a - s * s // n_rows) * (n_rows - k_groups) * 1000000
                     // ((q - a) * (k_groups - 1)) AS BIGINT) AS f_ppm
         FROM red
