@@ -33,6 +33,10 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _strip0(s: str) -> str:
+    return s.rstrip("0").rstrip(".") if "." in s and "e" not in s else s
+
+
 def _cell(v) -> str:
     import math
 
@@ -41,7 +45,17 @@ def _cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)
+        return _strip0(repr(v))
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # Scale-carrying Decimals print trailing zeros ("...560000") that
+        # a float fetch of the same value drops; q1/q_rollup are driver-
+        # GREEN-proven with exactly this shape, so the real comparator
+        # canonicalizes numerically — emulate with a fraction-zero strip.
+        # Huge scale-0 decimals still flag (float goes scientific there),
+        # which is the signal this harness exists for.
+        return _strip0(str(v))
     try:  # pandas NaT / NA
         import pandas as pd
 
