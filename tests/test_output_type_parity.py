@@ -121,13 +121,26 @@ def test_no_asymmetric_oracle_output_types(spark, pairs):
                     f"{name}.{col}: oracle HUGEINT vs spark "
                     f"{stypes.get(col)} — CAST the oracle output to BIGINT"
                 )
-            elif dt.startswith("DECIMAL") and not str(
-                stypes.get(col, "")
-            ).startswith("decimal"):
-                offenders.append(
-                    f"{name}.{col}: oracle {dt} vs spark "
-                    f"{stypes.get(col)} — align both sides"
-                )
+            elif dt.startswith("DECIMAL"):
+                if not str(stypes.get(col, "")).startswith("decimal"):
+                    offenders.append(
+                        f"{name}.{col}: oracle {dt} vs spark "
+                        f"{stypes.get(col)} — align both sides"
+                    )
+                    continue
+                # Symmetric decimals are driver-green-proven ONLY for the
+                # scale-carrying money columns (q1 since r1). Scale-0
+                # high-precision decimals hold values past float64
+                # exactness, which stringify differently across fetch
+                # models even when both sides are decimal (the
+                # q_anova_fstat finding) — emit digits-as-VARCHAR instead.
+                prec_scale = dt[dt.find("(") + 1:dt.find(")")].split(",")
+                if len(prec_scale) == 2 and int(prec_scale[0]) > 18 \
+                        and int(prec_scale[1]) == 0:
+                    offenders.append(
+                        f"{name}.{col}: oracle {dt} (huge scale-0 decimal)"
+                        " — emit digits as VARCHAR on both sides"
+                    )
     assert not offenders, (
         "asymmetric oracle output types (the r7/r8 driver-red "
         "signature):\n" + "\n".join(offenders)
