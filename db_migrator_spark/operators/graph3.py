@@ -39,15 +39,20 @@ LPROP_CKPT_EVERY = 8
 
 def _sparse_arcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric arc list of the sparsified co-purchase graph (pairs
-    co-occurring in >= KCORE_MIN_COOC orders — graph_kcore's build)."""
+    co-occurring in >= KCORE_MIN_COOC orders — graph_kcore's semantics).
+
+    Built on graph2._copair_explode (round 9): the row-local C(k,2)
+    pair explode replaces the lineitem self-join — A/B and the
+    multiset-equality argument live on that helper. Benefits all seven
+    _sparse_arcs consumers (label propagation, modularity, link
+    prediction, assortativity, clustering coefficient, resource
+    allocation, BFS)."""
+    from .graph2 import _copair_explode
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     und = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        _copair_explode(li)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= KCORE_MIN_COOC)
         .select("u", "v")
