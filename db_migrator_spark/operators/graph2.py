@@ -349,47 +349,45 @@ def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     least ``TRIPLE_MIN_SUPPORT`` orders, with support and the exact-ppm
     all-three conditional rate against each leave-one-out pair.
 
-    Per-order fan-out is C(basket width, 3), bounded by order width;
-    the chained equi-conditions (b joins a's order, c joins b's) keep
-    every join keyed — one condition set per adjacent pair, so no
-    optimizer can degrade an edge to a cartesian. Pair-support lookups
-    broadcast (the support-filtered pair relation is small relative to
-    the basket stream).
+    Per-order fan-out is C(basket width, 3), bounded by order width,
+    generated ROW-LOCALLY from the per-order sorted distinct part list
+    (round 9 — one order-keyed shuffle replaces the chained two- and
+    three-way self-joins; no join exists to degrade). Pair-support
+    lookups broadcast (the support-filtered pair relation is small
+    relative to the basket stream).
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
-    a, b, c = li.alias("a"), li.alias("b"), li.alias("c")
+    # Row-local C(k,2) and C(k,3) explodes over the per-order sorted
+    # DISTINCT part list (round 9, _copair_explode idiom): the previous
+    # two- and three-way self-joins shuffled the basket stream once per
+    # join arm; now ONE order-keyed shuffle feeds both generators and
+    # the combination fan-out runs inside codegen, bounded by basket
+    # width. Distinct + sorted means position order == strict value
+    # order, so the generated tuples are exactly the self-joins'.
     pairs = (
-        a.join(
-            b,
-            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
+        _copair_explode(li)
+        .groupBy(F.col("u").alias("p1"), F.col("v").alias("p2"))
         .agg(F.count(F.lit(1)).alias("n12"))
         .filter(F.col("n12") >= TRIPLE_MIN_SUPPORT)
         .localCheckpoint()  # three leave-one-out consumers below
     )
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    triple_rows = ps.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "flatten(transform(slice(ps, i + 2, size(ps)), (y, j) -> "
+                "transform(slice(ps, i + j + 3, size(ps)), "
+                "z -> struct(x AS p1, y AS p2, z AS p3))))))"
+            )
+        ).alias("t")
+    ).select("t.p1", "t.p2", "t.p3")
     triples = (
-        a.join(
-            b,
-            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .join(
-            c,
-            (F.col("c.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-            F.col("c.l_partkey").alias("p3"),
-        )
+        triple_rows.groupBy("p1", "p2", "p3")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
     )
