@@ -245,19 +245,38 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs_df))
         .filter(F.col("df") * 100 <= F.col("n_docs") * PMI_DF_MAX_PCT)
     )
-    capped = (
-        mid.withColumn(
-            "rk", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "w"))
-        )
-        .filter(F.col("rk") <= PMI_DOC_CAP)
-        .select("doc_id", "w", "df", "n_docs")
+    # Row-local capped pair generation (round 9, the graph2
+    # _copair_explode idiom): ONE doc-keyed aggregate collects each
+    # document's (df, w) structs, sort_array + slice keeps the
+    # PMI_DOC_CAP rarest — identical to the former row_number window
+    # ((df, w) is unique per doc, so the lexicographic struct order IS
+    # the window's ORDER BY df, w — same rows survive the cap) — and
+    # the C(cap,2) pair explode runs inside codegen with w1 < w2
+    # enforced per pair, replacing the doc_id self-join. Same pair
+    # multiset, one shuffle instead of window + join re-exchange.
+    capped_lists = mid.groupBy("doc_id").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("df", "w"))),
+            1,
+            PMI_DOC_CAP,
+        ).alias("ws"),
+        F.first("n_docs").alias("n_docs"),
     )
-    a = capped.select("doc_id", F.col("w").alias("w1"), F.col("df").alias("df1"), "n_docs")
-    b = capped.select("doc_id", F.col("w").alias("w2"), F.col("df").alias("df2"))
+    pair_rows = capped_lists.select(
+        "n_docs",
+        F.explode(
+            F.expr(
+                "flatten(transform(ws, (x, i) -> "
+                "transform(slice(ws, i + 2, size(ws)), y -> struct("
+                "CASE WHEN x.w < y.w THEN x.w ELSE y.w END AS w1, "
+                "CASE WHEN x.w < y.w THEN y.w ELSE x.w END AS w2, "
+                "CASE WHEN x.w < y.w THEN x.df ELSE y.df END AS df1, "
+                "CASE WHEN x.w < y.w THEN y.df ELSE x.df END AS df2))))"
+            )
+        ).alias("p"),
+    ).select("p.w1", "p.w2", "p.df1", "p.df2", "n_docs")
     pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("w1") < F.col("w2"))
-        .groupBy("w1", "w2", "df1", "df2", "n_docs")
+        pair_rows.groupBy("w1", "w2", "df1", "df2", "n_docs")
         .agg(F.count(F.lit(1)).alias("cooc"))
         .filter(F.col("cooc") >= PMI_MIN_COOC)
     )
