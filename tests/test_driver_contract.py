@@ -27,6 +27,18 @@ qs = e.queries()
 for key in ("q_grouped_mad", "events_tumbling_hourly", "q1_pricing_summary"):
     n = qs[key](spark, "/root/testdata/sf0.001").count()
     assert n > 0, key
+# one diagnostic-wrapped red query WITHOUT SPARK_GRAFT_NO_DIAG: the
+# in-driver capture (db_migrator_spark/diagnostics.py) must work from a
+# foreign cwd under a vanilla session — that is exactly how the external
+# driver executes it — and must never break the query itself.
+import json, os
+os.environ.pop("SPARK_GRAFT_NO_DIAG", None)  # capture must be live here
+n = qs["events_dow_seasonality"](spark, "/root/testdata/sf0.001").count()
+assert n > 0
+diag = json.load(open("/root/repo/DIAGNOSTICS_r9.json"))
+rec = diag.get("events_dow_seasonality@sf0.001")
+assert rec and rec.get("spark", {}).get("hash"), sorted(diag)
+assert rec["env"].get("pyspark"), rec["env"]
 print("PROBE_OK")
 """
 
