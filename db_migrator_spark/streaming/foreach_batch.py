@@ -60,7 +60,9 @@ def streaming_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     """Driver-contract entry: per-type totals via a 4-micro-batch stream
     with an idempotent foreachBatch parquet sink, compacted at the end.
     Oracle: the plain batch GROUP BY over the same events."""
-    key = os.path.basename(os.path.abspath(sf_dir))
+    from .sinks import fixture_state_key
+
+    key = fixture_state_key(sf_dir)  # size+mtime fingerprint (sinks.py)
     base = os.path.join(tempfile.gettempdir(), f"db_migrator_spark_fb_{key}")
     replay = os.path.join(base, "replay")
     sink = os.path.join(base, "sink")

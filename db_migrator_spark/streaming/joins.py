@@ -110,8 +110,11 @@ def _ensure_outer_replay(sf_dir: str) -> tuple[str, int]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from .sinks import fixture_state_key
+
     src = os.path.join(sf_dir, "events.parquet")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = fixture_state_key(sf_dir)  # size+mtime fingerprint: stale
+    # replay state can never serve a regenerated fixture (sinks.py)
     replay = os.path.join(
         tempfile.gettempdir(), f"db_migrator_spark_outer_join_{tag}"
     )

@@ -75,7 +75,9 @@ def streaming_late_data_audit(
     straggler-only windows — the value-hash pin of watermark drops."""
     import hashlib
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    from .sinks import fixture_state_key
+
+    tag = fixture_state_key(sf_dir)  # size+mtime fingerprint (sinks.py)
     base = os.path.join(
         tempfile.gettempdir(), f"db_migrator_spark_late_{tag}"
     )

@@ -127,7 +127,9 @@ def streaming_scd2_maintenance(
     """Driver-contract entry: SCD2 customer-priority history maintained
     over a 4-micro-batch date-ordered replay of orders; final state
     equals the one-shot batch collapse (the oracle)."""
-    key = os.path.basename(os.path.abspath(sf_dir))
+    from .sinks import fixture_state_key
+
+    key = fixture_state_key(sf_dir, "orders")  # size+mtime fingerprint
     base = os.path.join(
         tempfile.gettempdir(), f"db_migrator_spark_scd2_{key}"
     )

@@ -350,9 +350,12 @@ def streaming_dedup_events(
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
-    # md5, not hash(): PYTHONHASHSEED randomizes str hashes per process,
-    # which would mint a fresh /tmp replay dir every run.
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    from .sinks import fixture_state_key
+
+    # Stable key (not hash(): PYTHONHASHSEED randomizes per process),
+    # fingerprinted by source size+mtime so stale replay state can
+    # never serve a regenerated fixture (sinks.fixture_state_key).
+    tag = fixture_state_key(sf_dir)
     replay = os.path.join(
         tempfile.gettempdir(), f"db_migrator_spark_dedup_stream_{tag}"
     )
