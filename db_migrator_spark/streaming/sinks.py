@@ -22,23 +22,19 @@ from pyspark.sql.streaming import StreamingQuery
 
 def fixture_state_key(sf_dir: str, source: str = "events") -> str:
     """Stable /tmp state-dir key for a fixture directory, fingerprinted
-    by the source file's size+mtime. The streaming ops persist replay
-    copies and checkpoints under tempfile.gettempdir() keyed by this —
-    keying by sf NAME alone (round 8) meant a regenerated fixture with
-    the same name would silently replay the OLD data out of the stale
+    by the source table's files (size+mtime_ns via the ANN-index
+    ``dataset_fingerprint``). The streaming ops persist replay copies
+    and checkpoints under tempfile.gettempdir() keyed by this — keying
+    by sf NAME alone (round 8) meant a regenerated fixture with the
+    same name would silently replay the OLD data out of the stale
     checkpoint. An mtime bump costs one harmless rebuild; a content
     change can never be served from stale state."""
-    import hashlib
     import os
 
-    path = os.path.join(os.path.abspath(sf_dir), f"{source}.parquet")
-    try:
-        st = os.stat(path)
-        fp = f"{st.st_size}_{int(st.st_mtime)}"
-    except OSError:
-        fp = "nostat"
+    from ..operators.similarity_ivf import dataset_fingerprint
+
     base = os.path.basename(os.path.abspath(sf_dir))
-    return f"{base}_{hashlib.md5((path + fp).encode()).hexdigest()[:10]}"
+    return f"{base}_{dataset_fingerprint(sf_dir, source)[:10]}"
 
 
 def start_exactly_once_parquet_sink(
