@@ -39,16 +39,44 @@ import json
 import os
 import sys
 
-RED_QUERIES = (
-    "corpus_temperature_mix",
-    "corpus_train_mix_plan",
-    "embedding_pca_power",
-    "eval_f1_macro",
-    "events_cohort_ltv",
-    "events_dow_seasonality",
-    "events_session_paths",
-    "q_abc_classification",
-)
+def _compute_red_queries() -> tuple[str, ...]:
+    """Queries red at their LATEST driver check, straight from the
+    CORRECTNESS_r*.json artifacts — self-maintaining: when a round's
+    fixes land green, the capture set empties itself; if new reds ever
+    appear, the next round's run diagnoses them with zero code change.
+    (Round 9 baseline: the 6 r7+r8 reds plus embedding_pca_power and
+    eval_f1_macro.)"""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for k, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            green = v.get("err") == "no_oracle" or (
+                bool(v.get("rows_match"))
+                and bool(v.get("schema_match"))
+                and v.get("hash_match") is not False
+            )
+            if k not in last or rnd >= last[k][0]:
+                last[k] = (rnd, green)
+    return tuple(sorted(k for k, (_r, g) in last.items() if not g))
+
+
+RED_QUERIES = _compute_red_queries()
 
 _OUT_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                          "DIAGNOSTICS_r9.json")
