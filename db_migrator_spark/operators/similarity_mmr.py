@@ -78,75 +78,64 @@ def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             _cosine(F.col("ea"), F.col("eb")).alias("sim"),
         )
-        .localCheckpoint()  # feeds K - 1 max-sim updates
     )
-    # Step 1: plain argmax relevance.
-    pick = short.withColumn("rn", F.row_number().over(wrel)).filter(
-        F.col("rn") == 1
-    )
-    selected = pick.select(
-        "q_id",
-        F.lit(1).alias("step"),
-        "vec_id",
-        "rel",
-        F.col("rel").alias("mmr_score"),
-    )
-    # pairs' key columns are renamed before every probe join: pairs
-    # derives from `short`, so a raw `pairs.q_id == short.q_id` predicate
-    # can resolve both sides to the SAME attribute (trivially true) and
-    # silently drop the per-query scoping.
-    def _sim_to(picked: DataFrame, base: DataFrame) -> DataFrame:
-        p = pairs.select(
-            F.col("q_id").alias("pq"),
-            F.col("a_id"),
-            F.col("b_id"),
-            "sim",
-        )
-        return (
-            base.join(picked.select("q_id", F.col("vec_id").alias("p_id")), "q_id")
-            .filter(F.col("vec_id") != F.col("p_id"))
-            .join(
-                p,
-                (F.col("pq") == F.col("q_id"))
-                & (F.col("a_id") == F.col("vec_id"))
-                & (F.col("b_id") == F.col("p_id")),
-            )
+    # The greedy K-step fold runs as ONE cogrouped applyInPandas stage
+    # (round 9): each q_id group is shortlist-sized (S rel rows
+    # cogrouped with S*(S-1) pair sims), the selection loop is plain
+    # Python floats — bit-identical to the former unrolled DataFrame
+    # chain because every arithmetic step (0.5 * (rel - cur_max),
+    # max(cur_max, sim), float comparisons) is the same IEEE binary64
+    # operation on the same Spark-computed cosines, and Arrow transfers
+    # the doubles bit-exactly. The r8 version unrolled K-1 joins with
+    # 2(K-1) localCheckpoints — ~15 scheduler round-trips of pure
+    # overhead at shortlist size (the PCA driver-side-fold lesson,
+    # kept DISTRIBUTED here because the relation scales with the
+    # number of queries, unlike PCA's constant 4096 cells). Scale: one
+    # exchange keyed by q_id; per-group state is S floats + S^2 sims —
+    # constants. The DuckDB oracle keeps the unrolled-CTE chain.
+    import pandas as pd
+
+    def _greedy_fold(key, short_pdf, pairs_pdf):
+        qid = int(key[0])
+        rel = {int(v): float(r)
+               for v, r in zip(short_pdf["vec_id"], short_pdf["rel"])}
+        sim = {(int(a), int(b)): float(s)
+               for a, b, s in zip(pairs_pdf["a_id"], pairs_pdf["b_id"],
+                                  pairs_pdf["sim"])}
+        # Step 1: argmax relevance (desc), tie on lowest vec_id.
+        pick = min(rel, key=lambda v: (-rel[v], v))
+        rows = [(qid, 1, pick, rel[pick], rel[pick])]
+        cur = {v: sim[(v, pick)] for v in rel if v != pick}
+        for step in range(2, MMR_K + 1):
+            if not cur:
+                break
+            mmr = {v: 0.5 * (rel[v] - cur[v]) for v in cur}
+            pick = min(mmr, key=lambda v: (-mmr[v], v))
+            rows.append((qid, step, pick, rel[pick], mmr[pick]))
+            if step == MMR_K:
+                break
+            cur = {v: max(cur[v], sim[(v, pick)])
+                   for v in cur if v != pick}
+        return pd.DataFrame(
+            rows, columns=["q_id", "step", "vec_id", "rel", "mmr_score"]
         )
 
-    cand = _sim_to(pick, short).select(
-        "q_id", "vec_id", "rel", F.col("sim").alias("cur_max")
+    # pairs derives from `short` (self-join), so its q_id is the SAME
+    # attribute — rename it before the cogroup or the analyzer rejects
+    # the plan as an ambiguous self-join (the module's standing rule).
+    pairs_g = pairs.select(
+        F.col("q_id").alias("pq"), "a_id", "b_id", "sim"
     )
-    for step in range(2, MMR_K + 1):
-        mmr = F.lit(0.5) * (F.col("rel") - F.col("cur_max"))
-        wm = W.partitionBy("q_id").orderBy(F.desc("mmr"), "vec_id")
-        scored_c = cand.withColumn("mmr", mmr).localCheckpoint()
-        # localCheckpoint: scored_c feeds the pick window AND the next
-        # cur_max update; pick feeds the selected union AND the next
-        # similarity probe — without the cuts each step re-derives the
-        # whole prior greedy lineage (the PCA 2^rounds lesson), which
-        # at shortlist size is pure scheduling overhead.
-        pick = (
-            scored_c.withColumn("rn", F.row_number().over(wm))
-            .filter(F.col("rn") == 1)
-            .localCheckpoint()
+    selected = (
+        short.select("q_id", "vec_id", "rel")
+        .groupBy("q_id")
+        .cogroup(pairs_g.groupBy("pq"))
+        .applyInPandas(
+            _greedy_fold,
+            "q_id bigint, step int, vec_id bigint, rel double, "
+            "mmr_score double",
         )
-        selected = selected.unionByName(
-            pick.select(
-                "q_id",
-                F.lit(step).alias("step"),
-                "vec_id",
-                "rel",
-                F.col("mmr").alias("mmr_score"),
-            )
-        )
-        if step == MMR_K:
-            break
-        cand = _sim_to(pick, scored_c).select(
-            "q_id",
-            "vec_id",
-            "rel",
-            F.greatest(F.col("cur_max"), F.col("sim")).alias("cur_max"),
-        )
+    )
     return selected.orderBy("q_id", "step")
 
 
