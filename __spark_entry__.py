@@ -107,7 +107,12 @@ _MODULES = [
 # behind the r8 alphabet (VERDICT r8 what's-wrong #3). A never-checked
 # query still outranks a stale green: it has NO driver evidence, while
 # every never-checked query carries the locally-reproducible sf0.01+sf1
-# oracle proof from commit time.
+# oracle proof from commit time. (ADVICE r8 floated reserving ~10
+# window slots for stale-green refresh regardless of backlog; declined
+# for r9/r10: with the surface frozen, the backlog drains fastest
+# undiluted, and the budget test in test_driver_contract.py now blocks
+# the growth pattern that made reservation attractive. Revisit if a
+# future round both adds queries and carries >1 window of debt.)
 def _first_seen() -> dict[str, int]:
     import json
 
