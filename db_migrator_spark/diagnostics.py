@@ -1,36 +1,35 @@
-"""In-driver diagnostic capture for the 8 driver-red queries (round 9).
+"""In-driver diagnostic capture for driver-red queries.
 
-CORRECTNESS_r07/r08 red-flagged eight queries that are bit-exact locally at
-sf0.01 and sf0.1 (judge-verified, VERDICT.md round 8). The builder cannot see
-the driver environment, but this code RUNS IN IT: the driver imports
-``__spark_entry__`` and executes each query callable. So the wrapper in
-``__spark_entry__.queries()`` calls :func:`maybe_capture` for the red set,
-which records — from inside the driver run —
+Self-maintaining: :data:`RED_QUERIES` is recomputed from the
+CORRECTNESS_r*.json artifacts the external driver leaves in the repo, so
+the hook is a no-op while the red set is empty (as of round 9 — the r7/r8
+reds were diagnosed as DuckDB-version oracle drift and fixed; the captured
+evidence is archived at docs/DIAGNOSTICS_r9.json). If a future round reds
+a query, the next driver run diagnoses it with zero code change: the
+builder cannot see the driver environment, but this code RUNS IN IT — the
+driver imports ``__spark_entry__`` and executes each query callable, and
+the wrapper calls :func:`maybe_capture` for the red set, recording
 
 - engine/version stamps (python, pyspark, duckdb, pandas, numpy, pyarrow,
   session timezone, ANSI flag, TZ env),
-- the full normalized sorted Spark-side rows (all 8 queries are <= 1500
-  rows) and their order-insensitive value hash,
+- the normalized sorted Spark-side rows (capped at ``_MAX_ROWS``; the
+  collect is bounded via ``df.limit``) and their order-insensitive hash,
 - the CURRENT oracle's rows + hash via whatever ``duckdb`` the environment
   ships,
-- the FROZEN round-8 oracle's rows + hash (``diag_frozen_r8.py``, captured
-  verbatim before the round-9 fixes) — the exact SQL the driver red-flagged,
 - two engine probes: ``(-7) // 2`` (floor-vs-truncate drift across DuckDB
   versions) and a SUM(BIGINT) result type name (HUGEINT surfacing).
 
-Outcome decoding (round-10 reader):
-- frozen-oracle hash != spark hash here, with version stamps differing from
-  local (duckdb 1.0.0) -> engine-version divergence pinpointed, fixed
-  oracles should re-attest green.
-- everything matches local values but the driver still reds -> the driver's
-  comparator normalization is indicted (HUGEINT/DECIMAL -> float64
-  degradation on the oracle fetch path; see tools/type_scan.py).
+Bounds (ADVICE r9): the capture re-executes the query AND its DuckDB
+oracle inline in the driver's timed path, so it only fires at tiny scale
+factors (sf <= 0.011, parsed from the sf_dir basename the way bench.py
+does) and collects at most ``_MAX_ROWS + 1`` rows. Larger-SF runs skip
+silently — the sf0.01 record carries the same environment evidence.
 
-Written incrementally (one merge-write per query) to DIAGNOSTICS_r9.json in
-the repo root, so partial data survives a crashed run. Every step is
-defensive: a diagnostic failure must never break the driver's query run.
-Set ``SPARK_GRAFT_NO_DIAG=1`` to skip (bench.py does — the capture re-runs
-the query once, which would distort timings).
+Written incrementally (one merge-write per query) to DIAGNOSTICS.json in
+the repo root (override with ``SPARK_GRAFT_DIAG_OUT``), so partial data
+survives a crashed run. Every step is defensive: a diagnostic failure must
+never break the driver's query run. Set ``SPARK_GRAFT_NO_DIAG=1`` to skip
+(bench.py does — the capture re-runs the query, distorting timings).
 """
 
 from __future__ import annotations
@@ -45,7 +44,7 @@ def _compute_red_queries() -> tuple[str, ...]:
     fixes land green, the capture set empties itself; if new reds ever
     appear, the next round's run diagnoses them with zero code change.
     (Round 9 baseline: the 6 r7+r8 reds plus embedding_pca_power and
-    eval_f1_macro.)"""
+    eval_f1_macro; all green since r9, so this is empty.)"""
     import glob
     import re
 
@@ -78,10 +77,30 @@ def _compute_red_queries() -> tuple[str, ...]:
 
 RED_QUERIES = _compute_red_queries()
 
-_OUT_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                         "DIAGNOSTICS_r9.json")
 _captured: set[str] = set()
 _MAX_ROWS = 1600
+# Only capture at tiny scale factors: the capture re-runs the query and its
+# oracle inline, which is fine at sf0.01 but can blow the driver's budget on
+# data-sized results at sf0.1+ (ADVICE r9 medium).
+_MAX_SF = 0.011
+
+
+def _out_path() -> str:
+    override = os.environ.get("SPARK_GRAFT_DIAG_OUT")
+    if override:
+        return override
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "DIAGNOSTICS.json")
+
+
+def _sf_of(sf_dir: str) -> float | None:
+    """Parse the scale factor from the dir basename, like bench.py."""
+    try:
+        return float(
+            os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except (ValueError, AttributeError):
+        return None
 
 
 def _normalize(val) -> str:
@@ -107,18 +126,24 @@ def _normalize(val) -> str:
 def _table(cols, rows) -> dict:
     import hashlib
 
+    truncated = len(rows) > _MAX_ROWS
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     strs = sorted("|".join(_normalize(r[i]) for i in order) for r in rows)
     h = hashlib.sha256()
     for s in strs:
         h.update(s.encode())
         h.update(b"\n")
-    return {
+    out = {
         "cols": list(cols),
         "n_rows": len(rows),
         "hash": h.hexdigest()[:16],
         "rows_normalized": strs[:_MAX_ROWS],
     }
+    if truncated:
+        # A truncated capture's hash covers only the collected prefix —
+        # mark it so a reader never compares it against a full-result hash.
+        out["truncated"] = True
+    return out
 
 
 def _env_stamps(spark) -> dict:
@@ -198,10 +223,14 @@ def maybe_capture(name: str, df, spark, sf_dir: str, current_oracle: str | None)
     """Record spark + oracle rows and env stamps for one red query.
 
     ``df`` is the already-built (lazy) result DataFrame; collecting it here
-    runs the query once more than the driver would — acceptable, all red
-    queries are sub-second at sf0.01.
+    runs the query once more than the driver would. Bounded: skips unless
+    the sf_dir parses to a scale factor <= ``_MAX_SF``, and never collects
+    more than ``_MAX_ROWS + 1`` rows (the +1 flags truncation).
     """
     if os.environ.get("SPARK_GRAFT_NO_DIAG"):
+        return
+    sf = _sf_of(sf_dir)
+    if sf is None or sf > _MAX_SF:
         return
     key = f"{name}@{os.path.basename(os.path.normpath(sf_dir))}"
     if key in _captured:
@@ -219,32 +248,25 @@ def maybe_capture(name: str, df, spark, sf_dir: str, current_oracle: str | None)
             "duck_probes": _duck_probes(),
         }
         try:
-            rows = [tuple(r) for r in df.collect()]
+            rows = [tuple(r) for r in df.limit(_MAX_ROWS + 1).collect()]
             record["spark"] = _table(df.columns, rows)
         except Exception as e:
             record["spark"] = {"err": repr(e)}
         if current_oracle:
             record["oracle_current"] = _duck_result(current_oracle, sf_dir)
-        try:
-            from .diag_frozen_r8 import FROZEN_R8_ORACLES
-
-            frozen = FROZEN_R8_ORACLES.get(name)
-            if frozen and frozen != current_oracle:
-                record["oracle_frozen_r8"] = _duck_result(frozen, sf_dir)
-        except Exception as e:
-            record["oracle_frozen_r8"] = {"err": repr(e)}
+        out_path = _out_path()
         data = {}
         try:
-            if os.path.exists(_OUT_PATH):
-                with open(_OUT_PATH) as fh:
+            if os.path.exists(out_path):
+                with open(out_path) as fh:
                     data = json.load(fh)
         except Exception:
             data = {}
         data[key] = record
-        tmp = _OUT_PATH + f".tmp{os.getpid()}"
+        tmp = out_path + f".tmp{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump(data, fh, indent=1, default=str)
-        os.replace(tmp, _OUT_PATH)
+        os.replace(tmp, out_path)
     except Exception:
         # Diagnostics are strictly best-effort inside the driver run.
         pass

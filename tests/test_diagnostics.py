@@ -1,6 +1,7 @@
 """The in-driver diagnostic capture must hash EXACTLY like the local
-gate, or DIAGNOSTICS_r9.json hashes can't be compared against
-verify_oracle output and the round-10 triage reads garbage."""
+gate, or captured diagnostics hashes (docs/DIAGNOSTICS_r9.json and any
+future DIAGNOSTICS.json) can't be compared against verify_oracle output
+and the triage reads garbage."""
 
 from __future__ import annotations
 
@@ -63,3 +64,8 @@ def test_red_query_set_is_declared_and_wrapped():
     )
     if newest <= 8:
         assert len(RED_QUERIES) == 8, RED_QUERIES
+    else:
+        # r9 turned every red green; the self-maintaining set must have
+        # emptied itself (a stale non-empty set would re-run captures in
+        # the driver's timed path for no reason).
+        assert RED_QUERIES == (), RED_QUERIES

@@ -1,11 +1,12 @@
-"""Decode DIAGNOSTICS_r9.json after a driver round (round-10 first stop).
+"""Decode a diagnostics capture (archived r9 artifact or a live
+DIAGNOSTICS.json from a future red round).
 
 Compares, per red query: the Spark hash captured INSIDE the driver run,
 the current-oracle hash from the driver environment's own duckdb, the
 frozen round-8 oracle hash, and this machine's live re-run — then says
 which of the round-9 theories the evidence supports.
 
-Usage: python tools/read_diagnostics.py [DIAGNOSTICS_r9.json]
+Usage: python tools/read_diagnostics.py [path-to-diagnostics.json]
 """
 
 from __future__ import annotations
@@ -15,7 +16,8 @@ import sys
 
 
 def main() -> int:
-    path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/DIAGNOSTICS_r9.json"
+    path = (sys.argv[1] if len(sys.argv) > 1
+            else "/root/repo/docs/DIAGNOSTICS_r9.json")
     data = json.load(open(path))
     envs = {}
     for key, rec in sorted(data.items()):
