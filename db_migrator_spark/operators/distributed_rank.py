@@ -1,0 +1,190 @@
+"""Distributed exact global rank / running sum — the scale-safe
+replacement for a partitionless ``Window.orderBy(...)``.
+
+A window with an empty partition spec funnels its WHOLE input through one
+task (Spark logs ``WindowExec: No Partition Defined``); fine on a
+dimension-bounded frame, a silent scale-killer on anything data-sized.
+This module packages the pattern proven in
+``relational3.q_ntile_buckets`` (driver-green since round 5) for reuse:
+
+1. bin rows into ordered ranges by ``approxQuantile`` cut-points on the
+   primary order column — driver-side literals, ONE action; quantile
+   error only skews bin sizes, never correctness, because the rank
+   arithmetic uses the EXACT per-bin counts,
+2. rank inside each bin with a bin-partitioned window (the parallel
+   unit — every bin sorts independently),
+3. shift by each bin's exact cumulative offset, computed from the
+   per-bin counts with a broadcast cross-join aggregate over at most
+   ``(n_bins + 1)^2`` rows (never an unpartitioned window),
+4. optionally carry exact DECIMAL(38,0) running sums the same way.
+
+Equal key values always land in ONE bin (strict ``>`` against each cut),
+so tie-breaking stays within a bin and the global rank is exact. No
+single-partition window or sort exists anywhere in the produced plan.
+
+Cost model: one extra pass over the input relation for the quantile
+cut-points (for an aggregate input that means re-running the aggregate —
+still fully parallel, and at 100 TB a recompute beats persisting a
+data-sized intermediate), then exactly one shuffle (the bin
+partitioning) per ranked ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+_PID = "__dr_pid"
+
+
+def quantile_cuts(
+    df: DataFrame, cols: Sequence[str], n_bins: int = 32
+) -> dict[str, list[float]]:
+    """approxQuantile cut-points for each column — ONE action for all.
+
+    Returns ``{col: sorted-unique interior cut points}`` (at most
+    ``n_bins - 1`` per column; fewer when the distribution is lumpy).
+    """
+    probs = [i / n_bins for i in range(1, n_bins)]
+    res = df.approxQuantile(list(cols), probs, 0.001)
+    return {c: sorted(set(v)) for c, v in zip(cols, res)}
+
+
+def with_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreaks: Sequence[str],
+    *,
+    cuts: Sequence[float],
+    descending: bool = False,
+    rank_col: str = "rn",
+    total_col: str = "n_total",
+    cum_cols: Sequence[str] = (),
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Append the exact 1-based row number ``rank_col`` over
+    ``(value_col [DESC], *tiebreaks ASC)`` plus the ranked relation's
+    row count ``total_col`` — and, for each name in ``cum_cols``, the
+    exact DECIMAL(38,0) running sum ``cum_<name>`` over the same total
+    order — without any single-partition window or global sort.
+
+    With ``partition_by``, rank/total/running sums are computed WITHIN
+    each key group (the keyed-window case whose groups grow linearly
+    with data — e.g. per-nation customer tiles): the parallel unit
+    becomes ``(*partition_by, bin)``, and the offset aggregate joins
+    bins per key instead of cross-joining globally. The same global
+    ``cuts`` subdivide every group (bin-size skew across groups only
+    affects balance, never correctness).
+
+    ``tiebreaks`` must make the ordering total (unique) within a
+    partition, or ranks and running sums are nondeterministic. ``cuts``
+    comes from :func:`quantile_cuts` on the same relation.
+
+    The per-bin offsets are folded on the DRIVER (one bounded collect of
+    at most ``(len(cuts) + 1) x |key domain|`` count rows — the same
+    bounded-driver-read class as centroids and histogram bins; exact
+    integer/Decimal arithmetic) rather than as a second Spark consumer of
+    ``df``: a two-consumer formulation re-derives the full input lineage
+    per call, which goes 2^k when k ranks nest (the round-8c iterate
+    lesson — 54 base scans in the three-rank RFM plan before this fold).
+    With the fold, the input lineage appears exactly ONCE in the final
+    plan per rank; the collect costs one extra parallel pass over ``df``.
+    ``partition_by`` must therefore be dimension-bounded (nations, bins —
+    never a data-sized key), which is also the only regime where a keyed
+    CLOSED-FORM tile is the right tool.
+    """
+    import decimal
+
+    keys = list(partition_by)
+    bin_expr = F.lit(0)
+    for b in cuts:
+        bin_expr = bin_expr + (F.col(value_col) > F.lit(b)).cast("int")
+    parts = df.withColumn(_PID, bin_expr)
+
+    aggs = [F.count(F.lit(1)).alias("__dr_cnt")]
+    for c in cum_cols:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(38,0)")).alias(f"__dr_sum_{c}")
+        )
+    count_rows = parts.groupBy(*keys, _PID).agg(*aggs).collect()
+
+    # Exact driver-side prefix fold per key group, ordered by bin id
+    # ("earlier" = smaller bin ascending, larger descending — bins count
+    # strictly-greater cuts, so high values sit in high bin ids).
+    by_key: dict[tuple, list] = {}
+    for r in count_rows:
+        by_key.setdefault(tuple(r[k] for k in keys), []).append(r)
+    off_rows = []
+    for kv, rows in by_key.items():
+        rows.sort(key=lambda r: r[_PID], reverse=descending)
+        total = sum(r["__dr_cnt"] for r in rows)
+        run_n = 0
+        run_s = {c: decimal.Decimal(0) for c in cum_cols}
+        for r in rows:
+            off_rows.append(
+                (
+                    *kv,
+                    r[_PID],
+                    run_n,
+                    total,
+                    *[run_s[c] for c in cum_cols],
+                )
+            )
+            run_n += r["__dr_cnt"]
+            for c in cum_cols:
+                run_s[c] += r[f"__dr_sum_{c}"] or 0
+
+    from pyspark.sql import types as T
+
+    key_fields = [df.schema[k] for k in keys]
+    schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField(_PID, T.IntegerType(), False),
+            T.StructField("__dr_off", T.LongType(), False),
+            T.StructField(total_col, T.LongType(), False),
+            *[
+                T.StructField(f"__dr_soff_{c}", T.DecimalType(38, 0), False)
+                for c in cum_cols
+            ],
+        ]
+    )
+    offsets = df.sparkSession.createDataFrame(off_rows, schema)
+
+    order = [F.desc(value_col) if descending else F.asc(value_col)]
+    order += [F.asc(t) for t in tiebreaks]
+    wp = W.partitionBy(*keys, _PID).orderBy(*order)
+    frame = wp.rowsBetween(W.unboundedPreceding, W.currentRow)
+    out = parts.join(F.broadcast(offsets), [*keys, _PID]).withColumn(
+        rank_col, F.row_number().over(wp) + F.col("__dr_off")
+    )
+    for c in cum_cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            F.sum(F.col(c).cast("decimal(38,0)")).over(frame)
+            + F.col(f"__dr_soff_{c}"),
+        )
+    return out.drop(
+        _PID, "__dr_off", *[f"__dr_soff_{c}" for c in cum_cols]
+    )
+
+
+def ntile_expr(rank_col: str, total_col: str, n: int):
+    """Closed-form ``NTILE(n)`` from an exact (rank, total) pair: the
+    first ``total % n`` buckets hold ``total div n + 1`` rows, the rest
+    ``total div n`` — the SQL-standard split, bit-identical to
+    ``NTILE(n) OVER (ORDER BY ...)`` on the same total order. All
+    integer arithmetic (``div``), exact at any relation size; the ELSE
+    branch's divisor is only zero when total < n, in which case every
+    rank satisfies the WHEN branch and the ELSE is never evaluated.
+    """
+    r, t = rank_col, total_col
+    return F.expr(
+        f"CAST(CASE WHEN {r} <= ({t} % {n}) * ({t} div {n} + 1)"
+        f" THEN ({r} - 1) div ({t} div {n} + 1) + 1"
+        f" ELSE {t} % {n}"
+        f" + ({r} - ({t} % {n}) * ({t} div {n} + 1) - 1) div ({t} div {n})"
+        f" + 1 END AS INT)"
+    )

@@ -1,0 +1,97 @@
+"""distributed_rank must reproduce the single-partition window results
+bit-exactly — rank, running DECIMAL sums, and closed-form NTILE, in both
+the global and the keyed (partition_by) form — on data with heavy ties
+(the case that breaks naive range binning)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window as W
+
+from db_migrator_spark.operators.distributed_rank import (
+    ntile_expr,
+    quantile_cuts,
+    with_global_rank,
+)
+
+
+def _fixture(spark):
+    # 997 rows, values with many ties (mod 37), negatives, and a skewed
+    # hot value; key column for tiebreak; group column for keyed tests.
+    return spark.range(0, 997).select(
+        F.col("id").alias("k"),
+        (F.when(F.col("id") % 5 == 0, 7).otherwise(F.col("id") % 37 - 11))
+        .cast("bigint")
+        .alias("v"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 13 % 101).cast("bigint").alias("amt"),
+    )
+
+
+def test_global_rank_and_cumsum_match_window(spark):
+    df = _fixture(spark)
+    cuts = quantile_cuts(df, ["v"], n_bins=8)["v"]
+    for desc in (False, True):
+        got = with_global_rank(
+            df, "v", ["k"], cuts=cuts, descending=desc, cum_cols=("amt",)
+        )
+        order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
+        w = W.orderBy(*order)
+        want = df.select(
+            "k",
+            F.row_number().over(w).alias("rn_ref"),
+            F.sum(F.col("amt").cast("decimal(38,0)"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("cum_ref"),
+        )
+        j = got.join(want, "k")
+        assert (
+            j.filter(
+                (F.col("rn") != F.col("rn_ref"))
+                | (F.col("cum_amt") != F.col("cum_ref"))
+            ).count()
+            == 0
+        ), desc
+        assert got.select(F.max("n_total")).first()[0] == 997
+
+
+def test_keyed_rank_matches_partitioned_window(spark):
+    df = _fixture(spark)
+    cuts = quantile_cuts(df, ["v"], n_bins=8)["v"]
+    got = with_global_rank(
+        df, "v", ["k"], cuts=cuts, descending=True, partition_by=["g"]
+    )
+    w = W.partitionBy("g").orderBy(F.desc("v"), F.asc("k"))
+    want = df.select("k", F.row_number().over(w).alias("rn_ref"))
+    assert (
+        got.join(want, "k").filter(F.col("rn") != F.col("rn_ref")).count()
+        == 0
+    )
+    # per-group totals, not the global count
+    totals = {r.g: r.n_total for r in got.select("g", "n_total").distinct().collect()}
+    from collections import Counter
+
+    expect = Counter(r.g for r in df.select("g").collect())
+    assert totals == dict(expect)
+
+
+def test_ntile_expr_matches_builtin_ntile(spark):
+    df = _fixture(spark)
+    cuts = quantile_cuts(df, ["v"], n_bins=8)["v"]
+    ranked = with_global_rank(df, "v", ["k"], cuts=cuts)
+    for n in (2, 3, 5, 7, 1000, 2000):
+        got = ranked.select("k", ntile_expr("rn", "n_total", n).alias("q"))
+        want = df.select(
+            "k", F.ntile(n).over(W.orderBy("v", "k")).alias("q_ref")
+        )
+        bad = got.join(want, "k").filter(F.col("q") != F.col("q_ref")).count()
+        assert bad == 0, n  # incl. n > rows (each row its own bucket)
+
+
+def test_no_unpartitioned_window_in_helper_plan(spark):
+    from db_migrator_spark.plans.inspect import unbounded_global_windows
+
+    df = _fixture(spark)
+    cuts = quantile_cuts(df, ["v"], n_bins=8)["v"]
+    out = with_global_rank(df, "v", ["k"], cuts=cuts, cum_cols=("amt",))
+    assert unbounded_global_windows(out) == []

@@ -1,0 +1,79 @@
+"""Full-surface partitionless-window audit (VERDICT r9 next-step #2).
+
+Walks EVERY declared query's optimized plan and fails on any Window with
+an empty partition spec whose input is not provably constant-bounded
+(``plans.inspect.unbounded_global_windows`` — Limit-bounded frames are
+already excused by the inspector). Data-sized inputs to a partitionless
+window funnel the whole relation through one task; this is the exact
+defect class of the round-9 weak findings (q_rfm_migration_matrix,
+q_abc_xyz_matrix) and the self-audit catch (q_budget_greedy_selection),
+all since reworked onto ``operators.distributed_rank``.
+
+The whitelist below names every site where the window input IS bounded —
+by a calendar/age/bin/dimension domain the optimizer cannot see — with
+the reason. Adding a query that trips the audit means either reworking
+it (distributed_rank) or adding a justified entry here.
+
+Streaming-module queries are excluded: invoking them replays stateful
+micro-batches (side effects, minutes of wall time) and returns
+materialized batch results whose plans carry no scan lineage to audit;
+their state discipline is pinned in the streaming tests.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# name -> why a partitionless window over this input cannot grow with data
+BOUNDED_DOMAIN_WHITELIST = {
+    "events_autocorrelation": "day grain: rows bounded by the calendar span",
+    "events_survival_hazard": "age-in-days grain: bounded by max lifetime",
+    "q_largest_remainder_allocation": "nation grain: 25 rows",
+    "events_naive_forecast_backtest": "day grain: calendar span",
+    "events_cumulative_users": "day grain: calendar span",
+    "events_seasonal_decompose": "day grain: calendar span",
+    "events_error_budget_burn": "day grain: calendar span",
+    "corpus_seq_len_histogram": "fixed histogram-bin grain",
+    "q_xmr_control_chart": "day grain: calendar span",
+}
+
+
+def _queries():
+    import __spark_entry__ as e
+
+    out = {}
+    for modname in e._MODULES:
+        if ".streaming." in modname:
+            continue
+        try:
+            mod = importlib.import_module(modname)
+        except ModuleNotFoundError:
+            continue
+        out.update(getattr(mod, "QUERIES", {}))
+    return out
+
+
+def test_no_query_has_unbounded_global_window(spark):
+    from db_migrator_spark.plans.inspect import unbounded_global_windows
+
+    offenders = {}
+    stale_whitelist = dict(BOUNDED_DOMAIN_WHITELIST)
+    for name, fn in _queries().items():
+        bad = unbounded_global_windows(fn(spark, SF))
+        if not bad:
+            continue
+        if name in stale_whitelist:
+            stale_whitelist.pop(name)
+            continue
+        offenders[name] = bad[0][:160]
+    assert not offenders, (
+        "data-sized partitionless window(s) — rework with "
+        f"operators.distributed_rank or whitelist with a reason: {offenders}"
+    )
+    # a whitelist entry whose window disappeared is stale — prune it so
+    # the justification list stays honest
+    assert not stale_whitelist, f"stale whitelist entries: {stale_whitelist}"
