@@ -445,13 +445,17 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     # Monday-aligned week index in pure integer arithmetic: epoch day 4
-    # (1970-01-05) is the first Monday, so (day - 4) div 7 numbers weeks
-    # identically to epoch(date_trunc('week')) div week — but without
-    # either engine's date_trunc in the loop (engine-version- and
-    # timezone-proof; VERDICT r8 next-step #2). Valid for any post-1970
-    # timestamp, which the fixture (and any training corpus) satisfies.
+    # (1970-01-05) is the first Monday. Written as (day + 3) div 7 - 1
+    # (== floor((day - 4) / 7) for day >= 0) so the dividend is
+    # non-negative for any post-1970 timestamp — where truncating div
+    # (Spark) and flooring // (DuckDB) agree. The r9 form (day - 4) div 7
+    # had a negative dividend on 1970-01-01..04 (day 0-3): Spark
+    # truncated to week 0 while the oracle floored to -1 (ADVICE r9);
+    # with the offset both engines put those days in week -1, the
+    # correct Monday week. Valid from 1970-01-01; pre-1970 data would
+    # need a sign branch on the day division itself.
     week = F.expr(
-        "(unix_micros(cast(ts as timestamp)) div 86400000000 - 4) div 7"
+        "(unix_micros(cast(ts as timestamp)) div 86400000000 + 3) div 7 - 1"
     )
     tagged = ev.select(
         "user_id",
@@ -881,10 +885,11 @@ ORACLES = {
         WITH tagged AS (
             SELECT user_id, event_type,
                    -- Monday-aligned integer week index (day 4 = first
-                   -- Monday); same value as epoch(date_trunc('week'))
-                   -- div week for post-1970 data, but engine-proof.
-                   CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 - 4)
-                        // 7 AS BIGINT) AS wk,
+                   -- Monday), offset so the dividend stays non-negative
+                   -- for post-1970 data: floor (//) == truncate (Spark
+                   -- div) there, engine-proof on 1970-01-01..04 too.
+                   CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3)
+                        // 7 - 1 AS BIGINT) AS wk,
                    CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
             FROM events),
         cohorts AS (

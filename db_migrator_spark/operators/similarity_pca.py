@@ -107,13 +107,24 @@ def _covariance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two-stage exact sum: the hot partial aggregate runs in LONG (a
     # measured 4x over summing DECIMAL(38,0) directly — 0.98s vs 5.2s at
     # sf0.1), the cross-partition merge promotes to DECIMAL. Overflow
-    # ledger for the long stage: one 128 MiB input split holds <= ~500k
-    # embedding rows, each contributing one qi*qj <= 4.4e12 per cell, so
-    # a per-partition partial is <= 2.2e18 < 2^63; Spark 4 runs ANSI, so
-    # an exotic embedding scale that broke |q| <= 2^21 would error
-    # loudly, never wrap. The merge input is n_partitions x 4096 rows.
+    # ledger for the long stage: the grouping salt is a within-partition
+    # <= 2^20-CELL block id (monotonically_increasing_id = pid << 33 |
+    # cell-row-number, evaluated on the EXPLODED relation, div 2^20 —
+    # globally distinct, consecutive within a partition, computed in the
+    # same codegen stage, nothing carried through the explode). A partial
+    # therefore sums <= 2^20 products of |qi*qj| <= 4.4e12 -> <= 4.7e18
+    # < 2^63 REGARDLESS of parquet layout — the r9 form keyed by
+    # spark_partition_id alone assumed 128 MiB splits (~500k rows/task)
+    # and a coalesced or single-row-group file broke the invariant
+    # (ADVICE r9). Spark 4 runs ANSI, so an exotic embedding scale that
+    # broke |q| <= 2^21 would still error loudly, never wrap. The merge
+    # input stays ~(cells/2^20) x 4096 rows.
     prods = (
-        cells.groupBy(F.spark_partition_id().alias("pid"), "i", "j")
+        cells.groupBy(
+            F.expr("monotonically_increasing_id() div 1048576").alias("blk"),
+            "i",
+            "j",
+        )
         .agg(
             F.sum(F.col("qi") * F.col("qj")).alias("p"),
             F.count(F.lit(1)).alias("c"),
