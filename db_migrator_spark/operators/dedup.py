@@ -63,6 +63,37 @@ def _cap_buckets(buckets: DataFrame, keys: list[str], max_size: int = MAX_BAND_B
     return buckets.join(F.broadcast(hot), keys, "left_anti")
 
 
+def _bucket_pairs(capped: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Ordered distinct (d1 < d2) id pairs within each capped bucket, via
+    the row-local C(k,2) explode (r9e idiom, re-landed round 10 for the
+    capped-bucket subset only): one groupBy on the bucket keys collects
+    the sorted member list (<= ``MAX_BAND_BUCKET`` = 64 by the cap), then
+    the pair explode runs inside codegen — vs the self-join that shuffled
+    the banded keys twice and sort-merged. The sorted list makes
+    strictly-later slicing identical to the join's ``a.id < b.id`` pair
+    set. NOT used for the shingle inverted index (millions of 1-2-doc
+    posting lists), where the same rewrite measured 2.4x WORSE — see
+    BENCH_NOTES round-9e for the win condition. DuckDB oracles keep the
+    self-join formulation (the contract is on values; the hash self-join
+    is DuckDB's fast plan)."""
+    members = capped.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(id_col)).alias("ms")
+    )
+    return (
+        members.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x AS d1, y AS d2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.d1", "p.d2")
+        .distinct()
+    )
+
+
 # Bumped whenever the shingle definition or capping semantics change, so
 # a cached index built by older code is never served for the same data.
 _SHINGLE_INDEX_VERSION = "v1"
@@ -316,6 +347,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
     )
     buckets = _cap_buckets(buckets, ["band", "bhash"])
+    # Stays a self-join (NOT _bucket_pairs): this cap is the anti-join
+    # guard, so the banded keys are not already shuffled on the bucket
+    # key — the explode's groupBy would ADD an exchange (A/B r10: +12%),
+    # unlike the portables whose row_number cap pre-shuffles.
     l, rgt = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(
@@ -397,6 +432,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "b.band", "b.bits"
     )
     buckets = _cap_buckets(buckets, ["band", "bits"])
+    # Self-join, not _bucket_pairs — same anti-join-cap rationale as
+    # dedup_minhash_lsh above (A/B r10: explode measured +4%).
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(
@@ -915,20 +952,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PORTABLE_BUCKET_CAP)
         .drop("rn")
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .distinct()
-    )
+    cand = _bucket_pairs(capped, ["band", "key"], "doc_id")
     sizes = shingles.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )

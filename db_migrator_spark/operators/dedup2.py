@@ -121,8 +121,6 @@ def dedup_simhash_portable(
         .filter(F.col("rn") <= SIMHASH2_BUCKET_CAP)
         .drop("rn")
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
     hamming = sum(
         (
             F.substring(F.col("f1"), j + 1, 1)
@@ -130,20 +128,33 @@ def dedup_simhash_portable(
         ).cast("int")
         for j in range(64)
     )
+    # Row-local C(k,2) pair explode over the CAPPED buckets (<= 64
+    # members by construction — the r9e idiom's win condition, re-landed
+    # round 10): the cap's row_number window already shuffled on
+    # (band, key), so the groupBy reuses that partitioning and the pair
+    # generation runs inside codegen — replacing a (band, key) self-join
+    # that shuffled the banded fingerprints twice. sort_array on
+    # struct(doc_id, fp) orders by doc_id (unique within a bucket), so
+    # slicing strictly-later members reproduces the join's
+    # a.doc_id < b.doc_id pair set exactly. A/B at sf0.1 warm min-of-3:
+    # 10.05 -> see BENCH_NOTES round-10b. The DuckDB oracle keeps its
+    # self-join formulation (the contract is on VALUES; the hash
+    # self-join is DuckDB's fast plan).
+    buckets = capped.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("ms")
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), "
+                "y -> struct(x.doc_id AS d1, y.doc_id AS d2, "
+                "x.fp AS f1, y.fp AS f2))))"
+            )
+        ).alias("p")
+    ).select("p.d1", "p.d2", "p.f1", "p.f2")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.fp").alias("f1"),
-            F.col("b.fp").alias("f2"),
-        )
-        .distinct()
+        pairs.distinct()
         .withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= SIMHASH2_HAM_MAX)
         .select("d1", "d2", "hamming")

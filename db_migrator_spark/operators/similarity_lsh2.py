@@ -128,18 +128,27 @@ def similarity_lsh_portable(
         .filter(F.col("rn") <= LSH2_BUCKET_CAP)
         .drop("rn")
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
+    # Row-local C(k,2) pair explode over the CAPPED buckets (<= 64
+    # members — the r9e idiom's win condition, re-landed round 10): the
+    # cap's window already shuffled on (band, key), the groupBy reuses
+    # that partitioning, and the pair explode runs in codegen instead of
+    # re-shuffling the banded keys for a self-join. sort_array orders
+    # vec_ids (unique within a bucket), so strictly-later slicing equals
+    # the join's a.vec_id < b.vec_id. Oracle unchanged (values contract).
+    buckets = capped.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list("vec_id")).alias("ms")
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x AS v1, y AS v2))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2")
-        )
+        .select("p.v1", "p.v2")
         .distinct()
     )
     norms = comps.groupBy("vec_id").agg(
