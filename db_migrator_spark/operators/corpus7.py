@@ -191,26 +191,31 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     into score terciles; per (lang, bucket) the doc count and token
     volume — the report deciding which tercile feeds training.
 
-    NTILE over a lang-keyed window (both engines share SQL ntile's
-    floor-distribution semantics); the score double is engine-exact
-    (one division of exact integer sums), so the ranking is too.
+    NTILE semantics via the keyed distributed exact-rank pattern
+    (round 10: language partitions are docs/|langs| — linear, so the
+    lang-keyed ntile window was a |langs|-way parallelism ceiling);
+    the closed-form integer NTILE reproduces SQL ntile's floor-
+    distribution exactly, and the score double is engine-exact (one
+    division of exact integer sums), so the ranking is too.
 
     Scale shape: rides the unigram-score plan (term-keyed shuffle
-    join), one lang-keyed window, one 3|langs|-row aggregate.
+    join), one (lang, score-bin)-keyed rank pass, one 3|langs|-row
+    aggregate.
     """
-    from pyspark.sql.window import Window as W
-
     from .corpus import text_unigram_score
+    from .distributed_rank import ntile_expr, quantile_cuts, with_global_rank
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     scored = text_unigram_score(spark, sf_dir).join(docs, "doc_id")
-    w = W.partitionBy("lang").orderBy(
-        F.desc("avg_token_freq"), F.col("doc_id")
+    cuts = quantile_cuts(scored, ["avg_token_freq"])["avg_token_freq"]
+    ranked = with_global_rank(
+        scored, "avg_token_freq", ["doc_id"], cuts=cuts, descending=True,
+        partition_by=["lang"], rank_col="__rk", total_col="__nt",
     )
-    binned = scored.select(
+    binned = ranked.select(
         "lang",
         "n_tok",
-        F.ntile(3).over(w).alias("bucket"),
+        ntile_expr("__rk", "__nt", 3).alias("bucket"),
     )
     return (
         binned.groupBy("lang", "bucket")

@@ -78,6 +78,10 @@ def with_global_rank(
     ``cuts`` subdivide every group (bin-size skew across groups only
     affects balance, never correctness).
 
+    Each ``cum_cols`` entry also yields ``tot_<name>`` — the exact
+    DECIMAL(38,0) group total (the fold computes it for free), saving
+    callers a second aggregation pass for share-of-total arithmetic.
+
     ``tiebreaks`` must make the ordering total (unique) within a
     partition, or ranks and running sums are nondeterministic. ``cuts``
     comes from :func:`quantile_cuts` on the same relation.
@@ -120,6 +124,11 @@ def with_global_rank(
     for kv, rows in by_key.items():
         rows.sort(key=lambda r: r[_PID], reverse=descending)
         total = sum(r["__dr_cnt"] for r in rows)
+        tot_s = {
+            c: sum((r[f"__dr_sum_{c}"] or decimal.Decimal(0) for r in rows),
+                   decimal.Decimal(0))
+            for c in cum_cols
+        }
         run_n = 0
         run_s = {c: decimal.Decimal(0) for c in cum_cols}
         for r in rows:
@@ -130,6 +139,7 @@ def with_global_rank(
                     run_n,
                     total,
                     *[run_s[c] for c in cum_cols],
+                    *[tot_s[c] for c in cum_cols],
                 )
             )
             run_n += r["__dr_cnt"]
@@ -147,6 +157,10 @@ def with_global_rank(
             T.StructField(total_col, T.LongType(), False),
             *[
                 T.StructField(f"__dr_soff_{c}", T.DecimalType(38, 0), False)
+                for c in cum_cols
+            ],
+            *[
+                T.StructField(f"tot_{c}", T.DecimalType(38, 0), False)
                 for c in cum_cols
             ],
         ]

@@ -327,9 +327,14 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking (the contract the midrank-AUC op avoids needing; AP has no
     closed tie-aware form, so the pinned ranking IS the semantics).
 
-    Plan: one scan to (lang, doc, score, label), a lang-keyed
-    rank+running-sum window pair on one exchange, a langs-sized fold.
+    Plan: one scan to (lang, doc, score, label), then the keyed
+    distributed exact-rank pass for rank k + the running positive count
+    (round 10: language partitions are docs/|langs| — linear, so the
+    lang-keyed window pair was a |langs|-way parallelism ceiling), a
+    langs-sized fold.
     """
+    from .distributed_rank import quantile_cuts, with_global_rank
+
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "lang",
@@ -339,15 +344,12 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("label"),
     )
-    w = W.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
-    ranked = base.select(
-        "lang",
-        "label",
-        F.row_number().over(w).alias("k"),
-        F.sum("label")
-        .over(w.rowsBetween(W.unboundedPreceding, 0))
-        .alias("cum_pos"),
-    )
+    cuts = quantile_cuts(base, ["score"])["score"]
+    ranked = with_global_rank(
+        base, "score", ["doc_id"], cuts=cuts, descending=True,
+        partition_by=["lang"], rank_col="k", total_col="__n",
+        cum_cols=("label",),
+    ).withColumn("cum_pos", F.col("cum_label").cast("bigint"))
     return (
         ranked.groupBy("lang")
         .agg(

@@ -122,7 +122,13 @@ def eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def eval_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Spearman rho (exact ppm, deterministic-tiebreak
-    ranks) between n_chars and word count (module doc)."""
+    ranks) between n_chars and word count (module doc). Both ranks come
+    from the keyed distributed exact-rank pattern (round 10: language
+    partitions are docs/|langs| — linear, so the lang-keyed rank
+    windows were a |langs|-way parallelism ceiling); one quantile
+    action covers both orderings."""
+    from .distributed_rank import quantile_cuts, with_global_rank
+
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "lang",
@@ -130,14 +136,17 @@ def eval_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("x"),
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("y"),
     )
-    rx = F.row_number().over(
-        W.partitionBy("lang").orderBy("x", "doc_id")
+    cuts = quantile_cuts(base, ["x", "y"])
+    two_ranked = with_global_rank(
+        with_global_rank(
+            base, "x", ["doc_id"], cuts=cuts["x"],
+            partition_by=["lang"], rank_col="__rx", total_col="__nx",
+        ),
+        "y", ["doc_id"], cuts=cuts["y"],
+        partition_by=["lang"], rank_col="__ry", total_col="__ny",
     )
-    ry = F.row_number().over(
-        W.partitionBy("lang").orderBy("y", "doc_id")
-    )
-    ranked = base.select(
-        "lang", (rx - ry).cast("bigint").alias("d")
+    ranked = two_ranked.select(
+        "lang", (F.col("__rx") - F.col("__ry")).cast("bigint").alias("d")
     )
     return (
         ranked.groupBy("lang")

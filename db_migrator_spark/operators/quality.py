@@ -357,24 +357,23 @@ PCTL_QS = (25, 50, 75)
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p75 of o_totalprice per order priority.
 
-    One shuffle keyed by the group + an ordered row_number window; the
-    quantile picks are row-local rank comparisons. Groups are the
-    parallelism unit — at 100 TB each priority's sort is a keyed
-    shuffle, and a single giant group falls back to the exact-median
-    bin-selection recursion (q_exact_median above); the window form is
-    the right default while groups fit a task's sort buffer.
+    Scale shape (round 10): the 5 priority groups each hold orders/5
+    rows — a priority-keyed window is a 5-way parallelism ceiling with
+    linearly-growing single-task sorts — so ranks come from the keyed
+    distributed exact-rank pattern (``distributed_rank``,
+    ``partition_by=priority``): every (priority, value-bin) ranks
+    independently and exact per-bin offsets restore the global
+    per-group rank; the quantile picks stay row-local rank comparisons.
     """
-    from pyspark.sql.window import Window as W
+    from .distributed_rank import quantile_cuts, with_global_rank
 
-    orders = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1))
-        .over(W.partitionBy("o_orderpriority"))
-        .alias("n"),
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    cuts = quantile_cuts(orders, ["o_totalprice"])["o_totalprice"]
+    ranked = with_global_rank(
+        orders, "o_totalprice", ["o_orderkey"], cuts=cuts,
+        partition_by=["o_orderpriority"], rank_col="rk", total_col="n",
     )
     picks = [
         # ceil(q*n/100) in pure integers: (n*q + 99) div 100 — no float
@@ -410,14 +409,15 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact revenue micros, cumulative share in ppm, class A/B/C at the
     80/95% cut — the inventory-management Pareto report.
 
-    Revenue accumulates as bigint micros (floor(price * 1e6)): the
-    cumulative window sum is integer arithmetic, so no float summation
-    order exists to drift. Windows partition by nation — the keyed
-    shuffle is the parallelism unit; a single-nation corpus would use
-    the two-phase (partial sums + offsets) cumsum instead, the
-    ``corpus.sequence packing`` idiom.
+    Revenue accumulates as integer micros (floor(price * 1e6)) promoted
+    through DECIMAL(38,0), so no float summation order exists to drift.
+    Scale shape (round 10): nation partitions grow linearly (customers/
+    25), so rank + cumulative + total all come from ONE keyed
+    distributed exact-rank pass (``distributed_rank`` with ``cum_cols``
+    + the free ``tot_`` group total) — every (nation, revenue-bin) is
+    the parallel unit; no per-nation single-task sort.
     """
-    from pyspark.sql.window import Window as W
+    from .distributed_rank import quantile_cuts, with_global_rank
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
@@ -433,31 +433,16 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_nationkey", "o_custkey", "rev_micros")
     )
-    wcum = (
-        W.partitionBy("c_nationkey")
-        .orderBy(F.desc("rev_micros"), "o_custkey")
-        .rowsBetween(W.unboundedPreceding, 0)
+    cuts = quantile_cuts(rev, ["rev_micros"])["rev_micros"]
+    ranked = with_global_rank(
+        rev, "rev_micros", ["o_custkey"], cuts=cuts, descending=True,
+        partition_by=["c_nationkey"], rank_col="rk", total_col="__n",
+        cum_cols=("rev_micros",),
     )
-    wtot = W.partitionBy("c_nationkey")
-    ranked = rev.select(
-        "c_nationkey",
-        "o_custkey",
-        "rev_micros",
-        F.sum("rev_micros").over(wcum).alias("cum_micros"),
-        F.sum("rev_micros").over(wtot).alias("tot_micros"),
-        F.row_number()
-        .over(
-            W.partitionBy("c_nationkey").orderBy(
-                F.desc("rev_micros"), "o_custkey"
-            )
-        )
-        .alias("rk"),
-    )
-    # cum_micros * 1e6 passes 2^63 at fixture scale already — the
-    # decimal(38,0) `div` contract (relational.py) carries it exactly.
+    # cum/tot are DECIMAL(38,0) already (cum * 1e6 passes 2^63 at
+    # fixture scale; the decimal `div` contract carries it exactly).
     share = F.expr(
-        "CAST(CAST(cum_micros AS DECIMAL(38,0)) * 1000000 div tot_micros"
-        " AS BIGINT)"
+        "CAST(cum_rev_micros * 1000000 div tot_rev_micros AS BIGINT)"
     )
     return ranked.select(
         "c_nationkey",
@@ -687,10 +672,11 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decimal-contract `div`.
 
     The revenue-concentration audit (how top-heavy is each market).
-    One revenue groupBy, one nation-keyed rank window, one matrix-sized
-    aggregate.
+    One revenue groupBy, one keyed distributed exact-rank pass (nation
+    partitions are customers/25 — linear, so no per-nation single-task
+    sort; round 10), one matrix-sized aggregate.
     """
-    from pyspark.sql.window import Window as W
+    from .distributed_rank import quantile_cuts, with_global_rank
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
@@ -704,10 +690,11 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
-    w = W.partitionBy("c_nationkey").orderBy("y", "o_custkey")
-    ranked = rev.select(
-        "c_nationkey", "y", F.row_number().over(w).alias("i")
-    )
+    cuts = quantile_cuts(rev, ["y"])["y"]
+    ranked = with_global_rank(
+        rev, "y", ["o_custkey"], cuts=cuts,
+        partition_by=["c_nationkey"], rank_col="i", total_col="__n",
+    ).select("c_nationkey", "y", "i")
     return (
         ranked.groupBy("c_nationkey")
         .agg(
@@ -737,10 +724,14 @@ def q_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection-quantile machinery as q_exact_percentiles (the quantile
     is always an observed lead time; integer rank arithmetic only).
 
-    One orderkey join (the fact-fact shuffle), one priority-keyed rank
-    window, conditional-max picks.
+    One orderkey join (the fact-fact shuffle), then the keyed
+    distributed exact-rank pass: the 5 priority groups are
+    lineitem-grain (linear — the largest keyed-window input in the
+    repo), so each (priority, lead-day-bin) ranks independently with
+    exact offsets; no 5-way single-task sort (round 10). The quantile
+    picks stay conditional-max rank comparisons.
     """
-    from pyspark.sql.window import Window as W
+    from .distributed_rank import quantile_cuts, with_global_rank
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
@@ -757,16 +748,11 @@ def q_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_suppkey",
     )
-    w = W.partitionBy("o_orderpriority").orderBy(
-        "lead_days", "l_orderkey", "l_partkey", "l_suppkey"
-    )
-    ranked = lead.select(
-        "o_orderpriority",
-        "lead_days",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1))
-        .over(W.partitionBy("o_orderpriority"))
-        .alias("n"),
+    cuts = quantile_cuts(lead, ["lead_days"])["lead_days"]
+    ranked = with_global_rank(
+        lead, "lead_days", ["l_orderkey", "l_partkey", "l_suppkey"],
+        cuts=cuts, partition_by=["o_orderpriority"],
+        rank_col="rk", total_col="n",
     )
     picks = [
         F.max(
