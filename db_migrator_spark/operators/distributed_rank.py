@@ -38,6 +38,11 @@ from pyspark.sql.window import Window as W
 
 _PID = "__dr_pid"
 
+# Upper bound on (key, bin) groups the driver-side offset fold accepts —
+# far above any dimension-bounded partition_by x 33 bins, far below a
+# data-sized one. Exceeding it is a contract violation, failed loudly.
+_FOLD_GROUP_BOUND = 200_000
+
 
 def quantile_cuts(
     df: DataFrame, cols: Sequence[str], n_bins: int = 32
@@ -46,7 +51,11 @@ def quantile_cuts(
 
     Returns ``{col: sorted-unique interior cut points}`` (at most
     ``n_bins - 1`` per column; fewer when the distribution is lumpy).
+    ``n_bins < 2`` means a single bin: no cut points, no quantile action
+    — correct but degenerate (equivalent to the plain keyed window).
     """
+    if n_bins < 2:
+        return {c: [] for c in cols}
     probs = [i / n_bins for i in range(1, n_bins)]
     res = df.approxQuantile(list(cols), probs, 0.001)
     return {c: sorted(set(v)) for c, v in zip(cols, res)}
@@ -113,6 +122,18 @@ def with_global_rank(
             F.sum(F.col(c).cast("decimal(38,0)")).alias(f"__dr_sum_{c}")
         )
     count_rows = parts.groupBy(*keys, _PID).agg(*aggs).collect()
+    # The fold is bounded by contract: (len(cuts)+1) bins x a
+    # DIMENSION-bounded key domain. A data-sized partition_by (user_id,
+    # doc_id...) would make this collect data-sized — fail loudly with
+    # the fix named instead of grinding the driver into OOM.
+    if len(count_rows) > _FOLD_GROUP_BOUND:
+        raise ValueError(
+            f"with_global_rank: {len(count_rows)} (key, bin) groups — "
+            "partition_by must be a dimension-bounded key (nations, "
+            "priorities, langs), never a data-sized one; for per-entity "
+            "ranks use an ordinary keyed window, which is already "
+            "parallel at that grain"
+        )
 
     # Exact driver-side prefix fold per key group, ordered by bin id
     # ("earlier" = smaller bin ascending, larger descending — bins count

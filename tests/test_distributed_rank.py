@@ -95,3 +95,62 @@ def test_no_unpartitioned_window_in_helper_plan(spark):
     cuts = quantile_cuts(df, ["v"], n_bins=8)["v"]
     out = with_global_rank(df, "v", ["k"], cuts=cuts, cum_cols=("amt",))
     assert unbounded_global_windows(out) == []
+
+
+def test_property_rank_matches_window_on_random_data(spark):
+    """Hypothesis sweep: arbitrary tie-heavy integer data, random bin
+    counts, both directions, keyed and global — the helper's rank must
+    equal row_number() over the equivalent window every time."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+        ),
+        n_bins=st.integers(min_value=1, max_value=9),
+        desc=st.booleans(),
+        keyed=st.booleans(),
+    )
+    def run(vals, n_bins, desc, keyed):
+        df = spark.createDataFrame(
+            [(i, v, i % 3) for i, v in enumerate(vals)], "k long, v long, g long"
+        )
+        cuts = quantile_cuts(df, ["v"], n_bins=n_bins)["v"]
+        keys = ["g"] if keyed else []
+        got = with_global_rank(
+            df, "v", ["k"], cuts=cuts, descending=desc, partition_by=keys
+        )
+        order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
+        w = (W.partitionBy(*keys) if keys else W).orderBy(*order)
+        want = df.select("k", F.row_number().over(w).alias("rn_ref"))
+        assert (
+            got.join(want, "k").filter(F.col("rn") != F.col("rn_ref")).count()
+            == 0
+        )
+
+    run()
+
+
+def test_data_sized_partition_by_fails_loudly(spark):
+    """A data-sized partition_by must raise the contract error, not
+    OOM the driver fold."""
+    import pytest as _pytest
+
+    from db_migrator_spark.operators import distributed_rank as dr
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"), F.col("id").alias("ent")
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(dr, "_FOLD_GROUP_BOUND", 1000):
+        with _pytest.raises(ValueError, match="dimension-bounded"):
+            dr.with_global_rank(
+                df, "v", ["k"], cuts=[1.0, 3.0], partition_by=["ent"]
+            )
