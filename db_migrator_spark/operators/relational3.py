@@ -362,7 +362,15 @@ def q_json_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining rank-family windows in one pass: percent_rank,
-    cume_dist, nth_value, first/last_value over a running frame."""
+    cume_dist, nth_value, first/last_value over a running frame.
+
+    Scale note: this op's PURPOSE is the native window-function operator
+    surface itself, so it keeps the priority-keyed window (5 partitions
+    of orders/5 — a parallelism ceiling at extreme scale). Analytical
+    queries needing these ranks at 100 TB use the keyed
+    ``operators.distributed_rank`` pattern instead (percent_rank and
+    cume_dist are (rank, total) arithmetic; see SCALING.md round 10).
+    """
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     running = w.rowsBetween(W.unboundedPreceding, 0)
