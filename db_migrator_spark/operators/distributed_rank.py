@@ -72,6 +72,7 @@ def with_global_rank(
     total_col: str = "n_total",
     cum_cols: Sequence[str] = (),
     partition_by: Sequence[str] = (),
+    fold: str = "plan",
 ) -> DataFrame:
     """Append the exact 1-based row number ``rank_col`` over
     ``(value_col [DESC], *tiebreaks ASC)`` plus the ranked relation's
@@ -95,21 +96,34 @@ def with_global_rank(
     partition, or ranks and running sums are nondeterministic. ``cuts``
     comes from :func:`quantile_cuts` on the same relation.
 
-    The per-bin offsets are folded on the DRIVER (one bounded collect of
-    at most ``(len(cuts) + 1) x |key domain|`` count rows — the same
-    bounded-driver-read class as centroids and histogram bins; exact
-    integer/Decimal arithmetic) rather than as a second Spark consumer of
-    ``df``: a two-consumer formulation re-derives the full input lineage
-    per call, which goes 2^k when k ranks nest (the round-8c iterate
-    lesson — 54 base scans in the three-rank RFM plan before this fold).
-    With the fold, the input lineage appears exactly ONCE in the final
-    plan per rank; the collect costs one extra parallel pass over ``df``.
-    ``partition_by`` must therefore be dimension-bounded (nations, bins —
-    never a data-sized key), which is also the only regime where a keyed
-    CLOSED-FORM tile is the right tool.
+    Two offset-fold modes, chosen by ``fold``:
+
+    - ``"plan"`` (default — use for a SINGLE rank over an input): the
+      per-bin offsets are computed in-plan via a broadcast cross-join /
+      keyed join over the tiny bin-count aggregate — ONE job, no extra
+      action. The input feeds two plan consumers (rank window + counts),
+      so its lineage appears twice — fine once, but it compounds 2^k
+      when ranks NEST (the round-8c iterate lesson: 54 base scans in the
+      three-rank RFM plan).
+    - ``"driver"`` (use when NESTING ranks): the offsets are folded on
+      the driver from one bounded collect of at most
+      ``(len(cuts) + 1) x |key domain|`` count rows (the same
+      bounded-driver-read class as centroids and histogram bins; exact
+      integer/Decimal arithmetic) and rejoined as a literal broadcast
+      relation, so the input lineage appears exactly ONCE per rank in
+      the final plan. Costs one extra parallel pass over ``df`` per
+      call — which is why it is not the default (A/B r10:
+      q_ntile_buckets 0.9 -> 2.1s warm under the driver fold).
+
+    In both modes ``partition_by`` must be dimension-bounded (nations,
+    priorities, langs — never a data-sized key), which is also the only
+    regime where a keyed CLOSED-FORM tile is the right tool; the driver
+    mode enforces it loudly (``_FOLD_GROUP_BOUND``).
     """
     import decimal
 
+    if fold not in ("plan", "driver"):
+        raise ValueError(f"fold must be 'plan' or 'driver', got {fold!r}")
     keys = list(partition_by)
     bin_expr = F.lit(0)
     for b in cuts:
@@ -121,72 +135,121 @@ def with_global_rank(
         aggs.append(
             F.sum(F.col(c).cast("decimal(38,0)")).alias(f"__dr_sum_{c}")
         )
-    count_rows = parts.groupBy(*keys, _PID).agg(*aggs).collect()
-    # The fold is bounded by contract: (len(cuts)+1) bins x a
-    # DIMENSION-bounded key domain. A data-sized partition_by (user_id,
-    # doc_id...) would make this collect data-sized — fail loudly with
-    # the fix named instead of grinding the driver into OOM.
-    if len(count_rows) > _FOLD_GROUP_BOUND:
-        raise ValueError(
-            f"with_global_rank: {len(count_rows)} (key, bin) groups — "
-            "partition_by must be a dimension-bounded key (nations, "
-            "priorities, langs), never a data-sized one; for per-entity "
-            "ranks use an ordinary keyed window, which is already "
-            "parallel at that grain"
+    counts = parts.groupBy(*keys, _PID).agg(*aggs)
+
+    if fold == "plan":
+        c2 = counts.select(
+            *keys,
+            F.col(_PID).alias("__dr_pid2"),
+            F.col("__dr_cnt").alias("__dr_cnt2"),
+            *[
+                F.col(f"__dr_sum_{c}").alias(f"__dr_sum2_{c}")
+                for c in cum_cols
+            ],
         )
-
-    # Exact driver-side prefix fold per key group, ordered by bin id
-    # ("earlier" = smaller bin ascending, larger descending — bins count
-    # strictly-greater cuts, so high values sit in high bin ids).
-    by_key: dict[tuple, list] = {}
-    for r in count_rows:
-        by_key.setdefault(tuple(r[k] for k in keys), []).append(r)
-    off_rows = []
-    for kv, rows in by_key.items():
-        rows.sort(key=lambda r: r[_PID], reverse=descending)
-        total = sum(r["__dr_cnt"] for r in rows)
-        tot_s = {
-            c: sum((r[f"__dr_sum_{c}"] or decimal.Decimal(0) for r in rows),
-                   decimal.Decimal(0))
-            for c in cum_cols
-        }
-        run_n = 0
-        run_s = {c: decimal.Decimal(0) for c in cum_cols}
-        for r in rows:
-            off_rows.append(
-                (
-                    *kv,
-                    r[_PID],
-                    run_n,
-                    total,
-                    *[run_s[c] for c in cum_cols],
-                    *[tot_s[c] for c in cum_cols],
-                )
-            )
-            run_n += r["__dr_cnt"]
-            for c in cum_cols:
-                run_s[c] += r[f"__dr_sum_{c}"] or 0
-
-    from pyspark.sql import types as T
-
-    key_fields = [df.schema[k] for k in keys]
-    schema = T.StructType(
-        [
-            *key_fields,
-            T.StructField(_PID, T.IntegerType(), False),
-            T.StructField("__dr_off", T.LongType(), False),
-            T.StructField(total_col, T.LongType(), False),
-            *[
-                T.StructField(f"__dr_soff_{c}", T.DecimalType(38, 0), False)
-                for c in cum_cols
-            ],
-            *[
-                T.StructField(f"tot_{c}", T.DecimalType(38, 0), False)
-                for c in cum_cols
-            ],
+        # "Earlier in the order" = smaller bin id ascending, larger
+        # descending (bins count strictly-greater cuts, so high values
+        # sit in high bin ids).
+        earlier = (
+            F.col("__dr_pid2") > F.col(_PID)
+            if descending
+            else F.col("__dr_pid2") < F.col(_PID)
+        )
+        offset_aggs = [
+            F.coalesce(F.sum(F.when(earlier, F.col("__dr_cnt2"))), F.lit(0))
+            .cast("long")
+            .alias("__dr_off"),
+            F.sum("__dr_cnt2").cast("long").alias(total_col),
         ]
-    )
-    offsets = df.sparkSession.createDataFrame(off_rows, schema)
+        for c in cum_cols:
+            offset_aggs.append(
+                F.coalesce(
+                    F.sum(F.when(earlier, F.col(f"__dr_sum2_{c}"))),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+                .cast("decimal(38,0)")
+                .alias(f"__dr_soff_{c}")
+            )
+            offset_aggs.append(
+                F.sum(F.col(f"__dr_sum2_{c}"))
+                .cast("decimal(38,0)")
+                .alias(f"tot_{c}")
+            )
+        paired = (
+            counts.join(F.broadcast(c2), keys)
+            if keys
+            else counts.crossJoin(F.broadcast(c2))
+        )
+        offsets = paired.groupBy(*keys, _PID).agg(*offset_aggs)
+    else:
+        count_rows = counts.collect()
+        # The fold is bounded by contract: (len(cuts)+1) bins x a
+        # DIMENSION-bounded key domain. A data-sized partition_by
+        # (user_id, doc_id...) would make this collect data-sized — fail
+        # loudly with the fix named instead of grinding the driver OOM.
+        if len(count_rows) > _FOLD_GROUP_BOUND:
+            raise ValueError(
+                f"with_global_rank: {len(count_rows)} (key, bin) groups — "
+                "partition_by must be a dimension-bounded key (nations, "
+                "priorities, langs), never a data-sized one; for "
+                "per-entity ranks use an ordinary keyed window, which is "
+                "already parallel at that grain"
+            )
+
+        # Exact driver-side prefix fold per key group, ordered by bin id
+        # ("earlier" = smaller bin ascending, larger descending — bins
+        # count strictly-greater cuts: high values sit in high bin ids).
+        by_key: dict[tuple, list] = {}
+        for r in count_rows:
+            by_key.setdefault(tuple(r[k] for k in keys), []).append(r)
+        off_rows = []
+        for kv, rows in by_key.items():
+            rows.sort(key=lambda r: r[_PID], reverse=descending)
+            total = sum(r["__dr_cnt"] for r in rows)
+            tot_s = {
+                c: sum(
+                    (r[f"__dr_sum_{c}"] or decimal.Decimal(0) for r in rows),
+                    decimal.Decimal(0),
+                )
+                for c in cum_cols
+            }
+            run_n = 0
+            run_s = {c: decimal.Decimal(0) for c in cum_cols}
+            for r in rows:
+                off_rows.append(
+                    (
+                        *kv,
+                        r[_PID],
+                        run_n,
+                        total,
+                        *[run_s[c] for c in cum_cols],
+                        *[tot_s[c] for c in cum_cols],
+                    )
+                )
+                run_n += r["__dr_cnt"]
+                for c in cum_cols:
+                    run_s[c] += r[f"__dr_sum_{c}"] or 0
+
+        from pyspark.sql import types as T
+
+        key_fields = [df.schema[k] for k in keys]
+        schema = T.StructType(
+            [
+                *key_fields,
+                T.StructField(_PID, T.IntegerType(), False),
+                T.StructField("__dr_off", T.LongType(), False),
+                T.StructField(total_col, T.LongType(), False),
+                *[
+                    T.StructField(f"__dr_soff_{c}", T.DecimalType(38, 0), False)
+                    for c in cum_cols
+                ],
+                *[
+                    T.StructField(f"tot_{c}", T.DecimalType(38, 0), False)
+                    for c in cum_cols
+                ],
+            ]
+        )
+        offsets = df.sparkSession.createDataFrame(off_rows, schema)
 
     order = [F.desc(value_col) if descending else F.asc(value_col)]
     order += [F.asc(t) for t in tiebreaks]

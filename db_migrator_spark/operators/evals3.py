@@ -139,10 +139,10 @@ def eval_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = quantile_cuts(base, ["x", "y"])
     two_ranked = with_global_rank(
         with_global_rank(
-            base, "x", ["doc_id"], cuts=cuts["x"],
+            base, "x", ["doc_id"], cuts=cuts["x"], fold="driver",
             partition_by=["lang"], rank_col="__rx", total_col="__nx",
         ),
-        "y", ["doc_id"], cuts=cuts["y"],
+        "y", ["doc_id"], cuts=cuts["y"], fold="driver",  # nested ranks
         partition_by=["lang"], rank_col="__ry", total_col="__ny",
     )
     ranked = two_ranked.select(

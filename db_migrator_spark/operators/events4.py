@@ -775,11 +775,11 @@ def q_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = quantile_cuts(per_cust, ["r1", "r2"])
     ranked = with_global_rank(
         per_cust, "r1", ["o_custkey"], cuts=cuts["r1"],
-        rank_col="__rn_pre", total_col="__n_pre",
+        rank_col="__rn_pre", total_col="__n_pre", fold="driver",
     )
     ranked = with_global_rank(
         ranked, "r2", ["o_custkey"], cuts=cuts["r2"],
-        rank_col="__rn_post", total_col="__n_post",
+        rank_col="__rn_post", total_col="__n_post", fold="driver",
     )
     scored = ranked.select(
         "o_custkey",

@@ -645,7 +645,7 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked = with_global_rank(
             ranked, col, ["o_custkey"], cuts=cuts[col], descending=desc,
             rank_col=f"__rn_{tag}", total_col=f"__n_{tag}",
-            partition_by=["c_nationkey"],
+            partition_by=["c_nationkey"], fold="driver",  # 3 nested ranks
         )
     scored = ranked.select(
         "c_nationkey",

@@ -281,45 +281,23 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling pass — measured 3.8s -> 1.5s warm at sf0.1. Equal prices land
     in one bin (strict ``>`` against each cut), so the orderkey tie-break
     stays within a bin and global rank is exact.
+
+    Round 10: this op's hand-rolled pattern became
+    ``operators.distributed_rank`` (driver-folded offsets, closed-form
+    integer NTILE, keyed variant) — the implementation now delegates to
+    the shared helper so the repo carries the pattern exactly once; the
+    plan shape this docstring describes is unchanged (asserted by
+    test_ntile_rewrite_is_distributed).
     """
+    from .distributed_rank import ntile_expr, quantile_cuts, with_global_rank
+
     orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    cuts = sorted(
-        set(orders.approxQuantile("o_totalprice", [i / 32 for i in range(1, 32)], 0.001))
-    )
-    bin_id = sum((F.col("o_totalprice") > F.lit(b)).cast("int") for b in cuts)
-    parts = orders.withColumn("pid", bin_id)
-    # Cumulative bin offsets over the ≤33-row count frame: a broadcast
-    # cross-join aggregation (33x33 rows) instead of an unpartitioned
-    # window — same single-job DAG, but no WindowExec single-partition
-    # stage (and no warning noise) anywhere in the plan.
-    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    c2 = counts.select(F.col("pid").alias("pid2"), F.col("cnt").alias("cnt2"))
-    offsets = (
-        counts.crossJoin(F.broadcast(c2))
-        .groupBy("pid")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("pid2") < F.col("pid"), F.col("cnt2"))), F.lit(0)
-            ).alias("offset"),
-            F.sum("cnt2").alias("n_total"),
-        )
-    )
-    wp = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    ranked = (
-        parts.withColumn("rn_in", F.row_number().over(wp))
-        .join(F.broadcast(offsets), "pid")
-        .withColumn("rn", F.col("rn_in") + F.col("offset"))
-    )
-    base = F.floor(F.col("n_total") / 4)
-    rem = F.col("n_total") % 4
-    big = rem * (base + 1)  # rows living in the (base+1)-sized leading buckets
-    quartile = (
-        F.when(F.col("rn") <= big, F.floor((F.col("rn") - 1) / (base + 1)) + 1)
-        .otherwise(rem + F.floor((F.col("rn") - big - 1) / base) + 1)
-        .cast("int")
+    cuts = quantile_cuts(orders, ["o_totalprice"])["o_totalprice"]
+    ranked = with_global_rank(
+        orders, "o_totalprice", ["o_orderkey"], cuts=cuts
     )
     return (
-        ranked.withColumn("quartile", quartile)
+        ranked.withColumn("quartile", ntile_expr("rn", "n_total", 4))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -29,11 +29,14 @@ def _fixture(spark):
 
 
 def test_global_rank_and_cumsum_match_window(spark):
+    import itertools
+
     df = _fixture(spark)
     cuts = quantile_cuts(df, ["v"], n_bins=8)["v"]
-    for desc in (False, True):
+    for desc, fold in itertools.product((False, True), ("plan", "driver")):
         got = with_global_rank(
-            df, "v", ["k"], cuts=cuts, descending=desc, cum_cols=("amt",)
+            df, "v", ["k"], cuts=cuts, descending=desc, cum_cols=("amt",),
+            fold=fold,
         )
         order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
         w = W.orderBy(*order)
@@ -51,15 +54,19 @@ def test_global_rank_and_cumsum_match_window(spark):
                 | (F.col("cum_amt") != F.col("cum_ref"))
             ).count()
             == 0
-        ), desc
+        ), (desc, fold)
         assert got.select(F.max("n_total")).first()[0] == 997
+        # plan and driver modes must also agree on the group totals
+        tots = {r[0] for r in got.select("tot_amt").distinct().collect()}
+        assert len(tots) == 1
 
 
 def test_keyed_rank_matches_partitioned_window(spark):
     df = _fixture(spark)
     cuts = quantile_cuts(df, ["v"], n_bins=8)["v"]
     got = with_global_rank(
-        df, "v", ["k"], cuts=cuts, descending=True, partition_by=["g"]
+        df, "v", ["k"], cuts=cuts, descending=True, partition_by=["g"],
+        fold="driver",
     )
     w = W.partitionBy("g").orderBy(F.desc("v"), F.asc("k"))
     want = df.select("k", F.row_number().over(w).alias("rn_ref"))
@@ -116,15 +123,17 @@ def test_property_rank_matches_window_on_random_data(spark):
         n_bins=st.integers(min_value=1, max_value=9),
         desc=st.booleans(),
         keyed=st.booleans(),
+        fold=st.sampled_from(["plan", "driver"]),
     )
-    def run(vals, n_bins, desc, keyed):
+    def run(vals, n_bins, desc, keyed, fold):
         df = spark.createDataFrame(
             [(i, v, i % 3) for i, v in enumerate(vals)], "k long, v long, g long"
         )
         cuts = quantile_cuts(df, ["v"], n_bins=n_bins)["v"]
         keys = ["g"] if keyed else []
         got = with_global_rank(
-            df, "v", ["k"], cuts=cuts, descending=desc, partition_by=keys
+            df, "v", ["k"], cuts=cuts, descending=desc, partition_by=keys,
+            fold=fold,
         )
         order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
         w = (W.partitionBy(*keys) if keys else W).orderBy(*order)
@@ -152,5 +161,6 @@ def test_data_sized_partition_by_fails_loudly(spark):
     with mock.patch.object(dr, "_FOLD_GROUP_BOUND", 1000):
         with _pytest.raises(ValueError, match="dimension-bounded"):
             dr.with_global_rank(
-                df, "v", ["k"], cuts=[1.0, 3.0], partition_by=["ent"]
+                df, "v", ["k"], cuts=[1.0, 3.0], partition_by=["ent"],
+                fold="driver",
             )
