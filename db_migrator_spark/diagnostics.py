@@ -23,7 +23,10 @@ Bounds (ADVICE r9): the capture re-executes the query AND its DuckDB
 oracle inline in the driver's timed path, so it only fires at tiny scale
 factors (sf <= 0.011, parsed from the sf_dir basename the way bench.py
 does) and collects at most ``_MAX_ROWS + 1`` rows. Larger-SF runs skip
-silently — the sf0.01 record carries the same environment evidence.
+silently — the sf0.01 record carries the same environment evidence. A
+dir the sf heuristic can't size still captures the (limit-bounded)
+Spark rows and env stamps but skips the inline oracle run, whose cost
+is unbounded without a known scale.
 
 Written incrementally (one merge-write per query) to DIAGNOSTICS.json in
 the repo root (override with ``SPARK_GRAFT_DIAG_OUT``), so partial data
@@ -230,8 +233,13 @@ def maybe_capture(name: str, df, spark, sf_dir: str, current_oracle: str | None)
     if os.environ.get("SPARK_GRAFT_NO_DIAG"):
         return
     sf = _sf_of(sf_dir)
-    if sf is None or sf > _MAX_SF:
+    if sf is not None and sf > _MAX_SF:
         return
+    # sf None (a dir the sf-naming heuristic can't size): still capture
+    # — the Spark collect is limit-bounded and the env stamps are the
+    # point — but skip the inline DuckDB oracle run, whose cost we
+    # cannot bound without knowing the scale (r10 review finding).
+    run_oracle = sf is not None
     key = f"{name}@{os.path.basename(os.path.normpath(sf_dir))}"
     if key in _captured:
         return
@@ -252,7 +260,7 @@ def maybe_capture(name: str, df, spark, sf_dir: str, current_oracle: str | None)
             record["spark"] = _table(df.columns, rows)
         except Exception as e:
             record["spark"] = {"err": repr(e)}
-        if current_oracle:
+        if current_oracle and run_oracle:
             record["oracle_current"] = _duck_result(current_oracle, sf_dir)
         out_path = _out_path()
         data = {}

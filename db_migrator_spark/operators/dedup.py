@@ -63,7 +63,12 @@ def _cap_buckets(buckets: DataFrame, keys: list[str], max_size: int = MAX_BAND_B
     return buckets.join(F.broadcast(hot), keys, "left_anti")
 
 
-def _bucket_pairs(capped: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+def _bucket_pairs(
+    capped: DataFrame,
+    keys: list[str],
+    id_col: str,
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Ordered distinct (d1 < d2) id pairs within each capped bucket, via
     the row-local C(k,2) explode (r9e idiom, re-landed round 10 for the
     capped-bucket subset only): one groupBy on the bucket keys collects
@@ -71,25 +76,43 @@ def _bucket_pairs(capped: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     the pair explode runs inside codegen — vs the self-join that shuffled
     the banded keys twice and sort-merged. The sorted list makes
     strictly-later slicing identical to the join's ``a.id < b.id`` pair
-    set. NOT used for the shingle inverted index (millions of 1-2-doc
-    posting lists), where the same rewrite measured 2.4x WORSE — see
-    BENCH_NOTES round-9e for the win condition. DuckDB oracles keep the
-    self-join formulation (the contract is on values; the hash self-join
-    is DuckDB's fast plan)."""
-    members = capped.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(id_col)).alias("ms")
+    set (ids are unique within a bucket, so sorting by the struct's
+    leading id field is a total order). Each ``payload_cols`` entry c
+    rides along as ``c_1``/``c_2`` (both pair sides) — used by SimHash
+    for the fingerprint strings the Hamming gate needs. NOT used for the
+    shingle inverted index (millions of 1-2-doc posting lists), where
+    the same rewrite measured 2.4x WORSE — see BENCH_NOTES round-9e for
+    the win condition. DuckDB oracles keep the self-join formulation
+    (the contract is on values; the hash self-join is DuckDB's fast
+    plan)."""
+    member = (
+        F.struct(id_col, *payload_cols) if payload_cols else F.col(id_col)
     )
+    members = capped.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(member)).alias("ms")
+    )
+    if payload_cols:
+        fields = ", ".join(
+            [f"x.{id_col} AS d1", f"y.{id_col} AS d2"]
+            + [f"x.{c} AS {c}_1" for c in payload_cols]
+            + [f"y.{c} AS {c}_2" for c in payload_cols]
+        )
+    else:
+        fields = "x AS d1, y AS d2"
+    out_cols = ["p.d1", "p.d2"] + [
+        f"p.{c}_{s}" for c in payload_cols for s in (1, 2)
+    ]
     return (
         members.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ms, (x, i) -> "
                     "transform(slice(ms, i + 2, size(ms)), "
-                    "y -> struct(x AS d1, y AS d2))))"
+                    f"y -> struct({fields}))))"
                 )
             ).alias("p")
         )
-        .select("p.d1", "p.d2")
+        .select(*out_cols)
         .distinct()
     )
 

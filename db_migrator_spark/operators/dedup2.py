@@ -133,28 +133,18 @@ def dedup_simhash_portable(
     # round 10): the cap's row_number window already shuffled on
     # (band, key), so the groupBy reuses that partitioning and the pair
     # generation runs inside codegen — replacing a (band, key) self-join
-    # that shuffled the banded fingerprints twice. sort_array on
-    # struct(doc_id, fp) orders by doc_id (unique within a bucket), so
-    # slicing strictly-later members reproduces the join's
-    # a.doc_id < b.doc_id pair set exactly. A/B at sf0.1 warm min-of-3:
-    # 10.05 -> see BENCH_NOTES round-10b. The DuckDB oracle keeps its
+    # that shuffled the banded fingerprints twice (A/B at sf0.1 warm:
+    # 10.05 -> 7.99s, BENCH_NOTES round-10b). Shared dedup._bucket_pairs
+    # with the fingerprint as pair payload; the DuckDB oracle keeps its
     # self-join formulation (the contract is on VALUES; the hash
     # self-join is DuckDB's fast plan).
-    buckets = capped.groupBy("band", "key").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("ms")
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ms, (x, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), "
-                "y -> struct(x.doc_id AS d1, y.doc_id AS d2, "
-                "x.fp AS f1, y.fp AS f2))))"
-            )
-        ).alias("p")
-    ).select("p.d1", "p.d2", "p.f1", "p.f2")
+    from .dedup import _bucket_pairs
+
+    pairs = _bucket_pairs(
+        capped, ["band", "key"], "doc_id", payload_cols=("fp",)
+    ).select("d1", "d2", F.col("fp_1").alias("f1"), F.col("fp_2").alias("f2"))
     cand = (
-        pairs.distinct()
+        pairs
         .withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= SIMHASH2_HAM_MAX)
         .select("d1", "d2", "hamming")

@@ -128,6 +128,14 @@ def with_global_rank(
     bin_expr = F.lit(0)
     for b in cuts:
         bin_expr = bin_expr + (F.col(value_col) > F.lit(b)).cast("int")
+    # NULL values get their own bin -1 so they are neither dropped by
+    # the offsets equi-join nor mis-binned (NULL > cut is NULL): bin -1
+    # is FIRST in ascending order and LAST in descending — exactly
+    # Spark's window defaults (ASC NULLS FIRST / DESC NULLS LAST), so
+    # rank parity with the window form holds on nullable values too.
+    bin_expr = (
+        F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(bin_expr)
+    )
     parts = df.withColumn(_PID, bin_expr)
 
     aggs = [F.count(F.lit(1)).alias("__dr_cnt")]

@@ -447,7 +447,10 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "c_nationkey",
         "o_custkey",
-        "rk",
+        # helper rank is LONG (row_number + long offset); the public
+        # column (and the oracle's CAST AS INTEGER) has been INT since
+        # round 7 — keep the width stable across the rework.
+        F.col("rk").cast("int").alias("rk"),
         "rev_micros",
         share.alias("cum_share_ppm"),
         F.when(share <= ABC_A_PPM, "A")

@@ -624,12 +624,13 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part, "cents", ["l_partkey"], cuts=cuts, descending=True,
         rank_col="__rn", total_col="__n_parts", cum_cols=("cents",),
     )
-    tot = per_part.agg(F.sum("cents").cast("bigint").alias("total"))
+    # tot_cents rides out of the rank pass for free — no separate
+    # grand-total aggregation or crossJoin (r10 review finding).
     scored = (
-        ranked.crossJoin(F.broadcast(tot))
+        ranked
         .withColumn(
             "cum_ppm",
-            F.expr("CAST(cum_cents * 1000000 div total AS BIGINT)"),
+            F.expr("CAST(cum_cents * 1000000 div tot_cents AS BIGINT)"),
         )
         .withColumn(
             "abc",

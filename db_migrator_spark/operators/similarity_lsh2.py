@@ -132,24 +132,12 @@ def similarity_lsh_portable(
     # members — the r9e idiom's win condition, re-landed round 10): the
     # cap's window already shuffled on (band, key), the groupBy reuses
     # that partitioning, and the pair explode runs in codegen instead of
-    # re-shuffling the banded keys for a self-join. sort_array orders
-    # vec_ids (unique within a bucket), so strictly-later slicing equals
-    # the join's a.vec_id < b.vec_id. Oracle unchanged (values contract).
-    buckets = capped.groupBy("band", "key").agg(
-        F.sort_array(F.collect_list("vec_id")).alias("ms")
-    )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ms, (x, i) -> "
-                    "transform(slice(ms, i + 2, size(ms)), "
-                    "y -> struct(x AS v1, y AS v2))))"
-                )
-            ).alias("p")
-        )
-        .select("p.v1", "p.v2")
-        .distinct()
+    # re-shuffling the banded keys for a self-join (shared
+    # dedup._bucket_pairs; oracle unchanged — values contract).
+    from .dedup import _bucket_pairs
+
+    cand = _bucket_pairs(capped, ["band", "key"], "vec_id").select(
+        F.col("d1").alias("v1"), F.col("d2").alias("v2")
     )
     norms = comps.groupBy("vec_id").agg(
         F.sum(F.col("q") * F.col("q")).alias("nsq")

@@ -64,8 +64,10 @@ def test_red_query_set_is_declared_and_wrapped():
     )
     if newest <= 8:
         assert len(RED_QUERIES) == 8, RED_QUERIES
-    else:
+    elif newest <= 10:
         # r9 turned every red green; the self-maintaining set must have
         # emptied itself (a stale non-empty set would re-run captures in
-        # the driver's timed path for no reason).
+        # the driver's timed path for no reason). Pinned only for the
+        # rounds KNOWN green — a future red round must populate the set
+        # (that is the design), not break this test.
         assert RED_QUERIES == (), RED_QUERIES

@@ -33,6 +33,7 @@ def test_global_rank_and_cumsum_match_window(spark):
 
     df = _fixture(spark)
     cuts = quantile_cuts(df, ["v"], n_bins=8)["v"]
+    mode_tot = {}
     for desc, fold in itertools.product((False, True), ("plan", "driver")):
         got = with_global_rank(
             df, "v", ["k"], cuts=cuts, descending=desc, cum_cols=("amt",),
@@ -56,9 +57,12 @@ def test_global_rank_and_cumsum_match_window(spark):
             == 0
         ), (desc, fold)
         assert got.select(F.max("n_total")).first()[0] == 997
-        # plan and driver modes must also agree on the group totals
         tots = {r[0] for r in got.select("tot_amt").distinct().collect()}
         assert len(tots) == 1
+        mode_tot[(desc, fold)] = next(iter(tots))
+    # plan and driver modes must agree with each other AND the true sum
+    true_tot = df.select(F.sum("amt")).first()[0]
+    assert set(mode_tot.values()) == {true_tot}, mode_tot
 
 
 def test_keyed_rank_matches_partitioned_window(spark):
@@ -80,6 +84,57 @@ def test_keyed_rank_matches_partitioned_window(spark):
 
     expect = Counter(r.g for r in df.select("g").collect())
     assert totals == dict(expect)
+
+
+def test_keyed_plan_mode_with_cum_matches_window(spark):
+    """The keyed + fold='plan' + cum_cols path — exactly what the
+    production share-of-total queries use (q_abc_classification,
+    eval_average_precision) — must match the partitioned window's rank,
+    running sum, and group total."""
+    df = _fixture(spark)
+    cuts = quantile_cuts(df, ["v"], n_bins=8)["v"]
+    got = with_global_rank(
+        df, "v", ["k"], cuts=cuts, descending=True, partition_by=["g"],
+        cum_cols=("amt",), fold="plan",
+    )
+    w = W.partitionBy("g").orderBy(F.desc("v"), F.asc("k"))
+    want = df.select(
+        "k",
+        "g",
+        F.row_number().over(w).alias("rn_ref"),
+        F.sum(F.col("amt").cast("decimal(38,0)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_ref"),
+        F.sum(F.col("amt").cast("decimal(38,0)"))
+        .over(W.partitionBy("g"))
+        .alias("tot_ref"),
+    )
+    j = got.join(want.drop("g"), "k")
+    bad = j.filter(
+        (F.col("rn") != F.col("rn_ref"))
+        | (F.col("cum_amt") != F.col("cum_ref"))
+        | (F.col("tot_amt") != F.col("tot_ref"))
+    ).count()
+    assert bad == 0
+
+
+def test_null_values_rank_like_window(spark):
+    """NULL value rows must neither vanish nor shift ranks: bin -1
+    reproduces Spark's ASC NULLS FIRST / DESC NULLS LAST window
+    defaults (the round-10 review's confirmed silent-drop bug)."""
+    rows = [(1, 10), (2, None), (3, 5), (4, None), (5, 7)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for desc, fold in (
+        (False, "plan"), (False, "driver"), (True, "plan"), (True, "driver")
+    ):
+        got = with_global_rank(
+            df, "v", ["k"], cuts=[6.0], descending=desc, fold=fold
+        )
+        assert got.count() == 5, (desc, fold)  # nothing dropped
+        order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
+        want = df.select("k", F.row_number().over(W.orderBy(*order)).alias("r"))
+        bad = got.join(want, "k").filter(F.col("rn") != F.col("r")).count()
+        assert bad == 0, (desc, fold)
 
 
 def test_ntile_expr_matches_builtin_ntile(spark):
