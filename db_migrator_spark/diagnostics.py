@@ -235,11 +235,15 @@ def maybe_capture(name: str, df, spark, sf_dir: str, current_oracle: str | None)
     sf = _sf_of(sf_dir)
     if sf is not None and sf > _MAX_SF:
         return
-    # sf None (a dir the sf-naming heuristic can't size): still capture
-    # — the Spark collect is limit-bounded and the env stamps are the
-    # point — but skip the inline DuckDB oracle run, whose cost we
-    # cannot bound without knowing the scale (r10 review finding).
+    # sf None (a dir the sf-naming heuristic can't size) is treated as
+    # unknown-LARGE: skip the Spark collect too — ``limit(n).collect()``
+    # bounds the fetched rows but NOT the upstream aggregate/window/join
+    # work, so an unparseable big-scale dir could still burn unbounded
+    # driver-run time (r10 ADVICE). Env stamps and DuckDB probes are
+    # still recorded (they are the capture's point and cost nothing).
+    # SPARK_GRAFT_DIAG_FORCE=1 opts back in for a dir known to be small.
     run_oracle = sf is not None
+    run_spark = sf is not None or bool(os.environ.get("SPARK_GRAFT_DIAG_FORCE"))
     key = f"{name}@{os.path.basename(os.path.normpath(sf_dir))}"
     if key in _captured:
         return
@@ -255,11 +259,14 @@ def maybe_capture(name: str, df, spark, sf_dir: str, current_oracle: str | None)
             "env": _env_stamps(spark),
             "duck_probes": _duck_probes(),
         }
-        try:
-            rows = [tuple(r) for r in df.limit(_MAX_ROWS + 1).collect()]
-            record["spark"] = _table(df.columns, rows)
-        except Exception as e:
-            record["spark"] = {"err": repr(e)}
+        if run_spark:
+            try:
+                rows = [tuple(r) for r in df.limit(_MAX_ROWS + 1).collect()]
+                record["spark"] = _table(df.columns, rows)
+            except Exception as e:
+                record["spark"] = {"err": repr(e)}
+        else:
+            record["spark"] = {"skipped": "sf unknown — treated as large"}
         if current_oracle and run_oracle:
             record["oracle_current"] = _duck_result(current_oracle, sf_dir)
         out_path = _out_path()

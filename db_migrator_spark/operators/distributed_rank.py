@@ -147,7 +147,7 @@ def with_global_rank(
 
     if fold == "plan":
         c2 = counts.select(
-            *keys,
+            *[F.col(k).alias(f"__dr_k2_{k}") for k in keys],
             F.col(_PID).alias("__dr_pid2"),
             F.col("__dr_cnt").alias("__dr_cnt2"),
             *[
@@ -183,11 +183,26 @@ def with_global_rank(
                 .cast("decimal(38,0)")
                 .alias(f"tot_{c}")
             )
-        paired = (
-            counts.join(F.broadcast(c2), keys)
-            if keys
-            else counts.crossJoin(F.broadcast(c2))
-        )
+        if keys:
+            # Null-safe key equality: a NULL partition key is a real group
+            # under a keyed window (NULLs group together), so the bin-pair
+            # join must not drop it the way plain `=` would (r10 ADVICE).
+            # No explicit broadcast hint here or on the final offsets
+            # join: with keys the relation is |key domain| x bins rows —
+            # bounded only by the CALLER's contract, which plan mode
+            # cannot verify without an extra action. AQE's runtime size
+            # check makes the broadcast decision instead (it still
+            # broadcasts the few-KB dimension case, and refuses — with a
+            # plannable fallback rather than a driver OOM — if a caller
+            # ever passes a data-sized key; r10 ADVICE).
+            cond = F.lit(True)
+            for k in keys:
+                cond = cond & F.col(k).eqNullSafe(F.col(f"__dr_k2_{k}"))
+            paired = counts.join(c2, cond).drop(
+                *[f"__dr_k2_{k}" for k in keys]
+            )
+        else:
+            paired = counts.crossJoin(F.broadcast(c2))
         offsets = paired.groupBy(*keys, _PID).agg(*offset_aggs)
     else:
         count_rows = counts.collect()
@@ -263,7 +278,24 @@ def with_global_rank(
     order += [F.asc(t) for t in tiebreaks]
     wp = W.partitionBy(*keys, _PID).orderBy(*order)
     frame = wp.rowsBetween(W.unboundedPreceding, W.currentRow)
-    out = parts.join(F.broadcast(offsets), [*keys, _PID]).withColumn(
+    if keys:
+        # Null-safe on the keys (NULL-key groups must keep their offsets)
+        # and hint-free (AQE sizes the keyed relation at runtime) — same
+        # reasoning as the plan-mode pair join above.
+        off2 = offsets.select(
+            *[F.col(k).alias(f"__dr_ko_{k}") for k in keys],
+            F.col(_PID).alias("__dr_pido"),
+            *[c for c in offsets.columns if c not in (*keys, _PID)],
+        )
+        cond = F.col(_PID) == F.col("__dr_pido")
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__dr_ko_{k}"))
+        joined = parts.join(off2, cond).drop(
+            "__dr_pido", *[f"__dr_ko_{k}" for k in keys]
+        )
+    else:
+        joined = parts.join(F.broadcast(offsets), [_PID])
+    out = joined.withColumn(
         rank_col, F.row_number().over(wp) + F.col("__dr_off")
     )
     for c in cum_cols:
