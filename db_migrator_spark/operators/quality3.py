@@ -32,22 +32,25 @@ CONT_PCTS = (25, 50, 75)
 def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated p25/p50/p75 of o_totalprice per order priority, in
     exact micros (module doc)."""
+    from .distributed_rank import quantile_cuts, with_global_rank
+
     orders = load_table(spark, sf_dir, "orders")
     v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
-    ranked = orders.select(
+    base = orders.select(
         "o_orderpriority",
         v.alias("v_micro"),
         F.col("o_orderkey"),
-    ).select(
-        "o_orderpriority",
-        "v_micro",
-        F.row_number()
-        .over(
-            W.partitionBy("o_orderpriority").orderBy("v_micro", "o_orderkey")
-        )
-        .alias("rn"),
     )
-    counts = ranked.groupBy("o_orderpriority").agg(
+    # Keyed distributed exact-rank (round 11): the 5 priority groups
+    # grow linearly with data, so the order statistics rank via
+    # (priority, value-bin) parallel units instead of a 5-task keyed
+    # window. Oracle keeps the plain ROW_NUMBER SQL.
+    cuts = quantile_cuts(base, ["v_micro"])["v_micro"]
+    ranked = with_global_rank(
+        base, "v_micro", ["o_orderkey"], cuts=cuts,
+        partition_by=["o_orderpriority"], rank_col="rn", total_col="__n",
+    ).select("o_orderpriority", "v_micro", "rn")
+    counts = base.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     spine = counts.select(
@@ -106,13 +109,23 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
-    wd = W.partitionBy("c_nationkey").orderBy(
-        F.desc("rev_micros"), F.col("o_custkey")
-    )
-    deciled = rev.select(
+    # Keyed distributed exact-rank + closed-form NTILE (round 11):
+    # nation partitions hold customers/25 rows — linear in data — so the
+    # decile assignment uses (nation, revenue-bin) parallel units instead
+    # of a 25-task keyed window. ntile_expr is bit-identical to
+    # NTILE(10) OVER (...) on the same total order; the cumulative-share
+    # window further down runs over the nation x decile aggregate
+    # (<= 250 rows — bounded), not row data. Oracle keeps plain NTILE SQL.
+    from .distributed_rank import ntile_expr, quantile_cuts, with_global_rank
+
+    cuts = quantile_cuts(rev, ["rev_micros"])["rev_micros"]
+    deciled = with_global_rank(
+        rev, "rev_micros", ["o_custkey"], cuts=cuts, descending=True,
+        partition_by=["c_nationkey"], rank_col="__rk", total_col="__n",
+    ).select(
         "c_nationkey",
         "rev_micros",
-        F.ntile(10).over(wd).alias("decile"),
+        ntile_expr("__rk", "__n", 10).alias("decile"),
     )
     per = deciled.groupBy("c_nationkey", "decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
@@ -325,8 +338,6 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected value by construction (selection is min-v over a
     per-block condition). No global windows, no collect.
     """
-    from pyspark.sql.window import Window as W
-
     li = load_table(spark, sf_dir, "lineitem")
     cells = (
         li.select(
@@ -339,30 +350,31 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "v")
         .agg(F.sum("w").cast("bigint").alias("w"))
     )
-    wcum = (
-        W.partitionBy("l_returnflag")
-        .orderBy("v")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    cum = cells.select(
-        "l_returnflag", "v", F.sum("w").over(wcum).alias("cumw")
-    )
-    totals = cells.groupBy("l_returnflag").agg(
-        F.sum("w").cast("bigint").alias("total_w"),
-        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+    # Keyed distributed running sum (round 11): order prices are nearly
+    # unique, so the per-flag DISTINCT-value support is data-sized and a
+    # flag-keyed window is a 3-task ceiling. The running weight, group
+    # total weight and distinct-value count all come from ONE keyed
+    # distributed exact-rank pass ((flag, value-bin) parallel units,
+    # ``cum_cols`` + free ``tot_``/total); oracle keeps plain window SQL.
+    from .distributed_rank import quantile_cuts, with_global_rank
+
+    cuts = quantile_cuts(cells, ["v"])["v"]
+    cum = with_global_rank(
+        cells, "v", [], cuts=cuts,
+        partition_by=["l_returnflag"], rank_col="__rk",
+        total_col="n_values", cum_cols=("w",),
     )
     return (
-        cum.join(F.broadcast(totals), "l_returnflag")
-        .groupBy("l_returnflag")
+        cum.groupBy("l_returnflag")
         .agg(
-            F.max("total_w").alias("total_w"),
-            F.max("n_values").alias("n_values"),
+            F.max(F.col("tot_w").cast("bigint")).alias("total_w"),
+            F.max("n_values").cast("bigint").alias("n_values"),
             F.min(
-                F.when(F.col("cumw") * 2 >= F.col("total_w"), F.col("v"))
+                F.when(F.col("cum_w") * 2 >= F.col("tot_w"), F.col("v"))
             ).alias("wmedian_micro"),
             F.min(
                 F.when(
-                    F.col("cumw") * 10 >= F.col("total_w") * 9, F.col("v")
+                    F.col("cum_w") * 10 >= F.col("tot_w") * 9, F.col("v")
                 )
             ).alias("wp90_micro"),
         )

@@ -48,20 +48,25 @@ IMPUTE_MASK_DIGITS = ("0", "1", "2")
 
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized order totals per priority (module doc). Output: n,
-    exact P05/P95 micros, clip counts, raw and winsorized means."""
+    exact P05/P95 micros, clip counts, raw and winsorized means.
+
+    Scale shape (round 11): P05/P95 ranks come from the keyed
+    distributed exact-rank pattern (``distributed_rank``,
+    ``partition_by=priority``) — (priority, value-bin) is the parallel
+    unit — instead of a 5-task keyed window over data-sized input; the
+    oracle keeps the plain window SQL.
+    """
+    from .distributed_rank import quantile_cuts, with_global_rank
+
     orders = load_table(spark, sf_dir, "orders")
     v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
     base = orders.select(
         "o_orderpriority", v.alias("v"), "o_orderkey"
     )
-    wrank = W.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
-    ranked = base.select(
-        "o_orderpriority",
-        "v",
-        F.row_number().over(wrank).alias("rn"),
-        F.count(F.lit(1))
-        .over(W.partitionBy("o_orderpriority"))
-        .alias("n"),
+    cuts = quantile_cuts(base, ["v"])["v"]
+    ranked = with_global_rank(
+        base, "v", ["o_orderkey"], cuts=cuts,
+        partition_by=["o_orderpriority"], rank_col="rn", total_col="n",
     )
     bounds = (
         ranked.filter(

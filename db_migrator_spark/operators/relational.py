@@ -419,7 +419,22 @@ def q_lag_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank()/dense_rank() over an aggregated frame: suppliers ranked by
-    shipped revenue within their nation."""
+    shipped revenue within their nation.
+
+    Scale shape (round 11): suppliers grow with data, so a nation-keyed
+    rank window is a 25-task ceiling. RANK and DENSE_RANK both derive
+    from ONE keyed distributed exact-rank pass over the DISTINCT
+    (nation, revenue) value groups (``distributed_rank`` with a count
+    ``cum_cols``): dense_rank = the value group's position, rank =
+    running count - group size + 1; rows join their value group back on
+    the (nation, revenue) key. No per-row window at all — ties share
+    ranks exactly as the window form defines. Oracle keeps plain
+    RANK()/DENSE_RANK() SQL; r11 dropped the unique suppkey tiebreak
+    from BOTH sides' window order (it degenerated rank and dense_rank
+    into row_number, defeating the operators the query demonstrates).
+    """
+    from .distributed_rank import quantile_cuts, with_global_rank
+
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     rev = (
@@ -427,16 +442,23 @@ def q_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey", "s_suppkey", "s_name")
         .agg(F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("revenue"))
     )
-    w = W.partitionBy("s_nationkey").orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
+    cells = rev.groupBy("s_nationkey", "revenue").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cuts = quantile_cuts(cells, ["revenue"])["revenue"]
+    tagged = with_global_rank(
+        cells, "revenue", [], cuts=cuts, descending=True,
+        partition_by=["s_nationkey"], rank_col="__vrk", total_col="__nv",
+        cum_cols=("cnt",),
+    ).select(
+        "s_nationkey",
+        "revenue",
+        (F.col("cum_cnt") - F.col("cnt") + 1).cast("int").alias("rnk"),
+        F.col("__vrk").cast("int").alias("drnk"),
+    )
     return (
-        rev.select(
-            "s_nationkey",
-            "s_suppkey",
-            "s_name",
-            "revenue",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-        )
+        rev.join(tagged, ["s_nationkey", "revenue"])
+        .select("s_nationkey", "s_suppkey", "s_name", "revenue", "rnk", "drnk")
         .orderBy("s_nationkey", "rnk", "s_suppkey")
     )
 
@@ -663,8 +685,8 @@ ORACLES = {
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_nationkey, s_suppkey, s_name)
         SELECT s_nationkey, s_suppkey, s_name, revenue,
-               RANK() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS rnk,
-               DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS drnk
+               RANK() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC) AS drnk
         FROM rev
         ORDER BY s_nationkey, rnk, s_suppkey
     """,

@@ -177,12 +177,18 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_min_per_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery pattern (TPC-H Q2 shape): parts at the minimum
-    retail price within their brand. Decorrelated Spark-side into a window
-    min — one shuffle on brand, no join back."""
+    retail price within their brand. Decorrelated Spark-side into a
+    map-side-combinable group-min aggregate + broadcast join back — the
+    distributed Q2 shape. (Round 11: this replaced a brand-keyed window
+    min, which was a 25-task ceiling with linearly growing partitions;
+    the aggregate path is one partial-agg shuffle of 25 rows plus a
+    broadcast probe, fully parallel at any scale.)"""
     part = load_table(spark, sf_dir, "part")
-    w = W.partitionBy("p_brand")
+    mins = part.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("min_price")
+    )
     return (
-        part.withColumn("min_price", F.min("p_retailprice").over(w))
+        part.join(F.broadcast(mins), "p_brand")
         .filter(F.col("p_retailprice") == F.col("min_price"))
         .select("p_brand", "p_partkey", "p_name", "p_retailprice")
         .orderBy("p_brand", "p_partkey")

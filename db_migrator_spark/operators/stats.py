@@ -19,16 +19,18 @@ arithmetic so the cross-engine hash match is bit-for-bit:
   (documented bound; past it, carry the cell delta obs - r*c div N
   instead).
 
-Scale notes (100 TB): KS groups by (priority, value) first — the
-window runs over DISTINCT values per priority (bounded support), never
-rows. Chi-square is one cell aggregate + two margin aggregates joined
-back at matrix size. No global windows, no collects.
+Scale notes (100 TB): KS groups by (priority, value) first, and since
+currency values are nearly unique the distinct support is still
+data-sized — the running counts therefore come from the keyed
+distributed exact-rank pass (``operators.distributed_rank``,
+(priority, value-bin) parallel units; round 11), never a 5-task keyed
+window. Chi-square is one cell aggregate + two margin aggregates
+joined back at matrix size. No global windows, no data-sized collects.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window as W
 
 from ..io import load_table
 from .quality import DRIFT_PIVOT
@@ -49,28 +51,31 @@ def q_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("c2"),
     )
-    wcum = (
-        W.partitionBy("o_orderpriority")
-        .orderBy("v")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    cum = cells.select(
-        "o_orderpriority",
-        F.sum("c1").over(wcum).alias("cum1"),
-        F.sum("c2").over(wcum).alias("cum2"),
-    )
-    margins = cells.groupBy("o_orderpriority").agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
+    # Keyed distributed running counts (round 11): order totals are
+    # nearly unique, so the per-priority DISTINCT-value support is
+    # data-sized and a priority-keyed window is a 5-task ceiling. Both
+    # running counts and both margins come from ONE keyed distributed
+    # exact-rank pass ((priority, value-bin) parallel units, two
+    # ``cum_cols`` + their free ``tot_`` totals); oracle keeps the plain
+    # window SQL.
+    from .distributed_rank import quantile_cuts, with_global_rank
+
+    cuts = quantile_cuts(cells, ["v"])["v"]
+    cum = with_global_rank(
+        cells, "v", [], cuts=cuts,
+        partition_by=["o_orderpriority"], rank_col="__rk",
+        total_col="__nv", cum_cols=("c1", "c2"),
     )
     return (
-        cum.join(F.broadcast(margins), "o_orderpriority")
-        .groupBy("o_orderpriority")
+        cum.groupBy("o_orderpriority")
         .agg(
-            F.max("n1").alias("n1"),
-            F.max("n2").alias("n2"),
+            F.max(F.col("tot_c1").cast("bigint")).alias("n1"),
+            F.max(F.col("tot_c2").cast("bigint")).alias("n2"),
             F.max(
-                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+                F.abs(
+                    F.col("cum_c1") * F.col("tot_c2")
+                    - F.col("cum_c2") * F.col("tot_c1")
+                )
             )
             .cast("bigint")
             .alias("d_num"),
@@ -148,9 +153,17 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     E[R] = 1 + 2*n1*n2/(n1+n2), in micros via the decimal contract —
     the residual-randomness audit for a metric stream.
 
-    All keyed: one rank window picks the median, one broadcast join
-    signs the rows, one lag window counts sign changes.
+    Scale shape (round 11): both per-priority orderings (the median
+    rank over values and the time-sequence position) come from the
+    keyed distributed exact-rank pattern (``distributed_rank``,
+    ``partition_by=priority`` — (priority, bin) parallel units), never
+    a 5-task keyed window over data-sized input. The lag becomes a
+    self-equi-join on consecutive sequence positions — a keyed shuffle
+    join on a unique (priority, position) key, fully parallel. Oracle
+    keeps the plain window SQL.
     """
+    from .distributed_rank import quantile_cuts, with_global_rank
+
     orders = load_table(spark, sf_dir, "orders")
     v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
     base = orders.select(
@@ -159,14 +172,10 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         v.alias("v"),
     )
-    wrank = W.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
-    ranked = base.select(
-        "o_orderpriority",
-        "v",
-        F.row_number().over(wrank).alias("rn"),
-        F.count(F.lit(1))
-        .over(W.partitionBy("o_orderpriority"))
-        .alias("n"),
+    vcuts = quantile_cuts(base, ["v"])["v"]
+    ranked = with_global_rank(
+        base, "v", ["o_orderkey"], cuts=vcuts,
+        partition_by=["o_orderpriority"], rank_col="rn", total_col="n",
     )
     median = ranked.filter(
         F.col("rn") == F.expr("(n + 1) div 2")
@@ -176,24 +185,34 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v") != F.col("med"))
         .select(
             "o_orderpriority",
-            "o_orderdate",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("dk"),
             "o_orderkey",
             (F.col("v") > F.col("med")).cast("int").alias("s"),
         )
     )
-    wseq = W.partitionBy("o_orderpriority").orderBy(
-        "o_orderdate", "o_orderkey"
-    )
-    runs = signed.select(
+    dcuts = quantile_cuts(signed, ["dk"])["dk"]
+    seq = with_global_rank(
+        signed, "dk", ["o_orderkey"], cuts=dcuts,
+        partition_by=["o_orderpriority"], rank_col="sn", total_col="__n2",
+    ).select("o_orderpriority", "sn", "s")
+    prev = seq.select(
         "o_orderpriority",
-        "s",
-        F.when(
-            F.lag("s").over(wseq).isNull()
-            | (F.lag("s").over(wseq) != F.col("s")),
-            1,
+        (F.col("sn") + 1).alias("sn"),
+        F.col("s").alias("s_prev"),
+    )
+    runs = (
+        seq.join(prev, ["o_orderpriority", "sn"], "left")
+        .select(
+            "o_orderpriority",
+            "s",
+            F.when(
+                F.col("s_prev").isNull()
+                | (F.col("s_prev") != F.col("s")),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_run"),
         )
-        .otherwise(0)
-        .alias("new_run"),
     )
     return (
         runs.groupBy("o_orderpriority")

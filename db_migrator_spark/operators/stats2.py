@@ -26,8 +26,9 @@ so the cross-engine hash match is bit-for-bit:
   at sf1 with ~1e8x row headroom. Means and the gap stay at micro
   precision (no squares there).
 
-Scale notes (100 TB): q_outlier_iqr is one rank window per priority
-group (the same keyed-window shape as q_exact_percentiles), one
+Scale notes (100 TB): q_outlier_iqr ranks via the keyed distributed
+exact-rank pass (``operators.distributed_rank``, (priority, value-bin)
+parallel units — round 11; same shape as q_exact_percentiles), one
 broadcast of a groups-sized fence table, one counting aggregate —
 no global sort, no collect. q_drift_effect_size is a single map-side
 combinable aggregate producing five sums per (priority, half); the
@@ -37,7 +38,6 @@ final arithmetic runs on a groups-sized relation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window as W
 
 from ..io import load_table
 from .quality import DRIFT_PIVOT
@@ -46,20 +46,26 @@ from .quality import DRIFT_PIVOT
 def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier audit per order priority (module doc).
     Output: n, q1/q3/iqr/lo/hi fences in micros, low/high outlier
-    counts, and the total outlier share in ppm."""
+    counts, and the total outlier share in ppm.
+
+    Scale shape (round 11): the 5 priority groups grow linearly with
+    data, so the quartile ranks come from the keyed distributed
+    exact-rank pattern (``distributed_rank``, ``partition_by=priority``)
+    — every (priority, value-bin) ranks independently — instead of a
+    5-task keyed window; the quartile picks stay row-local rank
+    comparisons and the oracle keeps the plain window SQL.
+    """
+    from .distributed_rank import quantile_cuts, with_global_rank
+
     orders = load_table(spark, sf_dir, "orders")
     v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
     base = orders.select(
         "o_orderpriority", v.alias("v"), "o_orderkey"
     )
-    wrank = W.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
-    ranked = base.select(
-        "o_orderpriority",
-        "v",
-        F.row_number().over(wrank).alias("rn"),
-        F.count(F.lit(1))
-        .over(W.partitionBy("o_orderpriority"))
-        .alias("n"),
+    cuts = quantile_cuts(base, ["v"])["v"]
+    ranked = with_global_rank(
+        base, "v", ["o_orderkey"], cuts=cuts,
+        partition_by=["o_orderpriority"], rank_col="rn", total_col="n",
     )
     quart = (
         ranked.filter(

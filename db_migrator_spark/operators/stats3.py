@@ -26,10 +26,12 @@ cross-engine hash match is bit-for-bit:
   cross-multiplication. Sums of squares surface as DECIMAL(38,0)
   (they pass 2^63 at sf0.01 already — the unbounded-SUM contract).
 
-Scale notes (100 TB): Mann-Whitney groups by (priority, value) FIRST —
-the rank window runs over DISTINCT values per priority (bounded
-support for currency data), never rows; everything after is
-matrix-sized. ANOVA is one map-side-combined groupBy(priority) plus a
+Scale notes (100 TB): Mann-Whitney groups by (priority, value) FIRST,
+and since currency values are nearly unique the distinct support is
+still data-sized — the doubled-rank running count therefore comes from
+the keyed distributed exact-rank pass (``operators.distributed_rank``,
+(priority, value-bin) parallel units; round 11), never a 5-task keyed
+window; everything after is matrix-sized. ANOVA is one map-side-combined groupBy(priority) plus a
 k-row reduction — no window, no second scan. Overflow bounds: ANOVA's
 f_ppm numerator SSB*(N-k)*1e6 stays under DECIMAL(38,0) through
 ~sf10 (6.7e37 at 15M rows); past that drop the ppm scale to 1e4
@@ -39,7 +41,6 @@ f_ppm numerator SSB*(N-k)*1e6 stays under DECIMAL(38,0) through
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window as W
 
 from ..io import load_table
 from .quality import DRIFT_PIVOT
@@ -65,22 +66,26 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c2"),
     )
-    wcum = (
-        W.partitionBy("o_orderpriority")
-        .orderBy("v")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
     # Tie group of size t = c1+c2 starting at rank a = cumt - t + 1:
-    # doubled average rank 2a + t - 1 = 2*cumt - t + 1.
-    ranked = cells.select(
+    # doubled average rank 2a + t - 1 = 2*cumt - t + 1. The running
+    # count cumt comes from the keyed distributed exact-rank pass
+    # (round 11): order totals are nearly unique, so the per-priority
+    # DISTINCT-value support is data-sized and a priority-keyed window
+    # is a 5-task ceiling; (priority, value-bin) is the parallel unit
+    # instead. Oracle keeps the plain window SQL.
+    from .distributed_rank import quantile_cuts, with_global_rank
+
+    cells2 = cells.withColumn("t", F.col("c1") + F.col("c2"))
+    cuts = quantile_cuts(cells2, ["v"])["v"]
+    ranked = with_global_rank(
+        cells2, "v", [], cuts=cuts,
+        partition_by=["o_orderpriority"], rank_col="__rk",
+        total_col="__nv", cum_cols=("t",),
+    ).select(
         "o_orderpriority",
         "c1",
         "c2",
-        (
-            2 * F.sum(F.col("c1") + F.col("c2")).over(wcum)
-            - (F.col("c1") + F.col("c2"))
-            + 1
-        ).alias("avgrank_x2"),
+        (2 * F.col("cum_t") - F.col("t") + 1).alias("avgrank_x2"),
     )
     return (
         ranked.groupBy("o_orderpriority")
