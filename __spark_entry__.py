@@ -50,6 +50,7 @@ _MODULES = [
     "db_migrator_spark.operators.events3",
     "db_migrator_spark.operators.events4",
     "db_migrator_spark.operators.text_metrics",
+    "db_migrator_spark.operators.text_lm",
     "db_migrator_spark.operators.corpus",
     "db_migrator_spark.operators.corpus2",
     "db_migrator_spark.operators.corpus3",
@@ -74,6 +75,7 @@ _MODULES = [
     "db_migrator_spark.operators.quality2",
     "db_migrator_spark.operators.quality3",
     "db_migrator_spark.operators.quality4",
+    "db_migrator_spark.operators.quality5",
     "db_migrator_spark.operators.stats",
     "db_migrator_spark.operators.stats2",
     "db_migrator_spark.sources.python_source",

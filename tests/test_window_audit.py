@@ -39,6 +39,7 @@ BOUNDED_DOMAIN_WHITELIST = {
     "events_error_budget_burn": "day grain: calendar span",
     "corpus_seq_len_histogram": "fixed histogram-bin grain",
     "q_xmr_control_chart": "day grain: calendar span",
+    "text_heaps_curve": "fixed 20-bucket grain (HEAPS_BUCKETS)",
 }
 
 
