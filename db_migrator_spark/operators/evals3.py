@@ -435,3 +435,94 @@ ORACLES["eval_kendall_tau"] = """
     FROM adj
     ORDER BY lang
 """
+
+
+# Krippendorff thresholds: the two "annotators" are deterministic silver
+# labelers of document quality — A by character mass, B by token count.
+# Calibrated to the same positive rate so disagreement is the thin
+# boundary band (the realistic inter-annotator regime).
+KRIPP_CHARS_MIN = 220
+KRIPP_TOKENS_MIN = 38
+
+
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal, two coders, binary) between the
+    char-mass and token-count silver labelers, exact to the ppm.
+
+    For two coders rating every unit, nominal alpha reduces to pure
+    integers: with n units, d disagreements, pooled category masses
+    m1 = sum(a) + sum(b) and m0 = 2n - m1,
+
+        Do = d / n,   De = 2*m0*m1 / (2n * (2n - 1)),
+        alpha = 1 - Do/De
+              = 1 - d * (2n - 1) / (m0 * m1)     (after cancelling 2n)
+
+    so alpha_ppm = 1e6 - (d * (2n-1) * 1e6) div (m0 * m1) — one
+    truncating division on the decimal contract, no float anywhere.
+    Degenerate pools (m0*m1 = 0: every rating identical) surface the
+    -1 sentinel. alpha goes NEGATIVE when coders disagree more than
+    chance — the subtraction is signed by construction.
+
+    Scale shape (100 TB): one scan to per-doc labels, one 4-sum
+    aggregate; everything after is a 1-row computation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        (F.col("n_chars") >= KRIPP_CHARS_MIN).cast("int").alias("a"),
+        (F.size(F.split(F.col("text"), " ")) >= KRIPP_TOKENS_MIN)
+        .cast("int")
+        .alias("b"),
+    )
+    agg = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum((F.col("a") != F.col("b")).cast("int"))
+        .cast("bigint")
+        .alias("n_disagree"),
+        (F.sum("a") + F.sum("b")).cast("bigint").alias("m_pos"),
+    )
+    return agg.select(
+        "n_units",
+        "n_disagree",
+        "m_pos",
+        (F.lit(2) * F.col("n_units") - F.col("m_pos"))
+        .cast("bigint")
+        .alias("m_neg"),
+        F.expr(
+            "CAST((n_units - n_disagree) * 1000000 div n_units AS BIGINT)"
+        ).alias("observed_agree_ppm"),
+        F.expr(
+            "CASE WHEN m_pos = 0 OR 2 * n_units - m_pos = 0 THEN -1"
+            " ELSE CAST(1000000 - CAST(n_disagree AS DECIMAL(38,0))"
+            " * (2 * n_units - 1) * 1000000"
+            " div (CAST(m_pos AS DECIMAL(38,0)) * (2 * n_units - m_pos))"
+            " AS BIGINT) END"
+        ).alias("alpha_ppm"),
+    )
+
+
+QUERIES["eval_krippendorff_alpha"] = eval_krippendorff_alpha
+
+ORACLES["eval_krippendorff_alpha"] = f"""
+    WITH labeled AS (
+        SELECT CAST(n_chars >= {KRIPP_CHARS_MIN} AS INT) AS a,
+               CAST(len(string_split(text, ' ')) >= {KRIPP_TOKENS_MIN}
+                    AS INT) AS b
+        FROM documents),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(CASE WHEN a != b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_disagree,
+               CAST(SUM(a) + SUM(b) AS BIGINT) AS m_pos
+        FROM labeled)
+    SELECT n_units, n_disagree, m_pos,
+           CAST(2 * n_units - m_pos AS BIGINT) AS m_neg,
+           CAST((n_units - n_disagree) * 1000000 // n_units AS BIGINT)
+               AS observed_agree_ppm,
+           CASE WHEN m_pos = 0 OR 2 * n_units - m_pos = 0 THEN -1
+                ELSE CAST(1000000 - CAST(n_disagree AS HUGEINT)
+                          * (2 * n_units - 1) * 1000000
+                          // (CAST(m_pos AS HUGEINT)
+                              * (2 * n_units - m_pos)) AS BIGINT) END
+               AS alpha_ppm
+    FROM agg
+"""

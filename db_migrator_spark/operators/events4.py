@@ -1094,3 +1094,156 @@ ORACLES["events_error_budget_burn"] = f"""
     FROM run
     ORDER BY day
 """
+
+
+def events_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor propensity matching (with replacement) for the
+    signup-onboarded cohort, fully deterministic and exact.
+
+    Treatment: users whose FIRST event (by ts, then event_id) is a
+    ``signup`` — the onboarded cohort. Propensity proxy score: total
+    event count (the activity confounder). Outcome: total purchase
+    value in exact micros. Each treated user matches the control
+    score nearest its own (ties -> the LOWER score; at the matched
+    score the representative control is the min-user_id one), the
+    standard greedy-with-replacement estimator whose per-pair rows
+    sum to the ATT.
+
+    Scale shape (100 TB): per-user aggregates (one keyed shuffle, the
+    user grain is the parallel unit), then ALL ranking work runs on
+    the DISTINCT-score spine — bounded by the activity-count domain,
+    not the user count (the eval_roc_auc regime); the two prefix
+    windows over that spine are whitelisted on that ground. Matching
+    joins are equi-joins on score.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wfirst = W.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+            F.row_number().over(wfirst).alias("__rn"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("score"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("vm")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("outcome_micro"),
+            F.max(
+                F.when(
+                    (F.col("__rn") == 1) & (F.col("event_type") == "signup"), 1
+                ).otherwise(0)
+            ).alias("treated"),
+        )
+    )
+    controls = per_user.filter(F.col("treated") == 0)
+    treated = per_user.filter(F.col("treated") == 1)
+    ctrl_spine = controls.groupBy("score").agg(
+        F.min("user_id").alias("ctrl_user"),
+        F.min_by("outcome_micro", "user_id").alias("ctrl_outcome_micro"),
+    )
+    allsc = (
+        treated.select("score")
+        .union(ctrl_spine.select("score"))
+        .distinct()
+        .join(
+            ctrl_spine.select("score", F.lit(1).alias("__c")), "score", "left"
+        )
+    )
+    wb = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+    wf = W.orderBy("score").rowsBetween(0, W.unboundedFollowing)
+    nearest = allsc.select(
+        "score",
+        F.max(F.when(F.col("__c") == 1, F.col("score"))).over(wb).alias("back"),
+        F.min(F.when(F.col("__c") == 1, F.col("score"))).over(wf).alias("fwd"),
+    ).select(
+        "score",
+        F.when(F.col("back").isNull(), F.col("fwd"))
+        .when(F.col("fwd").isNull(), F.col("back"))
+        .when(
+            F.col("score") - F.col("back") <= F.col("fwd") - F.col("score"),
+            F.col("back"),
+        )
+        .otherwise(F.col("fwd"))
+        .alias("m_score"),
+    )
+    return (
+        treated.join(nearest, "score")
+        .join(
+            ctrl_spine.select(
+                F.col("score").alias("m_score"),
+                "ctrl_user",
+                "ctrl_outcome_micro",
+            ),
+            "m_score",
+        )
+        .select(
+            "user_id",
+            "score",
+            "outcome_micro",
+            "m_score",
+            "ctrl_user",
+            "ctrl_outcome_micro",
+            (F.col("outcome_micro") - F.col("ctrl_outcome_micro"))
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["events_propensity_matching"] = events_propensity_matching
+
+ORACLES["events_propensity_matching"] = """
+    WITH pu AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS score,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(FLOOR(value * 1000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS outcome_micro,
+               MAX(CASE WHEN rn = 1 AND event_type = 'signup'
+                        THEN 1 ELSE 0 END) AS treated
+        FROM (SELECT user_id, event_type, value, ts,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+        GROUP BY user_id),
+    ctrl AS (
+        SELECT score, MIN(user_id) AS ctrl_user,
+               arg_min(outcome_micro, user_id) AS ctrl_outcome_micro
+        FROM pu WHERE treated = 0 GROUP BY score),
+    allsc AS (
+        SELECT s.score, c.score IS NOT NULL AS has_c
+        FROM (SELECT DISTINCT score FROM pu WHERE treated = 1
+              UNION SELECT score FROM ctrl) s
+        LEFT JOIN ctrl c ON c.score = s.score),
+    near AS (
+        SELECT score,
+               MAX(CASE WHEN has_c THEN score END)
+                   OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS back,
+               MIN(CASE WHEN has_c THEN score END)
+                   OVER (ORDER BY score
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS fwd
+        FROM allsc),
+    pick AS (
+        SELECT score,
+               CASE WHEN back IS NULL THEN fwd
+                    WHEN fwd IS NULL THEN back
+                    WHEN score - back <= fwd - score THEN back
+                    ELSE fwd END AS m_score
+        FROM near)
+    SELECT t.user_id, t.score, t.outcome_micro, p.m_score,
+           c.ctrl_user, c.ctrl_outcome_micro,
+           CAST(t.outcome_micro - c.ctrl_outcome_micro AS BIGINT)
+               AS lift_micro
+    FROM pu t
+    JOIN pick p ON p.score = t.score
+    JOIN ctrl c ON c.score = p.m_score
+    WHERE t.treated = 1
+    ORDER BY t.user_id
+"""

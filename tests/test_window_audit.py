@@ -40,6 +40,10 @@ BOUNDED_DOMAIN_WHITELIST = {
     "corpus_seq_len_histogram": "fixed histogram-bin grain",
     "q_xmr_control_chart": "day grain: calendar span",
     "text_heaps_curve": "fixed 20-bucket grain (HEAPS_BUCKETS)",
+    "events_propensity_matching": (
+        "score grain: distinct per-user activity counts, bounded by the "
+        "max user lifetime activity (eval_roc_auc regime)"
+    ),
 }
 
 
