@@ -219,3 +219,38 @@ def test_data_sized_partition_by_fails_loudly(spark):
                 df, "v", ["k"], cuts=[1.0, 3.0], partition_by=["ent"],
                 fold="driver",
             )
+
+
+def test_keyed_rank_keeps_null_key_groups(spark):
+    """r10 ADVICE: a NULL partition key is a real group under a keyed
+    window (NULLs group together); the offsets equi-joins must be
+    null-safe or those rows silently vanish. Pin bit-exact parity with
+    the keyed window on a fixture whose key column contains NULLs, in
+    both fold modes."""
+    df = _fixture(spark).withColumn(
+        "gn", F.when(F.col("g") == 2, None).otherwise(F.col("g"))
+    )
+    cuts = quantile_cuts(df, ["v"], n_bins=8)["v"]
+    for fold in ("plan", "driver"):
+        got = with_global_rank(
+            df, "v", ["k"], cuts=cuts, partition_by=["gn"],
+            cum_cols=("amt",), fold=fold,
+        )
+        assert got.count() == df.count(), f"rows dropped (fold={fold})"
+        w = W.partitionBy("gn").orderBy(F.asc("v"), F.asc("k"))
+        want = df.select(
+            "k",
+            F.row_number().over(w).alias("rn_ref"),
+            F.sum(F.col("amt").cast("decimal(38,0)"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("cum_ref"),
+        )
+        bad = (
+            got.join(want, "k")
+            .filter(
+                (F.col("rn") != F.col("rn_ref"))
+                | (F.col("cum_amt") != F.col("cum_ref"))
+            )
+            .count()
+        )
+        assert bad == 0, f"keyed NULL-group mismatch (fold={fold})"
