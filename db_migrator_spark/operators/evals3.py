@@ -135,7 +135,10 @@ def eval_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_chars").alias("x"),
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("y"),
-    )
+        # narrow doc-grain projection feeds the quantile action + two
+        # driver-fold rank passes + the final plan; checkpointing it
+        # runs the text tokenization ONCE instead of four times (r11).
+    ).localCheckpoint(eager=False)
     cuts = quantile_cuts(base, ["x", "y"])
     two_ranked = with_global_rank(
         with_global_rank(

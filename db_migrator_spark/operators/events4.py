@@ -771,6 +771,10 @@ def q_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r2"),
         )
         .filter((F.col("r1") > 0) & (F.col("r2") > 0))
+        # NOT checkpointed: the r11 entity-grain checkpoint A/B measured
+        # 2.11 -> 2.4s here — the single cheap orders groupBy recomputes
+        # faster than the materialization pays back (unlike the five
+        # sites where it won; BENCH_NOTES round-11).
     )
     cuts = quantile_cuts(per_cust, ["r1", "r2"])
     ranked = with_global_rank(

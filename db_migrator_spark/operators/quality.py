@@ -634,7 +634,11 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "frequency",
         "monetary_micros",
-    )
+        # customer-grain aggregate feeds the quantile action plus three
+        # driver-fold rank passes (each a collect over it) plus the
+        # final plan — checkpoint so the orders groupBy+join runs once
+        # (r11; entity-grain only, never raw-scan-grain).
+    ).localCheckpoint(eager=False)
 
     cuts = quantile_cuts(
         based, ["recency_days", "frequency", "monetary_micros"]

@@ -863,7 +863,10 @@ def q_budget_greedy_selection(
     )
     scored = base.select(
         "o_custkey", "rev_cents", "cost_cents", density.alias("density_ppm")
-    )
+        # customer-grain candidate relation feeds the quantile action +
+        # the rank pass's two plan sides — checkpoint so the orders
+        # aggregate + cost join run once (r11; entity-grain only).
+    ).localCheckpoint(eager=False)
     cuts = quantile_cuts(scored, ["density_ppm"])["density_ppm"]
     running = with_global_rank(
         scored, "density_ppm", ["o_custkey"], cuts=cuts, descending=True,

@@ -441,6 +441,12 @@ def q_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("s_nationkey", "s_suppkey", "s_name")
         .agg(F.sum(_revenue_dec()).cast("decimal(38,6)").cast("double").alias("revenue"))
+        # supplier-grain aggregate feeds FOUR consumers (quantile, the
+        # rank pass's two plan sides, the probe join); checkpoint the
+        # tiny entity-sized relation so the lineitem join+agg runs once
+        # (r11 A/B: 2.60 -> see BENCH_NOTES; entity-grain only — never
+        # checkpoint a raw-scan-grain relation).
+        .localCheckpoint(eager=False)
     )
     cells = rev.groupBy("s_nationkey", "revenue").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")

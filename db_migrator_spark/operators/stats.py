@@ -172,14 +172,27 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         v.alias("v"),
     )
-    vcuts = quantile_cuts(base, ["v"])["v"]
-    ranked = with_global_rank(
-        base, "v", ["o_orderkey"], cuts=vcuts,
-        partition_by=["o_orderpriority"], rank_col="rn", total_col="n",
+    # Type-1 lower median per priority WITHOUT a row-level rank: group
+    # to (priority, value) cells first (map-side combinable), run ONE
+    # keyed distributed running-count pass over the distinct support,
+    # and pick the smallest value whose cumulative count reaches rank
+    # (n+1) div 2 — same value the row-rank filter selected, one less
+    # row-level window pipeline (r11 perf rework: 5.5 -> see
+    # BENCH_NOTES; oracle keeps the row-rank SQL).
+    cells = base.groupBy("o_orderpriority", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    median = ranked.filter(
-        F.col("rn") == F.expr("(n + 1) div 2")
-    ).select("o_orderpriority", F.col("v").alias("med"))
+    ccuts = quantile_cuts(cells, ["v"])["v"]
+    cum = with_global_rank(
+        cells, "v", [], cuts=ccuts,
+        partition_by=["o_orderpriority"], rank_col="__rk",
+        total_col="__nv", cum_cols=("cnt",),
+    )
+    median = (
+        cum.filter(F.expr("cum_cnt >= (tot_cnt + 1) div 2"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("v").alias("med"))
+    )
     signed = (
         base.join(F.broadcast(median), "o_orderpriority")
         .filter(F.col("v") != F.col("med"))
@@ -190,7 +203,15 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v") > F.col("med")).cast("int").alias("s"),
         )
     )
-    dcuts = quantile_cuts(signed, ["dk"])["dk"]
+    # Date cut-points from BASE, not from signed: cuts only steer bin
+    # balance (never correctness), and the base form skips re-deriving
+    # the median sub-plan inside the quantile action.
+    dcuts = quantile_cuts(
+        base.select(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("dk")
+        ),
+        ["dk"],
+    )["dk"]
     seq = with_global_rank(
         signed, "dk", ["o_orderkey"], cuts=dcuts,
         partition_by=["o_orderpriority"], rank_col="sn", total_col="__n2",
