@@ -78,6 +78,7 @@ _MODULES = [
     "db_migrator_spark.operators.quality5",
     "db_migrator_spark.operators.stats",
     "db_migrator_spark.operators.stats2",
+    "db_migrator_spark.operators.resampling",
     "db_migrator_spark.sources.python_source",
     "db_migrator_spark.migrate.queries",
     "db_migrator_spark.streaming.windows",

@@ -317,6 +317,34 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["graph_bfs_distances"] = graph_bfs_distances
 
 
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality of the BFS seeds within the BFS_ROUNDS-hop
+    horizon: H(s) = sum over reached nodes of 1/dist, surfaced as the
+    exact integer sum of 1000000 div dist (each term a pinned rational
+    — dist is a small integer, so the per-term truncation is the
+    whole cross-engine contract; round 11b). The standard
+    centrality that stays defined on DISCONNECTED graphs (unreachable
+    nodes contribute zero instead of an infinite distance), which is
+    why it is the production pick over closeness. Rides the existing
+    bounded-round BFS (one arcs-keyed shuffle per round); the rollup
+    is one seeds-sized aggregate."""
+    d = graph_bfs_distances(spark, sf_dir)
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum(F.expr("1000000 div dist")).cast("bigint").alias(
+                "harmonic_micro"
+            ),
+        )
+        .orderBy("seed")
+    )
+
+
+QUERIES["graph_harmonic_centrality"] = graph_harmonic_centrality
+
+
 def _bfs_oracle() -> str:
     stmts = [
         f"""
@@ -348,14 +376,21 @@ def _bfs_oracle() -> str:
             GROUP BY seed, node;
         """
         )
-    stmts.append(
-        """
+    return ";".join(stmts)
+
+
+ORACLES["graph_bfs_distances"] = _bfs_oracle() + """;
         SELECT seed, node, CAST(dist AS BIGINT) AS dist
         FROM bfs_dist
         ORDER BY seed, node
         """
-    )
-    return ";".join(stmts)
 
-
-ORACLES["graph_bfs_distances"] = _bfs_oracle()
+ORACLES["graph_harmonic_centrality"] = _bfs_oracle() + """;
+        SELECT seed,
+               CAST(COUNT(*) AS BIGINT) AS n_reached,
+               CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro
+        FROM bfs_dist
+        WHERE dist > 0
+        GROUP BY seed
+        ORDER BY seed
+        """

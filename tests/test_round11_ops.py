@@ -277,3 +277,65 @@ def test_propensity_matching_is_nearest_and_label_correct(spark):
         assert r.ctrl_user == min(reps)
         assert r.ctrl_outcome_micro == controls[r.ctrl_user][1]
         assert r.lift_micro == r.outcome_micro - r.ctrl_outcome_micro
+
+
+def test_bootstrap_ci_poisson_multiplicities_and_selection(spark):
+    import hashlib
+
+    from db_migrator_spark.operators.resampling import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        POISSON1_CUM_2_32,
+        eval_bootstrap_ci,
+    )
+
+    rows = eval_bootstrap_ci(spark, SF0).collect()
+    base = [
+        (o.o_orderpriority, o.o_orderkey, int(o.o_totalprice * 1_000_000 // 1))
+        for o in load_table(spark, SF0, "orders").collect()
+    ]
+    groups = {}
+    for p, k, v in base:
+        groups.setdefault(p, []).append((k, v))
+    got = {r.o_orderpriority: r for r in rows}
+    assert set(got) == set(groups)
+    for p, members in groups.items():
+        means = []
+        for rep in range(BOOT_B):
+            n_eff = s = 0
+            for k, v in members:
+                u = int(
+                    hashlib.md5(f"{k}:{rep}".encode()).hexdigest()[:8], 16
+                )
+                m = sum(1 for t in POISSON1_CUM_2_32 if u >= t)
+                n_eff += m
+                s += m * v
+            means.append(s // n_eff)
+        means.sort()
+        r = got[p]
+        assert r.b_replicates == BOOT_B
+        assert r.ci_lo_micro == means[BOOT_LO_RANK - 1]
+        assert r.ci_hi_micro == means[BOOT_HI_RANK - 1]
+        assert r.point_mean_micro == sum(v for _, v in members) // len(members)
+        assert r.ci_lo_micro <= r.ci_hi_micro
+        # the point estimate sits inside (or at worst on) the 95% CI
+        assert r.ci_lo_micro <= r.point_mean_micro <= r.ci_hi_micro
+
+
+def test_harmonic_centrality_matches_bfs(spark):
+    from db_migrator_spark.operators.graph4 import (
+        graph_bfs_distances,
+        graph_harmonic_centrality,
+    )
+
+    hc = {r.seed: r for r in graph_harmonic_centrality(spark, SF01).collect()}
+    dist = graph_bfs_distances(spark, SF01).collect()
+    agg = {}
+    for d in dist:
+        if d.dist > 0:
+            n, h = agg.get(d.seed, (0, 0))
+            agg[d.seed] = (n + 1, h + 1_000_000 // d.dist)
+    assert set(hc) == set(agg)
+    for seed, (n, h) in agg.items():
+        assert (hc[seed].n_reached, hc[seed].harmonic_micro) == (n, h)
