@@ -1251,3 +1251,241 @@ ORACLES["events_propensity_matching"] = """
     WHERE t.treated = 1
     ORDER BY t.user_id
 """
+
+
+def _stdiv(num: str, den: str) -> str:
+    """Sign-branched exact truncating division (SQL text), the repo's
+    cross-engine contract for possibly-negative dividends: truncate
+    toward zero on both engines (DuckDB ``//`` floors on negatives on
+    some versions — never rely on it below zero)."""
+    return (
+        f"CASE WHEN ({num}) < 0"
+        f" THEN -CAST((-({num})) div ({den}) AS BIGINT)"
+        f" ELSE CAST(({num}) div ({den}) AS BIGINT) END"
+    )
+
+
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout — the industry-standard
+    experimentation estimator: each arm's post-period mean event value
+    is adjusted by the pre-period covariate,
+    ``adj = mean(Y_a) - theta * (mean(X_a) - mean(X))`` with
+    ``theta = cov(X, Y) / var(X)`` over ALL users.
+
+    Everything is exact integer arithmetic in DOCUMENTED stages:
+    per-user X (pre-pivot) and Y (post-pivot) value totals carried at
+    both micro (means) and cent (second moments — products stay inside
+    DECIMAL(38,0) with ~1e8x row headroom, the drift_effect_size
+    precedent) precision; theta surfaces at ppm grain
+    (``theta_ppm = (n*Sxy - Sx*Sy) * 1e6 tdiv (n*Sxx - Sx^2)``, the
+    one pinned truncation), the adjustment term truncates once more at
+    micro grain, and the variance-reduction ratio rho^2 composes the
+    same two ppm-grain stages (P*1e6 tdiv Ry, then * theta_ppm tdiv
+    1e6) so no product ever exceeds the decimal domain. All divisions
+    are sign-branched tdiv (negative deltas are normal). Degenerate
+    var(X) = 0 or var(Y) = 0 surfaces -1 sentinels with the raw mean
+    kept unadjusted.
+
+    Scale notes (100 TB): one user-grain aggregate (map-side
+    combinable), a 2-row arm rollup, a broadcast 1-row pooled-moments
+    relation. No windows, no collects.
+    """
+    from .events3 import AB_ARM_UPPER, AB_SALT
+
+    ev = load_table(spark, sf_dir, "events")
+    post = F.col("ts").cast("timestamp") >= F.lit(DID_PIVOT).cast(
+        "timestamp"
+    )
+    vm = F.floor(F.col("value") * 1_000_000).cast("bigint")
+    vc = F.floor(F.col("value") * 100).cast("bigint")
+    arm = F.when(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(AB_SALT), F.col("user_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            2,
+        )
+        < AB_ARM_UPPER,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        ev.select(
+            "user_id",
+            arm.alias("arm"),
+            post.alias("post"),
+            vm.alias("vm"),
+            vc.alias("vc"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum(F.when(~F.col("post"), F.col("vm")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("post"), F.col("vm")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+            F.sum(F.when(~F.col("post"), F.col("vc")).otherwise(0))
+            .cast("bigint")
+            .alias("xc"),
+            F.sum(F.when(F.col("post"), F.col("vc")).otherwise(0))
+            .cast("bigint")
+            .alias("yc"),
+        )
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx_m"),
+        F.sum("xc").cast("decimal(38,0)").alias("sx"),
+        F.sum("yc").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc")).alias("sxx"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("yc").cast("decimal(38,0)") * F.col("yc")).alias("syy"),
+    ).select(
+        "n",
+        F.expr("CAST(sx_m div n AS BIGINT)").alias("mean_x_all_micro"),
+        F.expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))").alias("p"),
+        F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("q"),
+        F.expr("CAST(n * syy - sy * sy AS DECIMAL(38,0))").alias("ry"),
+    ).select(
+        "mean_x_all_micro",
+        F.expr(
+            "CASE WHEN q = 0 THEN -1 ELSE "
+            + _stdiv("p * 1000000", "q")
+            + " END"
+        ).alias("theta_ppm"),
+        F.expr(
+            "CASE WHEN q = 0 OR ry = 0 THEN -1 ELSE "
+            + _stdiv(
+                "CAST("
+                + _stdiv("p * 1000000", "q")
+                + " AS DECIMAL(38,0)) * "
+                + _stdiv("p * 1000000", "ry"),
+                "1000000",
+            )
+            + " END"
+        ).alias("var_reduction_ppm"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("decimal(38,0)").alias("sx_a"),
+        F.sum("y").cast("decimal(38,0)").alias("sy_a"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            "n_users",
+            F.expr("CAST(sx_a div n_users AS BIGINT)").alias("mean_x_micro"),
+            F.expr("CAST(sy_a div n_users AS BIGINT)").alias(
+                "raw_mean_y_micro"
+            ),
+            F.expr(
+                "CAST(CAST(sy_a div n_users AS BIGINT) - CASE"
+                " WHEN theta_ppm = -1 THEN 0 ELSE "
+                + _stdiv(
+                    "CAST(theta_ppm AS DECIMAL(38,0))"
+                    " * (CAST(sx_a div n_users AS BIGINT)"
+                    " - mean_x_all_micro)",
+                    "1000000",
+                )
+                + " END AS BIGINT)"
+            ).alias("cuped_mean_y_micro"),
+            "theta_ppm",
+            "var_reduction_ppm",
+        )
+        .orderBy("arm")
+    )
+
+
+QUERIES["events_cuped_adjustment"] = events_cuped_adjustment
+
+ORACLES["events_cuped_adjustment"] = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5('ab-v1' || CAST(user_id AS VARCHAR)),
+                               1, 2) < '80' THEN 'A' ELSE 'B' END AS arm,
+               CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                  < TIMESTAMP '{DID_PIVOT}'
+                             THEN CAST(FLOOR(value * 1000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                  >= TIMESTAMP '{DID_PIVOT}'
+                             THEN CAST(FLOOR(value * 1000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                  < TIMESTAMP '{DID_PIVOT}'
+                             THEN CAST(FLOOR(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS xc,
+               CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                  >= TIMESTAMP '{DID_PIVOT}'
+                             THEN CAST(FLOOR(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS yc
+        FROM events GROUP BY 1, 2),
+    pooled AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx_m,
+               CAST(SUM(xc) AS HUGEINT) AS sx,
+               CAST(SUM(yc) AS HUGEINT) AS sy,
+               SUM(CAST(xc AS HUGEINT) * xc) AS sxx,
+               SUM(CAST(xc AS HUGEINT) * yc) AS sxy,
+               SUM(CAST(yc AS HUGEINT) * yc) AS syy
+        FROM per_user),
+    moments AS (
+        SELECT CAST(sx_m // n AS BIGINT) AS mean_x_all_micro,
+               n * sxy - sx * sy AS p,
+               n * sxx - sx * sx AS q,
+               n * syy - sy * sy AS ry
+        FROM pooled),
+    consts AS (
+        SELECT mean_x_all_micro,
+               CASE WHEN q = 0 THEN -1
+                    WHEN p * 1000000 < 0
+                    THEN -CAST((-(p * 1000000)) // q AS BIGINT)
+                    ELSE CAST((p * 1000000) // q AS BIGINT) END
+                   AS theta_ppm,
+               CASE WHEN q = 0 OR ry = 0 THEN CAST(-1 AS HUGEINT)
+                    WHEN p * 1000000 < 0
+                    THEN -CAST((-(p * 1000000)) // ry AS HUGEINT)
+                    ELSE CAST((p * 1000000) // ry AS HUGEINT) END
+                   AS covvary_ppm,
+               q, ry
+        FROM moments),
+    consts2 AS (
+        SELECT mean_x_all_micro, theta_ppm,
+               CASE WHEN q = 0 OR ry = 0 THEN -1
+                    WHEN CAST(theta_ppm AS HUGEINT) * covvary_ppm < 0
+                    THEN -CAST((-(CAST(theta_ppm AS HUGEINT) * covvary_ppm))
+                               // 1000000 AS BIGINT)
+                    ELSE CAST(CAST(theta_ppm AS HUGEINT) * covvary_ppm
+                              // 1000000 AS BIGINT) END
+                   AS var_reduction_ppm
+        FROM consts),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS HUGEINT) AS sx_a,
+               CAST(SUM(y) AS HUGEINT) AS sy_a
+        FROM per_user GROUP BY arm)
+    SELECT a.arm, a.n_users,
+           CAST(a.sx_a // a.n_users AS BIGINT) AS mean_x_micro,
+           CAST(a.sy_a // a.n_users AS BIGINT) AS raw_mean_y_micro,
+           CAST(CAST(a.sy_a // a.n_users AS BIGINT) - CASE
+                WHEN c.theta_ppm = -1 THEN 0
+                WHEN CAST(c.theta_ppm AS HUGEINT)
+                     * (CAST(a.sx_a // a.n_users AS BIGINT)
+                        - c.mean_x_all_micro) < 0
+                THEN -CAST((-(CAST(c.theta_ppm AS HUGEINT)
+                              * (CAST(a.sx_a // a.n_users AS BIGINT)
+                                 - c.mean_x_all_micro))) // 1000000
+                           AS BIGINT)
+                ELSE CAST(CAST(c.theta_ppm AS HUGEINT)
+                          * (CAST(a.sx_a // a.n_users AS BIGINT)
+                             - c.mean_x_all_micro) // 1000000 AS BIGINT)
+                END AS BIGINT) AS cuped_mean_y_micro,
+           c.theta_ppm,
+           CAST(c.var_reduction_ppm AS BIGINT) AS var_reduction_ppm
+    FROM arms a, consts2 c
+    ORDER BY a.arm
+"""

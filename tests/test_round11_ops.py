@@ -339,3 +339,61 @@ def test_harmonic_centrality_matches_bfs(spark):
     assert set(hc) == set(agg)
     for seed, (n, h) in agg.items():
         assert (hc[seed].n_reached, hc[seed].harmonic_micro) == (n, h)
+
+
+def test_cuped_matches_python(spark):
+    import hashlib
+    from datetime import datetime
+
+    from db_migrator_spark.operators.events4 import (
+        DID_PIVOT,
+        events_cuped_adjustment,
+    )
+
+    rows = {r.arm: r for r in events_cuped_adjustment(spark, SF01).collect()}
+    ev = load_table(spark, SF01, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    pivot = datetime.fromisoformat(DID_PIVOT)
+    per = {}
+    for e in ev:
+        x, y, xc, yc = per.get(e.user_id, (0, 0, 0, 0))
+        vm = int(e.value * 1_000_000 // 1)
+        vc = int(e.value * 100 // 1)
+        if e.ts < pivot:
+            x, xc = x + vm, xc + vc
+        else:
+            y, yc = y + vm, yc + vc
+        per[e.user_id] = (x, y, xc, yc)
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    n = len(per)
+    sx_m = sum(v[0] for v in per.values())
+    sx = sum(v[2] for v in per.values())
+    sy = sum(v[3] for v in per.values())
+    sxx = sum(v[2] * v[2] for v in per.values())
+    sxy = sum(v[2] * v[3] for v in per.values())
+    p, q = n * sxy - sx * sy, n * sxx - sx * sx
+    theta_ppm = tdiv(p * 1_000_000, q)
+    mean_x_all = sx_m // n
+    arms = {}
+    for uid, (x, y, _, _) in per.items():
+        a = (
+            "A"
+            if hashlib.md5(f"ab-v1{uid}".encode()).hexdigest()[:2] < "80"
+            else "B"
+        )
+        na, ax, ay = arms.get(a, (0, 0, 0))
+        arms[a] = (na + 1, ax + x, ay + y)
+    for a, (na, ax, ay) in arms.items():
+        r = rows[a]
+        assert r.n_users == na
+        assert r.mean_x_micro == ax // na
+        assert r.raw_mean_y_micro == ay // na
+        adj = tdiv(theta_ppm * (ax // na - mean_x_all), 1_000_000)
+        assert r.cuped_mean_y_micro == ay // na - adj
+        assert r.theta_ppm == theta_ppm
+        # variance reduction is a valid squared-correlation share
+        assert 0 <= r.var_reduction_ppm <= 1_000_000
