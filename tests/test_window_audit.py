@@ -158,3 +158,40 @@ def test_no_query_has_unbounded_global_window(spark):
     # a whitelist entry whose window disappeared is stale — prune it so
     # the justification list stays honest
     assert not stale_whitelist, f"stale whitelist entries: {stale_whitelist}"
+
+
+def test_constant_domain_inspector_synthetic_cases(spark):
+    """The tier-2 inspector itself: flags a window keyed ONLY by a
+    constant-domain column over data-sized input; stays quiet when the
+    partition spec also carries a subdividing column (the
+    distributed_rank bin shape) or when the input is Limit-bounded."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from db_migrator_spark.plans.inspect import constant_domain_keyed_windows
+
+    base = spark.range(0, 1000).select(
+        (F.col("id") % 5).cast("string").alias("o_orderpriority"),
+        (F.col("id") % 32).alias("bin"),
+        F.col("id").alias("v"),
+    )
+    flagged = base.select(
+        F.row_number()
+        .over(W.partitionBy("o_orderpriority").orderBy("v"))
+        .alias("rn")
+    )
+    assert constant_domain_keyed_windows(flagged, CONSTANT_DOMAIN_COLS)
+
+    subdivided = base.select(
+        F.row_number()
+        .over(W.partitionBy("o_orderpriority", "bin").orderBy("v"))
+        .alias("rn")
+    )
+    assert not constant_domain_keyed_windows(subdivided, CONSTANT_DOMAIN_COLS)
+
+    bounded = base.limit(50).select(
+        F.row_number()
+        .over(W.partitionBy("o_orderpriority").orderBy("v"))
+        .alias("rn")
+    )
+    assert not constant_domain_keyed_windows(bounded, CONSTANT_DOMAIN_COLS)
