@@ -64,6 +64,7 @@ _MODULES = [
     "db_migrator_spark.operators.graph2",
     "db_migrator_spark.operators.graph3",
     "db_migrator_spark.operators.graph4",
+    "db_migrator_spark.operators.graph5",
     "db_migrator_spark.operators.stats3",
     "db_migrator_spark.operators.evals3",
     "db_migrator_spark.operators.evals",
@@ -78,6 +79,7 @@ _MODULES = [
     "db_migrator_spark.operators.quality5",
     "db_migrator_spark.operators.stats",
     "db_migrator_spark.operators.stats2",
+    "db_migrator_spark.operators.stats4",
     "db_migrator_spark.operators.resampling",
     "db_migrator_spark.sources.python_source",
     "db_migrator_spark.migrate.queries",

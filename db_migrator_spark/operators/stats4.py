@@ -1,0 +1,559 @@
+"""Rank/variance/normality/trend tests (round 11b, stats4).
+
+The reference has no statistics surface (its data path is a 1:1 table
+copy, /root/reference/src/migrate/table_migrator.rs:43-114); these
+complete the classical hypothesis-test tier started in stats.py
+(KS, chi-square, runs) / stats2.py (IQR, effect size) / stats3.py
+(Mann-Whitney, ANOVA) with the four tests a metrics platform is asked
+for next, all in EXACT integer arithmetic (bit-for-bit cross-engine):
+
+- ``q_kruskal_wallis``: the k-group rank generalization of
+  Mann-Whitney — did ANY priority's order-total distribution move.
+  Pooled tie-aware average ranks stay integral by carrying DOUBLED
+  rank sums (tie group of size t ending at running count c has
+  2*avgrank = 2c - t + 1, the stats3 identity); the pooled running
+  count over the distinct-value support (data-sized: currency values
+  are nearly unique) comes from the GLOBAL distributed exact-rank pass
+  (``distributed_rank``), never a partitionless window. H with tie
+  correction via staged truncating division (documented contract):
+  A = sum_g ((2R_g)^2 div n_g),
+  h_uncorr_ppm = 3*A*1e6 div (N*(N+1)) - 3*(N+1)*1e6,
+  h_ppm = h_uncorr_ppm * (N^3 - N) div ((N^3 - N) - sum_v(t^3 - t)).
+  Overflow: h_uncorr_ppm*(N^3-N) < 1e38 through ~sf30 (ANSI canary).
+- ``q_levene_test``: Brown-Forsythe variance-homogeneity W — ANOVA on
+  absolute deviations from each group's exact type-1 lower median
+  (the runs-test cells-median idiom: (priority, value) cells + ONE
+  keyed distributed running-count pass, never a 5-task keyed window).
+  Deviations quantize to whole dollars; the F arithmetic reuses the
+  stats3 staged-division contract (per-group S_g^2 div n_g).
+- ``q_jarque_bera``: per-priority normality screen from exact central
+  power sums. Values quantize to hundred-dollar units and center on
+  the INTEGER mean mu0 = S1 div n (pinned convention — the sub-unit
+  offset from the true mean is invisible at the readout's ppm scale
+  but keeps every power sum small enough for DECIMAL(38,0) at any
+  realistic SF: T4 <= n * 5500^4 ~ 1.4e29 at sf1). Per-group moments
+  m_k = T_k div n truncate BEFORE ratios (contract); negative-valued
+  divisions never occur (T1 >= 0 by construction of the floor mean;
+  T3's sign is split out as ``skew_sign`` so skew^2 divides
+  positives only — Spark ``div`` truncates toward zero while DuckDB
+  ``//`` floors, so signed division is banned repo-wide).
+  skew_sq_ppm = m3^2*1e6 div m2^3, exkurt_ppm = m4*1e6 div m2^2 - 3e6,
+  jb_milli = n*(skew_sq_ppm div 6 + exkurt_ppm^2 div 24e6) div 1000.
+- ``q_mann_kendall_trend``: the non-parametric monotone-trend test on
+  each priority's MONTHLY revenue series. S = sum_{i<j} sign(x_j -
+  x_i) over month pairs; Var(S)*18 = m(m-1)(2m+5) - sum_t t(t-1)(2t+5)
+  (tie groups over equal revenue cents). |z|*1000 =
+  |S_adj|*18000 div isqrt(var18*18) with the continuity-corrected
+  S_adj = S - sign(S); direction surfaces separately (``trend_sign``)
+  so the division input stays non-negative.
+
+Scale notes (100 TB): every op collapses to cells first.
+Kruskal-Wallis joins the (priority, value) cells to the value-level
+rank relation on ``v`` — one keyed shuffle join on the distinct
+support, fully parallel. Levene's second scan re-reads base against a
+broadcast 5-row median relation. Jarque-Bera is two map-side-combined
+groupBy(priority) passes (moments need mu0 first). Mann-Kendall's
+pair stage self-joins (priority, month) cells — months are a
+calendar-bounded domain (~84 at any SF; the fixture date range is
+fixed), so the pair fan-out is a plan constant, same regime as the
+t-closeness EMD walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from .corpus5 import _isqrt
+from .stats3 import _ddiv
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H across order priorities (module
+    doc): one summary row with exact doubled-rank staged arithmetic."""
+    from .distributed_rank import quantile_cuts, with_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
+    base = orders.select("o_orderpriority", v.alias("v"))
+    pcells = base.groupBy("o_orderpriority", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vcells = pcells.groupBy("v").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    cuts = quantile_cuts(vcells, ["v"])["v"]
+    ranked = with_global_rank(
+        vcells, "v", [], cuts=cuts, rank_col="__rk",
+        total_col="__nv", cum_cols=("t",),
+    ).select(
+        "v",
+        "t",
+        (2 * F.col("cum_t") - F.col("t") + 1).alias("avgrank_x2"),
+    )
+    per_group = (
+        pcells.join(ranked, "v")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("avgrank_x2")
+            ).alias("r_x2"),
+        )
+    )
+    ties = vcells.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie_cube"),
+        F.sum(F.when(F.col("t") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("tie_cells"),
+    )
+    red = per_group.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("n_g").cast("bigint").alias("n_rows"),
+        F.sum(F.expr(_ddiv("r_x2 * r_x2", "n_g"))).alias("a"),
+    )
+    return (
+        red.crossJoin(F.broadcast(ties))
+        .select(
+            "k_groups",
+            "n_rows",
+            "tie_cells",
+            F.expr(
+                "CAST(3 * a * 1000000"
+                " div (CAST(n_rows AS DECIMAL(38,0)) * (n_rows + 1))"
+                " - 3 * (CAST(n_rows AS DECIMAL(38,0)) + 1) * 1000000"
+                " AS DECIMAL(38,0))"
+            ).alias("_hu"),
+            F.expr(
+                "CAST(CAST(n_rows AS DECIMAL(38,0)) * n_rows * n_rows"
+                " - n_rows AS DECIMAL(38,0))"
+            ).alias("_n3n"),
+            F.col("tie_cube").cast("decimal(38,0)").alias("_tc"),
+        )
+        .select(
+            "k_groups",
+            "n_rows",
+            "tie_cells",
+            F.col("_hu").cast("bigint").alias("h_uncorr_ppm"),
+            F.expr(
+                "CAST(_hu * _n3n div (_n3n - _tc) AS BIGINT)"
+            ).alias("h_ppm"),
+        )
+    )
+
+
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe W: one-way ANOVA F of absolute whole-dollar
+    deviations from each priority's exact type-1 lower median (module
+    doc). One summary row."""
+    from .distributed_rank import quantile_cuts, with_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice")).cast("bigint")
+    base = orders.select("o_orderpriority", v.alias("v"))
+    cells = base.groupBy("o_orderpriority", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ccuts = quantile_cuts(cells, ["v"])["v"]
+    cum = with_global_rank(
+        cells, "v", [], cuts=ccuts,
+        partition_by=["o_orderpriority"], rank_col="__rk",
+        total_col="__nv", cum_cols=("cnt",),
+    )
+    median = (
+        cum.filter(F.expr("cum_cnt >= (tot_cnt + 1) div 2"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("v").alias("med"))
+    )
+    z = (
+        base.join(F.broadcast(median), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.abs(F.col("v") - F.col("med")).alias("z"),
+        )
+    )
+    groups = z.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.col("z").cast("decimal(38,0)")).alias("s_g"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("q_g"),
+    )
+    return (
+        groups.select(
+            F.expr(_ddiv("s_g * s_g", "n_g")).alias("a_g"),
+            "n_g",
+            "s_g",
+            "q_g",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+            F.sum("n_g").cast("bigint").alias("n_rows"),
+            F.sum("a_g").alias("a"),
+            F.sum("s_g").alias("s"),
+            F.sum("q_g").alias("q"),
+        )
+        .select(
+            "k_groups",
+            "n_rows",
+            F.expr(
+                f"CAST(a - {_ddiv('s * s', 'n_rows')} AS DECIMAL(38,0))"
+            ).alias("_ssb"),
+            F.expr("CAST(q - a AS DECIMAL(38,0))").alias("_ssw"),
+        )
+        .select(
+            "k_groups",
+            "n_rows",
+            F.col("_ssb").cast("string").alias("ssb_dollars2"),
+            F.col("_ssw").cast("string").alias("ssw_dollars2"),
+            F.expr(
+                "CAST(_ssb * (n_rows - k_groups)"
+                " * 1000000 div (_ssw * (k_groups - 1)) AS BIGINT)"
+            ).alias("w_ppm"),
+        )
+    )
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Jarque-Bera normality screen on hundred-dollar
+    order totals, moments about the integer mean (module doc)."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") / 100).cast("bigint")
+    base = orders.select("o_orderpriority", v.alias("v"))
+    mu = base.groupBy("o_orderpriority").agg(
+        F.expr(
+            "CAST(CAST(SUM(v) AS DECIMAL(38,0)) div COUNT(*) AS BIGINT)"
+        ).alias("mu0")
+    )
+    d = base.join(F.broadcast(mu), "o_orderpriority").select(
+        "o_orderpriority",
+        (F.col("v") - F.col("mu0")).alias("d"),
+        "mu0",
+    )
+    dd = F.col("d").cast("decimal(38,0)")
+    moments = d.groupBy("o_orderpriority", "mu0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(dd * F.col("d")).alias("t2"),
+        F.sum(dd * F.col("d") * F.col("d")).alias("t3"),
+        F.sum(dd * F.col("d") * F.col("d") * F.col("d")).alias("t4"),
+    )
+    return (
+        moments.select(
+            "o_orderpriority",
+            "n_rows",
+            F.col("mu0").alias("mean100"),
+            F.expr("CAST(t2 div n_rows AS BIGINT)").alias("m2"),
+            F.expr(
+                "CAST(CASE WHEN t3 < 0 THEN -1 WHEN t3 > 0 THEN 1"
+                " ELSE 0 END AS INT)"
+            ).alias("skew_sign"),
+            F.expr("CAST(ABS(t3) div n_rows AS BIGINT)").alias("_m3a"),
+            F.expr("CAST(t4 div n_rows AS BIGINT)").alias("_m4"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            "mean100",
+            "m2",
+            "skew_sign",
+            F.expr(
+                "CAST(CAST(_m3a AS DECIMAL(38,0)) * _m3a * 1000000"
+                " div (CAST(m2 AS DECIMAL(38,0)) * m2 * m2) AS BIGINT)"
+            ).alias("skew_sq_ppm"),
+            F.expr(
+                "CAST(CAST(_m4 AS DECIMAL(38,0)) * 1000000"
+                " div (CAST(m2 AS DECIMAL(38,0)) * m2)"
+                " - 3000000 AS BIGINT)"
+            ).alias("exkurt_ppm"),
+        )
+        .withColumn(
+            "jb_milli",
+            F.expr(
+                "CAST(CAST(n_rows AS DECIMAL(38,0))"
+                " * (skew_sq_ppm div 6"
+                "    + CAST(exkurt_ppm AS DECIMAL(38,0)) * exkurt_ppm"
+                "      div 24000000)"
+                " div 1000 AS BIGINT)"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on each priority's monthly
+    revenue-cents series with tie-corrected variance and continuity-
+    corrected |z| in milli (module doc)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            "o_orderpriority",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mk"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("r"),
+        )
+        .groupBy("o_orderpriority", "mk")
+        .agg(F.sum(F.col("r").cast("decimal(38,0)")).alias("rev"))
+    )
+    a = cells.select(
+        "o_orderpriority", F.col("mk").alias("mi"), F.col("rev").alias("ri")
+    )
+    b = cells.select(
+        "o_orderpriority", F.col("mk").alias("mj"), F.col("rev").alias("rj")
+    )
+    pairs = a.join(b, "o_orderpriority").filter(F.col("mi") < F.col("mj"))
+    s = pairs.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.when(F.col("rj") > F.col("ri"), 1)
+            .when(F.col("rj") < F.col("ri"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    tie = (
+        cells.groupBy("o_orderpriority", "rev")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("t").cast("bigint").alias("m"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term"),
+        )
+    )
+    return (
+        s.join(tie, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "m",
+            "s",
+            (
+                F.col("m") * (F.col("m") - 1) * (2 * F.col("m") + 5)
+                - F.col("tie_term")
+            )
+            .cast("bigint")
+            .alias("var18"),
+            F.signum("s").cast("int").alias("trend_sign"),
+        )
+        .withColumn(
+            "_root", _isqrt((F.col("var18") * 18).cast("bigint"))
+        )
+        .select(
+            "o_orderpriority",
+            "m",
+            "s",
+            "var18",
+            "trend_sign",
+            F.expr(
+                "CAST(CASE WHEN s = 0 OR var18 = 0 THEN 0"
+                " ELSE (ABS(s) - 1) * 18000 div _root END AS BIGINT)"
+            ).alias("z_abs_milli"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES = {
+    "q_kruskal_wallis": q_kruskal_wallis,
+    "q_levene_test": q_levene_test,
+    "q_jarque_bera": q_jarque_bera,
+    "q_mann_kendall_trend": q_mann_kendall_trend,
+}
+
+ORACLES = {
+    "q_kruskal_wallis": """
+        WITH base AS (
+            SELECT o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 1000000) AS BIGINT) AS v
+            FROM orders),
+        pcells AS (
+            SELECT o_orderpriority, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2),
+        vcells AS (
+            SELECT v, CAST(SUM(c) AS BIGINT) AS t
+            FROM pcells GROUP BY 1),
+        ranked AS (
+            SELECT v, t,
+                   2 * SUM(t) OVER (ORDER BY v
+                                    ROWS UNBOUNDED PRECEDING)
+                       - t + 1 AS avgrank_x2
+            FROM vcells),
+        per_group AS (
+            SELECT p.o_orderpriority,
+                   CAST(SUM(p.c) AS BIGINT) AS n_g,
+                   CAST(SUM(CAST(p.c AS HUGEINT) * r.avgrank_x2)
+                        AS HUGEINT) AS r_x2
+            FROM pcells p JOIN ranked r ON r.v = p.v
+            GROUP BY 1),
+        ties AS (
+            SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t)
+                        AS HUGEINT) AS tie_cube,
+                   CAST(COUNT(*) FILTER (t > 1) AS BIGINT) AS tie_cells
+            FROM vcells),
+        red AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                   CAST(SUM(n_g) AS BIGINT) AS n_rows,
+                   SUM(r_x2 * r_x2 // n_g) AS a
+            FROM per_group),
+        staged AS (
+            SELECT k_groups, n_rows, tie_cells,
+                   3 * a * 1000000
+                       // (CAST(n_rows AS HUGEINT) * (n_rows + 1))
+                       - 3 * (CAST(n_rows AS HUGEINT) + 1) * 1000000
+                       AS hu,
+                   CAST(n_rows AS HUGEINT) * n_rows * n_rows - n_rows
+                       AS n3n,
+                   tie_cube AS tc
+            FROM red, ties)
+        SELECT k_groups, n_rows, tie_cells,
+               CAST(hu AS BIGINT) AS h_uncorr_ppm,
+               CAST(hu * n3n // (n3n - tc) AS BIGINT) AS h_ppm
+        FROM staged
+    """,
+    "q_levene_test": """
+        WITH base AS (
+            SELECT o_orderpriority,
+                   CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+            FROM orders),
+        cells AS (
+            SELECT o_orderpriority, v, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM base GROUP BY 1, 2),
+        cum AS (
+            SELECT o_orderpriority, v,
+                   SUM(cnt) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+                   SUM(cnt) OVER (PARTITION BY o_orderpriority)
+                       AS tot_cnt
+            FROM cells),
+        med AS (
+            SELECT o_orderpriority, MIN(v) AS med
+            FROM cum WHERE cum_cnt >= (tot_cnt + 1) // 2
+            GROUP BY 1),
+        z AS (
+            SELECT b.o_orderpriority, ABS(b.v - m.med) AS z
+            FROM base b JOIN med m USING (o_orderpriority)),
+        groups AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS s_g,
+                   SUM(CAST(z AS HUGEINT) * z) AS q_g
+            FROM z GROUP BY 1),
+        red AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                   CAST(SUM(n_g) AS BIGINT) AS n_rows,
+                   SUM(s_g * s_g // n_g) AS a,
+                   SUM(s_g) AS s,
+                   SUM(q_g) AS q
+            FROM groups)
+        SELECT k_groups, n_rows,
+               CAST(a - s * s // n_rows AS VARCHAR) AS ssb_dollars2,
+               CAST(q - a AS VARCHAR) AS ssw_dollars2,
+               CAST((a - s * s // n_rows) * (n_rows - k_groups) * 1000000
+                    // ((q - a) * (k_groups - 1)) AS BIGINT) AS w_ppm
+        FROM red
+    """,
+    "q_jarque_bera": """
+        WITH base AS (
+            SELECT o_orderpriority,
+                   CAST(FLOOR(o_totalprice / 100) AS BIGINT) AS v
+            FROM orders),
+        mu AS (
+            SELECT o_orderpriority,
+                   CAST(CAST(SUM(v) AS HUGEINT) // COUNT(*) AS BIGINT)
+                       AS mu0
+            FROM base GROUP BY 1),
+        d AS (
+            SELECT b.o_orderpriority, b.v - m.mu0 AS d, m.mu0
+            FROM base b JOIN mu m USING (o_orderpriority)),
+        moments AS (
+            SELECT o_orderpriority, mu0,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   SUM(CAST(d AS HUGEINT) * d) AS t2,
+                   SUM(CAST(d AS HUGEINT) * d * d) AS t3,
+                   SUM(CAST(d AS HUGEINT) * d * d * d) AS t4
+            FROM d GROUP BY 1, 2),
+        m AS (
+            SELECT o_orderpriority, n_rows, mu0 AS mean100,
+                   CAST(t2 // n_rows AS BIGINT) AS m2,
+                   CAST(CASE WHEN t3 < 0 THEN -1 WHEN t3 > 0 THEN 1
+                             ELSE 0 END AS INT) AS skew_sign,
+                   CAST(ABS(t3) // n_rows AS BIGINT) AS m3a,
+                   CAST(t4 // n_rows AS BIGINT) AS m4
+            FROM moments),
+        r AS (
+            SELECT o_orderpriority, n_rows, mean100, m2, skew_sign,
+                   CAST(CAST(m3a AS HUGEINT) * m3a * 1000000
+                        // (CAST(m2 AS HUGEINT) * m2 * m2) AS BIGINT)
+                       AS skew_sq_ppm,
+                   CAST(CAST(m4 AS HUGEINT) * 1000000
+                        // (CAST(m2 AS HUGEINT) * m2)
+                        - 3000000 AS BIGINT) AS exkurt_ppm
+            FROM m)
+        SELECT o_orderpriority, n_rows, mean100, m2, skew_sign,
+               skew_sq_ppm, exkurt_ppm,
+               CAST(CAST(n_rows AS HUGEINT)
+                    * (skew_sq_ppm // 6
+                       + CAST(exkurt_ppm AS HUGEINT) * exkurt_ppm
+                         // 24000000)
+                    // 1000 AS BIGINT) AS jb_milli
+        FROM r
+        ORDER BY o_orderpriority
+    """,
+    "q_mann_kendall_trend": """
+        WITH cells AS (
+            SELECT o_orderpriority,
+                   CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+                        AS BIGINT) AS mk,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS HUGEINT))
+                        AS HUGEINT) AS rev
+            FROM orders GROUP BY 1, 2),
+        s AS (
+            SELECT a.o_orderpriority,
+                   CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                                 WHEN b.rev < a.rev THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s
+            FROM cells a
+            JOIN cells b ON b.o_orderpriority = a.o_orderpriority
+                        AND a.mk < b.mk
+            GROUP BY 1),
+        tie AS (
+            SELECT o_orderpriority,
+                   CAST(SUM(t) AS BIGINT) AS m,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_term
+            FROM (SELECT o_orderpriority, rev,
+                         CAST(COUNT(*) AS BIGINT) AS t
+                  FROM cells GROUP BY 1, 2)
+            GROUP BY 1),
+        v AS (
+            SELECT s.o_orderpriority, tie.m, s.s,
+                   CAST(tie.m * (tie.m - 1) * (2 * tie.m + 5)
+                        - tie.tie_term AS BIGINT) AS var18,
+                   CAST(CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1
+                             ELSE 0 END AS INT) AS trend_sign
+            FROM s JOIN tie USING (o_orderpriority)),
+        sq AS (
+            SELECT *,
+                   CAST(FLOOR(SQRT(CAST(var18 * 18 AS DOUBLE)))
+                        AS BIGINT) AS s0
+            FROM v),
+        isq AS (
+            SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= var18 * 18
+                           THEN s0 + 1
+                           WHEN s0 * s0 > var18 * 18 THEN s0 - 1
+                           ELSE s0 END AS root
+            FROM sq)
+        SELECT o_orderpriority, m, s, var18, trend_sign,
+               CAST(CASE WHEN s = 0 OR var18 = 0 THEN 0
+                         ELSE (ABS(s) - 1) * 18000 // root
+                    END AS BIGINT) AS z_abs_milli
+        FROM isq
+        ORDER BY o_orderpriority
+    """,
+}
