@@ -69,6 +69,7 @@ _MODULES = [
     "db_migrator_spark.operators.evals3",
     "db_migrator_spark.operators.evals",
     "db_migrator_spark.operators.evals2",
+    "db_migrator_spark.operators.evals4",
     "db_migrator_spark.operators.udtf_ops",
     "db_migrator_spark.operators.sketches",
     "db_migrator_spark.operators.zorder",
