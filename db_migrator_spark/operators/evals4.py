@@ -252,9 +252,62 @@ def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error — the one-number rollup of
+    ``evals.eval_calibration_bins``'s reliability diagram:
+    ECE = sum_b n_b * |mean_score_b - pos_rate_b| / N (bin-count-
+    weighted gap), MCE = max_b gap. Same deterministic pseudo-
+    probability and decile binning as the bins query (evals.py:142),
+    exact truncating integer arithmetic end to end. One scan into a
+    10-row bin aggregate into one summary row — no window, map-side
+    combinable."""
+    from .evals import CAL_BINS, CAL_SOFT, PR_LABEL_MIN_TOKENS
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.expr(
+        f"CAST(n_chars AS BIGINT) * 1000000 div (n_chars + {CAL_SOFT})"
+    )
+    base = docs.select(
+        score.alias("score_ppm"),
+        (F.size(F.split(F.col("text"), " ")) >= PR_LABEL_MIN_TOKENS)
+        .cast("int")
+        .alias("label"),
+    )
+    bins = (
+        base.select(
+            F.expr(
+                f"CAST(score_ppm * {CAL_BINS} div 1000000 AS INT)"
+            ).alias("bin"),
+            "score_ppm",
+            "label",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("score_ppm").alias("sum_score"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+        )
+        .select(
+            "n",
+            F.expr(
+                "abs(sum_score div n - n_pos * 1000000 div n)"
+            ).alias("gap"),
+        )
+    )
+    return bins.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.expr(
+            "CAST(SUM(n * gap) div SUM(n) AS BIGINT)"
+        ).alias("ece_ppm"),
+        F.max("gap").cast("bigint").alias("mce_ppm"),
+    )
+
+
 QUERIES = {
     "eval_rouge_n": eval_rouge_n,
     "eval_bleu_corpus": eval_bleu_corpus,
+    "eval_ece": eval_ece,
 }
 
 
@@ -386,3 +439,34 @@ ORACLES = {
     """
     ),
 }
+
+
+def _ece_oracle() -> str:
+    from .evals import CAL_BINS, CAL_SOFT, PR_LABEL_MIN_TOKENS
+
+    return f"""
+        WITH base AS (
+            SELECT CAST(n_chars AS HUGEINT) * 1000000
+                       // (n_chars + {CAL_SOFT}) AS score_ppm,
+                   CAST(len(string_split(text, ' '))
+                        >= {PR_LABEL_MIN_TOKENS} AS INTEGER) AS label
+            FROM documents),
+        g AS (
+            SELECT CAST(score_ppm * {CAL_BINS} // 1000000 AS INTEGER)
+                       AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(score_ppm) AS sum_score,
+                   CAST(SUM(label) AS BIGINT) AS n_pos
+            FROM base GROUP BY 1),
+        gaps AS (
+            SELECT n, ABS(sum_score // n - n_pos * 1000000 // n) AS gap
+            FROM g)
+        SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(n * gap) // SUM(n) AS BIGINT) AS ece_ppm,
+               CAST(MAX(gap) AS BIGINT) AS mce_ppm
+        FROM gaps
+    """
+
+
+ORACLES["eval_ece"] = _ece_oracle()

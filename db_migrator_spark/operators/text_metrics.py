@@ -236,3 +236,91 @@ ORACLES = {
         ORDER BY doc_id
     """,
 }
+
+
+# Boilerplate spans: shared leading/trailing K-token spans mark
+# template headers/footers (license banners, nav chrome) — the
+# standard pre-dedup cleanup pass on crawled corpora. A span counts as
+# boilerplate when at least BOILER_MIN_DOCS documents share it.
+BOILER_K = 3
+BOILER_MIN_DOCS = 2
+
+
+def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated K-token document prefixes/suffixes (module constant
+    ``BOILER_K``): spans shared by >= ``BOILER_MIN_DOCS`` docs, with
+    doc count, lang spread, and corpus share in ppm.
+
+    Scale shape (100 TB): two per-row span projections (head/tail
+    token slices — whole-stage codegen), one UNION, one map-side-
+    combined groupBy(kind, span); the total-docs denominator is a
+    broadcast 1-row aggregate. Output is bounded by the distinct
+    boilerplate-span count. No window, no explode (the slice keeps
+    one row per doc per side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
+    ).filter(F.size("ws") >= BOILER_K)
+    head = ws.select(
+        "doc_id",
+        "lang",
+        F.lit("prefix").alias("kind"),
+        F.expr(f"array_join(slice(ws, 1, {BOILER_K}), ' ')").alias("span"),
+    )
+    tail = ws.select(
+        "doc_id",
+        "lang",
+        F.lit("suffix").alias("kind"),
+        F.expr(
+            f"array_join(slice(ws, size(ws) - {BOILER_K} + 1,"
+            f" {BOILER_K}), ' ')"
+        ).alias("span"),
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_all"))
+    return (
+        head.unionAll(tail)
+        .groupBy("kind", "span")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "kind",
+            "span",
+            "n_docs",
+            "n_langs",
+            F.expr("n_docs * 1000000 div n_docs_all").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_docs"), "kind", "span")
+    )
+
+
+QUERIES["text_boilerplate_spans"] = text_boilerplate_spans
+
+ORACLES["text_boilerplate_spans"] = f"""
+    WITH ws AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w
+        FROM documents),
+    spans AS (
+        SELECT doc_id, lang, 'prefix' AS kind,
+               array_to_string(w[1:{BOILER_K}], ' ') AS span
+        FROM ws WHERE len(w) >= {BOILER_K}
+        UNION ALL
+        SELECT doc_id, lang, 'suffix',
+               array_to_string(w[len(w) - {BOILER_K} + 1:len(w)], ' ')
+        FROM ws WHERE len(w) >= {BOILER_K}),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_all
+              FROM documents),
+    g AS (
+        SELECT kind, span,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM spans GROUP BY 1, 2)
+    SELECT kind, span, n_docs, n_langs,
+           n_docs * 1000000 // n_docs_all AS share_ppm
+    FROM g, total
+    WHERE n_docs >= {BOILER_MIN_DOCS}
+    ORDER BY n_docs DESC, kind, span
+"""

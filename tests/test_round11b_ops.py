@@ -1,0 +1,76 @@
+"""Semantic checks for the round-11b additions beyond the stats/graph
+batches: ECE/MCE rollup and boilerplate span detection, recomputed in
+plain Python at sf0.001."""
+
+from collections import Counter
+
+from db_migrator_spark.io import load_table
+
+SF0 = "/root/testdata/sf0.001"
+
+
+def test_ece_matches_python(spark):
+    from db_migrator_spark.operators.evals import (
+        CAL_BINS,
+        CAL_SOFT,
+        PR_LABEL_MIN_TOKENS,
+    )
+    from db_migrator_spark.operators.evals4 import eval_ece
+
+    row = eval_ece(spark, SF0).collect()[0]
+    docs = load_table(spark, SF0, "documents").select(
+        "n_chars", "text"
+    ).collect()
+    bins = {}
+    for d in docs:
+        score = d.n_chars * 1_000_000 // (d.n_chars + CAL_SOFT)
+        label = int(len(d.text.split(" ")) >= PR_LABEL_MIN_TOKENS)
+        b = score * CAL_BINS // 1_000_000
+        n, ss, np = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, ss + score, np + label)
+    gaps = {
+        b: abs(ss // n - np * 1_000_000 // n)
+        for b, (n, ss, np) in bins.items()
+    }
+    total = sum(n for n, _, _ in bins.values())
+    ece = sum(bins[b][0] * gaps[b] for b in bins) // total
+    assert row.n_rows == total
+    assert row.n_bins == len(bins)
+    assert row.ece_ppm == ece
+    assert row.mce_ppm == max(gaps.values())
+    # ECE is a weighted mean of gaps, so it can never exceed MCE
+    assert row.ece_ppm <= row.mce_ppm
+
+
+def test_boilerplate_spans_match_python(spark):
+    from db_migrator_spark.operators.text_metrics import (
+        BOILER_K,
+        BOILER_MIN_DOCS,
+        text_boilerplate_spans,
+    )
+
+    docs = load_table(spark, SF0, "documents").select(
+        "lang", "text"
+    ).collect()
+    spans = Counter()
+    langs = {}
+    for d in docs:
+        ws = d.text.split(" ")
+        if len(ws) < BOILER_K:
+            continue
+        for kind, span in (
+            ("prefix", " ".join(ws[:BOILER_K])),
+            ("suffix", " ".join(ws[-BOILER_K:])),
+        ):
+            spans[(kind, span)] += 1
+            langs.setdefault((kind, span), set()).add(d.lang)
+    expect = {
+        k: (c, len(langs[k]), c * 1_000_000 // len(docs))
+        for k, c in spans.items()
+        if c >= BOILER_MIN_DOCS
+    }
+    got = {
+        (r.kind, r.span): (r.n_docs, r.n_langs, r.share_ppm)
+        for r in text_boilerplate_spans(spark, SF0).collect()
+    }
+    assert got == expect
