@@ -470,3 +470,116 @@ def _ece_oracle() -> str:
 
 
 ORACLES["eval_ece"] = _ece_oracle()
+
+
+# McNemar classifier pair: two cheap deterministic document-quality
+# rules judged against the token-count label the PR/calibration evals
+# use. A = long-word rule, B = char-length rule.
+MCNEMAR_MAXWORD = 8
+MCNEMAR_CHARS = 300
+
+
+def eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-classifier test per lang: discordant counts
+    b (A right, B wrong) / c (A wrong, B right) and the continuity-
+    corrected statistic (|b - c| - 1)^2 / (b + c) in milli — the
+    standard "is classifier A actually better than B on the SAME
+    examples" readout. One scan, lang-grain aggregate, exact integer
+    arithmetic (module constants define the two rules)."""
+    from .evals import PR_LABEL_MIN_TOKENS
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    truth = (F.size(ws) >= PR_LABEL_MIN_TOKENS).cast("int")
+    a = (
+        F.expr("array_max(transform(split(text, ' '), w -> length(w)))")
+        >= MCNEMAR_MAXWORD
+    ).cast("int")
+    b = (F.col("n_chars") >= MCNEMAR_CHARS).cast("int")
+    base = docs.select(
+        "lang",
+        (a == truth).cast("bigint").alias("a_ok"),
+        (b == truth).cast("bigint").alias("b_ok"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("a_ok") == 1) & (F.col("b_ok") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("b_disc"),
+            F.sum(
+                F.when(
+                    (F.col("a_ok") == 0) & (F.col("b_ok") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c_disc"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "b_disc",
+            "c_disc",
+            F.expr(
+                "CAST(CASE WHEN b_disc + c_disc = 0 THEN 0 ELSE"
+                " CASE WHEN ABS(b_disc - c_disc) >= 1 THEN"
+                " (ABS(b_disc - c_disc) - 1) * (ABS(b_disc - c_disc) - 1)"
+                " * 1000 div (b_disc + c_disc) ELSE 0 END END AS BIGINT)"
+            ).alias("mcnemar_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["eval_mcnemar"] = eval_mcnemar
+
+
+def _mcnemar_oracle() -> str:
+    from .evals import PR_LABEL_MIN_TOKENS
+
+    return f"""
+        WITH base AS (
+            SELECT lang,
+                   CAST((CAST(list_max(list_transform(
+                             string_split(text, ' '),
+                             w -> length(w))) >= {MCNEMAR_MAXWORD}
+                         AS INTEGER)
+                        = CAST(len(string_split(text, ' '))
+                               >= {PR_LABEL_MIN_TOKENS} AS INTEGER))
+                        AS BIGINT) AS a_ok,
+                   CAST((CAST(n_chars >= {MCNEMAR_CHARS} AS INTEGER)
+                        = CAST(len(string_split(text, ' '))
+                               >= {PR_LABEL_MIN_TOKENS} AS INTEGER))
+                        AS BIGINT) AS b_ok
+            FROM documents)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (a_ok = 1 AND b_ok = 0) AS BIGINT)
+                   AS b_disc,
+               CAST(COUNT(*) FILTER (a_ok = 0 AND b_ok = 1) AS BIGINT)
+                   AS c_disc,
+               CAST(CASE WHEN COUNT(*) FILTER (a_ok = 1 AND b_ok = 0)
+                              + COUNT(*) FILTER (a_ok = 0 AND b_ok = 1)
+                              = 0 THEN 0 ELSE
+                    CASE WHEN ABS(COUNT(*) FILTER (a_ok = 1 AND b_ok = 0)
+                                  - COUNT(*) FILTER (a_ok = 0 AND b_ok = 1))
+                              >= 1 THEN
+                    (ABS(COUNT(*) FILTER (a_ok = 1 AND b_ok = 0)
+                         - COUNT(*) FILTER (a_ok = 0 AND b_ok = 1)) - 1)
+                    * (ABS(COUNT(*) FILTER (a_ok = 1 AND b_ok = 0)
+                           - COUNT(*) FILTER (a_ok = 0 AND b_ok = 1)) - 1)
+                    * 1000 // (COUNT(*) FILTER (a_ok = 1 AND b_ok = 0)
+                               + COUNT(*) FILTER (a_ok = 0 AND b_ok = 1))
+                    ELSE 0 END END AS BIGINT) AS mcnemar_milli
+        FROM base
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
+ORACLES["eval_mcnemar"] = _mcnemar_oracle()

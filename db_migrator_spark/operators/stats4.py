@@ -557,3 +557,91 @@ ORACLES = {
         ORDER BY o_orderpriority
     """,
 }
+
+
+def q_cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage trend test: does the finished-order rate move
+    MONOTONICALLY across the ordered priorities (weights 1..5 from the
+    priority prefix digit). One scan into 5 (priority: n_i, r_i) cells,
+    then exact integer statistics:
+
+    T' = N*sum(w*r) - R*sum(w*n)  (N-scaled trend numerator), and
+    z^2 = T'^2 * N / (R*(N-R) * (N*sum(w^2*n) - (sum(w*n))^2)),
+    staged as a = T'^2 div (R*(N-R)) then z2_ppm = a*N*1e6 div (...)
+    (documented truncation contract; the staged form keeps every
+    intermediate under DECIMAL(38,0) through ~sf100). Direction
+    surfaces as trend_sign so all divisions are non-negative."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            F.substring("o_orderpriority", 1, 1)
+            .cast("bigint")
+            .alias("w"),
+            (F.col("o_orderstatus") == "F").cast("bigint").alias("y"),
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("r"),
+        )
+    )
+    red = cells.agg(
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+        F.sum("r").cast("decimal(38,0)").alias("rr"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("n")).alias("wn"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("r")).alias("wr"),
+        F.sum(
+            F.col("w").cast("decimal(38,0)") * F.col("w") * F.col("n")
+        ).alias("wwn"),
+    )
+    return red.select(
+        F.col("nn").cast("bigint").alias("n_rows"),
+        F.col("rr").cast("bigint").alias("n_pos"),
+        F.expr("CAST(nn * wr - rr * wn AS BIGINT)").alias("t_scaled"),
+        F.expr(
+            "CAST(CASE WHEN nn * wr - rr * wn > 0 THEN 1"
+            " WHEN nn * wr - rr * wn < 0 THEN -1 ELSE 0 END AS INT)"
+        ).alias("trend_sign"),
+        F.expr(
+            "CAST(CASE WHEN rr = 0 OR rr = nn"
+            " OR nn * wwn - wn * wn = 0 THEN 0 ELSE"
+            " (CAST((nn * wr - rr * wn) * (nn * wr - rr * wn)"
+            "   AS DECIMAL(38,0)) div (rr * (nn - rr)))"
+            " * nn * 1000000 div (nn * wwn - wn * wn)"
+            " END AS BIGINT)"
+        ).alias("z2_ppm"),
+    )
+
+
+QUERIES["q_cochran_armitage_trend"] = q_cochran_armitage_trend
+
+ORACLES["q_cochran_armitage_trend"] = """
+    WITH cells AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT)
+                   AS r
+        FROM orders GROUP BY 1),
+    red AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+               CAST(SUM(r) AS HUGEINT) AS rr,
+               CAST(SUM(w * n) AS HUGEINT) AS wn,
+               CAST(SUM(w * r) AS HUGEINT) AS wr,
+               CAST(SUM(w * w * n) AS HUGEINT) AS wwn
+        FROM cells)
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           CAST(rr AS BIGINT) AS n_pos,
+           CAST(nn * wr - rr * wn AS BIGINT) AS t_scaled,
+           CAST(CASE WHEN nn * wr - rr * wn > 0 THEN 1
+                     WHEN nn * wr - rr * wn < 0 THEN -1
+                     ELSE 0 END AS INT) AS trend_sign,
+           CAST(CASE WHEN rr = 0 OR rr = nn
+                     OR nn * wwn - wn * wn = 0 THEN 0 ELSE
+                ((nn * wr - rr * wn) * (nn * wr - rr * wn)
+                 // (rr * (nn - rr)))
+                * nn * 1000000 // (nn * wwn - wn * wn)
+                END AS BIGINT) AS z2_ppm
+    FROM red
+"""

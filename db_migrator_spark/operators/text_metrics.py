@@ -324,3 +324,121 @@ ORACLES["text_boilerplate_spans"] = f"""
     WHERE n_docs >= {BOILER_MIN_DOCS}
     ORDER BY n_docs DESC, kind, span
 """
+
+
+# Winnowing (MOSS-style) fingerprint selection: k-token grams hashed
+# to 32-bit ints (md5 prefix, the cross-engine idiom), then one
+# fingerprint selected per sliding window of WINNOW_W consecutive
+# k-grams — the minimum hash, rightmost position on ties (robust
+# winnowing). Guarantee: any shared run of >= WINNOW_K + WINNOW_W - 1
+# tokens between two docs shares at least one selected fingerprint.
+WINNOW_K = 4
+WINNOW_W = 4
+
+
+def text_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowed k-gram fingerprints per document (module constants):
+    the selected (position, hash32) pairs a plagiarism/overlap index
+    stores, ~1/WINNOW_W of the k-gram stream.
+
+    Scale shape (100 TB): k-gram explode is linear in tokens; the
+    window minimum runs DOC-KEYED (doc_id is a data-sized key with
+    constant-bounded group width — the fully-parallel regime, one row
+    group per doc, never a global or constant-domain window). The
+    rightmost-min selection is a bounded-width (WINNOW_W) range
+    self-join on (doc, pos) — row-local fan-out of at most W per
+    window start — then a distinct. Docs shorter than
+    WINNOW_K + WINNOW_W - 1 tokens yield no fingerprint (documented;
+    the winnowing guarantee is vacuous below one full window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).filter(F.size("ws") >= WINNOW_K)
+    kg = ws.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {WINNOW_K} + 1),"
+                f" i -> array_join(slice(ws, i, {WINNOW_K}), ' '))"
+            )
+        ).alias("pos0", "g"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(
+            "CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    from pyspark.sql.window import Window as W
+
+    fwd = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    starts = (
+        kg.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(fwd).alias("mv"),
+            F.max("pos").over(W.partitionBy("doc_id")).alias("mpos"),
+        )
+        .filter(F.col("pos") <= F.col("mpos") - WINNOW_W + 1)
+        .select("doc_id", F.col("pos").alias("s"), "mv")
+    )
+    sel = (
+        starts.join(
+            kg.select(
+                F.col("doc_id").alias("doc_id2"),
+                F.col("pos").alias("p2"),
+                F.col("h").alias("h2"),
+            ),
+            (F.col("doc_id2") == F.col("doc_id"))
+            & (F.col("p2") >= F.col("s"))
+            & (F.col("p2") <= F.col("s") + WINNOW_W - 1)
+            & (F.col("h2") == F.col("mv")),
+        )
+        .groupBy("doc_id", "s", "mv")
+        .agg(F.max("p2").alias("sel_pos"))
+        .select("doc_id", "sel_pos", F.col("mv").alias("fp_hash32"))
+        .distinct()
+    )
+    return sel.orderBy("doc_id", "sel_pos")
+
+
+QUERIES["text_winnowing_fingerprints"] = text_winnowing_fingerprints
+
+ORACLES["text_winnowing_fingerprints"] = f"""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE len(string_split(text, ' ')) >= {WINNOW_K}),
+    kg AS (
+        SELECT doc_id, i AS pos,
+               CAST(from_hex(substr(md5(
+                   array_to_string(w[i:i + {WINNOW_K} - 1], ' ')),
+                   1, 8))::BIT::UINTEGER AS BIGINT) AS h
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - {WINNOW_K} + 1))
+                         AS i
+              FROM ws)),
+    starts AS (
+        SELECT doc_id, pos AS s,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W} - 1 FOLLOWING) AS mv,
+               MAX(pos) OVER (PARTITION BY doc_id) AS mpos
+        FROM kg
+        QUALIFY pos <= mpos - {WINNOW_W} + 1),
+    sel AS (
+        SELECT DISTINCT st.doc_id, MAX(k2.pos) AS sel_pos, st.mv
+        FROM starts st
+        JOIN kg k2 ON k2.doc_id = st.doc_id
+                  AND k2.pos BETWEEN st.s AND st.s + {WINNOW_W} - 1
+                  AND k2.h = st.mv
+        GROUP BY st.doc_id, st.s, st.mv)
+    SELECT DISTINCT doc_id, sel_pos, mv AS fp_hash32
+    FROM sel
+    ORDER BY doc_id, sel_pos
+"""
