@@ -49,6 +49,7 @@ _MODULES = [
     "db_migrator_spark.operators.events2",
     "db_migrator_spark.operators.events3",
     "db_migrator_spark.operators.events4",
+    "db_migrator_spark.operators.events5",
     "db_migrator_spark.operators.text_metrics",
     "db_migrator_spark.operators.text_lm",
     "db_migrator_spark.operators.corpus",
@@ -59,6 +60,7 @@ _MODULES = [
     "db_migrator_spark.operators.corpus6",
     "db_migrator_spark.operators.corpus7",
     "db_migrator_spark.operators.corpus8",
+    "db_migrator_spark.operators.corpus9",
     "db_migrator_spark.operators.splits",
     "db_migrator_spark.operators.graph",
     "db_migrator_spark.operators.graph2",

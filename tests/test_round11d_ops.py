@@ -1,0 +1,112 @@
+"""Semantic checks for the round-11d additions: best-split
+changepoint and water-filled epoch allocation, recomputed in plain
+Python at sf0.001."""
+
+from collections import defaultdict
+from fractions import Fraction
+
+from db_migrator_spark.io import load_table
+
+SF0 = "/root/testdata/sf0.001"
+
+
+def test_best_split_matches_python(spark):
+    from db_migrator_spark.operators.events5 import (
+        events_best_split_changepoint,
+    )
+
+    ev = load_table(spark, SF0, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    series = defaultdict(lambda: defaultdict(int))
+    for e in ev:
+        series[e.event_type][e.ts.date()] += int(e.value * 100)
+    got = {
+        r.event_type: r
+        for r in events_best_split_changepoint(spark, SF0).collect()
+    }
+    for et, by_day in series.items():
+        days = sorted(by_day)
+        xs = [by_day[d] for d in days]
+        m = len(xs)
+        total = sum(xs)
+        best = None
+        s1 = 0
+        for t in range(1, m):
+            s1 += xs[t - 1]
+            a = s1 * (m - t) - (total - s1) * t
+            delta = a * a // (t * (m - t) * m)
+            if best is None or delta > best[0]:
+                best = (delta, t, s1)
+        delta, t, s1 = best
+        r = got[et]
+        assert r.m_days == m
+        assert r.n1_days == t
+        assert r.split_day == days[t - 1]
+        assert r.mean1_cents == s1 // t
+        assert r.mean2_cents == (total - s1) // (m - t)
+        assert r.delta_cents2 == str(delta)
+
+
+def test_epoch_waterfill_exact_solve(spark):
+    from db_migrator_spark.operators.corpus9 import (
+        EPOCH_BUDGET_PCT,
+        EPOCH_CAP_HI,
+        EPOCH_CAP_LO,
+        corpus_epoch_waterfill,
+    )
+
+    docs = load_table(spark, SF0, "documents").select(
+        "lang", "text"
+    ).collect()
+    s = defaultdict(int)
+    nd = defaultdict(int)
+    for d in docs:
+        s[d.lang] += len(d.text.split(" "))
+        nd[d.lang] += 1
+    s_all, docs_all = sum(s.values()), sum(nd.values())
+    r = {
+        lang: (
+            EPOCH_CAP_HI
+            if s[lang] * docs_all >= nd[lang] * s_all
+            else EPOCH_CAP_LO
+        )
+        for lang in s
+    }
+    b = s_all * EPOCH_BUDGET_PCT // 100
+    # reference water-fill solve with exact fractions
+    order = sorted(s, key=lambda g: (r[g], g))
+    best_k = None
+    for k in range(0, len(order) + 1):
+        num = b - sum(r[g] * s[g] for g in order[:k])
+        den = sum(s[g] for g in order[k:])
+        r_k = r[order[k - 1]] if k > 0 else 0
+        r_next = r[order[k]] if k < len(order) else None
+        if num < 0:
+            continue
+        if num >= r_k * den and (r_next is None or num < r_next * den):
+            best_k = (k, num, den)
+            break
+    k, num, den = best_k
+    sat = set(order[:k])
+    got = {
+        row.lang: row for row in corpus_epoch_waterfill(spark, SF0).collect()
+    }
+    alloc_total = 0
+    for lang in s:
+        row = got[lang]
+        assert row.s == s[lang]
+        assert row.r == r[lang]
+        assert row.saturated == (lang in sat)
+        if lang in sat:
+            assert row.epochs_ppm == r[lang] * 1_000_000
+            assert row.alloc_tokens == r[lang] * s[lang]
+        else:
+            assert row.epochs_ppm == num * 1_000_000 // den
+            assert row.alloc_tokens == s[lang] * num // den
+            # the water level sits inside the unsaturated caps
+            assert Fraction(num, den) <= r[lang]
+        alloc_total += row.alloc_tokens
+    # allocation exhausts the spendable budget up to < K truncations
+    spendable = min(b, sum(r[g] * s[g] for g in s))
+    assert 0 <= spendable - alloc_total < len(s)

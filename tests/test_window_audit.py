@@ -44,6 +44,10 @@ BOUNDED_DOMAIN_WHITELIST = {
         "score grain: distinct per-user activity counts, bounded by the "
         "max user lifetime activity (eval_roc_auc regime)"
     ),
+    "corpus_epoch_waterfill": (
+        "lang grain: the water-fill sort/prefix/segment scan runs on "
+        "the |langs| domain aggregate (corpus9 module doc)"
+    ),
 }
 
 
