@@ -338,12 +338,17 @@ def _pair_overlap_sql(n_max: int) -> str:
             JOIN documents b
               ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang),
         ov AS (
+            -- the gram-gram join carries the doc_id arithmetic
+            -- (cand = ref + 1) so EVERY join order the optimizer picks
+            -- is doc-selective; joining the two gram relations on
+            -- (n, g) alone first would blow up quadratically on hot
+            -- unigrams (observed: an 80 GB DuckDB spill at sf1)
             SELECT p.ref_id, p.cand_id, p.lang, r.n,
                    CAST(SUM(LEAST(r.c, cnd.c)) AS BIGINT) AS num
-            FROM pairs p
-            JOIN grams r ON r.doc_id = p.ref_id
-            JOIN grams cnd ON cnd.doc_id = p.cand_id
+            FROM grams r
+            JOIN grams cnd ON cnd.doc_id = r.doc_id + 1
                           AND cnd.n = r.n AND cnd.g = r.g
+            JOIN pairs p ON p.ref_id = r.doc_id
             GROUP BY 1, 2, 3, 4),
         grid AS (
             SELECT p.*, n.n
