@@ -143,3 +143,236 @@ ORACLES = {
         ORDER BY event_type
     """,
 }
+
+
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over purchase-cohort age
+    (days between each user's first and last purchase): at-risk counts, churn events, discrete hazard,
+    and the product-limit survival estimate in exact staged ppm —
+    s_ppm(a) = s_ppm(a-1) * (r_a - d_a) div r_a (one truncation per
+    step, documented; the float product would be order-safe here but
+    not bit-pinned). The sequential product runs as a WITH RECURSIVE
+    ladder over the AGE domain — bounded by max user lifetime (the
+    events_survival_hazard regime), so recursion depth is a domain
+    constant, never data-sized. Rows collapse to one user-keyed
+    aggregate, then an ages-sized suffix count; everything after runs
+    on age cells.
+
+    Reference scope note: the reference has no analytics surface
+    (src/migrate/table_migrator.rs:43-114).
+    """
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    wk = F.expr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+    ).cast("bigint")
+    spans = (
+        ev.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("first_wk"), F.max("wk").alias("last_wk"))
+    )
+    per_age = (
+        spans.select((F.col("last_wk") - F.col("first_wk")).alias("age"))
+        .groupBy("age")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("churned"))
+    )
+    wsuf = W.orderBy(F.desc("age")).rowsBetween(W.unboundedPreceding, 0)
+    widx = W.orderBy("age")
+    cells = per_age.select(
+        "age",
+        "churned",
+        F.sum("churned").over(wsuf).cast("bigint").alias("at_risk"),
+    ).withColumn("idx", F.row_number().over(widx))
+    view = f"__km_cells_{uuid.uuid4().hex[:8]}"
+    cells.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE km AS (
+            SELECT idx, age, at_risk, churned,
+                   CAST((at_risk - churned) * 1000000 DIV at_risk
+                        AS BIGINT) AS survival_ppm
+            FROM {view} WHERE idx = 1
+            UNION ALL
+            SELECT c.idx, c.age, c.at_risk, c.churned,
+                   CAST(km.survival_ppm * (c.at_risk - c.churned)
+                        DIV c.at_risk AS BIGINT)
+            FROM km JOIN {view} c ON c.idx = km.idx + 1
+        )
+        SELECT CAST(age AS BIGINT) AS age_days,
+               at_risk, churned,
+               CAST(churned * 1000000 DIV at_risk AS BIGINT)
+                   AS hazard_ppm,
+               survival_ppm
+        FROM km
+        ORDER BY age_days
+        """
+    )
+
+
+QUERIES["events_kaplan_meier"] = events_kaplan_meier
+
+ORACLES["events_kaplan_meier"] = """
+    WITH spans AS (
+        SELECT user_id,
+               CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))
+                        // 86400000000) AS BIGINT) AS first_wk,
+               CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))
+                        // 86400000000) AS BIGINT) AS last_wk
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    per_age AS (
+        SELECT last_wk - first_wk AS age,
+               CAST(COUNT(*) AS BIGINT) AS churned
+        FROM spans GROUP BY 1),
+    cells AS (
+        SELECT age, churned,
+               CAST(SUM(churned) OVER (ORDER BY age DESC
+                                       ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS at_risk,
+               CAST(ROW_NUMBER() OVER (ORDER BY age) AS BIGINT) AS idx
+        FROM per_age),
+    km AS (
+        WITH RECURSIVE r AS (
+            SELECT idx, age, at_risk, churned,
+                   CAST((at_risk - churned) * 1000000 // at_risk
+                        AS BIGINT) AS survival_ppm
+            FROM cells WHERE idx = 1
+            UNION ALL
+            SELECT c.idx, c.age, c.at_risk, c.churned,
+                   CAST(r.survival_ppm * (c.at_risk - c.churned)
+                        // c.at_risk AS BIGINT)
+            FROM r JOIN cells c ON c.idx = r.idx + 1)
+        SELECT * FROM r)
+    SELECT CAST(age AS BIGINT) AS age_days, at_risk, churned,
+           CAST(churned * 1000000 // at_risk AS BIGINT) AS hazard_ppm,
+           survival_ppm
+    FROM km
+    ORDER BY age_days
+"""
+
+
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolization of each priority's monthly revenue
+    series with EMPIRICAL quartile breakpoints (the classic normal-
+    curve breakpoints are irrational; the type-1 quartiles of the
+    series's own values keep the alphabet assignment exact): month t
+    maps to symbol a/b/c/d by how many of the three quartile values it
+    exceeds. Output per priority: the month-ordered SAX word plus the
+    symbol histogram — the shape-index a motif/anomaly scanner stores.
+
+    Scale shape (100 TB): rows collapse to (priority, month) cells
+    (map-side combined, calendar-bounded); the rank pass, breakpoint
+    pick, word assembly and histogram all run on those cells. The word
+    assembles order-safely via array_sort(struct(month, symbol)) —
+    no order-dependent aggregation.
+
+    Reference scope note: the reference has no analytics surface
+    (src/migrate/table_migrator.rs:43-114).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            "o_orderpriority",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mk"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("r"),
+        )
+        .groupBy("o_orderpriority", "mk")
+        .agg(F.sum(F.col("r").cast("decimal(38,0)")).alias("rev"))
+    )
+    wo = W.partitionBy("o_orderpriority").orderBy("rev", "mk")
+    ranked = cells.select(
+        "o_orderpriority",
+        "mk",
+        "rev",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("o_orderpriority"))
+        .alias("m"),
+    )
+    qs = ranked.groupBy("o_orderpriority").agg(
+        *[
+            F.min(
+                F.when(
+                    F.expr(f"rn = ({i} * m + 3) div 4"), F.col("rev")
+                )
+            ).alias(f"q{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    sym = (
+        cells.join(F.broadcast(qs), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "mk",
+            F.expr(
+                "element_at(array('a','b','c','d'),"
+                " CAST((rev > q1) AS INT) + CAST((rev > q2) AS INT)"
+                " + CAST((rev > q3) AS INT) + 1)"
+            ).alias("sym"),
+        )
+    )
+    return (
+        sym.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m_months"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(mk, sym))), x -> x.sym), '')"
+            ).alias("sax_word"),
+            *[
+                F.sum((F.col("sym") == c).cast("bigint"))
+                .cast("bigint")
+                .alias(f"n_{c}")
+                for c in "abcd"
+            ],
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["q_sax_symbols"] = q_sax_symbols
+
+ORACLES["q_sax_symbols"] = """
+    WITH cells AS (
+        SELECT o_orderpriority,
+               CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+                    AS BIGINT) AS mk,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS rev
+        FROM orders GROUP BY 1, 2),
+    ranked AS (
+        SELECT o_orderpriority, mk, rev,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY rev, mk) AS BIGINT)
+                   AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS m
+        FROM cells),
+    qs AS (
+        SELECT o_orderpriority,
+               MIN(CASE WHEN rn = (1 * m + 3) // 4 THEN rev END) AS q1,
+               MIN(CASE WHEN rn = (2 * m + 3) // 4 THEN rev END) AS q2,
+               MIN(CASE WHEN rn = (3 * m + 3) // 4 THEN rev END) AS q3
+        FROM ranked GROUP BY 1),
+    sym AS (
+        SELECT c.o_orderpriority, c.mk,
+               ['a','b','c','d'][CAST(c.rev > q.q1 AS INTEGER)
+                                 + CAST(c.rev > q.q2 AS INTEGER)
+                                 + CAST(c.rev > q.q3 AS INTEGER) + 1]
+                   AS sym
+        FROM cells c JOIN qs q USING (o_orderpriority))
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS m_months,
+           string_agg(sym, '' ORDER BY mk) AS sax_word,
+           CAST(COUNT(*) FILTER (sym = 'a') AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (sym = 'b') AS BIGINT) AS n_b,
+           CAST(COUNT(*) FILTER (sym = 'c') AS BIGINT) AS n_c,
+           CAST(COUNT(*) FILTER (sym = 'd') AS BIGINT) AS n_d
+    FROM sym
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

@@ -301,3 +301,97 @@ ORACLES: dict[str, str] = {
         FROM sizes, key_stats, row_stats
     """
 }
+
+
+def q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimates between every event-type pair by
+    HLL inclusion-exclusion: |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B),
+    with the union estimated from the MERGED sketches (never a rescan
+    — the sketches built once per type are unioned pairwise). The
+    exact intersection rides along for the contract test; at 100 TB
+    the exact twin is the expensive path (a user-keyed distinct per
+    pair) and the sketch answer is the product.
+
+    Plan shape: one aggregation pass builds a per-type sketch
+    (map-side partial merge, bytes not rows); the pair grid is a
+    bounded |types|^2 broadcast self-join of sketch rows; exact
+    pair overlaps come from one (user, type-pair) distinct count.
+    Inclusion-exclusion can go slightly negative on small overlaps —
+    clamped at 0, documented (tests pin the relative error on the
+    fixture).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(
+            F.col("user_id").cast("string"), F.lit(HLL_LG_K)
+        ).alias("sketch")
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sketch").alias("sk_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sketch").alias("sk_b"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.hll_sketch_estimate("sk_a").alias("est_a"),
+            F.hll_sketch_estimate("sk_b").alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("sk_a", "sk_b")
+            ).alias("est_union"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                (
+                    F.col("est_a") + F.col("est_b") - F.col("est_union")
+                ).cast("bigint"),
+            ).alias("est_intersection"),
+        )
+    )
+    ut = ev.select("user_id", "event_type").distinct()
+    exact = (
+        ut.alias("x")
+        .join(
+            ut.alias("y"),
+            (F.col("y.user_id") == F.col("x.user_id"))
+            & (F.col("y.event_type") > F.col("x.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    return (
+        pairs.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            "est_intersection",
+            F.coalesce("exact_intersection", F.lit(0)).alias(
+                "exact_intersection"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+QUERIES["q_hll_intersection"] = q_hll_intersection
+# no ORACLES entry: Datasketches HLL state has no DuckDB twin —
+# rows-only driver check; the inclusion-exclusion accuracy contract is
+# pinned in tests/test_sketches.py against the exact column.

@@ -110,3 +110,74 @@ def test_epoch_waterfill_exact_solve(spark):
     # allocation exhausts the spendable budget up to < K truncations
     spendable = min(b, sum(r[g] * s[g] for g in s))
     assert 0 <= spendable - alloc_total < len(s)
+
+
+def test_kaplan_meier_staged_product(spark):
+    from db_migrator_spark.operators.events5 import events_kaplan_meier
+
+    rows = events_kaplan_meier(spark, SF0).collect()
+    ev = load_table(spark, SF0, "events").filter(
+        "event_type = 'purchase'"
+    ).select("user_id", "ts").collect()
+    spans = {}
+    for e in ev:
+        day = int(e.ts.timestamp() * 1_000_000) // 86_400_000_000
+        lo, hi = spans.get(e.user_id, (day, day))
+        spans[e.user_id] = (min(lo, day), max(hi, day))
+    from collections import Counter
+
+    churn = Counter(hi - lo for lo, hi in spans.values())
+    ages = sorted(churn)
+    at_risk = {}
+    run = 0
+    for a in reversed(ages):
+        run += churn[a]
+        at_risk[a] = run
+    s_ppm = None
+    expect = []
+    for a in ages:
+        r, d = at_risk[a], churn[a]
+        s_ppm = (
+            (r - d) * 1_000_000 // r
+            if s_ppm is None
+            else s_ppm * (r - d) // r
+        )
+        expect.append((a, r, d, d * 1_000_000 // r, s_ppm))
+    got = [
+        (r.age_days, r.at_risk, r.churned, r.hazard_ppm, r.survival_ppm)
+        for r in rows
+    ]
+    assert got == expect
+    # survival is non-increasing and ends wherever everyone churned
+    surv = [r.survival_ppm for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    assert rows[0].at_risk == len(spans)
+
+
+def test_sax_symbols_quartile_alphabet(spark):
+    from db_migrator_spark.operators.events5 import q_sax_symbols
+
+    rows = {r.o_orderpriority: r for r in q_sax_symbols(spark, SF0).collect()}
+    orders = load_table(spark, SF0, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    ).collect()
+    series = defaultdict(lambda: defaultdict(int))
+    for o in orders:
+        mk = o.o_orderdate.year * 12 + o.o_orderdate.month
+        series[o.o_orderpriority][mk] += int(o.o_totalprice * 100)
+    for g, by_mk in series.items():
+        vals = sorted(
+            (v, mk) for mk, v in by_mk.items()
+        )  # rank order (rev, mk)
+        m = len(vals)
+        qs = [vals[(i * m + 3) // 4 - 1][0] for i in (1, 2, 3)]
+        word = "".join(
+            "abcd"[sum(v > q for q in qs)]
+            for mk, v in sorted(by_mk.items())
+        )
+        r = rows[g]
+        assert r.m_months == m
+        assert r.sax_word == word
+        assert (r.n_a, r.n_b, r.n_c, r.n_d) == tuple(
+            word.count(c) for c in "abcd"
+        )

@@ -42,3 +42,32 @@ def test_cms_never_undercounts(spark):
         assert r.n_cms >= r.n_exact
         # eps=1e-4 over a ~500k-token stream allows ~tens of overcount
         assert r.n_cms - r.n_exact <= 0.001 * 1_000_000
+
+
+def test_hll_intersection_inclusion_exclusion_bounds(spark):
+    """Contract (docs/OPERATORS.md): per event-type pair, the
+    inclusion-exclusion estimate deviates from the exact intersection
+    by at most 10% of the UNION size (the scale IE error lives on),
+    and every union estimate is within 5% of the exact union."""
+    from db_migrator_spark.io import load_table
+    from db_migrator_spark.operators.sketches import q_hll_intersection
+
+    sf = "/root/testdata/sf0.01"
+    rows = q_hll_intersection(spark, sf).collect()
+    assert len(rows) >= 3
+    ut = (
+        load_table(spark, sf, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    by_type = {}
+    for r in ut:
+        by_type.setdefault(r.event_type, set()).add(r.user_id)
+    for r in rows:
+        exact_union = len(by_type[r.type_a] | by_type[r.type_b])
+        exact_int = len(by_type[r.type_a] & by_type[r.type_b])
+        assert r.exact_intersection == exact_int
+        assert abs(r.est_union - exact_union) <= 0.05 * exact_union
+        assert abs(r.est_intersection - exact_int) <= 0.10 * exact_union
+        assert r.est_intersection >= 0
