@@ -588,3 +588,189 @@ def _mcnemar_oracle() -> str:
 
 
 ORACLES["eval_mcnemar"] = _mcnemar_oracle()
+
+
+def eval_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong variance and 95% CI for the tie-aware ROC AUC
+    (same score/label as ``evals2.eval_roc_auc``), per lang — the
+    "is this AUC actually above chance" readout, exact end to end.
+
+    Placement values stay integral by the doubled convention:
+    per (lang, score) cell with p positives / q negatives,
+    W10 = 2*cumneg_lt + q (so V10 = W10 / 2n0) and
+    W01 = 2*cumpos_gt + p. With A = sum p*W10, B = sum p*W10^2,
+    C = sum q*W01^2:  AUC = A / (2 n0 n1),
+    Var = (B n1 - A^2) / (4 n0^2 n1^2 (n1-1))
+        + (C n0 - A^2) / (4 n0^2 n1^2 (n0-1)),
+    staged as T = (B n1 - A^2)*1e12 div (n1-1)
+                + (C n0 - A^2)*1e12 div (n0-1);
+    var_e12 = T div (4 n0^2 n1^2); se_ppm = isqrt(var_e12);
+    ci = auc_ppm -/+ 196 * se_ppm div 100. Every division is
+    non-negative (Cauchy-Schwarz gives B n1 >= A^2); NULL when either
+    class has < 2 members. Overflow: B*n1*1e12 < 1e38 through ~sf30.
+
+    Scale shape (100 TB): one scan to (lang, score) cells; both prefix
+    windows run over the DISTINCT score support per lang (bounded by
+    the n_chars domain — the eval_roc_auc regime); the final algebra
+    is lang-grain."""
+    from .evals import PR_LABEL_MIN_TOKENS
+    from .corpus5 import _isqrt
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.col("n_chars").alias("score"),
+        (F.size(F.split(F.col("text"), " ")) >= PR_LABEL_MIN_TOKENS)
+        .cast("int")
+        .alias("label"),
+    )
+    cells = base.groupBy("lang", "score").agg(
+        F.sum("label").cast("bigint").alias("p"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("q"),
+    )
+    w_lt = (
+        W.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_gt = (
+        W.partitionBy("lang")
+        .orderBy(F.desc("score"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = cells.select(
+        "lang",
+        "p",
+        "q",
+        (
+            2 * F.coalesce(F.sum("q").over(w_lt), F.lit(0)) + F.col("q")
+        ).alias("w10"),
+        (
+            2 * F.coalesce(F.sum("p").over(w_gt), F.lit(0)) + F.col("p")
+        ).alias("w01"),
+    )
+    dd = "decimal(38,0)"
+    agg = placed.groupBy("lang").agg(
+        F.sum("p").cast("bigint").alias("n1"),
+        F.sum("q").cast("bigint").alias("n0"),
+        F.sum(F.col("p").cast(dd) * F.col("w10")).alias("a"),
+        F.sum(
+            F.col("p").cast(dd) * F.col("w10") * F.col("w10")
+        ).alias("b"),
+        F.sum(
+            F.col("q").cast(dd) * F.col("w01") * F.col("w01")
+        ).alias("c"),
+    )
+    staged = agg.select(
+        "lang",
+        "n1",
+        "n0",
+        F.expr(
+            "CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE"
+            " CAST(a * 1000000 div (2 * CAST(n0 AS DECIMAL(38,0)) * n1)"
+            " AS BIGINT) END"
+        ).alias("auc_ppm"),
+        F.expr(
+            "CASE WHEN n1 < 2 OR n0 < 2 THEN NULL ELSE"
+            " CAST(((b * n1 - a * a) * 1000000000000 div (n1 - 1)"
+            "  + (c * n0 - a * a) * 1000000000000 div (n0 - 1))"
+            " div (4 * CAST(n0 AS DECIMAL(38,0)) * n0 * n1 * n1)"
+            " AS BIGINT) END"
+        ).alias("var_e12"),
+    )
+    return (
+        staged.withColumn("se_ppm", _isqrt(F.col("var_e12")))
+        .select(
+            "lang",
+            F.col("n1").alias("n_pos"),
+            F.col("n0").alias("n_neg"),
+            "auc_ppm",
+            "var_e12",
+            "se_ppm",
+            F.expr(
+                "CASE WHEN var_e12 IS NULL THEN NULL"
+                " ELSE auc_ppm - 196 * se_ppm div 100 END"
+            ).alias("ci_lo_ppm"),
+            F.expr(
+                "CASE WHEN var_e12 IS NULL THEN NULL"
+                " ELSE auc_ppm + 196 * se_ppm div 100 END"
+            ).alias("ci_hi_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["eval_auc_delong"] = eval_auc_delong
+
+
+def _delong_oracle() -> str:
+    from .evals import PR_LABEL_MIN_TOKENS
+
+    return f"""
+        WITH base AS (
+            SELECT lang, n_chars AS score,
+                   CAST(len(string_split(text, ' '))
+                        >= {PR_LABEL_MIN_TOKENS} AS INTEGER) AS label
+            FROM documents),
+        cells AS (
+            SELECT lang, score,
+                   CAST(SUM(label) AS BIGINT) AS p,
+                   CAST(SUM(1 - label) AS BIGINT) AS q
+            FROM base GROUP BY 1, 2),
+        placed AS (
+            SELECT lang, p, q,
+                   2 * COALESCE(SUM(q) OVER (PARTITION BY lang
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + q AS w10,
+                   2 * COALESCE(SUM(p) OVER (PARTITION BY lang
+                       ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + p AS w01
+            FROM cells),
+        agg AS (
+            SELECT lang,
+                   CAST(SUM(p) AS BIGINT) AS n1,
+                   CAST(SUM(q) AS BIGINT) AS n0,
+                   SUM(CAST(p AS HUGEINT) * w10) AS a,
+                   SUM(CAST(p AS HUGEINT) * w10 * w10) AS b,
+                   SUM(CAST(q AS HUGEINT) * w01 * w01) AS c
+            FROM placed GROUP BY 1),
+        staged AS (
+            SELECT lang, n1, n0,
+                   CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+                        CAST(a * 1000000
+                             // (2 * CAST(n0 AS HUGEINT) * n1)
+                             AS BIGINT) END AS auc_ppm,
+                   CASE WHEN n1 < 2 OR n0 < 2 THEN NULL ELSE
+                        CAST(((b * n1 - a * a) * 1000000000000
+                              // (n1 - 1)
+                              + (c * n0 - a * a) * 1000000000000
+                              // (n0 - 1))
+                             // (4 * CAST(n0 AS HUGEINT) * n0
+                                 * n1 * n1) AS BIGINT) END AS var_e12
+            FROM agg),
+        sq AS (
+            SELECT *, CAST(FLOOR(SQRT(CAST(var_e12 AS DOUBLE)))
+                           AS BIGINT) AS s0
+            FROM staged),
+        root AS (
+            SELECT *, CASE WHEN var_e12 IS NULL THEN NULL
+                           WHEN (s0 + 1) * (s0 + 1) <= var_e12
+                               THEN s0 + 1
+                           WHEN s0 * s0 > var_e12 THEN s0 - 1
+                           ELSE s0 END AS se_ppm
+            FROM sq)
+        SELECT lang, n1 AS n_pos, n0 AS n_neg, auc_ppm, var_e12,
+               se_ppm,
+               CASE WHEN var_e12 IS NULL THEN NULL
+                    ELSE auc_ppm - 196 * se_ppm // 100 END AS ci_lo_ppm,
+               CASE WHEN var_e12 IS NULL THEN NULL
+                    ELSE auc_ppm + 196 * se_ppm // 100 END AS ci_hi_ppm
+        FROM root
+        ORDER BY lang
+    """
+
+
+ORACLES["eval_auc_delong"] = _delong_oracle()

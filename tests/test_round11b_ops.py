@@ -74,3 +74,55 @@ def test_boilerplate_spans_match_python(spark):
         for r in text_boilerplate_spans(spark, SF0).collect()
     }
     assert got == expect
+
+
+def test_delong_matches_python(spark):
+    import math
+    from collections import defaultdict
+
+    from db_migrator_spark.operators.evals import PR_LABEL_MIN_TOKENS
+    from db_migrator_spark.operators.evals4 import eval_auc_delong
+
+    docs = load_table(spark, SF0, "documents").select(
+        "lang", "n_chars", "text"
+    ).collect()
+    by_lang = defaultdict(list)
+    for d in docs:
+        lbl = int(len(d.text.split(" ")) >= PR_LABEL_MIN_TOKENS)
+        by_lang[d.lang].append((d.n_chars, lbl))
+    got = {r.lang: r for r in eval_auc_delong(spark, SF0).collect()}
+    for lang, pts in by_lang.items():
+        pos = [s for s, l in pts if l == 1]
+        neg = [s for s, l in pts if l == 0]
+        n1, n0 = len(pos), len(neg)
+        r = got[lang]
+        assert (r.n_pos, r.n_neg) == (n1, n0)
+        if n1 < 2 or n0 < 2:
+            assert r.var_e12 is None
+            continue
+        # doubled placements straight from the definition
+        w10 = {
+            s: 2 * sum(1 for y in neg if y < s)
+            + sum(1 for y in neg if y == s)
+            for s in set(pos)
+        }
+        w01 = {
+            s: 2 * sum(1 for x in pos if x > s)
+            + sum(1 for x in pos if x == s)
+            for s in set(neg)
+        }
+        a = sum(w10[s] for s in pos)
+        b = sum(w10[s] ** 2 for s in pos)
+        c = sum(w01[s] ** 2 for s in neg)
+        assert r.auc_ppm == a * 1_000_000 // (2 * n0 * n1)
+        t = (b * n1 - a * a) * 10**12 // (n1 - 1) + (
+            c * n0 - a * a
+        ) * 10**12 // (n0 - 1)
+        var = t // (4 * n0 * n0 * n1 * n1)
+        assert r.var_e12 == var
+        se = math.isqrt(var)
+        assert r.se_ppm == se
+        assert r.ci_lo_ppm == r.auc_ppm - 196 * se // 100
+        assert r.ci_hi_ppm == r.auc_ppm + 196 * se // 100
+        # the CI half-width is positive and the interval brackets AUC
+        assert r.ci_lo_ppm <= r.auc_ppm <= r.ci_hi_ppm

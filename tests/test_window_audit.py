@@ -40,6 +40,11 @@ BOUNDED_DOMAIN_WHITELIST = {
     "corpus_seq_len_histogram": "fixed histogram-bin grain",
     "q_xmr_control_chart": "day grain: calendar span",
     "text_heaps_curve": "fixed 20-bucket grain (HEAPS_BUCKETS)",
+    "events_kaplan_meier": (
+        "age-in-days grain: the suffix at-risk count and KM recursion "
+        "run on cells bounded by max purchase lifetime (the "
+        "events_survival_hazard regime)"
+    ),
     "events_propensity_matching": (
         "score grain: distinct per-user activity counts, bounded by the "
         "max user lifetime activity (eval_roc_auc regime)"
@@ -108,6 +113,15 @@ KEYED_WINDOW_WHITELIST: dict[str, str] = {
     "eval_roc_auc": (
         "prefix-count window runs over DISTINCT (lang, n_chars) "
         "groups; n_chars is bounded by the max document length"
+    ),
+    "eval_auc_delong": (
+        "both placement windows run over DISTINCT (lang, n_chars) "
+        "score cells — bounded by the document-length domain (the "
+        "eval_roc_auc regime)"
+    ),
+    "q_sax_symbols": (
+        "rank/count windows run over (priority, month) revenue cells "
+        "— calendar-bounded input (the Mann-Kendall cells regime)"
     ),
     "corpus_stratified_sample": (
         "final rank window input is the shard pre-pass winners "
