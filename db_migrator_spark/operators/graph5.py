@@ -111,29 +111,30 @@ QUERIES = {"graph_hits": graph_hits}
 def _hits_oracle() -> str:
     steps = [
         """
-        h0 AS (SELECT DISTINCT c, CAST(1000000 AS HUGEINT) AS h
-               FROM edges)"""
+        h0 AS MATERIALIZED (
+            SELECT DISTINCT c, CAST(1000000 AS HUGEINT) AS h
+            FROM edges)"""
     ]
     for t in range(1, HITS_ITERATIONS + 1):
         steps.append(f"""
-        a{t}raw AS (
+        a{t}raw AS MATERIALIZED (
             SELECT e.s, CAST(SUM(h.h) AS HUGEINT) AS a
             FROM edges e JOIN h{t - 1} h ON h.c = e.c
             GROUP BY e.s),
-        a{t} AS (
+        a{t} AS MATERIALIZED (
             SELECT s, a * 1000000 // (SELECT MAX(a) FROM a{t}raw) AS a
             FROM a{t}raw),
-        h{t}raw AS (
+        h{t}raw AS MATERIALIZED (
             SELECT e.c, CAST(SUM(a.a) AS HUGEINT) AS h
             FROM edges e JOIN a{t} a ON a.s = e.s
             GROUP BY e.c),
-        h{t} AS (
+        h{t} AS MATERIALIZED (
             SELECT c, h * 1000000 // (SELECT MAX(h) FROM h{t}raw) AS h
             FROM h{t}raw)""")
     k = HITS_ITERATIONS
     return (
         """
-        WITH edges AS (
+        WITH edges AS MATERIALIZED (
             SELECT DISTINCT o_custkey AS c, l_suppkey AS s
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),"""
         + ",".join(steps)

@@ -57,6 +57,10 @@ def main() -> int:
 
     spark = get_spark("verify-oracle")
     con = duckdb.connect()
+    # Spills land in a bounded scratch dir, never the repo cwd (a
+    # runaway oracle plan once left 38 GB in ./.tmp — round 11b).
+    con.execute("SET temp_directory = '/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size = '30GB'")
     from db_migrator_spark.io import TABLES
 
     import os
