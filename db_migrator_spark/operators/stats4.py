@@ -645,3 +645,127 @@ ORACLES["q_cochran_armitage_trend"] = """
                 END AS BIGINT) AS z2_ppm
     FROM red
 """
+
+
+def q_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decision-stump split: the single whole-dollar threshold on
+    order totals that minimizes weighted Gini impurity for predicting
+    o_orderstatus = 'F' — the primitive inside every tree learner, as
+    one distributed pass.
+
+    Candidate thresholds are the DISTINCT dollar values; their
+    cumulative class counts come from the GLOBAL distributed
+    exact-rank pass over the value cells (never a partitionless
+    window). Weighted impurity per split, staged truncating
+    (documented; N * Gini scale):
+    wi_micro = (n1^2 - p1^2 - (n1-p1)^2)*1e6 div n1
+             + (n2^2 - p2^2 - (n2-p2)^2)*1e6 div n2,
+    minimized with ties to the SMALLEST threshold (TakeOrdered — no
+    global sort). gain_micro = root impurity on the same scale minus
+    wi_micro; each of the three truncations rounds down, so the
+    surfaced gain can undershoot the rational by at most 2 micro
+    (documented). DECIMAL(38,0) staging keeps squares exact past the
+    BIGINT line (~sf3 at dollar grain).
+    """
+    from .distributed_rank import quantile_cuts, with_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("v"),
+        (F.col("o_orderstatus") == "F").cast("bigint").alias("y"),
+    )
+    cells = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    cuts = quantile_cuts(cells, ["v"])["v"]
+    cum = with_global_rank(
+        cells, "v", [], cuts=cuts, rank_col="__rk",
+        total_col="__nv", cum_cols=("n", "p"),
+    )
+    imp = (
+        "(CAST({n} AS DECIMAL(38,0)) * {n} - CAST({p} AS DECIMAL(38,0))"
+        " * {p} - (CAST({n} AS DECIMAL(38,0)) - {p})"
+        " * (CAST({n} AS DECIMAL(38,0)) - {p})) * 1000000 div {n}"
+    )
+    scored = cum.filter(F.expr("cum_n < tot_n")).select(
+        "v",
+        F.col("cum_n").cast("bigint").alias("n1"),
+        F.col("cum_p").cast("bigint").alias("p1"),
+        (F.col("tot_n") - F.col("cum_n")).cast("bigint").alias("n2"),
+        (F.col("tot_p") - F.col("cum_p")).cast("bigint").alias("p2"),
+        F.col("tot_n").cast("bigint").alias("n_all"),
+        F.col("tot_p").cast("bigint").alias("p_all"),
+        F.expr(
+            "CAST("
+            + imp.format(n="cum_n", p="cum_p")
+            + " + "
+            + imp.format(n="(tot_n - cum_n)", p="(tot_p - cum_p)")
+            + " AS DECIMAL(38,0))"
+        ).alias("_wi"),
+    )
+    return (
+        scored.orderBy("_wi", "v")
+        .limit(1)
+        .select(
+            F.col("v").alias("split_dollars"),
+            "n1",
+            "p1",
+            "n2",
+            "p2",
+            F.expr("p1 * 1000000 div n1").alias("pos_rate_left_ppm"),
+            F.expr("p2 * 1000000 div n2").alias("pos_rate_right_ppm"),
+            F.col("_wi").cast("bigint").alias("wi_micro"),
+            F.expr(
+                "CAST(CAST("
+                + imp.format(n="n_all", p="p_all")
+                + " AS DECIMAL(38,0)) - _wi AS BIGINT)"
+            ).alias("gain_micro"),
+        )
+    )
+
+
+QUERIES["q_gini_stump"] = q_gini_stump
+
+ORACLES["q_gini_stump"] = """
+    WITH base AS (
+        SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v,
+               CAST(o_orderstatus = 'F' AS BIGINT) AS y
+        FROM orders),
+    cells AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS p
+        FROM base GROUP BY 1),
+    cum AS (
+        SELECT v,
+               CAST(SUM(n) OVER w AS BIGINT) AS n1,
+               CAST(SUM(p) OVER w AS BIGINT) AS p1,
+               CAST(SUM(n) OVER () AS BIGINT) AS n_all,
+               CAST(SUM(p) OVER () AS BIGINT) AS p_all
+        FROM cells
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+    scored AS (
+        SELECT v, n1, p1, n_all - n1 AS n2, p_all - p1 AS p2,
+               n_all, p_all,
+               (CAST(n1 AS HUGEINT) * n1 - CAST(p1 AS HUGEINT) * p1
+                - (CAST(n1 AS HUGEINT) - p1) * (CAST(n1 AS HUGEINT) - p1))
+                   * 1000000 // n1
+               + (CAST(n_all - n1 AS HUGEINT) * (n_all - n1)
+                  - CAST(p_all - p1 AS HUGEINT) * (p_all - p1)
+                  - (CAST(n_all - n1 AS HUGEINT) - (p_all - p1))
+                    * (CAST(n_all - n1 AS HUGEINT) - (p_all - p1)))
+                   * 1000000 // (n_all - n1) AS wi
+        FROM cum WHERE n1 < n_all)
+    SELECT v AS split_dollars, n1, p1, n2, p2,
+           p1 * 1000000 // n1 AS pos_rate_left_ppm,
+           p2 * 1000000 // n2 AS pos_rate_right_ppm,
+           CAST(wi AS BIGINT) AS wi_micro,
+           CAST((CAST(n_all AS HUGEINT) * n_all
+                 - CAST(p_all AS HUGEINT) * p_all
+                 - (CAST(n_all AS HUGEINT) - p_all)
+                   * (CAST(n_all AS HUGEINT) - p_all)) * 1000000
+                // n_all - wi AS BIGINT) AS gain_micro
+    FROM scored
+    ORDER BY wi, v
+    LIMIT 1
+"""

@@ -118,3 +118,44 @@ def test_mcnemar_matches_python(spark):
             assert r.mcnemar_milli == (abs(b - c) - 1) ** 2 * 1000 // (
                 b + c
             )
+
+
+def test_gini_stump_matches_python(spark):
+    from db_migrator_spark.operators.stats4 import q_gini_stump
+
+    row = q_gini_stump(spark, SF0).collect()[0]
+    orders = load_table(spark, SF0, "orders").select(
+        "o_totalprice", "o_orderstatus"
+    ).collect()
+    from collections import Counter
+
+    n_by_v, p_by_v = Counter(), Counter()
+    for o in orders:
+        v = int(o.o_totalprice)
+        n_by_v[v] += 1
+        p_by_v[v] += int(o.o_orderstatus == "F")
+    n_all = sum(n_by_v.values())
+    p_all = sum(p_by_v.values())
+
+    def wi_part(n, p):
+        return (n * n - p * p - (n - p) * (n - p)) * 1_000_000 // n
+
+    best = None
+    n1 = p1 = 0
+    for v in sorted(n_by_v):
+        n1 += n_by_v[v]
+        p1 += p_by_v[v]
+        if n1 == n_all:
+            break
+        wi = wi_part(n1, p1) + wi_part(n_all - n1, p_all - p1)
+        if best is None or wi < best[0]:
+            best = (wi, v, n1, p1)
+    wi, v, n1, p1 = best
+    assert row.split_dollars == v
+    assert (row.n1, row.p1) == (n1, p1)
+    assert (row.n2, row.p2) == (n_all - n1, p_all - p1)
+    assert row.wi_micro == wi
+    assert row.gain_micro == wi_part(n_all, p_all) - wi
+    # a split never increases impurity by more than the documented
+    # 2-micro truncation slack
+    assert row.gain_micro >= -2
