@@ -615,6 +615,7 @@ def eval_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
     is lang-grain."""
     from .evals import PR_LABEL_MIN_TOKENS
     from .corpus5 import _isqrt
+    from .stats3 import _ddiv
     from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -671,12 +672,19 @@ def eval_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(a * 1000000 div (2 * CAST(n0 AS DECIMAL(38,0)) * n1)"
             " AS BIGINT) END"
         ).alias("auc_ppm"),
+        # Spark's ``div`` on DECIMAL returns LONG — these quotients pass
+        # 2^63 at sf1, so each stage uses the stats3 _ddiv identity
+        # ((x - x%y)/y stays DECIMAL; all operands positive here by
+        # Cauchy-Schwarz).
         F.expr(
-            "CASE WHEN n1 < 2 OR n0 < 2 THEN NULL ELSE"
-            " CAST(((b * n1 - a * a) * 1000000000000 div (n1 - 1)"
-            "  + (c * n0 - a * a) * 1000000000000 div (n0 - 1))"
-            " div (4 * CAST(n0 AS DECIMAL(38,0)) * n0 * n1 * n1)"
-            " AS BIGINT) END"
+            "CASE WHEN n1 < 2 OR n0 < 2 THEN NULL ELSE CAST("
+            + _ddiv(
+                _ddiv("(b * n1 - a * a) * 1000000000000", "n1 - 1")
+                + " + "
+                + _ddiv("(c * n0 - a * a) * 1000000000000", "n0 - 1"),
+                "4 * CAST(n0 AS DECIMAL(38,0)) * n0 * n1 * n1",
+            )
+            + " AS BIGINT) END"
         ).alias("var_e12"),
     )
     return (
