@@ -151,18 +151,17 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the product-limit survival estimate in exact staged ppm —
     s_ppm(a) = s_ppm(a-1) * (r_a - d_a) div r_a (one truncation per
     step, documented; the float product would be order-safe here but
-    not bit-pinned). The sequential product runs as a WITH RECURSIVE
-    ladder over the AGE domain — bounded by max user lifetime (the
-    events_survival_hazard regime), so recursion depth is a domain
-    constant, never data-sized. Rows collapse to one user-keyed
-    aggregate, then an ages-sized suffix count; everything after runs
-    on age cells.
+    not bit-pinned). The sequential product folds on the DRIVER over
+    the bounded AGE cells (max user lifetime — the
+    events_survival_hazard regime; the bounded-driver-read class,
+    measured 4.5s -> sub-second vs a WITH RECURSIVE ladder whose
+    UnionLoopExec pays one micro-job per step). Rows collapse to one
+    user-keyed aggregate, then an ages-sized suffix count; the oracle
+    keeps the recursive-CTE form.
 
     Reference scope note: the reference has no analytics surface
     (src/migrate/table_migrator.rs:43-114).
     """
-    import uuid
-
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -186,30 +185,39 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "churned",
         F.sum("churned").over(wsuf).cast("bigint").alias("at_risk"),
     ).withColumn("idx", F.row_number().over(widx))
-    view = f"__km_cells_{uuid.uuid4().hex[:8]}"
-    cells.createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-        WITH RECURSIVE km AS (
-            SELECT idx, age, at_risk, churned,
-                   CAST((at_risk - churned) * 1000000 DIV at_risk
-                        AS BIGINT) AS survival_ppm
-            FROM {view} WHERE idx = 1
-            UNION ALL
-            SELECT c.idx, c.age, c.at_risk, c.churned,
-                   CAST(km.survival_ppm * (c.at_risk - c.churned)
-                        DIV c.at_risk AS BIGINT)
-            FROM km JOIN {view} c ON c.idx = km.idx + 1
+    # The staged product is inherently sequential over the age ladder.
+    # A WITH RECURSIVE ladder works but pays one micro-job per step
+    # (21 steps = 4.5s at sf0.1 even with the anchor materialized);
+    # the age domain is BOUNDED (max purchase lifetime), so this is
+    # the bounded-driver-read class (centroids / histogram bins /
+    # distributed_rank fold): collect the cells once, fold the exact
+    # integer product on the driver, return a literal relation.
+    rows = sorted(
+        cells.collect(), key=lambda r: r.age
+    )  # bounded: one row per lifetime day
+    out = []
+    s_ppm = None
+    for r in rows:
+        step = (r.at_risk - r.churned, r.at_risk)
+        s_ppm = (
+            (step[0] * 1_000_000) // step[1]
+            if s_ppm is None
+            else (s_ppm * step[0]) // step[1]
         )
-        SELECT CAST(age AS BIGINT) AS age_days,
-               at_risk, churned,
-               CAST(churned * 1000000 DIV at_risk AS BIGINT)
-                   AS hazard_ppm,
-               survival_ppm
-        FROM km
-        ORDER BY age_days
-        """
-    )
+        out.append(
+            (
+                int(r.age),
+                int(r.at_risk),
+                int(r.churned),
+                (r.churned * 1_000_000) // r.at_risk,
+                s_ppm,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "age_days bigint, at_risk bigint, churned bigint,"
+        " hazard_ppm bigint, survival_ppm bigint",
+    ).orderBy("age_days")
 
 
 QUERIES["events_kaplan_meier"] = events_kaplan_meier
