@@ -384,3 +384,147 @@ ORACLES["q_sax_symbols"] = """
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
 """
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per priority over the monthly revenue
+    series: the type-1 lower median of all pairwise slopes — the
+    outlier-resistant companion to ``stats4.q_mann_kendall_trend``
+    (same cells), plus the median intercept so the fitted line is
+    fully specified.
+
+    Slopes quantize to milli-cents-per-month with the SIGN SPLIT
+    convention (slope = sign * (|dr| * 1000 div dm)) because signed
+    integer division is not cross-engine verified (Spark div truncates
+    toward zero, DuckDB // floors); medians are rank-based so no
+    further division touches a signed value.
+
+    Scale shape (100 TB): the (priority, month) cells are calendar-
+    bounded, so the pairwise slope relation (~m^2/2 per priority) and
+    both median rank windows are plan constants — the Mann-Kendall
+    cells regime."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            "o_orderpriority",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mk"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("r"),
+        )
+        .groupBy("o_orderpriority", "mk")
+        .agg(
+            F.sum(F.col("r").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    a = cells.select(
+        "o_orderpriority", F.col("mk").alias("mi"), F.col("rev").alias("ri")
+    )
+    b = cells.select(
+        "o_orderpriority", F.col("mk").alias("mj"), F.col("rev").alias("rj")
+    )
+    slopes = (
+        a.join(b, "o_orderpriority")
+        .filter(F.col("mi") < F.col("mj"))
+        .select(
+            "o_orderpriority",
+            F.expr(
+                "CAST(CASE WHEN rj >= ri THEN 1 ELSE -1 END"
+                " * (ABS(rj - ri) * 1000 div (mj - mi)) AS BIGINT)"
+            ).alias("slope"),
+        )
+    )
+    ws = W.partitionBy("o_orderpriority").orderBy("slope")
+    med_slope = (
+        slopes.select(
+            "o_orderpriority",
+            "slope",
+            F.row_number().over(ws).alias("rn"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("o_orderpriority"))
+            .alias("np"),
+        )
+        .filter(F.expr("rn = (np + 1) div 2"))
+        .select(
+            "o_orderpriority",
+            F.col("slope").alias("slope_milli"),
+            F.col("np").cast("bigint").alias("n_pairs"),
+        )
+    )
+    resid = cells.join(F.broadcast(med_slope), "o_orderpriority").select(
+        "o_orderpriority",
+        "slope_milli",
+        "n_pairs",
+        (F.col("rev") * 1000 - F.col("slope_milli") * F.col("mk")).alias(
+            "b_milli"
+        ),
+    )
+    wb = W.partitionBy("o_orderpriority").orderBy("b_milli")
+    return (
+        resid.select(
+            "o_orderpriority",
+            "slope_milli",
+            "n_pairs",
+            "b_milli",
+            F.row_number().over(wb).alias("rn"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("o_orderpriority"))
+            .alias("m"),
+        )
+        .filter(F.expr("rn = (m + 1) div 2"))
+        .select(
+            "o_orderpriority",
+            F.col("m").cast("bigint").alias("m_months"),
+            "n_pairs",
+            "slope_milli",
+            F.col("b_milli").alias("intercept_milli"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["q_theil_sen_trend"] = q_theil_sen_trend
+
+ORACLES["q_theil_sen_trend"] = """
+    WITH cells AS (
+        SELECT o_orderpriority,
+               CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+                    AS BIGINT) AS mk,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS HUGEINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1, 2),
+    slopes AS (
+        SELECT a.o_orderpriority,
+               CAST(CASE WHEN b.rev >= a.rev THEN 1 ELSE -1 END
+                    * (ABS(b.rev - a.rev) * 1000 // (b.mk - a.mk))
+                    AS BIGINT) AS slope
+        FROM cells a
+        JOIN cells b ON b.o_orderpriority = a.o_orderpriority
+                    AND a.mk < b.mk),
+    med AS (
+        SELECT o_orderpriority, slope AS slope_milli,
+               CAST(np AS BIGINT) AS n_pairs
+        FROM (SELECT o_orderpriority, slope,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY slope) AS rn,
+                     COUNT(*) OVER (PARTITION BY o_orderpriority) AS np
+              FROM slopes)
+        WHERE rn = (np + 1) // 2),
+    resid AS (
+        SELECT c.o_orderpriority, m.slope_milli, m.n_pairs,
+               c.rev * 1000 - m.slope_milli * c.mk AS b_milli
+        FROM cells c JOIN med m USING (o_orderpriority))
+    SELECT o_orderpriority,
+           CAST(m AS BIGINT) AS m_months,
+           n_pairs, slope_milli,
+           b_milli AS intercept_milli
+    FROM (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY b_milli) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS m
+          FROM resid)
+    WHERE rn = (m + 1) // 2
+    ORDER BY o_orderpriority
+"""

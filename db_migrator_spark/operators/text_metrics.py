@@ -442,3 +442,139 @@ ORACLES["text_winnowing_fingerprints"] = f"""
     FROM sel
     ORDER BY doc_id, sel_pos
 """
+
+
+# RAKE keyword extraction: candidate phrases are maximal runs of
+# non-stopword tokens; a word scores degree/frequency (degree = total
+# length of phrases containing it), a phrase scores the sum of its
+# word scores. The stopword list is pinned (English function words —
+# non-English docs simply yield longer phrases, deterministically).
+RAKE_STOP = (
+    "the a an and or but of to in on for with at by from as is are was"
+    " were be been it its this that these those not no"
+).split()
+RAKE_MAX_WORDS = 4
+RAKE_TOP_K = 50
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``RAKE_TOP_K`` RAKE keyword phrases across the corpus
+    (module constants): phrase, occurrence count, and the exact
+    integer RAKE score (word degree/frequency ratios in milli,
+    truncating — documented convention; word stats count phrase
+    occurrences corpus-wide with multiplicity).
+
+    Scale shape (100 TB): one token explode (linear); phrase assembly
+    is a DOC-KEYED gaps-and-islands window (fully parallel, the
+    winnowing regime) with order-safe array_sort assembly; word stats
+    and the phrase-score join are word-keyed shuffles; the final
+    top-K is TakeOrderedAndProject. Phrases cap at RAKE_MAX_WORDS."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    stop_list = ", ".join(f"'{w}'" for w in RAKE_STOP)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "w"
+        ),
+    ).filter(F.col("w") != "")
+    nonstop = toks.filter(~F.expr(f"w IN ({stop_list})"))
+    wisl = W.partitionBy("doc_id").orderBy("pos")
+    islands = nonstop.select(
+        "doc_id",
+        "pos",
+        "w",
+        (F.col("pos") - F.row_number().over(wisl)).alias("isl"),
+    )
+    phrases = (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, w))), x -> x.w), ' ')"
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= RAKE_MAX_WORDS)
+    )
+    pw = phrases.select(
+        "phrase",
+        "n_words",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    wstats = pw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("n_words").cast("bigint").alias("degree"),
+    )
+    # score is identical for every occurrence of the same phrase
+    # string (same words -> same word stats); counting occurrences
+    # needs the phrase grain BEFORE the word explode. A word repeated
+    # WITHIN one phrase scores once (DISTINCT phrase-word pairs) —
+    # pinned convention.
+    counts = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    per_word = (
+        pw.select("phrase", "w")
+        .distinct()
+        .join(wstats, "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(F.expr("degree * 1000 div freq"))
+            .cast("bigint")
+            .alias("score_milli")
+        )
+    )
+    return (
+        counts.join(per_word, "phrase")
+        .select("phrase", "n_occurrences", "score_milli")
+        .orderBy(F.desc("score_milli"), F.desc("n_occurrences"), "phrase")
+        .limit(RAKE_TOP_K)
+    )
+
+
+QUERIES["text_rake_keywords"] = text_rake_keywords
+
+ORACLES["text_rake_keywords"] = f"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, w[i] AS w
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w,
+                     unnest(generate_series(1, len(string_split(
+                         lower(text), ' ')))) AS i
+              FROM documents)
+        WHERE w[i] != ''),
+    nonstop AS (
+        SELECT doc_id, pos, w,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS isl
+        FROM toks
+        WHERE w NOT IN ({", ".join(f"'{w}'" for w in RAKE_STOP)})),
+    phrases AS (
+        SELECT doc_id, isl,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM nonstop GROUP BY doc_id, isl
+        HAVING COUNT(*) <= {RAKE_MAX_WORDS}),
+    pw AS (
+        SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS w
+        FROM phrases),
+    wstats AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(n_words) AS BIGINT) AS degree
+        FROM pw GROUP BY w),
+    counts AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM phrases GROUP BY phrase),
+    per_word AS (
+        SELECT p.phrase,
+               CAST(SUM(s.degree * 1000 // s.freq) AS BIGINT)
+                   AS score_milli
+        FROM (SELECT DISTINCT phrase, w FROM pw) p
+        JOIN wstats s ON s.w = p.w
+        GROUP BY p.phrase)
+    SELECT c.phrase, c.n_occurrences, p.score_milli
+    FROM counts c JOIN per_word p USING (phrase)
+    ORDER BY p.score_milli DESC, c.n_occurrences DESC, c.phrase
+    LIMIT {RAKE_TOP_K}
+"""

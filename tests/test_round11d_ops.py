@@ -181,3 +181,82 @@ def test_sax_symbols_quartile_alphabet(spark):
         assert (r.n_a, r.n_b, r.n_c, r.n_d) == tuple(
             word.count(c) for c in "abcd"
         )
+
+
+def test_theil_sen_matches_python(spark):
+    from db_migrator_spark.operators.events5 import q_theil_sen_trend
+
+    got = {
+        r.o_orderpriority: r
+        for r in q_theil_sen_trend(spark, SF0).collect()
+    }
+    orders = load_table(spark, SF0, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    ).collect()
+    series = defaultdict(lambda: defaultdict(int))
+    for o in orders:
+        mk = o.o_orderdate.year * 12 + o.o_orderdate.month
+        series[o.o_orderpriority][mk] += int(o.o_totalprice * 100)
+    for g, by_mk in series.items():
+        pts = sorted(by_mk.items())
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dm = pts[j][0] - pts[i][0]
+                dr = pts[j][1] - pts[i][1]
+                sgn = 1 if dr >= 0 else -1
+                slopes.append(sgn * (abs(dr) * 1000 // dm))
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1]
+        bs = sorted(r * 1000 - med * mk for mk, r in pts)
+        r = got[g]
+        assert r.m_months == len(pts)
+        assert r.n_pairs == len(slopes)
+        assert r.slope_milli == med
+        assert r.intercept_milli == bs[(len(bs) + 1) // 2 - 1]
+
+
+def test_rake_matches_python(spark):
+    from db_migrator_spark.operators.text_metrics import (
+        RAKE_MAX_WORDS,
+        RAKE_STOP,
+        RAKE_TOP_K,
+        text_rake_keywords,
+    )
+
+    docs = load_table(spark, SF0, "documents").select("text").collect()
+    stop = set(RAKE_STOP)
+    phrases = []
+    for d in docs:
+        run = []
+        for w in d.text.lower().split(" "):
+            if w == "" or w in stop:
+                if run and len(run) <= RAKE_MAX_WORDS:
+                    phrases.append(" ".join(run))
+                run = []
+            else:
+                run.append(w)
+        if run and len(run) <= RAKE_MAX_WORDS:
+            phrases.append(" ".join(run))
+    from collections import Counter
+
+    freq, degree = Counter(), Counter()
+    for ph in phrases:
+        ws = ph.split(" ")
+        for w in ws:
+            freq[w] += 1
+            degree[w] += len(ws)
+    counts = Counter(phrases)
+    scored = {
+        ph: sum(degree[w] * 1000 // freq[w] for w in set(ph.split(" ")))
+        for ph in counts
+    }
+    expect = sorted(
+        ((ph, counts[ph], sc) for ph, sc in scored.items()),
+        key=lambda t: (-t[2], -t[1], t[0]),
+    )[:RAKE_TOP_K]
+    got = [
+        (r.phrase, r.n_occurrences, r.score_milli)
+        for r in text_rake_keywords(spark, SF0).collect()
+    ]
+    assert got == expect
