@@ -40,11 +40,6 @@ BOUNDED_DOMAIN_WHITELIST = {
     "corpus_seq_len_histogram": "fixed histogram-bin grain",
     "q_xmr_control_chart": "day grain: calendar span",
     "text_heaps_curve": "fixed 20-bucket grain (HEAPS_BUCKETS)",
-    "events_kaplan_meier": (
-        "age-in-days grain: the suffix at-risk count and KM recursion "
-        "run on cells bounded by max purchase lifetime (the "
-        "events_survival_hazard regime)"
-    ),
     "events_propensity_matching": (
         "score grain: distinct per-user activity counts, bounded by the "
         "max user lifetime activity (eval_roc_auc regime)"
@@ -118,6 +113,10 @@ KEYED_WINDOW_WHITELIST: dict[str, str] = {
         "both placement windows run over DISTINCT (lang, n_chars) "
         "score cells — bounded by the document-length domain (the "
         "eval_roc_auc regime)"
+    ),
+    "q_theil_sen_trend": (
+        "slope-median rank windows run over pairwise (priority, month) "
+        "cells — calendar-bounded input (the Mann-Kendall cells regime)"
     ),
     "q_sax_symbols": (
         "rank/count windows run over (priority, month) revenue cells "
