@@ -528,3 +528,136 @@ ORACLES["q_theil_sen_trend"] = """
     WHERE rn = (m + 1) // 2
     ORDER BY o_orderpriority
 """
+
+
+MARKOV_POWER_ITERS = 4
+
+
+def events_markov_stationary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by
+    ``MARKOV_POWER_ITERS`` exact integer power iterations — the
+    long-run state mix implied by ``events2.events_markov_transitions``
+    (same transition counts).
+
+    pi_0 is uniform floor(1e6 / K); each step is
+    pi'[j] = (sum_i pi[i] * p_ij) div 1e6 with p_ij the exact ppm
+    transition row (one truncation per state per step; the mass drift
+    is < K ppm per iteration, documented — no renormalization keeps
+    every stage pure integer). The chain matrix is STATE x STATE
+    (a domain constant), so the fold runs on the driver over the
+    bounded transition cells (the KM / centroids bounded-driver-read
+    class); the heavy work — the user-keyed lag shuffle and the
+    matrix aggregate — is the same one-shuffle shape as the
+    transitions query. The oracle unrolls the same iterations as a
+    CTE chain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cells = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rows = cells.collect()  # bounded: |states|^2 cells
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for r in rows:
+        tot[r.prev_type] += r.n
+    states = sorted(
+        set(tot) | {r.next_type for r in rows}
+    )
+    p_ppm = {
+        (r.prev_type, r.next_type): r.n * 1_000_000 // tot[r.prev_type]
+        for r in rows
+    }
+    k = len(states)
+    pi = {st: 1_000_000 // k for st in states}
+    pi0 = dict(pi)
+    for _ in range(MARKOV_POWER_ITERS):
+        pi = {
+            j: sum(
+                pi[i] * p_ppm.get((i, j), 0) for i in states
+            )
+            // 1_000_000
+            for j in states
+        }
+    out = [
+        (st, pi0[st], pi[st], tot.get(st, 0)) for st in states
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, pi0_ppm bigint, stationary_ppm bigint,"
+        " n_out_transitions bigint",
+    ).orderBy("event_type")
+
+
+QUERIES["events_markov_stationary"] = events_markov_stationary
+
+
+def _markov_stationary_oracle() -> str:
+    steps = []
+    for t in range(1, MARKOV_POWER_ITERS + 1):
+        steps.append(f"""
+        pi{t} AS (
+            SELECT p.next_type AS state,
+                   CAST(SUM(pi.v * p.ppm) // 1000000 AS BIGINT) AS v
+            FROM pi{t - 1} pi
+            JOIN pmat p ON p.prev_type = pi.state
+            GROUP BY p.next_type)""")
+    k = MARKOV_POWER_ITERS
+    return (
+        """
+        WITH lagged AS (
+            SELECT user_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS prev_type,
+                   event_type AS next_type
+            FROM events),
+        cells AS (
+            SELECT prev_type, next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lagged WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2),
+        tot AS (
+            SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+            FROM cells GROUP BY 1),
+        pmat AS (
+            SELECT c.prev_type, c.next_type,
+                   c.n * 1000000 // t.n_from AS ppm
+            FROM cells c JOIN tot t USING (prev_type)),
+        states AS (
+            SELECT DISTINCT state FROM (
+                SELECT prev_type AS state FROM cells
+                UNION
+                SELECT next_type FROM cells)),
+        ks AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+        pi0 AS (
+            SELECT state, CAST(1000000 // k AS BIGINT) AS v
+            FROM states, ks),"""
+        + ",".join(steps)
+        + f"""
+        SELECT s.state AS event_type,
+               p0.v AS pi0_ppm,
+               COALESCE(pn.v, 0) AS stationary_ppm,
+               COALESCE(t.n_from, 0) AS n_out_transitions
+        FROM states s
+        JOIN pi0 p0 USING (state)
+        LEFT JOIN pi{k} pn USING (state)
+        LEFT JOIN tot t ON t.prev_type = s.state
+        ORDER BY event_type
+    """
+    )
+
+
+ORACLES["events_markov_stationary"] = _markov_stationary_oracle()

@@ -260,3 +260,50 @@ def test_rake_matches_python(spark):
         for r in text_rake_keywords(spark, SF0).collect()
     ]
     assert got == expect
+
+
+def test_markov_stationary_power_iteration(spark):
+    from db_migrator_spark.operators.events5 import (
+        MARKOV_POWER_ITERS,
+        events_markov_stationary,
+    )
+
+    ev = load_table(spark, SF0, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append((e.ts, e.event_id, e.event_type))
+    cells = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            cells[(a, b)] += 1
+    tot = defaultdict(int)
+    for (a, _), n in cells.items():
+        tot[a] += n
+    states = sorted({a for a, _ in cells} | {b for _, b in cells})
+    p = {
+        (a, b): n * 1_000_000 // tot[a] for (a, b), n in cells.items()
+    }
+    k = len(states)
+    pi = {s: 1_000_000 // k for s in states}
+    for _ in range(MARKOV_POWER_ITERS):
+        pi = {
+            j: sum(pi[i] * p.get((i, j), 0) for i in states)
+            // 1_000_000
+            for j in states
+        }
+    got = {
+        r.event_type: r
+        for r in events_markov_stationary(spark, SF0).collect()
+    }
+    for s_ in states:
+        r = got[s_]
+        assert r.pi0_ppm == 1_000_000 // k
+        assert r.stationary_ppm == pi[s_]
+        assert r.n_out_transitions == tot.get(s_, 0)
+    # mass drift from per-state truncation stays under K ppm per step
+    assert 1_000_000 - sum(pi.values()) <= (
+        MARKOV_POWER_ITERS + 1
+    ) * k
