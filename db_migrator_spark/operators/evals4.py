@@ -782,3 +782,179 @@ def _delong_oracle() -> str:
 
 
 ORACLES["eval_auc_delong"] = _delong_oracle()
+
+
+BT_ITERS = 4
+
+
+def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength fit over pairwise cross-lang "matches" —
+    the arena-style ranking readout. Matches are adjacent-id DIFFERENT-
+    lang document pairs; the longer document (whitespace tokens) wins,
+    exact ties are discarded (pinned convention). ``BT_ITERS`` Zermelo
+    minorization steps in exact staged integers:
+
+    d_i = sum_j n_ij * 1e12 div (p_i + p_j)   (one truncation per
+    opponent), p_i' = W_i * 1e12 div d_i — strengths stay on the ppm
+    scale (uniform 1e6 start). The item domain (langs) is a plan
+    constant, so the fit folds on the DRIVER over the bounded win
+    matrix (the KM/Markov bounded-driver-read class); the expensive
+    part — building the match results — is one doc-pair join plus a
+    matrix-sized aggregate. The oracle unrolls the same iterations as
+    a CTE chain. Items with zero wins fix at 0 (their d would still
+    be positive; W=0 ends them at 0 — documented degenerate case).
+
+    Reference scope note: the reference has no analytics surface
+    (src/migrate/table_migrator.rs:43-114).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("nt")
+    )
+    matches = (
+        docs.alias("a")
+        .join(
+            docs.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("b.lang") != F.col("a.lang")),
+        )
+        .filter(F.col("a.nt") != F.col("b.nt"))
+        .select(
+            F.when(
+                F.col("a.nt") > F.col("b.nt"), F.col("a.lang")
+            )
+            .otherwise(F.col("b.lang"))
+            .alias("winner"),
+            F.when(
+                F.col("a.nt") > F.col("b.nt"), F.col("b.lang")
+            )
+            .otherwise(F.col("a.lang"))
+            .alias("loser"),
+        )
+    )
+    cells = matches.groupBy("winner", "loser").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    rows = cells.collect()  # bounded: |langs|^2 cells
+    wins = {}
+    for r in rows:
+        wins[(r.winner, r.loser)] = r.w
+    items = sorted({a for a, _ in wins} | {b for _, b in wins})
+    n_ij = {
+        (i, j): wins.get((i, j), 0) + wins.get((j, i), 0)
+        for i in items
+        for j in items
+        if i != j
+    }
+    w_tot = {
+        i: sum(wins.get((i, j), 0) for j in items if j != i)
+        for i in items
+    }
+    p = {i: 1_000_000 for i in items}
+    for _ in range(BT_ITERS):
+        d = {
+            i: sum(
+                n_ij[(i, j)] * 10**12 // (p[i] + p[j])
+                for j in items
+                if j != i and n_ij[(i, j)] > 0 and p[i] + p[j] > 0
+            )
+            for i in items
+        }
+        p = {
+            i: (w_tot[i] * 10**12 // d[i]) if d[i] > 0 else 0
+            for i in items
+        }
+    out = [
+        (
+            i,
+            w_tot[i],
+            sum(wins.get((j, i), 0) for j in items if j != i),
+            p[i],
+        )
+        for i in items
+    ]
+    return spark.createDataFrame(
+        out,
+        "lang string, n_wins bigint, n_losses bigint,"
+        " bt_strength_ppm bigint",
+    ).orderBy("lang")
+
+
+QUERIES["eval_bradley_terry"] = eval_bradley_terry
+
+
+def _bt_oracle() -> str:
+    steps = []
+    for t in range(1, BT_ITERS + 1):
+        steps.append(f"""
+        d{t} AS (
+            SELECT n.i,
+                   CAST(SUM(n.n * 1000000000000
+                            // (pi.v + pj.v)) AS HUGEINT) AS d
+            FROM nmat n
+            JOIN p{t - 1} pi ON pi.lang = n.i
+            JOIN p{t - 1} pj ON pj.lang = n.j
+            WHERE pi.v + pj.v > 0
+            GROUP BY n.i),
+        p{t} AS (
+            SELECT w.lang,
+                   CAST(CASE WHEN d.d > 0
+                        THEN w.w_tot * 1000000000000 // d.d
+                        ELSE 0 END AS BIGINT) AS v
+            FROM wtot w
+            LEFT JOIN d{t} d ON d.i = w.lang)""")
+    k = BT_ITERS
+    return (
+        """
+        WITH docs AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS nt
+            FROM documents),
+        matches AS (
+            SELECT CASE WHEN a.nt > b.nt THEN a.lang ELSE b.lang END
+                       AS winner,
+                   CASE WHEN a.nt > b.nt THEN b.lang ELSE a.lang END
+                       AS loser
+            FROM docs a
+            JOIN docs b ON b.doc_id = a.doc_id + 1
+                       AND b.lang != a.lang
+            WHERE a.nt != b.nt),
+        wins AS (
+            SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS w
+            FROM matches GROUP BY 1, 2),
+        items AS (
+            SELECT DISTINCT lang FROM (
+                SELECT winner AS lang FROM wins
+                UNION SELECT loser FROM wins)),
+        nmat AS (
+            SELECT a.lang AS i, b.lang AS j,
+                   COALESCE(w1.w, 0) + COALESCE(w2.w, 0) AS n
+            FROM items a JOIN items b ON a.lang != b.lang
+            LEFT JOIN wins w1 ON w1.winner = a.lang
+                             AND w1.loser = b.lang
+            LEFT JOIN wins w2 ON w2.winner = b.lang
+                             AND w2.loser = a.lang
+            WHERE COALESCE(w1.w, 0) + COALESCE(w2.w, 0) > 0),
+        wtot AS (
+            SELECT i.lang,
+                   CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS w_tot
+            FROM items i LEFT JOIN wins w ON w.winner = i.lang
+            GROUP BY i.lang),
+        p0 AS (
+            SELECT lang, CAST(1000000 AS BIGINT) AS v FROM items),"""
+        + ",".join(steps)
+        + f"""
+        SELECT i.lang,
+               wt.w_tot AS n_wins,
+               CAST(COALESCE((SELECT SUM(w) FROM wins
+                              WHERE loser = i.lang), 0) AS BIGINT)
+                   AS n_losses,
+               p.v AS bt_strength_ppm
+        FROM items i
+        JOIN wtot wt ON wt.lang = i.lang
+        JOIN p{k} p ON p.lang = i.lang
+        ORDER BY i.lang
+    """
+    )
+
+
+ORACLES["eval_bradley_terry"] = _bt_oracle()

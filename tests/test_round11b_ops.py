@@ -126,3 +126,60 @@ def test_delong_matches_python(spark):
         assert r.ci_hi_ppm == r.auc_ppm + 196 * se // 100
         # the CI half-width is positive and the interval brackets AUC
         assert r.ci_lo_ppm <= r.auc_ppm <= r.ci_hi_ppm
+
+
+def test_bradley_terry_zermelo_fold(spark):
+    from collections import defaultdict
+
+    from db_migrator_spark.operators.evals4 import (
+        BT_ITERS,
+        eval_bradley_terry,
+    )
+
+    docs = load_table(spark, SF0, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    by_id = {d.doc_id: d for d in docs}
+    wins = defaultdict(int)
+    for d in docs:
+        o = by_id.get(d.doc_id + 1)
+        if o is None or o.lang == d.lang:
+            continue
+        na, nb = len(d.text.split(" ")), len(o.text.split(" "))
+        if na == nb:
+            continue
+        w, l = (d.lang, o.lang) if na > nb else (o.lang, d.lang)
+        wins[(w, l)] += 1
+    items = sorted({a for a, _ in wins} | {b for _, b in wins})
+    n = {
+        (i, j): wins.get((i, j), 0) + wins.get((j, i), 0)
+        for i in items
+        for j in items
+        if i != j
+    }
+    wt = {i: sum(wins.get((i, j), 0) for j in items if j != i) for i in items}
+    p = {i: 1_000_000 for i in items}
+    for _ in range(BT_ITERS):
+        d_ = {
+            i: sum(
+                n[(i, j)] * 10**12 // (p[i] + p[j])
+                for j in items
+                if j != i and n[(i, j)] > 0 and p[i] + p[j] > 0
+            )
+            for i in items
+        }
+        p = {i: (wt[i] * 10**12 // d_[i]) if d_[i] > 0 else 0 for i in items}
+    got = {r.lang: r for r in eval_bradley_terry(spark, SF0).collect()}
+    assert set(got) == set(items)
+    for i in items:
+        r = got[i]
+        assert r.n_wins == wt[i]
+        assert r.n_losses == sum(
+            wins.get((j, i), 0) for j in items if j != i
+        )
+        assert r.bt_strength_ppm == p[i]
+    # strengths order consistently with win rates on a dominant item
+    best = max(items, key=lambda i: (wt[i], i))
+    assert got[best].bt_strength_ppm >= min(
+        r.bt_strength_ppm for r in got.values()
+    )
