@@ -2064,3 +2064,173 @@ ORACLES["multimodal_image_symmetry"] = f"""
     FROM mass m LEFT JOIN asym a ON a.doc_id = m.doc_id
     ORDER BY m.doc_id
 """
+
+
+# Global SSIM between ADJACENT-id images: the structural-similarity
+# screen a vision-dedup pass runs before pixel hashing. Constants are
+# the standard (k*L)^2 with L = 765 (three-channel gray), floored to
+# pinned integers so the whole metric is exact.
+SSIM_C1 = 58   # floor((0.01 * 765)^2)
+SSIM_C2 = 526  # floor((0.03 * 765)^2)
+_SSIM_N = PPM_W * PPM_H
+
+_SSIM_SCHEMA = (
+    "doc_a bigint, doc_b bigint, s1a bigint, s1b bigint,"
+    " s2a bigint, s2b bigint, s12 bigint"
+)
+
+
+def _ssim_sums(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas worker: decode both P6 payloads of a pair, emit the
+    five exact integer pixel sums the SSIM algebra needs."""
+    import numpy as np
+
+    def gray(payload) -> "np.ndarray":
+        buf = bytes(payload)
+        tokens, pos = [], 0
+        while len(tokens) < 4:
+            while buf[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(buf[start:pos])
+        pos += 1
+        w, h = int(tokens[1]), int(tokens[2])
+        px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return px.reshape(-1, 3).astype(np.int64).sum(axis=1)
+
+    for pdf in batches:
+        recs = {
+            k: []
+            for k in ("doc_a", "doc_b", "s1a", "s1b", "s2a", "s2b", "s12")
+        }
+        for doc_a, doc_b, pa, pb in zip(
+            pdf["doc_a"], pdf["doc_b"], pdf["pa"], pdf["pb"]
+        ):
+            ga, gb = gray(pa), gray(pb)
+            recs["doc_a"].append(int(doc_a))
+            recs["doc_b"].append(int(doc_b))
+            recs["s1a"].append(int(ga.sum()))
+            recs["s1b"].append(int(gb.sum()))
+            recs["s2a"].append(int((ga * ga).sum()))
+            recs["s2b"].append(int((gb * gb).sum()))
+            recs["s12"].append(int((ga * gb).sum()))
+        yield pd.DataFrame(recs)
+
+
+def multimodal_image_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global SSIM (ppm, sign split) between adjacent-id images:
+    Arrow-batched decode emits integer pixel sums; the SSIM algebra —
+    luminance and contrast/structure factors scaled by n^2, pinned
+    integer constants — runs JVM-side so the DuckDB twin mirrors it
+    literally. The covariance term can be negative, so the surfaced
+    value is sign(num) * (|num| * 1e6 div den) (den > 0 always —
+    variances and constants are non-negative).
+
+    Scale shape (100 TB): one payload self-join keyed doc_id+1 (the
+    BLEU pairing shape), one Arrow pass per pair, constant-size
+    algebra per row. No window, no explode."""
+    pl = _ppm_payloads(spark, sf_dir)
+    pairs = (
+        pl.alias("a")
+        .join(
+            pl.alias("b"),
+            F.col("b.doc_id") == F.col("a.doc_id") + 1,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.payload").alias("pa"),
+            F.col("b.payload").alias("pb"),
+        )
+    )
+    sums = pairs.mapInPandas(_ssim_sums, schema=_SSIM_SCHEMA)
+    n = _SSIM_N
+    return (
+        sums.select(
+            "doc_a",
+            "doc_b",
+            "s12",
+            F.expr(
+                f"CAST(2 * CAST(s1a AS DECIMAL(38,0)) * s1b"
+                f" + {SSIM_C1} * {n * n} AS DECIMAL(38,0))"
+            ).alias("_lnum"),
+            F.expr(
+                f"CAST(CAST(s1a AS DECIMAL(38,0)) * s1a"
+                f" + CAST(s1b AS DECIMAL(38,0)) * s1b"
+                f" + {SSIM_C1} * {n * n} AS DECIMAL(38,0))"
+            ).alias("_lden"),
+            F.expr(
+                f"CAST(2 * ({n} * CAST(s12 AS DECIMAL(38,0))"
+                f" - CAST(s1a AS DECIMAL(38,0)) * s1b)"
+                f" + {SSIM_C2} * {n * n} AS DECIMAL(38,0))"
+            ).alias("_csnum"),
+            F.expr(
+                f"CAST(({n} * CAST(s2a AS DECIMAL(38,0))"
+                f" - CAST(s1a AS DECIMAL(38,0)) * s1a)"
+                f" + ({n} * CAST(s2b AS DECIMAL(38,0))"
+                f" - CAST(s1b AS DECIMAL(38,0)) * s1b)"
+                f" + {SSIM_C2} * {n * n} AS DECIMAL(38,0))"
+            ).alias("_csden"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "s12",
+            F.expr(
+                "CAST(CASE WHEN _lnum * _csnum < 0 THEN -1 ELSE 1 END"
+                " * (ABS(_lnum * _csnum) * 1000000"
+                "    div (_lden * _csden)) AS BIGINT)"
+            ).alias("ssim_ppm"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+QUERIES["multimodal_image_ssim"] = multimodal_image_ssim
+
+ORACLES["multimodal_image_ssim"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               substr(repeat(text,
+                             CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)),
+                      1, {_PPM_PIXELS}) AS px
+        FROM {_ASCII_DOCS_SQL}
+        WHERE length(text) > 0),
+    gray AS (
+        SELECT doc_id, i,
+               ascii(substr(px, (i - 1) * 3 + 1, 1))
+                   + ascii(substr(px, (i - 1) * 3 + 2, 1))
+                   + ascii(substr(px, (i - 1) * 3 + 3, 1)) AS g
+        FROM t, generate_series(1, {PPM_W * PPM_H}) AS gs(i)),
+    sums AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.g) AS BIGINT) AS s1a,
+               CAST(SUM(b.g) AS BIGINT) AS s1b,
+               SUM(CAST(a.g AS HUGEINT) * a.g) AS s2a,
+               SUM(CAST(b.g AS HUGEINT) * b.g) AS s2b,
+               CAST(SUM(CAST(a.g AS HUGEINT) * b.g) AS BIGINT) AS s12
+        FROM gray a
+        JOIN gray b ON b.doc_id = a.doc_id + 1 AND b.i = a.i
+        GROUP BY 1, 2),
+    alg AS (
+        SELECT doc_a, doc_b, s12,
+               2 * CAST(s1a AS HUGEINT) * s1b
+                   + {SSIM_C1} * {_SSIM_N * _SSIM_N} AS lnum,
+               CAST(s1a AS HUGEINT) * s1a + CAST(s1b AS HUGEINT) * s1b
+                   + {SSIM_C1} * {_SSIM_N * _SSIM_N} AS lden,
+               2 * ({_SSIM_N} * CAST(s12 AS HUGEINT)
+                    - CAST(s1a AS HUGEINT) * s1b)
+                   + {SSIM_C2} * {_SSIM_N * _SSIM_N} AS csnum,
+               ({_SSIM_N} * s2a - CAST(s1a AS HUGEINT) * s1a)
+                   + ({_SSIM_N} * s2b - CAST(s1b AS HUGEINT) * s1b)
+                   + {SSIM_C2} * {_SSIM_N * _SSIM_N} AS csden
+        FROM sums)
+    SELECT doc_a, doc_b, s12,
+           CAST(CASE WHEN lnum * csnum < 0 THEN -1 ELSE 1 END
+                * (ABS(lnum * csnum) * 1000000 // (lden * csden))
+                AS BIGINT) AS ssim_ppm
+    FROM alg
+    ORDER BY doc_a
+"""

@@ -183,3 +183,74 @@ def test_bradley_terry_zermelo_fold(spark):
     assert got[best].bt_strength_ppm >= min(
         r.bt_strength_ppm for r in got.values()
     )
+
+
+def test_ssim_matches_python(spark):
+    from db_migrator_spark.operators.multimodal import (
+        PPM_H,
+        PPM_W,
+        SSIM_C1,
+        SSIM_C2,
+        _ppm_payloads,
+        multimodal_image_ssim,
+    )
+
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in _ppm_payloads(spark, SF0).collect()
+    }
+
+    def gray(buf):
+        toks, pos = [], 0
+        while len(toks) < 4:
+            while buf[pos : pos + 1].isspace():
+                pos += 1
+            st = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            toks.append(buf[st:pos])
+        pos += 1
+        n = PPM_W * PPM_H
+        px = buf[pos : pos + n * 3]
+        return [px[3 * i] + px[3 * i + 1] + px[3 * i + 2] for i in range(n)]
+
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in multimodal_image_ssim(spark, SF0).collect()
+    }
+    n = PPM_W * PPM_H
+    checked = 0
+    for doc_a in sorted(payloads):
+        if doc_a + 1 not in payloads:
+            continue
+        ga, gb = gray(payloads[doc_a]), gray(payloads[doc_a + 1])
+        s1a, s1b = sum(ga), sum(gb)
+        s2a = sum(g * g for g in ga)
+        s2b = sum(g * g for g in gb)
+        s12 = sum(a * b for a, b in zip(ga, gb))
+        lnum = 2 * s1a * s1b + SSIM_C1 * n * n
+        lden = s1a * s1a + s1b * s1b + SSIM_C1 * n * n
+        csnum = 2 * (n * s12 - s1a * s1b) + SSIM_C2 * n * n
+        csden = (
+            (n * s2a - s1a * s1a)
+            + (n * s2b - s1b * s1b)
+            + SSIM_C2 * n * n
+        )
+        num, den = lnum * csnum, lden * csden
+        sgn = -1 if num < 0 else 1
+        expect = sgn * (abs(num) * 1_000_000 // den)
+        r = got[(doc_a, doc_a + 1)]
+        assert r.s12 == s12
+        assert r.ssim_ppm == expect
+        assert -1_000_000 <= r.ssim_ppm <= 1_000_000
+        checked += 1
+    assert checked == len(got) > 0
+    # an image is maximally similar to itself: sanity on the algebra
+    ga = gray(payloads[min(payloads)])
+    s1 = sum(ga)
+    s2 = sum(g * g for g in ga)
+    lnum = 2 * s1 * s1 + SSIM_C1 * n * n
+    lden = 2 * s1 * s1 + SSIM_C1 * n * n
+    csnum = 2 * (n * s2 - s1 * s1) + SSIM_C2 * n * n
+    csden = 2 * (n * s2 - s1 * s1) + SSIM_C2 * n * n
+    assert lnum * csnum == lden * csden  # self-SSIM = exactly 1
