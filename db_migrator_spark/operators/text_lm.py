@@ -426,3 +426,145 @@ ORACLES = {
         ORDER BY w
     """,
 }
+
+
+KN_TOP_K = 100
+
+
+def text_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation-count table over corpus bigrams — the
+    quantities interpolated KN smoothing needs, all exact integers:
+
+    - per word w: c(w) (unigram count), N1+(. w) (distinct left
+      contexts — the CONTINUATION count that replaces raw frequency in
+      the KN lower-order model), N1+(w .) (distinct right contexts,
+      the back-off normalizer), and the continuation probability
+      P_cont(w) = N1+(. w) / N1+(..) in exact ppm;
+    - one '*' summary row carrying the corpus-level discount
+      D = n1 / (n1 + 2*n2) in ppm, where n1/n2 are the counts of
+      bigram TYPES seen exactly once/twice (absolute discounting's
+      closed form), surfaced in the n1plus_left/right columns as
+      n1 and n2.
+
+    Output: the KN_TOP_K words by continuation count (ties by word)
+    plus the summary row — the table an n-gram LM training job
+    persists.
+
+    Scale shape (100 TB): one bigram explode (linear in tokens),
+    map-side-combined into bigram-type counts; the per-word rollups
+    shuffle on the word key; top-K is TakeOrderedAndProject. The
+    N1+(..) total and discount ride broadcast 1-row aggregates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(F.split(F.col("text"), " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    bigrams = (
+        ws.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS l, ws[i] AS r))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.l", "bg.r")
+        .filter((F.col("l") != "") & (F.col("r") != ""))
+        .groupBy("l", "r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    uni = bigrams.groupBy(F.col("l").alias("w")).agg(
+        F.sum("n").cast("bigint").alias("c_w")
+    )
+    left_ctx = bigrams.groupBy(F.col("r").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_left")
+    )
+    right_ctx = bigrams.groupBy(F.col("l").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_right")
+    )
+    tot = bigrams.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    top = (
+        left_ctx.join(uni, "w", "left")
+        .join(right_ctx, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.coalesce("c_w", F.lit(0)).alias("c_w"),
+            F.col("n1p_left"),
+            F.coalesce("n1p_right", F.lit(0)).alias("n1p_right"),
+            F.expr(
+                "n1p_left * 1000000 div n_bigram_types"
+            ).alias("p_cont_ppm"),
+        )
+        .orderBy(F.desc("n1p_left"), "w")
+        .limit(KN_TOP_K)
+    )
+    summary = tot.select(
+        F.lit("*").alias("w"),
+        F.col("n_bigram_types").alias("c_w"),
+        F.col("n1").alias("n1p_left"),
+        F.col("n2").alias("n1p_right"),
+        F.expr(
+            "CASE WHEN n1 + 2 * n2 = 0 THEN 0"
+            " ELSE n1 * 1000000 div (n1 + 2 * n2) END"
+        ).alias("p_cont_ppm"),
+    )
+    return top.unionByName(summary).orderBy(
+        F.desc("n1p_left"), "w"
+    )
+
+
+QUERIES["text_kneser_ney_counts"] = text_kneser_ney_counts
+
+ORACLES["text_kneser_ney_counts"] = f"""
+    WITH ws AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+    bigrams AS (
+        SELECT w[i] AS l, w[i + 1] AS r, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+              FROM ws)
+        WHERE w[i] != '' AND w[i + 1] != ''
+        GROUP BY 1, 2),
+    uni AS (
+        SELECT l AS w, CAST(SUM(n) AS BIGINT) AS c_w
+        FROM bigrams GROUP BY 1),
+    lctx AS (
+        SELECT r AS w, CAST(COUNT(*) AS BIGINT) AS n1p_left
+        FROM bigrams GROUP BY 1),
+    rctx AS (
+        SELECT l AS w, CAST(COUNT(*) AS BIGINT) AS n1p_right
+        FROM bigrams GROUP BY 1),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+               CAST(COUNT(*) FILTER (n = 1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (n = 2) AS BIGINT) AS n2
+        FROM bigrams),
+    top AS (
+        SELECT lc.w,
+               COALESCE(u.c_w, 0) AS c_w,
+               lc.n1p_left,
+               COALESCE(rc.n1p_right, 0) AS n1p_right,
+               lc.n1p_left * 1000000 // t.n_bigram_types AS p_cont_ppm
+        FROM lctx lc
+        LEFT JOIN uni u ON u.w = lc.w
+        LEFT JOIN rctx rc ON rc.w = lc.w, tot t
+        ORDER BY lc.n1p_left DESC, lc.w
+        LIMIT {KN_TOP_K}),
+    summary AS (
+        SELECT '*' AS w, n_bigram_types AS c_w,
+               n1 AS n1p_left, n2 AS n1p_right,
+               CASE WHEN n1 + 2 * n2 = 0 THEN 0
+                    ELSE n1 * 1000000 // (n1 + 2 * n2) END AS p_cont_ppm
+        FROM tot)
+    SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM summary)
+    ORDER BY n1p_left DESC, w
+"""

@@ -254,3 +254,46 @@ def test_ssim_matches_python(spark):
     csnum = 2 * (n * s2 - s1 * s1) + SSIM_C2 * n * n
     csden = 2 * (n * s2 - s1 * s1) + SSIM_C2 * n * n
     assert lnum * csnum == lden * csden  # self-SSIM = exactly 1
+
+
+def test_kneser_ney_counts_match_python(spark):
+    from collections import Counter
+
+    from db_migrator_spark.operators.text_lm import (
+        KN_TOP_K,
+        text_kneser_ney_counts,
+    )
+
+    docs = load_table(spark, SF0, "documents").select("text").collect()
+    bigrams = Counter()
+    for d in docs:
+        ws = d.text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a and b:
+                bigrams[(a, b)] += 1
+    uni = Counter()
+    lctx, rctx = Counter(), Counter()
+    for (a, b), n in bigrams.items():
+        uni[a] += n
+        lctx[b] += 1
+        rctx[a] += 1
+    types = len(bigrams)
+    n1 = sum(1 for n in bigrams.values() if n == 1)
+    n2 = sum(1 for n in bigrams.values() if n == 2)
+    rows = text_kneser_ney_counts(spark, SF0).collect()
+    star = [r for r in rows if r.w == "*"][0]
+    assert (star.c_w, star.n1p_left, star.n1p_right) == (types, n1, n2)
+    assert star.p_cont_ppm == n1 * 1_000_000 // (n1 + 2 * n2)
+    words = [r for r in rows if r.w != "*"]
+    assert len(words) == min(KN_TOP_K, len(lctx))
+    expect_order = sorted(lctx.items(), key=lambda kv: (-kv[1], kv[0]))
+    for r, (w, nl) in zip(
+        sorted(words, key=lambda r: (-r.n1p_left, r.w)),
+        expect_order[: len(words)],
+    ):
+        assert (r.w, r.n1p_left) == (w, nl)
+        assert r.c_w == uni.get(w, 0)
+        assert r.n1p_right == rctx.get(w, 0)
+        assert r.p_cont_ppm == nl * 1_000_000 // types
+    # continuation mass sums to the bigram type count over ALL words
+    assert sum(lctx.values()) == types
