@@ -578,3 +578,83 @@ ORACLES["text_rake_keywords"] = f"""
     ORDER BY p.score_milli DESC, c.n_occurrences DESC, c.phrase
     LIMIT {RAKE_TOP_K}
 """
+
+
+# Edit-distance near-dup audit: capped-prefix Levenshtein between
+# adjacent same-lang documents. The cap bounds the O(len^2) DP cell
+# count per pair — the standard budget trick before an exact distance
+# on long documents.
+EDIT_PREFIX_CHARS = 200
+
+
+def text_edit_distance_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Levenshtein distance on ``EDIT_PREFIX_CHARS``-char prefixes of
+    adjacent-id same-lang document pairs, with the normalized
+    similarity 1 - d/max_len in exact ppm — the character-level
+    near-dup metric beside the token-level Jaccard family. Both
+    engines ship the same classical DP (Spark ``levenshtein``, DuckDB
+    ``levenshtein``), so the surface is bit-exact without porting it.
+
+    Scale shape (100 TB): one doc-pair join keyed doc_id+1 (the BLEU
+    pairing shape); the DP cost per row is the capped prefix square —
+    a plan constant. No window, no explode."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring(F.col("text"), 1, EDIT_PREFIX_CHARS).alias("pre"),
+    )
+    return (
+        docs.alias("a")
+        .join(
+            docs.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("b.lang") == F.col("a.lang")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.levenshtein(F.col("a.pre"), F.col("b.pre")).cast(
+                "bigint"
+            ).alias("edit_distance"),
+            F.greatest(
+                F.length("a.pre"), F.length("b.pre")
+            ).cast("bigint").alias("max_len"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "lang",
+            "edit_distance",
+            "max_len",
+            F.expr(
+                "CASE WHEN max_len = 0 THEN 1000000 ELSE"
+                " (max_len - edit_distance) * 1000000 div max_len END"
+            ).alias("similarity_ppm"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+QUERIES["text_edit_distance_pairs"] = text_edit_distance_pairs
+
+ORACLES["text_edit_distance_pairs"] = f"""
+    WITH docs AS (
+        SELECT doc_id, lang, substr(text, 1, {EDIT_PREFIX_CHARS}) AS pre
+        FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_distance,
+           CAST(GREATEST(length(a.pre), length(b.pre)) AS BIGINT)
+               AS max_len,
+           CASE WHEN GREATEST(length(a.pre), length(b.pre)) = 0
+                THEN 1000000
+                ELSE (GREATEST(length(a.pre), length(b.pre))
+                      - levenshtein(a.pre, b.pre)) * 1000000
+                     // GREATEST(length(a.pre), length(b.pre)) END
+               AS similarity_ppm
+    FROM docs a
+    JOIN docs b ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang
+    ORDER BY doc_a
+"""

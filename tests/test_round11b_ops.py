@@ -297,3 +297,50 @@ def test_kneser_ney_counts_match_python(spark):
         assert r.p_cont_ppm == nl * 1_000_000 // types
     # continuation mass sums to the bigram type count over ALL words
     assert sum(lctx.values()) == types
+
+
+def test_edit_distance_pairs_match_python(spark):
+    from db_migrator_spark.operators.text_metrics import (
+        EDIT_PREFIX_CHARS,
+        text_edit_distance_pairs,
+    )
+
+    docs = load_table(spark, SF0, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    by_id = {d.doc_id: d for d in docs}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in text_edit_distance_pairs(spark, SF0).collect()
+    }
+    n_checked = 0
+    for d in docs:
+        o = by_id.get(d.doc_id + 1)
+        if o is None or o.lang != d.lang:
+            continue
+        a = d.text[:EDIT_PREFIX_CHARS]
+        b = o.text[:EDIT_PREFIX_CHARS]
+        r = got[(d.doc_id, o.doc_id)]
+        dist = lev(a, b)
+        ml = max(len(a), len(b))
+        assert r.edit_distance == dist
+        assert r.max_len == ml
+        assert r.similarity_ppm == (ml - dist) * 1_000_000 // ml
+        n_checked += 1
+    assert n_checked == len(got) > 0
