@@ -91,6 +91,7 @@ _MODULES = [
     "db_migrator_spark.streaming.foreach_batch",
     "db_migrator_spark.streaming.scd2_stream",
     "db_migrator_spark.streaming.late_data",
+    "db_migrator_spark.streaming.tws",
 ]
 
 # Driver-evidence bookkeeping: the external driver checks the FIRST 50
