@@ -112,7 +112,12 @@ def _tws_available() -> bool:
     self-registers and the closed-form oracle takes over."""
     import importlib.util
 
-    return importlib.util.find_spec("google.protobuf") is not None
+    try:
+        # find_spec on a dotted name imports the parent package, so a
+        # missing 'google' raises instead of returning None.
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
 
 
 QUERIES = (
