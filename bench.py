@@ -116,6 +116,59 @@ ADDED_AFTER_R1 = {
 }
 
 
+# A/A canary: three cheap fixed queries timed (min of 3) BEFORE and
+# AFTER the suite. Identical code on an idle box reads ~equal bands;
+# a skewed or drifting band flags box-state noise INSIDE the artifact,
+# so a round-over-round delta can be attributed without forensic A/A
+# reruns (VERDICT r11 next-round #3 — two consecutive rounds of bench
+# movement were only interpretable after ad-hoc same-code reruns).
+CANARY = ["q6_forecast_revenue", "q1_pricing_summary", "q_table_checksum"]
+
+
+def _box_state() -> dict:
+    """Best-effort box-state snapshot (loadavg, cpu MHz, memory)."""
+    box: dict = {}
+    try:
+        box["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        mhz = []
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.lower().startswith("cpu mhz"):
+                    mhz.append(float(line.split(":")[1]))
+        if mhz:
+            box["cpu_mhz_mean"] = round(sum(mhz) / len(mhz), 1)
+            box["cpu_mhz_min"] = round(min(mhz), 1)
+    except OSError:
+        pass
+    try:
+        mem = {}
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                k, v = line.split(":", 1)
+                if k in ("MemFree", "MemAvailable", "Cached", "SwapFree"):
+                    mem[k] = int(v.split()[0]) * 1024
+        box.update({k.lower() + "_bytes": v for k, v in mem.items()})
+    except OSError:
+        pass
+    return box
+
+
+def _run_canary(qs, spark, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in CANARY:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out
+
+
 def main() -> None:
     # The red-row diagnostic capture (db_migrator_spark/diagnostics.py)
     # re-collects a query once — harmless for correctness runs, but it
@@ -135,6 +188,9 @@ def main() -> None:
 
     # Warm-up: JVM, codegen, file listing (not included in timings).
     qs["q6_forecast_revenue"](spark, sf_dir).collect()
+
+    box_before = _box_state()
+    canary_before = _run_canary(qs, spark, sf_dir)
 
     # Five timed iterations per query, report the min: this box's load
     # noise is +/-15% run-to-run; five minima damp it further than the
@@ -156,6 +212,9 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    canary_after = _run_canary(qs, spark, sf_dir)
+    box_after = _box_state()
+
     out = {
         "metric": "headline_query_wall_time",
         "value": round(total, 3),
@@ -169,6 +228,13 @@ def main() -> None:
         "sf": sf,
         "sf_dir": sf_dir,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count(),
+        # Box-state + A/A noise band (VERDICT r11 #3): same-code canary
+        # queries before/after the suite; compare canary bands across
+        # rounds BEFORE reading anything into the headline total.
+        "box_before": box_before,
+        "box_after": box_after,
+        "canary_before": canary_before,
+        "canary_after": canary_after,
     }
     print(json.dumps(out))
     spark.stop()

@@ -153,16 +153,23 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     E[R] = 1 + 2*n1*n2/(n1+n2), in micros via the decimal contract —
     the residual-randomness audit for a metric stream.
 
-    Scale shape (round 11): both per-priority orderings (the median
-    rank over values and the time-sequence position) come from the
-    keyed distributed exact-rank pattern (``distributed_rank``,
-    ``partition_by=priority`` — (priority, bin) parallel units), never
-    a 5-task keyed window over data-sized input. The lag becomes a
-    self-equi-join on consecutive sequence positions — a keyed shuffle
-    join on a unique (priority, position) key, fully parallel. Oracle
-    keeps the plain window SQL.
+    Scale shape (round 12, single-pass rework per VERDICT r11 #4): the
+    median comes from the (priority, value) cells running-count pass
+    (unchanged). Run counting then exploits associativity instead of a
+    global sequence: days are natural CONTIGUOUS calendar bins
+    (o_orderdate is date-grain), so one (priority, day)-partitioned
+    lag window yields each bin's local run count, first sign, and last
+    sign in a single parallel pass — ~2.4k parallel units per priority
+    at any SF, no global-rank offset machinery, no data-sized
+    self-join (the r11 shape recomputed the whole signed pipeline on
+    BOTH sides of a sequence-position equi-join). The cross-day stitch
+    (subtract one run per day boundary whose signs agree) folds a
+    calendar-bounded struct array (<= |days| per priority) with
+    ``aggregate`` — never a data-sized collect. Oracle keeps the plain
+    window SQL.
     """
     from .distributed_rank import quantile_cuts, with_global_rank
+    from pyspark.sql.window import Window as W
 
     orders = load_table(spark, sf_dir, "orders")
     v = F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint")
@@ -198,49 +205,59 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v") != F.col("med"))
         .select(
             "o_orderpriority",
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("dk"),
+            F.col("o_orderdate").cast("date").alias("day"),
             "o_orderkey",
             (F.col("v") > F.col("med")).cast("int").alias("s"),
         )
     )
-    # Date cut-points from BASE, not from signed: cuts only steer bin
-    # balance (never correctness), and the base form skips re-deriving
-    # the median sub-plan inside the quantile action.
-    dcuts = quantile_cuts(
-        base.select(
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("dk")
-        ),
-        ["dk"],
-    )["dk"]
-    seq = with_global_rank(
-        signed, "dk", ["o_orderkey"], cuts=dcuts,
-        partition_by=["o_orderpriority"], rank_col="sn", total_col="__n2",
-    ).select("o_orderpriority", "sn", "s")
-    prev = seq.select(
-        "o_orderpriority",
-        (F.col("sn") + 1).alias("sn"),
-        F.col("s").alias("s_prev"),
+    # Day-local runs: o_orderdate is date-grain (ties in the global
+    # (date, key) order all share a day), so a (priority, day) window
+    # ordered by o_orderkey sees exactly one contiguous slice of the
+    # global sequence — the parallel unit, data/|days| rows each.
+    wday = W.partitionBy("o_orderpriority", "day").orderBy("o_orderkey")
+    local = signed.withColumn("s_prev", F.lag("s").over(wday))
+    days = local.groupBy("o_orderpriority", "day").agg(
+        F.sum("s").cast("bigint").alias("d_above"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("d_below"),
+        F.sum(
+            F.when(
+                F.col("s_prev").isNull() | (F.col("s_prev") != F.col("s")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d_runs"),
+        F.min_by("s", "o_orderkey").alias("first_s"),
+        F.max_by("s", "o_orderkey").alias("last_s"),
     )
-    runs = (
-        seq.join(prev, ["o_orderpriority", "sn"], "left")
+    # Stitch: each day opened a "new" run at its first row; when the
+    # previous day ended on the same sign, that opening merges — one
+    # subtraction per agreeing boundary, folded over the calendar-
+    # bounded day array (sort_array orders by the leading day field).
+    return (
+        days.groupBy("o_orderpriority")
+        .agg(
+            F.sum("d_above").cast("bigint").alias("n_above"),
+            F.sum("d_below").cast("bigint").alias("n_below"),
+            F.sum("d_runs").cast("bigint").alias("raw_runs"),
+            F.sort_array(
+                F.collect_list(F.struct("day", "first_s", "last_s"))
+            ).alias("bins"),
+        )
         .select(
             "o_orderpriority",
-            "s",
-            F.when(
-                F.col("s_prev").isNull()
-                | (F.col("s_prev") != F.col("s")),
-                1,
+            "n_above",
+            "n_below",
+            (
+                F.col("raw_runs")
+                - F.expr(
+                    "CASE WHEN size(bins) > 1 THEN aggregate("
+                    " sequence(1, size(bins) - 1), 0L,"
+                    " (acc, i) -> acc + IF(bins[i].first_s ="
+                    " bins[i-1].last_s, 1L, 0L)) ELSE 0L END"
+                )
             )
-            .otherwise(0)
-            .alias("new_run"),
-        )
-    )
-    return (
-        runs.groupBy("o_orderpriority")
-        .agg(
-            F.sum("s").cast("bigint").alias("n_above"),
-            F.sum(1 - F.col("s")).cast("bigint").alias("n_below"),
-            F.sum("new_run").cast("bigint").alias("n_runs"),
+            .cast("bigint")
+            .alias("n_runs"),
         )
         .select(
             "*",

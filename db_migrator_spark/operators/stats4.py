@@ -50,8 +50,10 @@ for next, all in EXACT integer arithmetic (bit-for-bit cross-engine):
 Scale notes (100 TB): every op collapses to cells first.
 Kruskal-Wallis joins the (priority, value) cells to the value-level
 rank relation on ``v`` — one keyed shuffle join on the distinct
-support, fully parallel. Levene's second scan re-reads base against a
-broadcast 5-row median relation. Jarque-Bera is two map-side-combined
+support, fully parallel. Levene never re-reads base: |v - med| is
+constant within a (priority, v) cell, so the ANOVA moments are
+count-weighted sums over the same cells relation the median pass used
+(round 12, VERDICT r11 #4). Jarque-Bera is two map-side-combined
 groupBy(priority) passes (moments need mu0 first). Mann-Kendall's
 pair stage self-joins (priority, month) cells — months are a
 calendar-bounded domain (~84 at any SF; the fixture date range is
@@ -168,17 +170,20 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.min("v").alias("med"))
     )
-    z = (
-        base.join(F.broadcast(median), "o_orderpriority")
-        .select(
-            "o_orderpriority",
-            F.abs(F.col("v") - F.col("med")).alias("z"),
-        )
+    # Moments from the CELLS, not a base re-scan (round 12, VERDICT r11
+    # #4): z = |v - med| is constant within a (priority, v) cell, so the
+    # count-weighted cell sums equal the row-level sums exactly — the
+    # deviation scan now touches |distinct whole-dollar values| rows
+    # (price-domain-bounded) instead of the full order table.
+    z = cells.join(F.broadcast(median), "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("cnt").cast("decimal(38,0)").alias("w"),
+        F.abs(F.col("v") - F.col("med")).cast("decimal(38,0)").alias("z"),
     )
     groups = z.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_g"),
-        F.sum(F.col("z").cast("decimal(38,0)")).alias("s_g"),
-        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("q_g"),
+        F.sum("w").cast("bigint").alias("n_g"),
+        F.sum(F.col("w") * F.col("z")).alias("s_g"),
+        F.sum(F.col("w") * F.col("z") * F.col("z")).alias("q_g"),
     )
     return (
         groups.select(

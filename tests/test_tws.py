@@ -55,6 +55,33 @@ def test_spend_tier_processor_batching_invariance():
     assert all(r["user_id"] == 7 for r in one_batch)
 
 
+def test_spend_tiers_classic_end_to_end(spark):
+    """The applyInPandasWithState twin runs everywhere: end-to-end
+    bounded replay at sf0.001 against the closed form (per-user
+    cumulative purchase cents // SPEND_TIER_CENTS tiers)."""
+    import duckdb
+
+    from db_migrator_spark.streaming.tws import (
+        _SPEND_TIER_SQL,
+        streaming_spend_tiers_classic,
+    )
+
+    rows = [
+        tuple(r)
+        for r in streaming_spend_tiers_classic(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    expected = [tuple(r) for r in con.execute(_SPEND_TIER_SQL).fetchall()]
+    assert rows == expected
+    assert len(rows) > 0
+
+
 def test_spend_tiers_streaming_end_to_end(spark):
     from db_migrator_spark.streaming.tws import _tws_available
 
