@@ -156,8 +156,15 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     v = F.floor(F.col("o_totalprice")).cast("bigint")
     base = orders.select("o_orderpriority", v.alias("v"))
-    cells = base.groupBy("o_orderpriority", "v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    # cells is a DOMAIN-bounded aggregate (|priorities| x whole-dollar
+    # price range, ~constant at any SF) feeding FOUR consumers (quantile
+    # action, both rank-pass sides, the moments pass) — exactly the
+    # checkpoint-entity-grain / recompute-scan-grain rule (SCALE.md),
+    # so materialize it once instead of four base scans.
+    cells = (
+        base.groupBy("o_orderpriority", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     ccuts = quantile_cuts(cells, ["v"])["v"]
     cum = with_global_rank(
