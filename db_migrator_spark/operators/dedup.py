@@ -53,6 +53,19 @@ LSH_BANDS = 4  # bands of r = K/BANDS rows each
 BUCKET_PAIR_BUDGET = 2_048
 MAX_BAND_BUCKET = int((2 * BUCKET_PAIR_BUDGET) ** 0.5)  # = 64
 
+# Exact-Jaccard OUTPUT cap (round 12, VERDICT r11 #7): a dup cluster of
+# m docs emits m*(m-1)/2 scored pairs — the last uncapped quadratic in
+# the tree. Keep at most MAX_PAIRS_PER_DOC best-scoring partners per
+# d1 (rank-ordered: jaccard DESC, d2 ASC — deterministic, oracle mirrors
+# it with the same QUALIFY), and surface a ``truncated`` flag so a
+# consumer can tell exact-complete output from budgeted output. Output
+# is then <= |docs| * 64 rows; dedup semantics survive truncation
+# because any truncated doc keeps its highest-jaccard partners (cluster
+# connectivity needs ONE edge per doc, not all of them). Clusters
+# smaller than the cap — every cluster at every test SF (fixture max
+# partner count: 3 at sf0.1) — are bit-exact untouched.
+MAX_PAIRS_PER_DOC = 64
+
 
 def _cap_buckets(buckets: DataFrame, keys: list[str], max_size: int = MAX_BAND_BUCKET) -> DataFrame:
     """Drop candidate buckets larger than ``max_size`` — shared guard for
@@ -226,6 +239,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes a shuffle_hash hint (the pair explosion makes sort-merge's
     sorts pure overhead); per-doc sizes are broadcast (tiny relative to
     the pair set).
+
+    Output is budgeted at ``MAX_PAIRS_PER_DOC`` best partners per d1
+    (cap rationale above) via a d1-grain rank window — per-entity grain,
+    already parallel — with a ``truncated`` flag; the oracle applies the
+    identical rank-ordered selection.
     """
     sh = _shingle_index_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -238,7 +256,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = F.broadcast(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")))
     s2 = F.broadcast(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")))
-    return (
+    from pyspark.sql.window import Window as W
+
+    scored = (
         shared.join(s1, "d1").join(s2, "d2")
         .select(
             "d1",
@@ -246,6 +266,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("shared").cast("double") / (F.col("n1") + F.col("n2") - F.col("shared"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.2)
+    )
+    wd = W.partitionBy("d1")
+    return (
+        scored.withColumn(
+            "__rn",
+            F.row_number().over(wd.orderBy(F.col("jaccard").desc(), "d2")),
+        )
+        .withColumn("truncated", F.count(F.lit(1)).over(wd) > MAX_PAIRS_PER_DOC)
+        .filter(F.col("__rn") <= MAX_PAIRS_PER_DOC)
+        .drop("__rn")
         .orderBy("d1", "d2")
     )
 
@@ -792,12 +822,22 @@ ORACLES = {
         ORDER BY d1, d2
     """,
     "dedup_ngram_jaccard": f"""
-        WITH {_JACCARD_CTES}
-        SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
-        FROM shared
-        JOIN sizes s1 ON d1 = s1.doc_id
-        JOIN sizes s2 ON d2 = s2.doc_id
-        WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.2
+        WITH {_JACCARD_CTES},
+        scored AS (
+            SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+            FROM shared
+            JOIN sizes s1 ON d1 = s1.doc_id
+            JOIN sizes s2 ON d2 = s2.doc_id
+            WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.2),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY d1
+                                      ORDER BY jaccard DESC, d2) AS rn,
+                   COUNT(*) OVER (PARTITION BY d1)
+                       > {MAX_PAIRS_PER_DOC} AS truncated
+            FROM scored)
+        SELECT d1, d2, jaccard, truncated
+        FROM ranked WHERE rn <= {MAX_PAIRS_PER_DOC}
         ORDER BY d1, d2
     """,
     # Connected components as a recursive transitive-closure CTE: reach(n, r)
@@ -806,12 +846,19 @@ ORACLES = {
     # is the form that scales.
     "dedup_clusters": f"""
         WITH RECURSIVE {_JACCARD_CTES},
-        pairs AS (
-            SELECT d1, d2
+        scored AS (
+            SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
             FROM shared
             JOIN sizes s1 ON d1 = s1.doc_id
             JOIN sizes s2 ON d2 = s2.doc_id
             WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.2),
+        pairs AS (
+            SELECT d1, d2 FROM (
+                SELECT d1, d2,
+                       ROW_NUMBER() OVER (PARTITION BY d1
+                                          ORDER BY jaccard DESC, d2) AS rn
+                FROM scored)
+            WHERE rn <= {MAX_PAIRS_PER_DOC}),
         edges AS (SELECT d1, d2 FROM pairs
                   UNION ALL
                   SELECT d2 AS d1, d1 AS d2 FROM pairs),

@@ -531,3 +531,32 @@ def test_train_split_leakage_safe_and_balanced(spark, tmp_path):
     frac = Counter(r.split for r in rows)
     assert 0.65 <= frac["train"] / 400 <= 0.92  # 80.1% expected, 400 draws
     assert frac["val"] > 0 and frac["test"] > 0
+
+
+def test_ngram_jaccard_pair_cap_binds_deterministically(spark, exact_pairs):
+    """MAX_PAIRS_PER_DOC budgets the exact-Jaccard output per d1 (round
+    12): with the cap forced to 1, every d1 keeps exactly its
+    rank-ordered best partner (jaccard DESC, d2 ASC) with
+    truncated=True when partners were dropped; at the shipped cap (64)
+    the fixture output is bit-identical to uncapped (max partner count
+    is single digits)."""
+    import unittest.mock as mock
+
+    from db_migrator_spark.operators import dedup
+
+    full = dedup.dedup_ngram_jaccard(spark, SF).collect()
+    assert {(r.d1, r.d2) for r in full} == exact_pairs  # shipped cap: no-op
+    assert all(r.truncated is False for r in full)
+
+    with mock.patch.object(dedup, "MAX_PAIRS_PER_DOC", 1):
+        capped = dedup.dedup_ngram_jaccard(spark, SF).collect()
+
+    by_d1: dict = {}
+    for r in full:
+        by_d1.setdefault(r.d1, []).append(r)
+    expect = {}
+    for d1, rows in by_d1.items():
+        best = sorted(rows, key=lambda r: (-r.jaccard, r.d2))[0]
+        expect[d1] = (best.d2, best.jaccard, len(rows) > 1)
+    got = {r.d1: (r.d2, r.jaccard, r.truncated) for r in capped}
+    assert got == expect
