@@ -104,13 +104,15 @@ _MODULES = [
 #   2. never driver-checked (anything newly added in a recent round),
 #   3. green/rows-only, oldest evidence first.
 #
-# Drain schedule (updated start of r9, measured): 332 declared; driver
-# cumulative latest-status 231 green + 8 red + 93 never-checked. Round 9
-# adds ZERO new queries (surface frozen per VERDICT r8 #3), so the r9
-# window = 8 re-attesting reds + 42 oldest never-checked; r10's window
-# absorbs the remaining 51 never-checked; stale greens (evidence <= r5)
-# start cycling oldest-first from r10/r11. Full-surface refresh period
-# once drained: 332/50 ≈ 7 rounds. Never-checked rank-1 drains by
+# Drain schedule (updated start of r12, measured): 371 declared; driver
+# cumulative latest-status 370 green + 0 red + 1 never-checked (the new
+# streaming_spend_tiers_classic twin — deliberately the ONLY r12
+# addition per VERDICT r11 #1/#2). 178 greens carry evidence <= r7
+# (34 r4 + 50 r5 + 50 r6 + 44 r7) under a tree refactored since, so
+# r12/r13 freeze new registration and let the rank-2 stale tier drain
+# oldest-first: r12 window = the twin + 34 r4 + 15 oldest r5; r13
+# absorbs the r5 remainder + oldest r6; full-surface refresh period
+# 371/50 ≈ 8 rounds. Never-checked rank-1 drains by
 # FIRST-APPEARANCE ROUND then name (first_seen.json, generated from git
 # history) so an r7 straggler like q_weighted_sample is not starved
 # behind the r8 alphabet (VERDICT r8 what's-wrong #3). A never-checked
