@@ -60,11 +60,14 @@ def q_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window SQL.
     from .distributed_rank import quantile_cuts, with_global_rank
 
-    cuts = quantile_cuts(cells, ["v"])["v"]
+    # Base-side cuts + driver offset fold, same rationale and A/B as
+    # q_runs_test below: cells is an expensive near-row-grain aggregate,
+    # so the plan-mode second lineage re-runs it (BENCH_NOTES round-12b).
+    cuts = quantile_cuts(base.select("v"), ["v"])["v"]
     cum = with_global_rank(
         cells, "v", [], cuts=cuts,
         partition_by=["o_orderpriority"], rank_col="__rk",
-        total_col="__nv", cum_cols=("c1", "c2"),
+        total_col="__nv", cum_cols=("c1", "c2"), fold="driver",
     )
     return (
         cum.groupBy("o_orderpriority")
@@ -189,11 +192,19 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = base.groupBy("o_orderpriority", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    ccuts = quantile_cuts(cells, ["v"])["v"]
+    # Cut-points from BASE, not cells (cuts only steer bin balance; the
+    # near-unique micro-grain makes both distributions identical, and
+    # the base form skips a full cells aggregation inside the quantile
+    # action), and DRIVER fold for the offsets: cells is an EXPENSIVE
+    # near-row-grain aggregate, so plan mode's second lineage (the
+    # in-plan bin-count side) re-runs it — the exact regime the driver
+    # fold exists for. A/B at sf0.1 warm min-of-3: plan+cells-cuts
+    # 4.77s -> driver+base-cuts 3.05s (BENCH_NOTES round-12b).
+    ccuts = quantile_cuts(base.select("v"), ["v"])["v"]
     cum = with_global_rank(
         cells, "v", [], cuts=ccuts,
         partition_by=["o_orderpriority"], rank_col="__rk",
-        total_col="__nv", cum_cols=("cnt",),
+        total_col="__nv", cum_cols=("cnt",), fold="driver",
     )
     median = (
         cum.filter(F.expr("cum_cnt >= (tot_cnt + 1) div 2"))

@@ -84,6 +84,11 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     vcells = pcells.groupBy("v").agg(
         F.sum("c").cast("bigint").alias("t")
     )
+    # Driver-fold A/B'd and REVERTED here (round 12b, BENCH_NOTES):
+    # for this GLOBAL rank the fold's extra vcells action bought nothing
+    # (cleanest interleaved reading: parity; worse under load) — unlike
+    # the KEYED ranks in stats.py, where the same change measured ~-30%
+    # (q_runs_test / q_ks_drift_test).
     cuts = quantile_cuts(vcells, ["v"])["v"]
     ranked = with_global_rank(
         vcells, "v", [], cuts=cuts, rank_col="__rk",
