@@ -186,8 +186,14 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry_mod.queries()
 
-    # Warm-up: JVM, codegen, file listing (not included in timings).
+    # Warm-up: JVM, codegen, file listing (not included in timings) —
+    # including one untimed pass of each canary query, so the
+    # canary_before band measures BOX state, not first-plan codegen
+    # (in-session readings conflated the two: a 2.5s q1 canary_before
+    # against a 0.27s canary_after was half page-cache/JIT maturation).
     qs["q6_forecast_revenue"](spark, sf_dir).collect()
+    for name in CANARY:
+        qs[name](spark, sf_dir).count()
 
     box_before = _box_state()
     canary_before = _run_canary(qs, spark, sf_dir)
