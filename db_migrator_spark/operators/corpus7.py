@@ -206,7 +206,15 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .distributed_rank import ntile_expr, quantile_cuts, with_global_rank
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    scored = text_unigram_score(spark, sf_dir).join(docs, "doc_id")
+    # doc-grain aggregate with an expensive upstream (the term-keyed
+    # unigram-score join) feeding THREE consumers (quantile action +
+    # the rank pass's two plan sides): checkpoint it once
+    # (the q_rank_suppliers r11 rule; round-12b A/B in BENCH_NOTES).
+    scored = (
+        text_unigram_score(spark, sf_dir)
+        .join(docs, "doc_id")
+        .localCheckpoint(eager=False)
+    )
     cuts = quantile_cuts(scored, ["avg_token_freq"])["avg_token_freq"]
     ranked = with_global_rank(
         scored, "avg_token_freq", ["doc_id"], cuts=cuts, descending=True,

@@ -108,6 +108,11 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_micros")
         )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        # customer-grain aggregate feeding THREE consumers (quantile
+        # action + the rank pass's two plan sides): checkpoint the
+        # entity-sized relation so the orders groupBy+join runs once
+        # (the q_rank_suppliers r11 rule; round-12b A/B in BENCH_NOTES).
+        .localCheckpoint(eager=False)
     )
     # Keyed distributed exact-rank + closed-form NTILE (round 11):
     # nation partitions hold customers/25 rows — linear in data — so the
@@ -339,16 +344,15 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-block condition). No global windows, no collect.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    cells = (
-        li.select(
-            "l_returnflag",
-            F.floor(F.col("l_extendedprice") * 1_000_000)
-            .cast("bigint")
-            .alias("v"),
-            F.floor(F.col("l_quantity")).cast("bigint").alias("w"),
-        )
-        .groupBy("l_returnflag", "v")
-        .agg(F.sum("w").cast("bigint").alias("w"))
+    base = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 1_000_000)
+        .cast("bigint")
+        .alias("v"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("w"),
+    )
+    cells = base.groupBy("l_returnflag", "v").agg(
+        F.sum("w").cast("bigint").alias("w")
     )
     # Keyed distributed running sum (round 11): order prices are nearly
     # unique, so the per-flag DISTINCT-value support is data-sized and a
@@ -356,13 +360,17 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total weight and distinct-value count all come from ONE keyed
     # distributed exact-rank pass ((flag, value-bin) parallel units,
     # ``cum_cols`` + free ``tot_``/total); oracle keeps plain window SQL.
+    # Round 12b: cuts from BASE (balance-only) and DRIVER offset fold —
+    # cells aggregates the 6M-row lineitem scan, so plan mode's second
+    # lineage re-ran it (the q_runs_test/q_ks_drift_test regime;
+    # same-session A/B in BENCH_NOTES round-12b).
     from .distributed_rank import quantile_cuts, with_global_rank
 
-    cuts = quantile_cuts(cells, ["v"])["v"]
+    cuts = quantile_cuts(base.select("v"), ["v"])["v"]
     cum = with_global_rank(
         cells, "v", [], cuts=cuts,
         partition_by=["l_returnflag"], rank_col="__rk",
-        total_col="n_values", cum_cols=("w",),
+        total_col="n_values", cum_cols=("w",), fold="driver",
     )
     return (
         cum.groupBy("l_returnflag")

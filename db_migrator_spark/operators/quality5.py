@@ -65,6 +65,11 @@ def q_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_nationkey", "o_custkey", "y")
+        # customer-grain aggregate feeding THREE consumers (quantile
+        # action + the rank pass's two plan sides): checkpoint the
+        # entity-sized relation so the orders groupBy+join runs once
+        # (the q_rank_suppliers r11 rule; round-12b A/B in BENCH_NOTES).
+        .localCheckpoint(eager=False)
     )
     cuts = quantile_cuts(rev, ["y"])["y"]
     ranked = with_global_rank(

@@ -76,11 +76,14 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .distributed_rank import quantile_cuts, with_global_rank
 
     cells2 = cells.withColumn("t", F.col("c1") + F.col("c2"))
-    cuts = quantile_cuts(cells2, ["v"])["v"]
+    # Base-side cuts + driver offset fold (the stats.py round-12b
+    # rationale): cells is an expensive near-row-grain aggregate, so
+    # plan mode's second lineage re-ran it.
+    cuts = quantile_cuts(base.select("v"), ["v"])["v"]
     ranked = with_global_rank(
         cells2, "v", [], cuts=cuts,
         partition_by=["o_orderpriority"], rank_col="__rk",
-        total_col="__nv", cum_cols=("t",),
+        total_col="__nv", cum_cols=("t",), fold="driver",
     ).select(
         "o_orderpriority",
         "c1",
