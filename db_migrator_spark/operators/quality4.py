@@ -623,7 +623,11 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.col("qty").cast("decimal(38,0)") * F.col("qty")
         ).alias("ssq"),
-    )
+        # part-grain aggregate of the two-level lineitem rollup feeding
+        # THREE consumers (quantile action + the rank pass's two plan
+        # sides): checkpoint so the 6M-row scan + double groupBy run
+        # once (the q_rank_suppliers r11 rule; round-12c A/B).
+    ).localCheckpoint(eager=False)
     cuts = quantile_cuts(per_part, ["cents"])["cents"]
     ranked = with_global_rank(
         per_part, "cents", ["l_partkey"], cuts=cuts, descending=True,
