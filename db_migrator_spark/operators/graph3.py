@@ -91,6 +91,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority rounds, with each community's final size — most-populous
     communities first."""
     arcs = _sparse_arcs(spark, sf_dir).localCheckpoint()
+    # A final-labels localCheckpoint for the two consumers (sizes + the
+    # join) was A/B'd and REVERTED (round 12c: 3.21 vs 3.13s — parity;
+    # the identical sub-plans already dedupe at runtime, unlike the
+    # quantile-action + rank-side consumers in the checkpointed rank
+    # queries, which are NOT identical plans).
     labels = _lprop_labels(arcs)
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")
