@@ -132,6 +132,8 @@ def _box_state() -> dict:
         box["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         pass
+    # Best-effort snapshot: malformed /proc lines must not abort the
+    # bench run, so parse errors are swallowed too (ADVICE r12).
     try:
         mhz = []
         with open("/proc/cpuinfo") as fh:
@@ -141,7 +143,7 @@ def _box_state() -> dict:
         if mhz:
             box["cpu_mhz_mean"] = round(sum(mhz) / len(mhz), 1)
             box["cpu_mhz_min"] = round(min(mhz), 1)
-    except OSError:
+    except (OSError, ValueError, IndexError):
         pass
     try:
         mem = {}
@@ -151,7 +153,7 @@ def _box_state() -> dict:
                 if k in ("MemFree", "MemAvailable", "Cached", "SwapFree"):
                     mem[k] = int(v.split()[0]) * 1024
         box.update({k.lower() + "_bytes": v for k, v in mem.items()})
-    except OSError:
+    except (OSError, ValueError, IndexError):
         pass
     return box
 

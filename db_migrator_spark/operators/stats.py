@@ -60,14 +60,28 @@ def q_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window SQL.
     from .distributed_rank import quantile_cuts, with_global_rank
 
-    # Base-side cuts + driver offset fold, same rationale and A/B as
-    # q_runs_test below: cells is an expensive near-row-grain aggregate,
-    # so the plan-mode second lineage re-runs it (BENCH_NOTES round-12b).
-    cuts = quantile_cuts(base.select("v"), ["v"])["v"]
+    # Levene treatment (round 13, VERDICT r12 #3): cells is an expensive
+    # near-row-grain aggregate feeding THREE actions/consumers (quantile
+    # cuts, the rank pass's offset side, the final plan) — r12 removed
+    # the in-plan second lineage with the driver fold (6.20 -> 4.35s,
+    # BENCH_NOTES round-12b) but each remaining consumer still re-ran
+    # the orders scan + cells shuffle. Materialize cells ONCE (lazy
+    # localCheckpoint — the quantile action triggers it) and feed all
+    # consumers from the checkpointed partitions; cuts move from base
+    # to cells (cuts only steer bin balance, never correctness, and the
+    # cells read is now free), and the fold flips BACK to plan mode:
+    # with cells materialized, plan mode's second lineage is a cheap
+    # checkpoint read and it saves the driver-fold collect round-trip
+    # (interleaved A/B, 4 pairs: ckpt+plan beat ckpt+driver in all 4;
+    # BENCH_NOTES round-13). Caveat: at 100 TB this checkpoint is
+    # near-row-grain executor-local storage — the fault-tolerance
+    # trade-off documented in SCALE.md's checkpoint rule applies.
+    cells = cells.localCheckpoint(eager=False)
+    cuts = quantile_cuts(cells, ["v"])["v"]
     cum = with_global_rank(
         cells, "v", [], cuts=cuts,
         partition_by=["o_orderpriority"], rank_col="__rk",
-        total_col="__nv", cum_cols=("c1", "c2"), fold="driver",
+        total_col="__nv", cum_cols=("c1", "c2"), fold="plan",
     )
     return (
         cum.groupBy("o_orderpriority")

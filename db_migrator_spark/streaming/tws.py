@@ -23,6 +23,16 @@ whatever the micro-batch arrival order), so the custom stateful
 operator gets a FULL closed-form hash oracle instead of rows-only —
 the user_milestones discipline (streaming/windows.py) applied here.
 
+PRECONDITION (ADVICE r12): order-invariance holds only for
+NON-NEGATIVE purchase amounts. A negative ``value`` (refund) lowers
+the closed-form total, but the stateful fold cannot retract tiers it
+already emitted — the two would diverge. The events fixture contains
+no refunds (``value`` is generated positive, TESTDATA.md); a
+production deployment with refunds must either pre-filter
+``cents >= 0`` on the purchase stream or model refunds as a separate
+compensating stream, because append-mode tier emissions are
+irreversible by construction in BOTH API variants.
+
 Scale notes (100 TB): state is two longs per user (running total +
 last emitted tier folded into one value), partitioned by the grouping
 key across the state store; transformWithState requires the RocksDB
