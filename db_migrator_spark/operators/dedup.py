@@ -53,17 +53,21 @@ LSH_BANDS = 4  # bands of r = K/BANDS rows each
 BUCKET_PAIR_BUDGET = 2_048
 MAX_BAND_BUCKET = int((2 * BUCKET_PAIR_BUDGET) ** 0.5)  # = 64
 
-# Exact-Jaccard OUTPUT cap (round 12, VERDICT r11 #7): a dup cluster of
-# m docs emits m*(m-1)/2 scored pairs — the last uncapped quadratic in
-# the tree. Keep at most MAX_PAIRS_PER_DOC best-scoring partners per
-# d1 (rank-ordered: jaccard DESC, d2 ASC — deterministic, oracle mirrors
-# it with the same QUALIFY), and surface a ``truncated`` flag so a
-# consumer can tell exact-complete output from budgeted output. Output
-# is then <= |docs| * 64 rows; dedup semantics survive truncation
-# because any truncated doc keeps its highest-jaccard partners (cluster
-# connectivity needs ONE edge per doc, not all of them). Clusters
-# smaller than the cap — every cluster at every test SF (fixture max
-# partner count: 3 at sf0.1) — are bit-exact untouched.
+# Exact-Jaccard OUTPUT cap (round 12, VERDICT r11 #7; made SYMMETRIC
+# round 13 per ADVICE r12): a dup cluster of m docs emits m*(m-1)/2
+# scored pairs — the last uncapped quadratic output in the tree. A pair
+# survives when it ranks within the top MAX_PAIRS_PER_DOC partners of
+# EITHER endpoint (rank-ordered: jaccard DESC, partner id ASC —
+# deterministic, oracle mirrors the same construction), and carries a
+# ``truncated`` flag when either endpoint had more partners than the
+# cap. The symmetric form is what makes the connectivity invariant
+# actually true: the r12 cap ranked per d1 only, so a doc appearing
+# solely as d2 could lose every edge when all its partners' top-64
+# lists overflowed; ranking from both endpoints guarantees EVERY doc
+# retains its best-scoring edge, so cluster membership survives
+# truncation. Output is <= |docs| * 2 * 64 rows; clusters smaller than
+# the cap — every cluster at every test SF (fixture max partner count:
+# 3 at sf0.1) — are bit-exact untouched.
 MAX_PAIRS_PER_DOC = 64
 
 
@@ -240,10 +244,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts pure overhead); per-doc sizes are broadcast (tiny relative to
     the pair set).
 
-    Output is budgeted at ``MAX_PAIRS_PER_DOC`` best partners per d1
-    (cap rationale above) via a d1-grain rank window — per-entity grain,
-    already parallel — with a ``truncated`` flag; the oracle applies the
-    identical rank-ordered selection.
+    Output is budgeted at ``MAX_PAIRS_PER_DOC`` best partners per doc,
+    SYMMETRICALLY (cap rationale above): the scored pairs are viewed
+    from both endpoints, ranked per endpoint (a per-entity-grain window
+    — already parallel), and a pair survives when either endpoint ranks
+    it within the cap, flagged ``truncated`` when either endpoint's
+    partner list overflowed. The oracle applies the identical
+    construction.
     """
     sh = _shingle_index_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -267,15 +274,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.2)
     )
-    wd = W.partitionBy("d1")
+    # The symmetric endpoint view consumes scored TWICE with DIFFERING
+    # projections (no exchange reuse — the SCALE.md multi-consumer rule,
+    # case 3): checkpoint the budget-bounded scored pairs once so the
+    # expensive shared/sizes lineage runs once, not per orientation.
+    scored = scored.localCheckpoint(eager=False)
+    ends = scored.select(
+        F.col("d1").alias("d"), F.col("d2").alias("p"), "jaccard"
+    ).unionByName(
+        scored.select(F.col("d2").alias("d"), F.col("d1").alias("p"), "jaccard")
+    )
+    we = W.partitionBy("d")
+    ranked = ends.withColumn(
+        "__rn", F.row_number().over(we.orderBy(F.col("jaccard").desc(), "p"))
+    ).withColumn("__tr", F.count(F.lit(1)).over(we) > MAX_PAIRS_PER_DOC)
     return (
-        scored.withColumn(
-            "__rn",
-            F.row_number().over(wd.orderBy(F.col("jaccard").desc(), "d2")),
+        ranked.groupBy(
+            F.least("d", "p").alias("d1"), F.greatest("d", "p").alias("d2")
         )
-        .withColumn("truncated", F.count(F.lit(1)).over(wd) > MAX_PAIRS_PER_DOC)
-        .filter(F.col("__rn") <= MAX_PAIRS_PER_DOC)
-        .drop("__rn")
+        .agg(
+            # Both endpoint rows carry the identical jaccard; min picks it.
+            F.min("jaccard").alias("jaccard"),
+            (F.min("__rn") <= MAX_PAIRS_PER_DOC).alias("__keep"),
+            F.max("__tr").alias("truncated"),
+        )
+        .filter(F.col("__keep"))
+        .select("d1", "d2", "jaccard", "truncated")
         .orderBy("d1", "d2")
     )
 
@@ -829,15 +853,25 @@ ORACLES = {
             JOIN sizes s1 ON d1 = s1.doc_id
             JOIN sizes s2 ON d2 = s2.doc_id
             WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.2),
+        ends AS (
+            SELECT d1 AS d, d2 AS p, jaccard FROM scored
+            UNION ALL
+            SELECT d2 AS d, d1 AS p, jaccard FROM scored),
         ranked AS (
-            SELECT *,
-                   ROW_NUMBER() OVER (PARTITION BY d1
-                                      ORDER BY jaccard DESC, d2) AS rn,
-                   COUNT(*) OVER (PARTITION BY d1)
-                       > {MAX_PAIRS_PER_DOC} AS truncated
-            FROM scored)
+            SELECT d, p, jaccard,
+                   ROW_NUMBER() OVER (PARTITION BY d
+                                      ORDER BY jaccard DESC, p) AS rn,
+                   COUNT(*) OVER (PARTITION BY d)
+                       > {MAX_PAIRS_PER_DOC} AS tr
+            FROM ends),
+        pairs AS (
+            SELECT LEAST(d, p) AS d1, GREATEST(d, p) AS d2,
+                   MIN(jaccard) AS jaccard,
+                   MIN(rn) <= {MAX_PAIRS_PER_DOC} AS keep,
+                   BOOL_OR(tr) AS truncated
+            FROM ranked GROUP BY 1, 2)
         SELECT d1, d2, jaccard, truncated
-        FROM ranked WHERE rn <= {MAX_PAIRS_PER_DOC}
+        FROM pairs WHERE keep
         ORDER BY d1, d2
     """,
     # Connected components as a recursive transitive-closure CTE: reach(n, r)
@@ -852,13 +886,19 @@ ORACLES = {
             JOIN sizes s1 ON d1 = s1.doc_id
             JOIN sizes s2 ON d2 = s2.doc_id
             WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.2),
+        ends AS (
+            SELECT d1 AS d, d2 AS p, jaccard FROM scored
+            UNION ALL
+            SELECT d2 AS d, d1 AS p, jaccard FROM scored),
+        rankedp AS (
+            SELECT d, p,
+                   ROW_NUMBER() OVER (PARTITION BY d
+                                      ORDER BY jaccard DESC, p) AS rn
+            FROM ends),
         pairs AS (
-            SELECT d1, d2 FROM (
-                SELECT d1, d2,
-                       ROW_NUMBER() OVER (PARTITION BY d1
-                                          ORDER BY jaccard DESC, d2) AS rn
-                FROM scored)
-            WHERE rn <= {MAX_PAIRS_PER_DOC}),
+            SELECT LEAST(d, p) AS d1, GREATEST(d, p) AS d2
+            FROM rankedp GROUP BY 1, 2
+            HAVING MIN(rn) <= {MAX_PAIRS_PER_DOC}),
         edges AS (SELECT d1, d2 FROM pairs
                   UNION ALL
                   SELECT d2 AS d1, d1 AS d2 FROM pairs),

@@ -81,6 +81,16 @@ def dedup_simhash_portable(
             for j in range(64)
         ]
     )
+    # w1/w2 pack the same 64 '0'/'1' chars into two 32-bit halves
+    # (round 13): the Hamming gate then runs as TWO xor+bit_count terms
+    # instead of 64 substring comparisons, and the pair payload shrinks
+    # from a 64-char string to 16 bytes. Values are identical by
+    # construction — bit_count(xor) over the packed halves counts
+    # exactly the differing fingerprint positions — so the candidate
+    # set and the surfaced hamming are bit-equal to the string form the
+    # oracle keeps. The win is mostly DRIVER-side: the unrolled 64-term
+    # expression trees dominated this query's wall at fixture scale
+    # (planning + codegen, BENCH_NOTES round-13c).
     fp = votes.select(
         "doc_id",
         F.concat(
@@ -91,10 +101,16 @@ def dedup_simhash_portable(
                 for j in range(64)
             ]
         ).alias("fp"),
+    ).select(
+        "doc_id",
+        "fp",
+        F.expr("CAST(conv(substring(fp, 1, 32), 2, 10) AS BIGINT)").alias("w1"),
+        F.expr("CAST(conv(substring(fp, 33, 32), 2, 10) AS BIGINT)").alias("w2"),
     ).localCheckpoint()  # feeds banding + both Hamming sides
     bands = fp.select(
         "doc_id",
-        "fp",
+        "w1",
+        "w2",
         F.explode(
             F.array(
                 *[
@@ -109,7 +125,7 @@ def dedup_simhash_portable(
             )
         ).alias("bk"),
     ).select(
-        "doc_id", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        "doc_id", "w1", "w2", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     capped = (
         bands.withColumn(
@@ -121,13 +137,7 @@ def dedup_simhash_portable(
         .filter(F.col("rn") <= SIMHASH2_BUCKET_CAP)
         .drop("rn")
     )
-    hamming = sum(
-        (
-            F.substring(F.col("f1"), j + 1, 1)
-            != F.substring(F.col("f2"), j + 1, 1)
-        ).cast("int")
-        for j in range(64)
-    )
+    hamming = F.expr("bit_count(w1_1 ^ w1_2) + bit_count(w2_1 ^ w2_2)")
     # Row-local C(k,2) pair explode over the CAPPED buckets (<= 64
     # members by construction — the r9e idiom's win condition, re-landed
     # round 10): the cap's row_number window already shuffled on
@@ -141,8 +151,8 @@ def dedup_simhash_portable(
     from .dedup import _bucket_pairs
 
     pairs = _bucket_pairs(
-        capped, ["band", "key"], "doc_id", payload_cols=("fp",)
-    ).select("d1", "d2", F.col("fp_1").alias("f1"), F.col("fp_2").alias("f2"))
+        capped, ["band", "key"], "doc_id", payload_cols=("w1", "w2")
+    )
     cand = (
         pairs
         .withColumn("hamming", hamming.cast("bigint"))

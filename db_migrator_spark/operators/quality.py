@@ -643,6 +643,14 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = quantile_cuts(
         based, ["recency_days", "frequency", "monetary_micros"]
     )
+    # Round 13: per-LEVEL lazy checkpoints + plan-mode folds replace the
+    # r11 driver folds (SCALE.md case 3 applied to nesting): each rank
+    # level's output is entity-grain and feeds the next level TWICE
+    # (window side + offset side), so checkpointing every level caps the
+    # lineage at one materialization per level, and the driver fold's
+    # three collect round-trips (each re-running the levels below it)
+    # disappear. Interleaved A/B at sf0.1: 5.12 -> 3.07s min-of-mins,
+    # new <= old 3/3 pairs (BENCH_NOTES round-13c).
     ranked = based
     for col, desc, tag in (
         ("recency_days", False, "r"),
@@ -652,8 +660,8 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked = with_global_rank(
             ranked, col, ["o_custkey"], cuts=cuts[col], descending=desc,
             rank_col=f"__rn_{tag}", total_col=f"__n_{tag}",
-            partition_by=["c_nationkey"], fold="driver",  # 3 nested ranks
-        )
+            partition_by=["c_nationkey"], fold="plan",
+        ).localCheckpoint(eager=False)
     scored = ranked.select(
         "c_nationkey",
         "o_custkey",
@@ -731,41 +739,51 @@ def q_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection-quantile machinery as q_exact_percentiles (the quantile
     is always an observed lead time; integer rank arithmetic only).
 
-    One orderkey join (the fact-fact shuffle), then the keyed
-    distributed exact-rank pass: the 5 priority groups are
-    lineitem-grain (linear — the largest keyed-window input in the
-    repo), so each (priority, lead-day-bin) ranks independently with
-    exact offsets; no 5-way single-task sort (round 10). The quantile
-    picks stay conditional-max rank comparisons.
+    Scale shape (reworked round 13): lead_days is a DOMAIN-bounded
+    value (TPC-H ships within ~121 days of the order; any real
+    fulfillment window is similarly calendar-bounded), so the row-grain
+    rank machinery this op carried since round 10 was overkill — one
+    orderkey join (the fact-fact shuffle, now carrying only the two
+    columns the answer needs), one map-side-combined groupBy down to
+    (priority, lead_days) cells (~5 x 122 rows at ANY scale), then a
+    keyed running-count window over the cells (tier-2 whitelisted:
+    the window input is the day-domain aggregate, not the row stream).
+    The type-1 quantile is min(lead_days | cum >= k) — identical to
+    the value at rank k, since rank k always lands inside the selected
+    value's tie block. A/B in BENCH_NOTES round-13c (the sweep flagged
+    this op at ~10s, the second most expensive in the tree).
     """
-    from .distributed_rank import quantile_cuts, with_global_rank
+    from pyspark.sql.window import Window as W
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_shipdate", "l_partkey", "l_suppkey"
+        "l_orderkey", "l_shipdate"
     )
     lead = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "o_orderpriority",
         F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
             "lead_days"
         ),
-        "l_orderkey",
-        "l_partkey",
-        "l_suppkey",
     )
-    cuts = quantile_cuts(lead, ["lead_days"])["lead_days"]
-    ranked = with_global_rank(
-        lead, "lead_days", ["l_orderkey", "l_partkey", "l_suppkey"],
-        cuts=cuts, partition_by=["o_orderpriority"],
-        rank_col="rk", total_col="n",
+    cells = lead.groupBy("o_orderpriority", "lead_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("lead_days")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("o_orderpriority")
+    cum = cells.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
     )
     picks = [
-        F.max(
+        F.min(
             F.when(
-                F.col("rk")
-                == F.greatest(
+                F.col("cum")
+                >= F.greatest(
                     F.lit(1).cast("bigint"), F.expr(f"(n * {q} + 99) div 100")
                 ),
                 F.col("lead_days"),
@@ -774,7 +792,7 @@ def q_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in PCTL_QS
     ]
     return (
-        ranked.groupBy("o_orderpriority")
+        cum.groupBy("o_orderpriority")
         .agg(F.max("n").cast("bigint").alias("n"), *picks)
         .orderBy("o_orderpriority")
     )

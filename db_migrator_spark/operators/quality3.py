@@ -360,17 +360,23 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total weight and distinct-value count all come from ONE keyed
     # distributed exact-rank pass ((flag, value-bin) parallel units,
     # ``cum_cols`` + free ``tot_``/total); oracle keeps plain window SQL.
-    # Round 12b: cuts from BASE (balance-only) and DRIVER offset fold —
-    # cells aggregates the 6M-row lineitem scan, so plan mode's second
-    # lineage re-ran it (the q_runs_test/q_ks_drift_test regime;
-    # same-session A/B in BENCH_NOTES round-12b).
+    # Round 13 (the q_ks_drift_test Levene treatment, SCALE.md
+    # multi-consumer rule case 3): cells aggregates the 6M-row lineitem
+    # scan and feeds three consumers — materialize it ONCE (lazy
+    # localCheckpoint, triggered by the quantile action), move cuts to
+    # the checkpointed cells, and flip the offset fold BACK to plan
+    # mode (with the input checkpointed, plan mode's second lineage is
+    # a cheap checkpoint read and the driver-fold collect round-trip is
+    # pure overhead). Interleaved A/B in BENCH_NOTES round-13; the r12b
+    # driver-fold step (7.30 -> 4.12s) was the intermediate state.
     from .distributed_rank import quantile_cuts, with_global_rank
 
-    cuts = quantile_cuts(base.select("v"), ["v"])["v"]
+    cells = cells.localCheckpoint(eager=False)
+    cuts = quantile_cuts(cells, ["v"])["v"]
     cum = with_global_rank(
         cells, "v", [], cuts=cuts,
         partition_by=["l_returnflag"], rank_col="__rk",
-        total_col="n_values", cum_cols=("w",), fold="driver",
+        total_col="n_values", cum_cols=("w",), fold="plan",
     )
     return (
         cum.groupBy("l_returnflag")

@@ -206,19 +206,18 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = base.groupBy("o_orderpriority", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    # Cut-points from BASE, not cells (cuts only steer bin balance; the
-    # near-unique micro-grain makes both distributions identical, and
-    # the base form skips a full cells aggregation inside the quantile
-    # action), and DRIVER fold for the offsets: cells is an EXPENSIVE
-    # near-row-grain aggregate, so plan mode's second lineage (the
-    # in-plan bin-count side) re-runs it — the exact regime the driver
-    # fold exists for. A/B at sf0.1 warm min-of-3: plan+cells-cuts
-    # 4.77s -> driver+base-cuts 3.05s (BENCH_NOTES round-12b).
-    ccuts = quantile_cuts(base.select("v"), ["v"])["v"]
+    # Round 13 (SCALE.md multi-consumer rule case 3, the
+    # q_ks_drift_test lesson): checkpoint the expensive near-row-grain
+    # cells once, feed the quantile action and both rank-pass sides
+    # from it, and flip the fold back to plan mode. The r12b
+    # driver-fold + base-cuts shape (4.77 -> 3.05s) was the
+    # intermediate state; A/B in BENCH_NOTES round-13.
+    cells = cells.localCheckpoint(eager=False)
+    ccuts = quantile_cuts(cells, ["v"])["v"]
     cum = with_global_rank(
         cells, "v", [], cuts=ccuts,
         partition_by=["o_orderpriority"], rank_col="__rk",
-        total_col="__nv", cum_cols=("cnt",), fold="driver",
+        total_col="__nv", cum_cols=("cnt",), fold="plan",
     )
     median = (
         cum.filter(F.expr("cum_cnt >= (tot_cnt + 1) div 2"))

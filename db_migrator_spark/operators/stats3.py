@@ -76,14 +76,17 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .distributed_rank import quantile_cuts, with_global_rank
 
     cells2 = cells.withColumn("t", F.col("c1") + F.col("c2"))
-    # Base-side cuts + driver offset fold (the stats.py round-12b
-    # rationale): cells is an expensive near-row-grain aggregate, so
-    # plan mode's second lineage re-ran it.
-    cuts = quantile_cuts(base.select("v"), ["v"])["v"]
+    # Round 13 (SCALE.md multi-consumer rule case 3, the
+    # q_ks_drift_test lesson): checkpoint the expensive near-row-grain
+    # cells once, feed the quantile action and both rank-pass sides
+    # from it, and flip the fold back to plan mode — the r12b driver
+    # fold was the intermediate state (A/B in BENCH_NOTES round-13).
+    cells2 = cells2.localCheckpoint(eager=False)
+    cuts = quantile_cuts(cells2, ["v"])["v"]
     ranked = with_global_rank(
         cells2, "v", [], cuts=cuts,
         partition_by=["o_orderpriority"], rank_col="__rk",
-        total_col="__nv", cum_cols=("t",), fold="driver",
+        total_col="__nv", cum_cols=("t",), fold="plan",
     ).select(
         "o_orderpriority",
         "c1",

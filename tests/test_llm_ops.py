@@ -534,12 +534,13 @@ def test_train_split_leakage_safe_and_balanced(spark, tmp_path):
 
 
 def test_ngram_jaccard_pair_cap_binds_deterministically(spark, exact_pairs):
-    """MAX_PAIRS_PER_DOC budgets the exact-Jaccard output per d1 (round
-    12): with the cap forced to 1, every d1 keeps exactly its
-    rank-ordered best partner (jaccard DESC, d2 ASC) with
-    truncated=True when partners were dropped; at the shipped cap (64)
-    the fixture output is bit-identical to uncapped (max partner count
-    is single digits)."""
+    """MAX_PAIRS_PER_DOC budgets the exact-Jaccard output SYMMETRICALLY
+    (round 13, ADVICE r12): a pair survives when it ranks within the
+    cap from EITHER endpoint's perspective (jaccard DESC, partner ASC),
+    flagged truncated when either endpoint's partner list overflowed —
+    so every doc, including docs appearing only as d2, retains its
+    best-scoring edge. At the shipped cap (64) the fixture output is
+    bit-identical to uncapped (max partner count is single digits)."""
     import unittest.mock as mock
 
     from db_migrator_spark.operators import dedup
@@ -551,12 +552,25 @@ def test_ngram_jaccard_pair_cap_binds_deterministically(spark, exact_pairs):
     with mock.patch.object(dedup, "MAX_PAIRS_PER_DOC", 1):
         capped = dedup.dedup_ngram_jaccard(spark, SF).collect()
 
-    by_d1: dict = {}
+    # Python mirror of the symmetric selection.
+    ends: dict = {}
     for r in full:
-        by_d1.setdefault(r.d1, []).append(r)
-    expect = {}
-    for d1, rows in by_d1.items():
-        best = sorted(rows, key=lambda r: (-r.jaccard, r.d2))[0]
-        expect[d1] = (best.d2, best.jaccard, len(rows) > 1)
-    got = {r.d1: (r.d2, r.jaccard, r.truncated) for r in capped}
+        ends.setdefault(r.d1, []).append((r.d2, r.jaccard))
+        ends.setdefault(r.d2, []).append((r.d1, r.jaccard))
+    rank, over = {}, {}
+    for d, ps in ends.items():
+        ps.sort(key=lambda t: (-t[1], t[0]))
+        over[d] = len(ps) > 1
+        for i, (p, _j) in enumerate(ps, 1):
+            rank[(d, p)] = i
+    expect = {
+        (r.d1, r.d2): (r.jaccard, over[r.d1] or over[r.d2])
+        for r in full
+        if min(rank[(r.d1, r.d2)], rank[(r.d2, r.d1)]) <= 1
+    }
+    got = {(r.d1, r.d2): (r.jaccard, r.truncated) for r in capped}
     assert got == expect
+    # The invariant the symmetric form buys: EVERY doc keeps >= 1 edge.
+    docs_full = {d for r in full for d in (r.d1, r.d2)}
+    docs_capped = {d for r in capped for d in (r.d1, r.d2)}
+    assert docs_capped == docs_full

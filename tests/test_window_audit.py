@@ -126,6 +126,13 @@ KEYED_WINDOW_WHITELIST: dict[str, str] = {
         "final rank window input is the shard pre-pass winners "
         "(<= STRAT_SHARDS * STRAT_N rows per lang by construction)"
     ),
+    "q_lead_time_percentiles": (
+        "running-count windows run over (priority, lead_days) CELLS — "
+        "lead_days is bounded by the order-to-ship fulfillment window "
+        "(~121-day date-rule domain), so the input is a day-domain "
+        "aggregate, not the lineitem row stream (r13 rework; the "
+        "Mann-Kendall cells regime)"
+    ),
 }
 
 
