@@ -423,8 +423,14 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the |V|-row degree relation (the PageRank shuffle shape),
     one five-sum fold to a single row. DECIMAL(38,0)/HUGEINT promotion
     because M*Sxy*1e6 passes 2^63 well before fixture scale.
+
+    arcs is checkpointed like every other _sparse_arcs consumer
+    (round 13): its two consumers (degree aggregate, xy join side)
+    have DIFFERING plans, so exchange reuse does not apply — the
+    SCALE.md case-3 shape. A/B at sf0.1: 2.09 -> 1.94s, new <= old
+    3/3 pairs.
     """
-    arcs = _sparse_arcs(spark, sf_dir)
+    arcs = _sparse_arcs(spark, sf_dir).localCheckpoint()
     deg = arcs.groupBy("u").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
