@@ -574,3 +574,44 @@ def test_ngram_jaccard_pair_cap_binds_deterministically(spark, exact_pairs):
     docs_full = {d for r in full for d in (r.d1, r.d2)}
     docs_capped = {d for r in capped for d in (r.d1, r.d2)}
     assert docs_capped == docs_full
+
+
+def test_simhash_portable_packed_hamming_matches_string_form(spark):
+    """The round-13 fingerprint packing (two 32-bit words, Hamming =
+    bit_count(xor) + bit_count(xor)) must count exactly the differing
+    '0'/'1' positions of the 64-char string form the oracle keeps —
+    pinned on deterministic pseudo-random fingerprints so a future edit
+    to the packing cannot silently change the candidate gate."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(13)
+    rows = [
+        (i, "".join(rng.choice("01") for _ in range(64))) for i in range(40)
+    ]
+    fp = spark.createDataFrame(rows, "id long, fp string").selectExpr(
+        "id",
+        "fp",
+        "CAST(conv(substring(fp, 1, 32), 2, 10) AS BIGINT) AS w1",
+        "CAST(conv(substring(fp, 33, 32), 2, 10) AS BIGINT) AS w2",
+    )
+    a = fp.selectExpr("id AS ia", "fp AS fa", "w1 AS a1", "w2 AS a2")
+    b = fp.selectExpr("id AS ib", "fp AS fb", "w1 AS b1", "w2 AS b2")
+    string_ham = sum(
+        (
+            F.substring(F.col("fa"), j + 1, 1)
+            != F.substring(F.col("fb"), j + 1, 1)
+        ).cast("int")
+        for j in range(64)
+    )
+    got = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            F.expr("bit_count(a1 ^ b1) + bit_count(a2 ^ b2)").alias("packed"),
+            string_ham.alias("unrolled"),
+        )
+        .filter(F.col("packed") != F.col("unrolled"))
+        .count()
+    )
+    assert got == 0
