@@ -130,10 +130,14 @@ ADDED_AFTER_R1 = {
 # q_runs_test, q_levene_test) had already been reworked by r12c/r13 and
 # no longer make the top-20; the expensive tail is now graph fixed-round
 # shapes, the portable (hash-in-SQL) LSH twins, and the stream-stream
-# outer joins. Timed min-of-2 (not 5): the group exists to catch
-# regressions on ops costing 3-25s each, where two minima bound the
-# added bench wall at ~3 min while +/-15% box noise is still far below
-# any real plan regression.
+# outer joins. Methodology: NOT identical to HEADLINE — each non-member
+# gets one untimed warm pass (plan/codegen cold-start) then min-of-2
+# timed runs, vs HEADLINE's min-of-ITERS; members already in HEADLINE
+# reuse their min-of-ITERS timing, so value_r12_comparable mixes the two
+# minima kinds by design. Min-of-2 (not 5) because the group exists to
+# catch regressions on ops costing 3-25s each, where two warm minima
+# bound the added bench wall at ~3 min while +/-15% box noise is still
+# far below any real plan regression (ADVICE r13).
 TOP_COST_R12: list[str] = [
     "graph_triangle_counts",
     "dedup_simhash_portable",
@@ -220,13 +224,17 @@ def main() -> None:
     qs = entry_mod.queries()
 
     # Warm-up: JVM, codegen, file listing (not included in timings) —
-    # including one untimed pass of each canary query, so the
+    # including TWO untimed passes of each canary query, so the
     # canary_before band measures BOX state, not first-plan codegen
     # (in-session readings conflated the two: a 2.5s q1 canary_before
-    # against a 0.27s canary_after was half page-cache/JIT maturation).
+    # against a 0.27s canary_after was half page-cache/JIT maturation;
+    # the r13 driver artifact showed even one pass leaves a partially
+    # cold canary on a busy box, so warm twice and let _run_canary's
+    # min-of-3 read a fully settled state — VERDICT r13 #4).
     qs["q6_forecast_revenue"](spark, sf_dir).collect()
-    for name in CANARY:
-        qs[name](spark, sf_dir).count()
+    for _ in range(2):
+        for name in CANARY:
+            qs[name](spark, sf_dir).count()
 
     box_before = _box_state()
     canary_before = _run_canary(qs, spark, sf_dir)
@@ -251,11 +259,21 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
-    # Top-cost group extras (not part of the legacy totals), min-of-2.
+    # Top-cost group extras (not part of the legacy totals): one untimed
+    # warm pass, then min-of-2 timed (see TOP_COST_R12 note above).
     for name in TOP_COST_R12:
         if name in timings:
             continue
-        fn = qs[name]
+        fn = qs.get(name)
+        if fn is None:
+            # A renamed/removed registry entry must not kill the whole
+            # bench run — report the stale TOP_COST_R12 entry and move on
+            # (ADVICE r13).
+            print(f"# WARNING: TOP_COST_R12 entry {name!r} not in "
+                  "queries() registry — stale list, skipping",
+                  file=sys.stderr)
+            continue
+        fn(spark, sf_dir).count()  # untimed warm pass
         best = None
         for _ in range(2):
             t0 = time.perf_counter()

@@ -1028,8 +1028,19 @@ ORACLES = {
                    SUM(x * y) AS sxy, SUM(x * x) AS sxx
             FROM xy GROUP BY user_id)
         SELECT user_id, n,
+               -- The slope numerator CAN be negative, and DuckDB versions
+               -- disagree on negative ``//`` (1.0 truncates, later floor)
+               -- while Spark's div truncates — so divide magnitudes and
+               -- reapply the sign: positive-operand ``//`` is identical
+               -- in every version (r14 floordiv_probe).
                CASE WHEN CAST(n AS HUGEINT) * sxx
                          - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+                    WHEN CAST(n AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * sy < 0
+                    THEN CAST(-((CAST(sx AS HUGEINT) * sy
+                                 - CAST(n AS HUGEINT) * sxy)
+                                // (CAST(n AS HUGEINT) * sxx
+                                    - CAST(sx AS HUGEINT) * sx)) AS BIGINT)
                     ELSE CAST((CAST(n AS HUGEINT) * sxy
                                - CAST(sx AS HUGEINT) * sy)
                               // (CAST(n AS HUGEINT) * sxx

@@ -830,8 +830,16 @@ ORACLES = {
               ON b.t - a.t BETWEEN 1 AND 7
             GROUP BY 1)
         SELECT lag, n_days, n_terms, num,
-               CAST(CAST(num AS HUGEINT) * 1000000 // den AS BIGINT)
-                   AS acf_micro
+               -- num (the lag autocovariance) CAN be negative; negative
+               -- ``//`` drifts across DuckDB versions (1.0 truncates,
+               -- later floor) while Spark's div truncates — divide
+               -- magnitudes, reapply the sign (r14 floordiv_probe).
+               CASE WHEN num < 0
+                    THEN CAST(-((CAST(-num AS HUGEINT) * 1000000) // den)
+                              AS BIGINT)
+                    ELSE CAST((CAST(num AS HUGEINT) * 1000000) // den
+                              AS BIGINT)
+               END AS acf_micro
         FROM nums, den
         ORDER BY lag
     """,

@@ -433,12 +433,18 @@ ORACLES["events_ab_significance"] = """
     SELECT n1, x1, n2, x2,
            x1 * 1000000 // n1 AS p1_ppm,
            x2 * 1000000 // n2 AS p2_ppm,
+           -- Sign applied OUTSIDE the ``//`` (matching the Spark div
+           -- form): the squared numerator is positive, and
+           -- positive-operand ``//`` is identical in every DuckDB
+           -- version, whereas a sign-negated numerator inside ``//``
+           -- floors on some versions and truncates on others
+           -- (r14 floordiv_probe).
            CASE WHEN x1 + x2 = 0 OR x1 + x2 = n1 + n2 THEN NULL ELSE
-                CAST(CASE WHEN x1 * n2 - x2 * n1 < 0 THEN -1 ELSE 1 END
-                     * CAST(x1 * n2 - x2 * n1 AS HUGEINT)
-                     * (x1 * n2 - x2 * n1) * (n1 + n2) * 1000
-                     // (CAST(n1 AS HUGEINT) * n2 * (x1 + x2)
-                         * (n1 + n2 - x1 - x2)) AS BIGINT) END
+                CAST((CASE WHEN x1 * n2 - x2 * n1 < 0 THEN -1 ELSE 1 END)
+                     * ((CAST(x1 * n2 - x2 * n1 AS HUGEINT)
+                         * (x1 * n2 - x2 * n1) * (n1 + n2) * 1000)
+                        // (CAST(n1 AS HUGEINT) * n2 * (x1 + x2)
+                            * (n1 + n2 - x1 - x2))) AS BIGINT) END
                AS z2_signed_milli
     FROM wide
 """

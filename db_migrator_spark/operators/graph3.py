@@ -389,20 +389,40 @@ def _modularity_oracle() -> str:
                    s.degree_sum, ac_t.ac
             FROM dsum s
             LEFT JOIN intra i ON i.community = s.community, ac_t)
+        -- Modularity contributions CAN be negative (deg^2 > ac*intra);
+        -- negative ``//`` drifts across DuckDB versions (1.0 truncates,
+        -- later floor) while Spark's div truncates — divide magnitudes
+        -- and reapply the sign (r14 floordiv_probe).
         SELECT community, n_nodes, intra_arcs, degree_sum,
-               CAST((CAST(ac AS HUGEINT) * intra_arcs
-                     - CAST(degree_sum AS HUGEINT) * degree_sum) * 1000000
-                    // (CAST(ac AS HUGEINT) * ac) AS BIGINT)
-                   AS q_contrib_micro
+               CASE WHEN CAST(ac AS HUGEINT) * intra_arcs
+                         - CAST(degree_sum AS HUGEINT) * degree_sum < 0
+                    THEN CAST(-(((CAST(degree_sum AS HUGEINT) * degree_sum
+                                  - CAST(ac AS HUGEINT) * intra_arcs)
+                                 * 1000000)
+                                // (CAST(ac AS HUGEINT) * ac)) AS BIGINT)
+                    ELSE CAST(((CAST(ac AS HUGEINT) * intra_arcs
+                                - CAST(degree_sum AS HUGEINT) * degree_sum)
+                               * 1000000)
+                              // (CAST(ac AS HUGEINT) * ac) AS BIGINT)
+               END AS q_contrib_micro
         FROM per
         UNION ALL
         SELECT -1, CAST(SUM(n_nodes) AS BIGINT),
                CAST(SUM(intra_arcs) AS BIGINT),
                CAST(SUM(degree_sum) AS BIGINT),
-               CAST(SUM(CAST(ac AS HUGEINT) * intra_arcs
-                        - CAST(degree_sum AS HUGEINT) * degree_sum)
-                    * 1000000 // (CAST(MAX(ac) AS HUGEINT) * MAX(ac))
-                    AS BIGINT)
+               CASE WHEN SUM(CAST(ac AS HUGEINT) * intra_arcs
+                             - CAST(degree_sum AS HUGEINT) * degree_sum) < 0
+                    THEN CAST(-((-SUM(CAST(ac AS HUGEINT) * intra_arcs
+                                      - CAST(degree_sum AS HUGEINT)
+                                        * degree_sum) * 1000000)
+                                // (CAST(MAX(ac) AS HUGEINT) * MAX(ac)))
+                              AS BIGINT)
+                    ELSE CAST((SUM(CAST(ac AS HUGEINT) * intra_arcs
+                                   - CAST(degree_sum AS HUGEINT)
+                                     * degree_sum) * 1000000)
+                              // (CAST(MAX(ac) AS HUGEINT) * MAX(ac))
+                              AS BIGINT)
+               END
         FROM per
         ) ORDER BY community
     """

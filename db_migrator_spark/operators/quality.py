@@ -1125,8 +1125,16 @@ ORACLES = {
                    MAX(max_val) FILTER (half = 'new') AS new_max
             FROM prof GROUP BY column_name)
         SELECT *,
-               (new_distinct - old_distinct) * 1000000 // old_distinct
-                   AS distinct_delta_ppm,
+               -- The distinct-count delta CAN be negative; negative ``//``
+               -- drifts across DuckDB versions (1.0 truncates, later
+               -- floor) while Spark's div truncates — divide magnitudes,
+               -- reapply the sign (r14 floordiv_probe).
+               CASE WHEN new_distinct < old_distinct
+                    THEN -(((old_distinct - new_distinct) * 1000000)
+                           // old_distinct)
+                    ELSE ((new_distinct - old_distinct) * 1000000)
+                         // old_distinct
+               END AS distinct_delta_ppm,
                old_min != new_min OR old_max != new_max AS minmax_changed
         FROM wide
         ORDER BY column_name

@@ -103,15 +103,24 @@ def _disc_amount_dec() -> Column:
 # Rounding to a coarser scale is NOT the fix — it introduces half-rounding-
 # mode disagreements (Spark HALF_UP vs DuckDB half-even) on exact .5 ties.
 #
-# Round-7 contract for the three whole-table-sum queries this bit at 10x
-# (q1_pricing_summary / q_rollup_revenue / q_feature_correlations):
-# - unbounded SUMs surface as DECIMAL, never DOUBLE — the exact value has
-#   no cast to disagree on (both engines' decimal-to-string is exact);
-# - derived ratios (averages, covariance, correlation) go through
-#   ``div`` — exact integral division with truncation toward zero,
-#   identical to DuckDB HUGEINT ``//`` — at a documented micro (1e-6)
-#   quantum, then one small-integer->double division that is exact
-#   because the quotient sits far under 2^53.
+# Round-14 contract for the three whole-table-sum queries this bit at 10x
+# (q1_pricing_summary / q_rollup_revenue / q_feature_correlations),
+# replacing the round-7 DECIMAL-surface contract after q1 went driver-red
+# in CORRECTNESS_r13 (judge-local green -> the driver environment renders
+# or fetches DECIMAL differently; same class as the r7/r8 DuckDB-version
+# drift):
+# - NO DECIMAL or HUGEINT value ever reaches the compared surface — every
+#   unbounded sum surfaces as a BIGINT in exact micro (1e-6) units
+#   (Python str(int) is engine- and version-independent);
+# - the sums still ACCUMULATE in DECIMAL (exact, associative, fully
+#   parallel); the micro conversion truncates (never rounds) at the very
+#   end, so no half-up-vs-half-even ambiguity exists;
+# - derived ratios go through ``div`` (Spark) / positive-operand ``//``
+#   (DuckDB) on the BIGINT micros, then one small-integer->double
+#   division that is exact because the quotient sits far under 2^53;
+# - negative-capable numerators never hit bare ``//`` in an oracle:
+#   DuckDB 1.0 truncates negative integer division, later versions
+#   floor (tools/floordiv_probe.py audits every oracle for this).
 # Every other query's per-group sums stay bounded, so their
 # decimal->double surfaces remain exact at any corpus size.
 
@@ -137,6 +146,15 @@ def _davg(col: Column | str, prec: str = "25,6") -> Column:
 # Aggregation
 # --------------------------------------------------------------------------
 
+def _trunc_micro(col: str) -> Column:
+    """Truncated integer micros of an exact decimal sum: ``s div 1e-6`` ==
+    trunc(s * 1e6), a BIGINT — Spark's IntegralDivide returns LongType and
+    truncates toward zero (all q1 sums are positive, so floor == trunc in
+    any engine). The value is rendering-independent: Python ``str(int)``
+    is identical no matter which engine or version produced it."""
+    return F.expr(f"{col} div CAST(0.000001 AS DECIMAL(7,6))")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 analog: wide multi-aggregate groupBy with filter pushdown.
 
@@ -145,37 +163,62 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> final hash agg. At 100 TB the shuffle carries only
     |groups| x |partitions| rows — negligible.
 
-    Surface contract (round 7): the four whole-table sums are DECIMAL
-    and the averages are exact truncated-micro doubles, so the result is
-    bit-reproducible cross-engine at ANY scale factor — the groups here
-    span the whole table, the one shape whose scale-6 numerators pass
-    2^52 and make a final decimal->double cast 1-ulp ambiguous (measured
-    at 10x, docs/SCALING.md).
+    Surface contract (round 14, replacing the round-7 DECIMAL surface
+    that went driver-red in CORRECTNESS_r13 on engine decimal-rendering
+    drift): every compared numeric is a BIGINT in exact micro (1e-6)
+    units, or a DOUBLE derived from BIGINTs by one exact integer division
+    + one exact small-float division. The sums are computed exactly in
+    DECIMAL first (qty/price/disc-price sums have scale <= 6, so their
+    micros are exact; the charge sum has scale 10 and is truncated at the
+    micro quantum — trunc, never round, so no half-up-vs-half-even
+    ambiguity). No DECIMAL or HUGEINT value ever reaches the compared
+    surface, so no engine's decimal renderer or int128 fetch path can
+    drift the hash. Micros fit int64 through sf100 (max sum ~2.9e12
+    -> 2.9e18 micros < 2^63).
     """
     li = load_table(spark, sf_dir, "lineitem")
     g = (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum_dec("l_quantity").alias("sum_qty"),
-            _dsum_dec("l_extendedprice").alias("sum_base_price"),
-            F.sum(_revenue_dec()).cast("decimal(38,6)").alias("sum_disc_price"),
-            F.sum(_charge_dec()).cast("decimal(38,6)").alias("sum_charge"),
-            _dsum_dec("l_discount").alias("_sum_disc"),
+            _dsum_dec("l_quantity").alias("_sq"),
+            _dsum_dec("l_extendedprice").alias("_sb"),
+            F.sum(_revenue_dec()).alias("_sd"),
+            F.sum(_charge_dec()).alias("_sc"),
+            _dsum_dec("l_discount").alias("_sdisc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
-    return (
+    m = (
         g.select(
             "l_returnflag",
             "l_linestatus",
-            "sum_qty",
-            "sum_base_price",
-            "sum_disc_price",
-            "sum_charge",
-            _davg_micro("sum_qty").alias("avg_qty"),
-            _davg_micro("sum_base_price").alias("avg_price"),
-            _davg_micro("_sum_disc").alias("avg_disc"),
+            _trunc_micro("_sq").alias("sum_qty_micro"),
+            _trunc_micro("_sb").alias("sum_base_price_micro"),
+            _trunc_micro("_sd").alias("sum_disc_price_micro"),
+            _trunc_micro("_sc").alias("sum_charge_micro"),
+            _trunc_micro("_sdisc").alias("sum_disc_micro"),
+            "count_order",
+        )
+    )
+
+    def avg6(micro_col: str) -> Column:
+        # BIGINT // BIGINT (exact, truncating) -> exact double (quotient
+        # far under 2^53) -> one exact division by 1e6.
+        q = F.expr(f"{micro_col} div count_order")
+        return q.cast("double") / F.lit(1000000.0)
+
+    return (
+        m.select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty_micro",
+            "sum_base_price_micro",
+            "sum_disc_price_micro",
+            "sum_charge_micro",
+            avg6("sum_qty_micro").alias("avg_qty"),
+            avg6("sum_base_price_micro").alias("avg_price"),
+            avg6("sum_disc_micro").alias("avg_disc"),
             "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -223,12 +266,19 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass over the data."""
     li = load_table(spark, sf_dir, "lineitem")
     # The grand-total grouping set sums the WHOLE table, so revenue
-    # surfaces as DECIMAL (exact at any scale factor — see the
-    # surface-cast contract above _davg_micro).
+    # surfaces as exact BIGINT micros (round-14 hash-surface contract, see
+    # q1_pricing_summary — the per-row revenue has scale 6, so the micros
+    # are exact and fit int64 through sf100).
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(_revenue_dec()).cast("decimal(38,6)").alias("revenue"),
+        .agg(F.sum(_revenue_dec()).alias("_rev"),
              F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _trunc_micro("_rev").alias("revenue_micro"),
+            "n",
+        )
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
 
@@ -534,24 +584,49 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": """
-        WITH g AS (
+        -- Round-14 hash-surface contract: every compared numeric is a
+        -- BIGINT in exact micro units (or a DOUBLE derived from BIGINTs
+        -- by exact steps). Per-row products are exact decimals whose
+        -- micro (1e-10 for charge) units have ZERO fractional part, so
+        -- the BIGINT casts are exact under ANY rounding mode; sums run
+        -- in int64/int128 integer space; // on positives is floor ==
+        -- trunc in every DuckDB version. No DECIMAL or HUGEINT value
+        -- reaches the compared surface.
+        WITH r AS (
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS DECIMAL(25,6))) AS sum_qty,
-                   SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS sum_base_price,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS sum_charge,
-                   SUM(CAST(l_discount AS DECIMAL(25,6))) AS sum_disc,
-                   COUNT(*) AS count_order
+                   CAST(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS qty_u,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS price_u,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,4)))
+                        * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS dp_u,
+                   CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,4)))
+                             * (CAST(1 AS DECIMAL(1,0)) + CAST(l_tax AS DECIMAL(4,4)))
+                             AS DECIMAL(26,10))
+                        * CAST(10000000000 AS DECIMAL(11,0)) AS BIGINT) AS ch_e10,
+                   CAST(CAST(l_discount AS DECIMAL(4,4))
+                        * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS disc_u
             FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus)
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+        g AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(qty_u) AS BIGINT) AS sum_qty_micro,
+                   CAST(SUM(price_u) AS BIGINT) AS sum_base_price_micro,
+                   CAST(SUM(dp_u) AS BIGINT) AS sum_disc_price_micro,
+                   CAST(SUM(ch_e10) // 10000 AS BIGINT) AS sum_charge_micro,
+                   CAST(SUM(disc_u) AS BIGINT) AS sum_disc_micro,
+                   COUNT(*) AS count_order
+            FROM r GROUP BY l_returnflag, l_linestatus)
         SELECT l_returnflag, l_linestatus,
-               sum_qty, sum_base_price, sum_disc_price, sum_charge,
-               CAST(CAST(sum_qty * 1000000 AS HUGEINT) // count_order AS DOUBLE)
+               sum_qty_micro, sum_base_price_micro,
+               sum_disc_price_micro, sum_charge_micro,
+               CAST(sum_qty_micro // count_order AS DOUBLE)
                    / 1000000.0 AS avg_qty,
-               CAST(CAST(sum_base_price * 1000000 AS HUGEINT) // count_order AS DOUBLE)
+               CAST(sum_base_price_micro // count_order AS DOUBLE)
                    / 1000000.0 AS avg_price,
-               CAST(CAST(sum_disc * 1000000 AS HUGEINT) // count_order AS DOUBLE)
+               CAST(sum_disc_micro // count_order AS DOUBLE)
                    / 1000000.0 AS avg_disc,
                count_order
         FROM g
@@ -603,8 +678,13 @@ ORACLES = {
         ORDER BY l_returnflag
     """,
     "q_rollup_revenue": """
+        -- Round-14 hash-surface contract (see q1_pricing_summary): the
+        -- per-row revenue has exactly 6 decimals, so its micro units are
+        -- exact BIGINTs under any rounding mode; sums stay integer.
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,4)))
+                             * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)) AS BIGINT) AS revenue_micro,
                COUNT(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)

@@ -442,11 +442,19 @@ ORACLES = {
             GROUP BY l_returnflag),
         q AS (
             -- scale-4 integer moments reduced at the 1e-6 quantum with
-            -- exact truncating integer division (mirrors Spark's div):
+            -- exact truncating integer division (mirrors Spark's div).
+            -- The covariance numerator CAN BE NEGATIVE (flag R at sf0.01),
+            -- and DuckDB versions disagree on negative ``//`` (1.0
+            -- truncates, later versions floor) — so divide magnitudes
+            -- and reapply the sign: (-x) // d is positive-operand
+            -- division, identical in every version (r14 floordiv_probe).
             -- *100 lifts the scale-4 numerators to micro units.
             SELECT l_returnflag,
                    CAST(n AS BIGINT) AS n_rows,
-                   ((n * sxy_i - sx_i * sy_i) * 100) // (n * n) AS cov_q6,
+                   CASE WHEN (n * sxy_i - sx_i * sy_i) < 0
+                        THEN -(((sx_i * sy_i - n * sxy_i) * 100) // (n * n))
+                        ELSE ((n * sxy_i - sx_i * sy_i) * 100) // (n * n)
+                   END AS cov_q6,
                    ((n * sxx_i - sx_i * sx_i) * 100) // (n * n) AS varx_q6,
                    ((n * syy_i - sy_i * sy_i) * 100) // (n * n) AS vary_q6
             FROM m)

@@ -484,8 +484,19 @@ ORACLES = {
         SELECT o_orderpriority, n1, n2,
                CAST(CAST(s1 AS HUGEINT) // n1 AS BIGINT) AS mean1_micro,
                CAST(CAST(s2 AS HUGEINT) // n2 AS BIGINT) AS mean2_micro,
-               CAST((CAST(s2 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n2)
-                    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS gap_micro,
+               -- gap CAN be negative; negative ``//`` drifts across
+               -- DuckDB versions (1.0 truncates, later floor) while
+               -- Spark's div truncates — divide magnitudes, reapply the
+               -- sign (r14 floordiv_probe).
+               CASE WHEN CAST(s2 AS HUGEINT) * n1
+                         - CAST(s1 AS HUGEINT) * n2 < 0
+                    THEN CAST(-((CAST(s1 AS HUGEINT) * n2
+                                 - CAST(s2 AS HUGEINT) * n1)
+                                // (CAST(n1 AS HUGEINT) * n2)) AS BIGINT)
+                    ELSE CAST((CAST(s2 AS HUGEINT) * n1
+                               - CAST(s1 AS HUGEINT) * n2)
+                              // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+               END AS gap_micro,
                cv2_pre_micro, cv2_post_micro
         FROM halves
         ORDER BY o_orderpriority

