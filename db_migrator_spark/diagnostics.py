@@ -216,6 +216,27 @@ def _duck_probes() -> dict:
                 ).fetchone()[0]
             ),
         }
+        # Decimal fetch-path probes (r14, after the q1 driver-red): the
+        # r13 red's suspected cause is the DRIVER environment fetching /
+        # stringifying DECIMAL differently than DuckDB 1.0.0 here. q1's
+        # surface no longer carries decimals, but these probes let the
+        # r14 driver capture NAME the old drift: the Python type, repr,
+        # and str of a scale-6 decimal sum exactly like q1's old
+        # sum_qty (both the scalar fetch and the post-SUM DECIMAL(38,6)
+        # widening), plus a scale-10 -> (38,6) cast that would expose a
+        # rounding-mode change.
+        v = con.execute(
+            "SELECT SUM(CAST(x AS DECIMAL(25,6))) FROM"
+            " (VALUES (283729079.56), (0.000000)) t(x)"
+        ).fetchone()[0]
+        probes["decimal_sum_fetch"] = (
+            f"{type(v).__name__}|{v!r}|{v}"
+        )
+        w = con.execute(
+            "SELECT CAST(CAST(1.00000050 AS DECIMAL(20,10))"
+            " AS DECIMAL(38,6))"
+        ).fetchone()[0]
+        probes["decimal_halfway_cast"] = f"{type(w).__name__}|{w}"
         con.close()
         return probes
     except Exception as e:

@@ -125,17 +125,6 @@ def _disc_amount_dec() -> Column:
 # decimal->double surfaces remain exact at any corpus size.
 
 
-def _davg_micro(sum_col: str, count_col: str = "count_order") -> Column:
-    """Exact truncated-micro average of a surfaced decimal sum column:
-    ``(sum div (n * 1e-6)) / 1e6`` == trunc(sum/n at 1e-6) — every step
-    deterministic cross-engine at ANY magnitude (see contract above)."""
-    q6 = F.expr(
-        f"{sum_col} div (CAST({count_col} AS DECIMAL(20,0))"
-        " * CAST(0.000001 AS DECIMAL(7,6)))"
-    )
-    return q6.cast("double") / F.lit(1000000.0)
-
-
 def _davg(col: Column | str, prec: str = "25,6") -> Column:
     """Exact-sum / count average (double division is deterministic)."""
     c = F.col(col) if isinstance(col, str) else col
