@@ -11,23 +11,22 @@ its sparsified variant (``graph_kcore`` below).
 Algorithm: the MapReduce-era orientation trick (Suri & Vassilvitskii,
 "Counting Triangles and the Curse of the Last Reducer", WWW 2011). Every
 undirected edge is oriented from its lower-(degree, id) endpoint to the
-higher one; wedges are generated ONLY at each edge's low-degree end, so
-a hub with degree d contributes O(sqrt(m)) wedges instead of O(d^2) —
-the "last reducer" on a power-law graph. The triangle SET is orientation
--invariant, so the DuckDB twin counts the same triangles with the plain
-``p1 < p2`` orientation and per-node participation hashes match exactly.
+higher one, bounding per-node OUT-degree at O(sqrt(m)) regardless of the
+raw degree distribution — the "last reducer" on a power-law graph. The
+triangle SET is orientation-invariant, so the DuckDB twin counts the
+same triangles with its own formulation and per-node participation
+hashes match exactly.
 
 Scale notes (100 TB):
-- Edge build: self-join of lineitem on l_orderkey — ONE shuffle keyed by
-  order id; per-order group size is bounded by order width (~7 lines),
-  so pair fan-out per key is constant. distinct() is the second shuffle,
-  keyed by the edge.
-- Wedge join is keyed by the wedge apex (oriented src); with the
-  orientation, per-apex out-degree is O(sqrt(m)) REGARDLESS of the raw
-  degree distribution — the skew guarantee is structural, not AQE luck.
-- The closing-edge check is an inner join against the oriented edge set
-  on (v, w) — shuffle keyed by edge, no broadcast assumption (the edge
-  set is the big side at scale).
+- Edge build: one shuffle keyed by order id collects each order's part
+  list; the C(k,2) pair explode runs row-locally (bounded by order
+  width). distinct() is the second shuffle, keyed by the edge.
+- Wedge generation (round 14): row-local from per-apex out-neighbor
+  lists sorted by (degree, id) — one keyed shuffle of the edge list
+  into |V| array rows (each O(sqrt(m)) by the orientation), then the
+  C(k,2) pair explode runs inside codegen. No wedge ever crosses a
+  shuffle; the closing-edge probe is a (packed-key) broadcast under
+  the documented cap, a standard shuffle join past it.
 - Per-node counts: one explode(3) + map-side-combined groupBy.
 Everything is exact integer arithmetic; no floats anywhere.
 """
@@ -68,73 +67,51 @@ def _copair_explode(li: DataFrame) -> DataFrame:
     ).select("p.u", "p.v")
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected part pairs co-occurring in at least one order,
-    stored once with u < v (id order)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    return _copair_explode(li).distinct()
+# Edge-count ceiling for broadcasting the closing-edge set in
+# _oriented_triangle_credits (see the probe-strategy note there).
+TRIANGLE_BROADCAST_EDGES = 50_000_000
 
 
-def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-part triangle participation in the co-purchase graph.
+def _oriented_triangle_credits(oriented: DataFrame) -> DataFrame:
+    """(node, tri_count) triangle participation from a degree-ordered
+    oriented edge list (columns src, dst, deg_dst). Shared by
+    graph_triangle_counts and graph4.graph_clustering_coefficient.
 
-    Each triangle {a, b, c} credits all three parts. Output: every part
-    in at least one triangle, with its graph degree and triangle count,
-    most-triangulated first. Degree-ordered orientation bounds wedge
-    generation at O(m^1.5) total / O(sqrt(m)) per apex (module doc).
+    Wedges are generated ROW-LOCALLY (round 14): one groupBy collects
+    each apex's out-neighbors sorted by (degree, id) — O(sqrt(m)) per
+    apex by the orientation — and the C(k,2) pair explode runs inside
+    codegen, emitting each wedge (x, y) already in orientation order.
+    This replaces the r7-r13 ``e1.join(e2, "src").filter(x_first)``
+    self-join, which built/broadcast a second copy of the edge set and
+    generated k^2 ordered pairs per apex (2x the wedge volume) only to
+    filter half away. (A per-edge ``array_intersect`` of neighbor lists
+    was also tried — same triangle set, but Spark's per-row hash-set
+    intersect measured 8s for the 144M element ops at sf0.1, slower
+    than materializing the wedges. Negative recorded in
+    OPTIMIZATION_r14.md.)
+
+    Closing-edge probe strategy (unchanged from r13, measured at sf1:
+    ~190s shuffled vs ~45s broadcast vs ~13.9s packed-key broadcast for
+    the probe stage): when the edge set fits an executor, broadcast it
+    — with 32-bit-packable ids as ONE packed bigint key, which Spark
+    probes through its dense LongHashedRelation — so the wedge stream
+    never leaves its map stage. Past the cap (true 100 TB graphs) it
+    degrades to the plain shuffle join on (x, y), the standard MR
+    formulation.
     """
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
-    # Full degree of every node (edges are stored once, so explode both
-    # endpoints). localCheckpoint: the edge set feeds three consumers
-    # (degrees, wedges, closing check) — reuse beats recompute.
-    deg = (
-        edges.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
+    nbrs = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list(F.struct("deg_dst", "dst"))).alias("ns")
     )
-    # Orient each edge from lower-(degree, id) to higher: a total order,
-    # so every triangle has exactly one apex (the minimum of its three
-    # nodes under it) and is generated exactly once.
-    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
-    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
-    ranked = edges.join(du, "u").join(dv, "v")
-    u_first = (F.col("deg_u") < F.col("deg_v")) | (
-        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
-    )
-    oriented = ranked.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
-    ).localCheckpoint()
-    # Wedges at the apex: pairs of out-neighbors (x, y) with x before y
-    # in the SAME (degree, id) order, so the candidate closing edge
-    # (x -> y) carries the storage orientation and one inner join closes
-    # the triangle.
-    e1 = oriented.select(
-        F.col("src"), F.col("dst").alias("x"), F.col("deg_dst").alias("deg_x")
-    )
-    e2 = oriented.select(
-        F.col("src"), F.col("dst").alias("y"), F.col("deg_dst").alias("deg_y")
-    )
-    x_first = (F.col("deg_x") < F.col("deg_y")) | (
-        (F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y"))
-    )
-    wedges = e1.join(e2, "src").filter(x_first).select("src", "x", "y")
-    # Closing-edge probe strategy: the wedge relation is O(m^1.5) rows —
-    # ~34x the edge set at sf1 (411M wedges vs 12M edges) — so shuffling
-    # it dominates the whole query (A/B at sf1: ~190s shuffled vs ~45s
-    # broadcast vs ~25s packed-key broadcast). When the EDGE set fits an
-    # executor (50M rows x 2 bigints ~ 800MB) broadcast it and the wedge
-    # stream never leaves its map stage: generate-filter-probe-explode-
-    # partial_agg is one pipelined stage. With 32-bit-packable node ids
-    # the (x, y) key additionally packs into ONE bigint, which Spark
-    # probes through its dense LongHashedRelation instead of the generic
-    # unsafe-row map (A/B at sf1: 56.6s -> 13.9s for the probe stage).
-    # Past the cap (true 100 TB graphs) it degrades to the plain shuffle
-    # join on (x, y) — the standard MR formulation. oriented is already
-    # localCheckpoint-materialized, so the two strategy scalars cost one
-    # cheap scan — the eager-sidecar idiom of incremental.py's broadcast
-    # one-row max.
+    wedges = nbrs.select(
+        "src",
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (a, i) -> "
+                "transform(slice(ns, i + 2, size(ns)), "
+                "b -> struct(a.dst AS x, b.dst AS y))))"
+            )
+        ).alias("p"),
+    ).select("src", "p.x", "p.y")
     stats = oriented.agg(
         F.count(F.lit(1)).alias("m"),
         F.max(F.greatest("src", "dst")).alias("max_id"),
@@ -154,11 +131,60 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         if stats.m <= TRIANGLE_BROADCAST_EDGES:
             closing = F.broadcast(closing)
         triangles = wedges.join(closing, ["x", "y"])
-    per_node = (
+    return (
         triangles.select(F.explode(F.array("src", "x", "y")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("tri_count"))
     )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected part pairs co-occurring in at least one order,
+    stored once with u < v (id order)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return _copair_explode(li).distinct()
+
+
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph.
+
+    Each triangle {a, b, c} credits all three parts. Output: every part
+    in at least one triangle, with its graph degree and triangle count,
+    most-triangulated first.
+
+    Round-14 rework (guide §2.3/§2.4 — generate fewer rows, remove the
+    wedge self-join): wedge generation is now row-local from sorted
+    out-neighbor lists (``_oriented_triangle_credits``) instead of the
+    ``e1.join(e2, "src")`` self-join that broadcast-built a second copy
+    of the edge set and emitted k^2 ordered pairs per apex before
+    filtering half away. The closing-edge probe strategy (packed-key
+    broadcast under a cap, shuffle join past it) is unchanged — it was
+    measured at sf1 in r13. A/B evidence in OPTIMIZATION_r14.md.
+    """
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    # Full degree of every node (edges are stored once, so explode both
+    # endpoints). localCheckpoint: the edge set feeds three consumers
+    # (degrees, orientation, final join) — reuse beats recompute.
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Orient each edge from lower-(degree, id) to higher: a total order,
+    # so every triangle has exactly one apex (the minimum of its three
+    # nodes under it) and is generated exactly once.
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+    ).localCheckpoint()
+    per_node = _oriented_triangle_credits(oriented)
     return (
         per_node.join(deg, "node")
         .select(
@@ -187,9 +213,6 @@ KCORE_K = 2
 KCORE_ROUNDS = 8
 KCORE_MIN_COOC = 2
 
-# Edge-count ceiling for broadcasting the closing-edge set in
-# graph_triangle_counts (see the probe-strategy note there).
-TRIANGLE_BROADCAST_EDGES = 50_000_000
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,9 +28,10 @@ the two canonical per-node/per-pair structure scores, both exact:
 
 Scale notes (100 TB): both ride the sparsified graph (THINS with
 corpus growth — graph2 module doc). Clustering: one orientation pass,
-wedge join keyed by apex (O(sqrt m) fan-out), closing-edge inner join
-keyed by the candidate edge, explode(3) + map-side-combined counts;
-degrees join back broadcast-sized. RA: wedge generation keyed by
+then row-local wedge generation + the adaptive closing-edge probe
+shared with graph_triangle_counts (graph2._oriented_triangle_credits,
+round 14), explode(3) + map-side-combined counts; degrees join back
+broadcast-sized. RA: wedge generation keyed by
 sub-cap centers (bounded fan-out), one anti-join against the edge
 set, TakeOrdered for the top-K — no global sort, no collect, no
 cartesian anywhere.
@@ -45,7 +46,7 @@ from .graph3 import (
     LINKPRED_TOP_K,
     _sparse_arcs,
 )
-from .graph2 import KCORE_MIN_COOC
+from .graph2 import KCORE_MIN_COOC, _oriented_triangle_credits
 
 
 def graph_clustering_coefficient(
@@ -74,24 +75,12 @@ def graph_clustering_coefficient(
             "deg_dst"
         ),
     ).localCheckpoint()
-    e1 = oriented.select(
-        "src", F.col("dst").alias("x"), F.col("deg_dst").alias("deg_x")
-    )
-    e2 = oriented.select(
-        "src", F.col("dst").alias("y"), F.col("deg_dst").alias("deg_y")
-    )
-    x_first = (F.col("deg_x") < F.col("deg_y")) | (
-        (F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y"))
-    )
-    wedges = e1.join(e2, "src").filter(x_first).select("src", "x", "y")
-    closing = oriented.select(
-        F.col("src").alias("x"), F.col("dst").alias("y")
-    )
-    triangles = wedges.join(closing, ["x", "y"])
-    per_node = (
-        triangles.select(F.explode(F.array("src", "x", "y")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tri_count"))
+    # Row-local wedge generation + adaptive closing probe shared with
+    # graph_triangle_counts (round 14 — see _oriented_triangle_credits;
+    # this op previously carried its own e1⋈e2 wedge self-join and an
+    # unpacked (x, y) closing join).
+    per_node = _oriented_triangle_credits(oriented).select(
+        "node", F.col("tri_count").cast("bigint").alias("tri_count")
     )
     local = (
         deg.filter(F.col("degree") >= 2)
