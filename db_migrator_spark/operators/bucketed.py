@@ -15,12 +15,24 @@ The bucket count is fixed at table-creation time: pick it for the target
 cluster (tasks-per-join-stage = bucket count), and keep both sides of a
 co-located join at the same count (or integer multiples, which Spark can
 coalesce).
+
+Round 14 (optimization-round contract): rounds 4-13 kept the bucketed
+copies in /tmp keyed on the corpus name and reused them across runs —
+a persisted intermediate keyed on the test data, which the
+no-precomputation rule forbids. The declared query now pays the layout
+write inside EVERY invocation (build into a per-invocation scratch dir,
+join, clean up the previous invocation's tables), so the bench times
+layout + exchange-free join honestly. In production the write cost is
+amortized across the many queries that reuse the layout — that argument
+now lives here in prose instead of in a cross-run cache.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -29,27 +41,37 @@ from .relational import _revenue_dec
 
 N_BUCKETS = 8
 
-
-def _table_names(sf_dir: str) -> tuple[str, str]:
-    """Catalog names are per-corpus: one session may touch several scale
-    factors, and a global name would silently serve the wrong table."""
-    key = os.path.basename(os.path.abspath(sf_dir)).replace(".", "_").replace("-", "_")
-    return (f"db_migrator_bucketed_orders_{key}", f"db_migrator_bucketed_lineitem_{key}")
+# Cleanup registry for per-invocation table sets (NOT a cache — nothing is
+# ever served from it): each invocation drops its predecessor's catalog
+# tables and scratch dir, so at most one set lingers per process.
+_LIVE: list[tuple[str, str, str]] = []
 
 
-def create_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
-    """One-time layout step: persist orders + lineitem bucketed AND sorted
-    on the join key. The write shuffles each table once; every later join
-    on o_orderkey/l_orderkey is exchange-free."""
-    key = os.path.basename(os.path.abspath(sf_dir))
-    base = os.path.join(tempfile.gettempdir(), f"db_migrator_spark_buckets_{key}")
-    orders_tbl, lineitem_tbl = _table_names(sf_dir)
+def _drop_previous(spark: SparkSession) -> None:
+    while _LIVE:
+        orders_tbl, lineitem_tbl, base = _LIVE.pop()
+        for t in (orders_tbl, lineitem_tbl):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def create_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Layout step, run PER INVOCATION: persist orders + lineitem bucketed
+    AND sorted on the join key into a fresh scratch dir. The write
+    shuffles each table once; the join over the returned table names is
+    exchange-free. Returns (orders_table, lineitem_table) catalog names."""
+    _drop_previous(spark)
+    tag = uuid.uuid4().hex[:10]
+    base = tempfile.mkdtemp(prefix="db_migrator_spark_buckets_run_")
+    orders_tbl = f"db_migrator_bucketed_orders_{tag}"
+    lineitem_tbl = f"db_migrator_bucketed_lineitem_{tag}"
     for table, name, col in (
         ("orders", orders_tbl, "o_orderkey"),
         ("lineitem", lineitem_tbl, "l_orderkey"),
     ):
-        if spark.catalog.tableExists(name):
-            continue
         (
             load_table(spark, sf_dir, table)
             .write.mode("overwrite")
@@ -58,6 +80,8 @@ def create_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
             .sortBy(col)
             .saveAsTable(name)
         )
+    _LIVE.append((orders_tbl, lineitem_tbl, base))
+    return orders_tbl, lineitem_tbl
 
 
 def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,9 +90,9 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``hint("merge")`` pins SortMergeJoin (so AQE's broadcast choice at toy
     scale doesn't mask the point); the bucketed layout then removes both
     Exchanges AND both Sorts from the plan — the join reads co-located,
-    pre-sorted buckets directly."""
-    create_bucketed_tables(spark, sf_dir)
-    orders_tbl, lineitem_tbl = _table_names(sf_dir)
+    pre-sorted buckets directly. The layout write happens inside this
+    invocation (module doc, round 14)."""
+    orders_tbl, lineitem_tbl = create_bucketed_tables(spark, sf_dir)
     orders = spark.table(orders_tbl)
     li = spark.table(lineitem_tbl).hint("merge")
     return (

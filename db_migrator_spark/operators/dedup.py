@@ -22,8 +22,6 @@ handles comfortably.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..io import load_table
@@ -134,51 +132,24 @@ def _bucket_pairs(
     )
 
 
-# Bumped whenever the shingle definition or capping semantics change, so
-# a cached index built by older code is never served for the same data.
-_SHINGLE_INDEX_VERSION = "v1"
+def _shingle_index_fresh(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """Inverted shingle index built IN-PLAN, per invocation.
 
-
-def _shingle_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted inverted shingle index — the offline/online split every
-    production dedup pipeline uses (you shingle a 100 TB corpus ONCE,
-    then every dedup/near-dup query reads the index, exactly like the
-    IVF index in ``similarity_ivf``). Cache keyed on the documents
-    parquet fingerprint (path + file sizes + mtimes — pure stat, no
-    Spark job) plus the index semantics version; the index is
-    deterministic, so a cached read is byte-identical to a fresh build.
-    Round-7 A/B at sf0.1: the ~0.9s per-query index rebuild becomes a
-    ~0.1s parquet scan for every LSH-family query after the first.
-
-    Concurrent builders race benignly: each writes to a uniquely-named
-    tmp dir (pid + random suffix, so same-process threads never share
-    one) and the first atomic rename wins. The cache dir embeds the uid
-    so one user never serves another user's /tmp contents.
+    Rounds 7-13 persisted this index to a /tmp cache keyed on the
+    documents parquet fingerprint (the offline/online split a production
+    pipeline would use). The optimization-round contract forbids
+    persisted intermediates keyed on the test data — every bench/oracle
+    invocation must compute from the parquet inputs — so the index is
+    now rebuilt inside each invocation (round 14; the honest rebuild
+    cost is ~0.5-0.9s per query at sf0.1, see OPTIMIZATION_r14.md).
+    ``checkpoint=True`` materializes it once for multi-consumer plans
+    (sizes + both join sides); single-consumer callers skip the
+    checkpoint barrier (measured a LOSS for one consumer, round 7).
     """
-    import shutil
-    import tempfile
-    import uuid
-
-    from .similarity_ivf import dataset_fingerprint
-
-    key = dataset_fingerprint(sf_dir, "documents")
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"db_migrator_spark_shingles_{_SHINGLE_INDEX_VERSION}_u{uid}_{key}",
-    )
-    if not os.path.isdir(path):
-        tmp = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        _shingle_index(load_table(spark, sf_dir, "documents")).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.isdir(path):  # not a lost race: surface the cause
-                raise
-    return spark.read.parquet(path)
+    sh = _shingle_index(load_table(spark, sf_dir, "documents"))
+    return sh.localCheckpoint() if checkpoint else sh
 
 
 def _shingle_index(docs: DataFrame) -> DataFrame:
@@ -237,9 +208,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines.
 
     Plan shape: the shingle index feeds THREE consumers (sizes, both join
-    sides) from the persisted index (``_shingle_index_cached`` — each
-    consumer is a ~0.1s parquet scan; round 7 replaced the per-query
-    rebuild + localCheckpoint, 1.35s -> 0.87s at sf0.1). The self-join
+    sides) from one in-plan build + localCheckpoint per invocation
+    (``_shingle_index_fresh`` — round 14 removed the cross-run /tmp
+    index cache per the no-precomputation rule). The self-join
     takes a shuffle_hash hint (the pair explosion makes sort-merge's
     sorts pure overhead); per-doc sizes are broadcast (tiny relative to
     the pair set).
@@ -252,7 +223,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     partner list overflowed. The oracle applies the identical
     construction.
     """
-    sh = _shingle_index_cached(spark, sf_dir)
+    sh = _shingle_index_fresh(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.hint("shuffle_hash").alias("b")
@@ -320,7 +291,7 @@ def _minhash_signatures(
     materialization buys nothing.
     """
     if sh is None:
-        sh = _shingle_index_cached(spark, sf_dir)
+        sh = _shingle_index_fresh(spark, sf_dir)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(MINHASH_K)
@@ -345,7 +316,7 @@ def _verify_pairs_exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
     Plan shape: the index is first SEMI-JOINED down to candidate docs, so
     the sizes aggregation and both join sides see |cand docs| x shingles,
     not the whole corpus — the full-index pass is one broadcast-filtered
-    scan of the (persisted) index. Measured at sf0.1 this cut
+    scan of the index. Measured at sf0.1 this cut
     dedup_minhash_lsh's verify overhead from ~1.0s to ~0.3s; at 100 TB it
     is the difference between a corpus-wide doc_id shuffle and one sized
     by the candidate set. The semi-join deliberately carries NO broadcast
@@ -407,9 +378,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     r = MINHASH_K // LSH_BANDS
     # The shingle index has two consumers (signatures + the verify
-    # helper's candidate semi-join) — both read the persisted index
-    # (round 7; formerly rebuilt + checkpointed per query).
-    sh = _shingle_index_cached(spark, sf_dir)
+    # helper's candidate semi-join) — one in-plan build + localCheckpoint
+    # per invocation (round 14: cross-run cache removed).
+    sh = _shingle_index_fresh(spark, sf_dir)
     sig = _minhash_signatures(spark, sf_dir, sh)
     bands = F.array(
         *[
@@ -530,8 +501,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
     )
     # The verify helper semi-joins the index down to candidate docs in a
-    # single scan over the persisted index.
-    sh = _shingle_index_cached(spark, sf_dir)
+    # single scan — one consumer, so the in-plan build skips the
+    # checkpoint barrier.
+    sh = _shingle_index_fresh(spark, sf_dir, checkpoint=False)
     return (
         _verify_pairs_exact_jaccard(sh, near)
         .filter(F.col("jaccard") >= 0.2)
@@ -733,7 +705,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_ngram_jaccard`` (shared index, shuffle_hash pair join,
     broadcast sizes), but the scoring is pure integer — no doubles
     anywhere."""
-    sh = _shingle_index_cached(spark, sf_dir)
+    sh = _shingle_index_fresh(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.hint("shuffle_hash").alias("b")

@@ -192,35 +192,37 @@ def dataset_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
-# Bumped whenever the index FORMAT or assignment semantics change, so a
-# cached index built by older code is never served for the same data.
-# v2: normalized centroids + argmax-cosine assignment; v3: derived ~sqrt(N)
-# default cell count.
-_INDEX_VERSION = "v3"
-
-
-def _index_cache_path(sf_dir: str) -> str:
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"db_migrator_spark_ivf_{_INDEX_VERSION}_{dataset_fingerprint(sf_dir)}",
-    )
+def _ephemeral_index_dir(prefix: str) -> str:
+    """Per-invocation scratch dir for an index build. Rounds 6-13 cached
+    the written index in /tmp keyed on the corpus fingerprint (the
+    offline/online split a production ANN deployment uses); the
+    optimization-round contract forbids persisted intermediates keyed on
+    the test data, so every declared-query invocation now builds its own
+    index, queries it, materializes the (tiny) result, and deletes the
+    dir before returning (round 14)."""
+    return tempfile.mkdtemp(prefix=f"db_migrator_spark_{prefix}_run_")
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: IVF ANN top-10 for the vec_id=0 query.
 
-    Builds the persisted index once per corpus *snapshot* (cache keyed on
-    the parquet files' path + size + mtime — a pure stat, so the repeated-
-    query path launches no Spark job at all, not even a footer count);
-    every invocation after the first runs only the online pruned-read
-    query path.
+    Builds the index, runs the online pruned-read query path against it,
+    and materializes the k-row result before the scratch dir is removed
+    (``_ephemeral_index_dir`` — no cross-run index cache). The
+    partition-pruned read remains the point of the operator
+    (PartitionFilters asserted in tests/test_ivf.py on the explicit
+    ``ivf_query_index`` path).
     """
-    path = _index_cache_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "centroids")):
+    import shutil
+
+    path = _ephemeral_index_dir("ivf")
+    try:
         write_ivf_index(spark, sf_dir, path)
-    emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf_query_index(spark, path, [float(x) for x in query])
+        emb = load_table(spark, sf_dir, "embeddings")
+        query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        return ivf_query_index(spark, path, [float(x) for x in query]).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def similarity_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,13 +238,23 @@ def similarity_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame
     pinned in tests/test_ivf.py. The per-query pruned reads union into
     one plan — 8 constant-size jobs, no corpus-wide shuffle.
     """
+    import shutil
+
+    path = _ephemeral_index_dir("ivf")
+    try:
+        return _hard_negatives_from_index(spark, sf_dir, path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _hard_negatives_from_index(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
     from functools import reduce
 
     from .similarity import HARD_NEG_QUERIES, HARD_NEG_TOPK, _cosine
 
-    path = _index_cache_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "centroids")):
-        write_ivf_index(spark, sf_dir, path)
+    write_ivf_index(spark, sf_dir, path)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.filter(F.col("vec_id") < HARD_NEG_QUERIES)
@@ -275,8 +287,10 @@ def similarity_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy(F.col("cos_sim").desc(), F.col("neg_id"))
             .limit(HARD_NEG_TOPK)
         )
-    return reduce(lambda a, b: a.unionAll(b), parts).orderBy(
-        "q_id", F.col("cos_sim").desc(), "neg_id"
+    return (
+        reduce(lambda a, b: a.unionAll(b), parts)
+        .orderBy("q_id", F.col("cos_sim").desc(), "neg_id")
+        .localCheckpoint()  # materialize before the index dir goes away
     )
 
 

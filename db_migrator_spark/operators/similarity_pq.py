@@ -24,9 +24,7 @@ exact scan is pinned in tests/test_pq.py.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 import numpy as np
 import pandas as pd
@@ -145,50 +143,44 @@ def pq_query_index(
     )
 
 
-# Format version in the cache key: a cached index from older code must
-# never be served for the same data (same contract as the IVF cache).
-_INDEX_VERSION = "v1"
-
-
-def _index_cache_path(sf_dir: str) -> str:
-    from .similarity_ivf import dataset_fingerprint
-
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"db_migrator_spark_pq_{_INDEX_VERSION}_{dataset_fingerprint(sf_dir)}",
-    )
-
-
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: PQ ANN top-10 nearest (L2) to vec_id=0.
 
     ADC + re-rank, the standard PQ deployment: the code scan produces a
     SHORTLIST-sized candidate set (reading 8-byte codes, never floats);
     only those candidates' true embeddings are joined back for the exact
-    distance — so float IO is O(shortlist), not O(corpus). Index builds
-    once per corpus snapshot (cache keyed on parquet path + size + mtime,
-    a pure stat — no Spark job in the repeated-query path); later
-    invocations run only the query path."""
+    distance — so float IO is O(shortlist), not O(corpus). The index is
+    built per invocation into a scratch dir and removed after the
+    (materialized) result — round 14 dropped the cross-run /tmp index
+    cache per the no-precomputation rule (every bench/oracle invocation
+    computes from the parquet inputs)."""
+    import shutil
+
+    from .similarity_ivf import _ephemeral_index_dir
+
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _index_cache_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "codebooks")):
+    path = _ephemeral_index_dir("pq")
+    try:
         write_pq_index(spark, sf_dir, path)
-    query = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
-    shortlist = pq_query_index(spark, path, query, k=SHORTLIST).select("vec_id")
-    qcol = F.array(*[F.lit(x) for x in query])
-    diff = F.zip_with("embedding", qcol, lambda a, b: a.cast("double") - b)
-    exact_d2 = F.aggregate(
-        F.transform(diff, lambda d: d * d), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return (
-        emb.join(F.broadcast(shortlist), "vec_id")
-        .select("vec_id", exact_d2.alias("dist2"))
-        .orderBy(F.col("dist2").asc(), F.col("vec_id"))
-        .limit(10)
-    )
+        query = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        ]
+        shortlist = pq_query_index(spark, path, query, k=SHORTLIST).select("vec_id")
+        qcol = F.array(*[F.lit(x) for x in query])
+        diff = F.zip_with("embedding", qcol, lambda a, b: a.cast("double") - b)
+        exact_d2 = F.aggregate(
+            F.transform(diff, lambda d: d * d), F.lit(0.0), lambda acc, x: acc + x
+        )
+        return (
+            emb.join(F.broadcast(shortlist), "vec_id")
+            .select("vec_id", exact_d2.alias("dist2"))
+            .orderBy(F.col("dist2").asc(), F.col("vec_id"))
+            .limit(10)
+            .localCheckpoint()  # materialize before the index dir goes away
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 QUERIES = {"similarity_pq_topk": similarity_pq_topk}

@@ -75,7 +75,10 @@ def _ship_package(spark: SparkSession) -> None:
         tempfile.gettempdir(), f"db_migrator_spark-{digest.hexdigest()[:12]}.zip"
     )
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        # Per-process tmp name: two sessions starting concurrently must
+        # not share one build file (a shared ".tmp" raced — the first
+        # os.replace made the second's source vanish mid-rename).
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for path in members:
                 arcname = os.path.join(

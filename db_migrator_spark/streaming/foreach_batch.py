@@ -60,12 +60,20 @@ def streaming_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     """Driver-contract entry: per-type totals via a 4-micro-batch stream
     with an idempotent foreachBatch parquet sink, compacted at the end.
     Oracle: the plain batch GROUP BY over the same events."""
+    import shutil
+
     from .sinks import fixture_state_key
 
     key = fixture_state_key(sf_dir)  # size+mtime fingerprint (sinks.py)
     base = os.path.join(tempfile.gettempdir(), f"db_migrator_spark_fb_{key}")
+    # Replay staging (a 4-file re-arrangement of the INPUT columns, no
+    # computed results) is shared across runs; the checkpoint and the
+    # batch-partial sink are per-invocation scratch, deleted after the
+    # materialized result (round 14 — the cross-run ckpt/sink made a
+    # repeat run a warm no-op; the no-precomputation rule forbids that).
     replay = os.path.join(base, "replay")
-    sink = os.path.join(base, "sink")
+    run_dir = tempfile.mkdtemp(prefix="db_migrator_spark_fb_run_")
+    sink = os.path.join(run_dir, "sink")
     if not os.path.isdir(replay):
         # split the fixture into 4 files -> 4 micro-batches (one per
         # trigger); only the aggregate's input columns travel
@@ -79,18 +87,22 @@ def streaming_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("maxFilesPerTrigger", "1")
         .parquet(replay)
     )
-    q = (
-        ev.writeStream.foreachBatch(
-            lambda bdf, bid: write_batch_partial(bdf, bid, sink)
-        )
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        q = (
+            ev.writeStream.foreachBatch(
+                lambda bdf, bid: write_batch_partial(bdf, bid, sink)
+            )
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # materialize before the scratch dir goes away
+        return compact_partials(spark, sink).localCheckpoint()
     finally:
-        q.stop()
-    return compact_partials(spark, sink)
+        shutil.rmtree(run_dir, ignore_errors=True)
 
 
 QUERIES = {"streaming_foreachbatch_totals": streaming_foreachbatch_totals}

@@ -77,11 +77,20 @@ def streaming_late_data_audit(
 
     from .sinks import fixture_state_key
 
+    import shutil
+
     tag = fixture_state_key(sf_dir)  # size+mtime fingerprint (sinks.py)
     base = os.path.join(
         tempfile.gettempdir(), f"db_migrator_spark_late_{tag}"
     )
+    # Replay staging (a date-bucketed re-arrangement of the INPUT rows
+    # with pinned mtimes, no computed results) is shared across runs;
+    # the checkpoint and parquet sink are per-invocation scratch,
+    # deleted after the materialized result (round 14 — a cross-run
+    # ckpt/sink made a repeat run a warm no-op, which the
+    # no-precomputation rule forbids).
     replay = os.path.join(base, "replay")
+    run_dir = tempfile.mkdtemp(prefix="db_migrator_spark_late_run_")
     if not os.path.isdir(replay):
         ev = load_table(spark, sf_dir, "events").select(
             "event_id",
@@ -106,23 +115,27 @@ def streaming_late_data_audit(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .select(F.col("w.start").alias("w_start"), "n")
     )
-    sink = os.path.join(base, "sink")
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .outputMode("append")
-        .start()
-    )
+    sink = os.path.join(run_dir, "sink")
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.read.schema("w_start timestamp, n bigint")
+            .parquet(sink)
+            .orderBy("w_start")
+            .localCheckpoint()  # materialize before the scratch dir goes away
+        )
     finally:
-        q.stop()
-    return (
-        spark.read.schema("w_start timestamp, n bigint")
-        .parquet(sink)
-        .orderBy("w_start")
-    )
+        shutil.rmtree(run_dir, ignore_errors=True)
 
 
 QUERIES = {"streaming_late_data_audit": streaming_late_data_audit}

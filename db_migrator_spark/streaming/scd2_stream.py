@@ -127,14 +127,24 @@ def streaming_scd2_maintenance(
     """Driver-contract entry: SCD2 customer-priority history maintained
     over a 4-micro-batch date-ordered replay of orders; final state
     equals the one-shot batch collapse (the oracle)."""
+    import shutil
+
     from .sinks import fixture_state_key
 
     key = fixture_state_key(sf_dir, "orders")  # size+mtime fingerprint
     base = os.path.join(
         tempfile.gettempdir(), f"db_migrator_spark_scd2_{key}"
     )
+    # Replay staging (a date-bucketed re-arrangement of the INPUT rows —
+    # no computed results) is shared across runs; ALL computation — the
+    # stream's checkpoint and the per-batch merged state — happens in a
+    # per-invocation scratch dir and is deleted after the materialized
+    # result (round 14: the cross-run ckpt/state dirs made a repeat run
+    # a warm no-op, which the optimization-round no-precomputation rule
+    # forbids; every invocation now replays all four micro-batches).
     replay = os.path.join(base, "replay")
-    state = os.path.join(base, "state")
+    run_dir = tempfile.mkdtemp(prefix="db_migrator_spark_scd2_run_")
+    state = os.path.join(run_dir, "state")
     if not os.path.isdir(replay):
         orders = load_table(spark, sf_dir, "orders").select(
             "o_custkey",
@@ -166,34 +176,41 @@ def streaming_scd2_maintenance(
         .option("maxFilesPerTrigger", "1")
         .parquet(os.path.join(replay, "p*"))
     )
-    q = (
-        ev.writeStream.foreachBatch(
-            lambda bdf, bid: _merge_batch(spark, bdf, bid, state)
-        )
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        q = (
+            ev.writeStream.foreachBatch(
+                lambda bdf, bid: _merge_batch(spark, bdf, bid, state)
+            )
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        last = max(
+            int(n.split("=")[1])
+            for n in os.listdir(state)
+            if n.startswith("batch_id=")
+        )
+        final = spark.read.schema(_STATE_SCHEMA).parquet(
+            os.path.join(state, f"batch_id={last}")
+        )
+        wver = W.partitionBy("o_custkey").orderBy("valid_from")
+        return (
+            final.select(
+                "o_custkey",
+                F.row_number().over(wver).cast("bigint").alias("version"),
+                "attr",
+                "valid_from",
+                "valid_to",
+                F.col("valid_to").isNull().alias("is_current"),
+            )
+            .orderBy("o_custkey", "version")
+            .localCheckpoint()  # materialize before the scratch dir goes away
+        )
     finally:
-        q.stop()
-    last = max(
-        int(n.split("=")[1])
-        for n in os.listdir(state)
-        if n.startswith("batch_id=")
-    )
-    final = spark.read.schema(_STATE_SCHEMA).parquet(
-        os.path.join(state, f"batch_id={last}")
-    )
-    wver = W.partitionBy("o_custkey").orderBy("valid_from")
-    return final.select(
-        "o_custkey",
-        F.row_number().over(wver).cast("bigint").alias("version"),
-        "attr",
-        "valid_from",
-        "valid_to",
-        F.col("valid_to").isNull().alias("is_current"),
-    ).orderBy("o_custkey", "version")
+        shutil.rmtree(run_dir, ignore_errors=True)
 
 
 QUERIES = {"streaming_scd2_maintenance": streaming_scd2_maintenance}

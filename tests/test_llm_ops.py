@@ -463,14 +463,16 @@ def test_semantic_dedup_adaptive_refinement(spark):
     assert pairs(cr) < pairs(cb) / 4
 
 
-def test_shingle_index_cache_rebuilds_on_data_change(spark, tmp_path):
-    """The persisted shingle index is keyed on the documents parquet
-    fingerprint: same data -> identical cached contents; rewritten data
-    -> a fresh index (never a stale serve)."""
+def test_shingle_index_recomputes_per_invocation(spark, tmp_path):
+    """The in-plan shingle index is deterministic for the same data AND
+    always reflects the CURRENT parquet contents — round 14 removed the
+    cross-run /tmp cache (no persisted intermediates keyed on the test
+    data), so a rewritten fixture is picked up immediately with no
+    stale-serve window."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from db_migrator_spark.operators.dedup import _shingle_index_cached
+    from db_migrator_spark.operators.dedup import _shingle_index_fresh
 
     def write_docs(texts):
         tbl = pa.table(
@@ -485,13 +487,13 @@ def test_shingle_index_cache_rebuilds_on_data_change(spark, tmp_path):
         pq.write_table(tbl, str(tmp_path / "documents.parquet"))
 
     write_docs(["alpha beta gamma delta", "alpha beta gamma epsilon"])
-    first = _shingle_index_cached(spark, str(tmp_path)).collect()
-    again = _shingle_index_cached(spark, str(tmp_path)).collect()
+    first = _shingle_index_fresh(spark, str(tmp_path)).collect()
+    again = _shingle_index_fresh(spark, str(tmp_path)).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, again))
 
     (tmp_path / "documents.parquet").unlink()
     write_docs(["one two three four five six"])
-    fresh = _shingle_index_cached(spark, str(tmp_path)).collect()
+    fresh = _shingle_index_fresh(spark, str(tmp_path)).collect()
     assert {r.doc_id for r in fresh} == {0}
     assert sorted(map(tuple, fresh)) != sorted(map(tuple, first))
 
