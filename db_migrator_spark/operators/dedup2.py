@@ -153,14 +153,33 @@ def dedup_simhash_portable(
     pairs = _bucket_pairs(
         capped, ["band", "key"], "doc_id", payload_cols=("w1", "w2")
     )
+    # cand feeds three consumers below (the candidate-doc semi list +
+    # the shared join + the final rejoin) and its lineage is the whole
+    # LSH half — checkpoint once; it is cap-bounded pairs, tiny.
     cand = (
         pairs
         .withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= SIMHASH2_HAM_MAX)
         .select("d1", "d2", "hamming")
+        .localCheckpoint()
     )
-    # exact 3-gram jaccard verify (the minhash-portable contract)
-    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    # exact 3-gram jaccard verify (the minhash-portable contract).
+    # Round 14 (guide §2.3/§3.2 — shuffle fewer bytes, semi-join
+    # pre-filter): shingles are generated ONLY for docs appearing in a
+    # candidate pair. The verify consumers (sizes, both join sides) are
+    # all inner-joined to cand's d1/d2, so restricting the generation to
+    # candidate docs is value-identical — previously the 3-gram explode +
+    # distinct + eager checkpoint ran over the WHOLE corpus and the
+    # (d2, s) join shuffled the full shingle relation, for a
+    # cap-bounded handful of pairs.
+    cand_docs = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .union(cand.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    ws = docs.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
     shingles = (
         ws.filter(F.size("ws") >= 3)
         .select(

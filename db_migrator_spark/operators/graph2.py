@@ -240,6 +240,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     arcs = undirected.union(
         undirected.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
+    # Fixpoint short-circuit (round 14): peeling only ever REMOVES arcs,
+    # so an unchanged arc count after a round means no node fell below K
+    # — every remaining round is the identity and the result of running
+    # them equals the current arc set exactly (the declared semantics
+    # stay "KCORE_ROUNDS rounds"; skipped rounds are provably no-ops).
+    # The count is a near-free job over the just-checkpointed partitions
+    # and saves 2 of 8 full peel rounds at sf0.1 (fixpoint measured at
+    # round 6; 3 at sf0.01).
+    prev_count = arcs.count()
     for _ in range(KCORE_ROUNDS):
         alive = (
             arcs.groupBy("u")
@@ -253,6 +262,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint()
         )
+        cur = arcs.count()
+        if cur == prev_count:
+            break
+        prev_count = cur
     return (
         arcs.groupBy("u")
         .agg(F.count(F.lit(1)).alias("core_degree"))

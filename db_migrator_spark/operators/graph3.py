@@ -69,17 +69,28 @@ def _lprop_labels(arcs: DataFrame) -> DataFrame:
     labels = arcs.select("u").distinct().select(
         "u", F.col("u").alias("lbl")
     )
-    wmaj = W.partitionBy("u").orderBy(F.desc("cnt"), "lbl")
     for it in range(LPROP_ROUNDS):
         nb = arcs.join(
             labels.select(F.col("u").alias("v"), "lbl"), "v"
         ).select("u", "lbl")
+        # Majority pick as a two-level aggregation (round 14, guide
+        # §2.3 aggregate-before-shuffle): min over (-cnt, lbl) structs
+        # is exactly the row_number(ORDER BY cnt DESC, lbl) == 1 pick
+        # (highest count, ties to the lowest label — labels are
+        # non-negative part keys, so the negation is safe), but both
+        # levels are hash aggregates with map-side partial aggregation
+        # — the per-round window's sort and its full (u, lbl, cnt) row
+        # shuffle are gone.
         labels = (
             nb.groupBy("u", "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("rn", F.row_number().over(wmaj))
-            .filter(F.col("rn") == 1)
-            .select("u", "lbl")
+            .groupBy("u")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("lbl"))
+                ).alias("m")
+            )
+            .select("u", F.col("m.lbl").alias("lbl"))
         )
         if (it + 1) % LPROP_CKPT_EVERY == 0 and it + 1 < LPROP_ROUNDS:
             labels = labels.localCheckpoint()
@@ -187,11 +198,31 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centers = deg.filter(F.col("deg") <= LINKPRED_HUB_CAP).select("u")
     capped = arcs.join(centers, "u", "left_semi")
-    wa = capped.select(F.col("u").alias("w"), F.col("v").alias("a"))
-    wb = capped.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    # Common-neighbor pairs generated ROW-LOCALLY from each sub-cap
+    # center's sorted neighbor list (round 14 — the same rewrite the
+    # triangle wedge stage got, guide §2.3/§2.4): one groupBy collects
+    # <= LINKPRED_HUB_CAP neighbors per center and the C(k,2) explode
+    # runs inside codegen, each unordered pair emitted once per shared
+    # center — replacing the wa-join-wb self-join that shuffled the
+    # capped arc list twice and emitted k^2 ordered pairs per center
+    # before filtering half away. Neighbors are distinct within a
+    # center (the arc list is distinct pairs), so strictly-later
+    # slicing over the sorted list is exactly the join's a < b pair
+    # multiset.
+    nbrs = capped.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("ns")
+    )
     pairs = (
-        wa.join(wb, "w")
-        .filter(F.col("a") < F.col("b"))
+        nbrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> "
+                    "transform(slice(ns, i + 2, size(ns)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
     )

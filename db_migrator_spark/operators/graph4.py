@@ -136,19 +136,31 @@ def graph_resource_allocation(
     capped = arcs.join(centers, "u", "left_semi").join(
         deg, "u"
     )  # carry deg(w) for the 1/deg term
-    wa = capped.select(
-        F.col("u").alias("w"), F.col("v").alias("a"), "deg"
+    # Row-local C(k,2) from each sub-cap center's sorted neighbor list
+    # (round 14, same rewrite as graph_jaccard_linkpred / the triangle
+    # wedges, guide §2.3/§2.4): the per-center 1000000 div deg(w) term
+    # is constant across the center's pairs, so it rides along the
+    # grouped row and each emitted pair contributes exactly one cn and
+    # one RA term — identical to the wa-join-wb multiset.
+    nbrs = capped.groupBy("u", "deg").agg(
+        F.sort_array(F.collect_list("v")).alias("ns")
     )
-    wb = capped.select(F.col("u").alias("w"), F.col("v").alias("b"))
     pairs = (
-        wa.join(wb, "w")
-        .filter(F.col("a") < F.col("b"))
+        nbrs.select(
+            F.expr("1000000 div deg").alias("ra_term"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> "
+                    "transform(slice(ns, i + 2, size(ns)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p"),
+        )
+        .select("p.a", "p.b", "ra_term")
         .groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cn"),
-            F.sum(F.expr("1000000 div deg")).cast("bigint").alias(
-                "ra_micro"
-            ),
+            F.sum("ra_term").cast("bigint").alias("ra_micro"),
         )
     )
     und = arcs.filter(F.col("u") < F.col("v"))

@@ -102,8 +102,36 @@ def clicks_left_outer(events: DataFrame, attribution_window: str = "1 hour") -> 
 def _ensure_outer_replay(sf_dir: str) -> tuple[str, int]:
     """Build (once) the flush-sentinel replay dir shared by the
     outer stream-stream joins; returns (replay_dir, FLUSH_USER).
-    Rationale in streaming_click_outer_join's docstring."""
-    import hashlib
+    Rationale in streaming_click_outer_join's docstring.
+
+    Round-14 layout (guide §1 measure-first: each micro-batch of a
+    stream-stream join costs ~1s of state-store commit overhead at
+    fixture scale REGARDLESS of rows, so batches are the unit of fixed
+    cost): ONE file carrying the fixture events plus a click AND a
+    purchase sentinel at a far-future timestamp. Batch 0 processes
+    everything and advances both sides' watermarks at its end; Spark
+    then runs one more (empty) micro-batch on its own — a stateful
+    operator whose watermark advanced reports it needs another batch
+    (``shouldRunAnotherBatch``) — and THAT batch emits every unmatched
+    row. 2 micro-batches instead of the previous 4 (events, flush,
+    flush2, final): the r8-era three-file layout needed a second flush
+    file only because the sentinels arrived in their own batches.
+    Value-parity of the collapsed replay was hash-verified against the
+    old layout for both outer joins at sf0.1 (OPTIMIZATION_r14.md).
+    The sentinel pair shares one timestamp so the two can't join each
+    other (the condition is strict p_ts > c_ts); both sides need a
+    sentinel because watermarks are per-side after the event-type
+    filters — a click-only flush would leave the purchase side's
+    watermark (and so the join's state horizon) pinned at the
+    fixture's end, stranding the tail's unmatched clicks.
+
+    This dir is INPUT STAGING (a re-arrangement of the fixture rows
+    plus two constant sentinel rows — no computed results); it is the
+    replayed stream the same way the parquet fixture is the batch
+    input, so it persists across runs. All state/checkpoint/output of
+    the streaming computation is per-invocation (run_bounded uses a
+    temporary checkpoint and an in-memory sink).
+    """
     import os
     import tempfile
 
@@ -114,9 +142,10 @@ def _ensure_outer_replay(sf_dir: str) -> tuple[str, int]:
 
     src = os.path.join(sf_dir, "events.parquet")
     tag = fixture_state_key(sf_dir)  # size+mtime fingerprint: stale
-    # replay state can never serve a regenerated fixture (sinks.py)
+    # replay state can never serve a regenerated fixture (sinks.py);
+    # v2 = single-file collapsed layout (never served from an r13 dir)
     replay = os.path.join(
-        tempfile.gettempdir(), f"db_migrator_spark_outer_join_{tag}"
+        tempfile.gettempdir(), f"db_migrator_spark_outer_join_v2_{tag}"
     )
     FLUSH_USER = 10**9
     if not os.path.isdir(replay):
@@ -127,48 +156,32 @@ def _ensure_outer_replay(sf_dir: str) -> tuple[str, int]:
         import shutil
 
         build = tempfile.mkdtemp(
-            prefix=f"db_migrator_spark_outer_join_{tag}.build.",
+            prefix=f"db_migrator_spark_outer_join_v2_{tag}.build.",
             dir=tempfile.gettempdir(),
         )
-        dst = os.path.join(build, "a_events.parquet")
-        try:
-            os.link(src, dst)
-        except OSError:  # EXDEV (tmp on another fs), EPERM, etc.
-            shutil.copy(src, dst)
-        fixture_ts = pq.ParquetFile(src).schema_arrow.field("ts").type
+        events = pq.read_table(src)
+        fixture_ts = events.schema.field("ts").type
         far = 4_102_444_800  # 2100-01-01 epoch seconds
-        # TWO flush batches, each carrying a click AND a purchase
-        # sentinel: the watermarks are per-SIDE and applied after the
-        # event-type filters, so a click-only flush would advance only
-        # the click watermark while the global (min) watermark stays
-        # pinned at the fixture's end — stranding the tail's unmatched
-        # clicks. Identical sentinel timestamps keep the pair from
-        # joining each other (the condition is strict p_ts > c_ts), and
-        # the second batch exists because outer-join null rows emit one
-        # micro-batch AFTER a watermark advance.
-        for i, name in enumerate(("b_flush.parquet", "c_flush2.parquet")):
-            sec = far + i * 86_400
-            if pa.types.is_timestamp(fixture_ts):
-                ts_arr = pa.array([sec * 1_000_000] * 2, pa.timestamp("us")).cast(
-                    fixture_ts
-                )
-            else:
-                ts_arr = pa.array([sec * 1_000_000_000] * 2, pa.int64())
-            pq.write_table(
-                pa.table(
-                    {
-                        "event_id": pa.array(
-                            [999_999_980 + 2 * i, 999_999_981 + 2 * i], pa.int64()
-                        ),
-                        "ts": ts_arr,
-                        "user_id": pa.array([FLUSH_USER] * 2, pa.int64()),
-                        "event_type": pa.array(["click", "purchase"], pa.string()),
-                        "value": pa.array([0.0, 0.0], pa.float64()),
-                        "props": pa.array(["{}", "{}"], pa.string()),
-                    }
-                ),
-                os.path.join(build, name),
+        if pa.types.is_timestamp(fixture_ts):
+            ts_arr = pa.array([far * 1_000_000] * 2, pa.timestamp("us")).cast(
+                fixture_ts
             )
+        else:
+            ts_arr = pa.array([far * 1_000_000_000] * 2, pa.int64())
+        flush = pa.table(
+            {
+                "event_id": pa.array([999_999_980, 999_999_981], pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array([FLUSH_USER] * 2, pa.int64()),
+                "event_type": pa.array(["click", "purchase"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        ).cast(events.schema)
+        pq.write_table(
+            pa.concat_tables([events, flush]),
+            os.path.join(build, "a_events_flush.parquet"),
+        )
         try:
             os.rename(build, replay)
         except OSError:
