@@ -402,15 +402,32 @@ def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the combination fan-out runs inside codegen, bounded by basket
     # width. Distinct + sorted means position order == strict value
     # order, so the generated tuples are exactly the self-joins'.
+    #
+    # Round 14 (guide §2.4 — remove shuffles outright): the pair and
+    # triple generators previously EACH rebuilt the scan → distinct →
+    # collect_list chain in separate jobs (pairs is eagerly
+    # checkpointed, so no exchange reuse is possible across them). The
+    # per-order sorted list is now materialized ONCE and both explodes
+    # read it — one scan + two shuffles total instead of two scans +
+    # four shuffles. ps is |orders| rows of ≤ basket-width longs.
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    ).localCheckpoint()
+    pair_rows = ps.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     pairs = (
-        _copair_explode(li)
+        pair_rows
         .groupBy(F.col("u").alias("p1"), F.col("v").alias("p2"))
         .agg(F.count(F.lit(1)).alias("n12"))
         .filter(F.col("n12") >= TRIPLE_MIN_SUPPORT)
         .localCheckpoint()  # three leave-one-out consumers below
-    )
-    ps = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("ps")
     )
     triple_rows = ps.select(
         F.explode(
