@@ -480,30 +480,48 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     have DIFFERING plans, so exchange reuse does not apply — the
     SCALE.md case-3 shape. A/B at sf0.1: 2.09 -> 1.94s, new <= old
     3/3 pairs.
+
+    Round 14 (guide §2.3 — shuffle fewer bytes / aggregate first):
+    because the arc list is symmetric, every per-arc source-degree
+    moment is a pure DEGREE-relation aggregate — each node u sources
+    exactly deg(u) arcs, so M = Σ deg, Sx = Σ deg², Sxx = Σ deg³ —
+    and only Sxy needs the arc list at all:
+    Sxy = Σ_u deg(u) · Σ_{v∈N(u)} deg(v). The previous shape joined
+    the arc list against deg TWICE and folded decimals over |arcs|
+    rows; now ONE arcs⋈deg join (+ a map-side-combined groupBy back
+    to |V| rows) computes the neighbor-degree sums, every other
+    moment folds over the |V|-row degree relation, and the final
+    Sxy fold is |V|-sized too. Values are identical integers — same
+    oracle, same hash.
     """
     arcs = _sparse_arcs(spark, sf_dir).localCheckpoint()
+    # deg has three consumers (nbr join side, the moment fold, the Sxy
+    # join) but recomputes from the CHECKPOINTED arcs — one cheap
+    # aggregate per consumer; an eager deg checkpoint A/B'd WORSE (the
+    # barrier job outweighs the re-aggregation, SCALE.md case 3 does
+    # not apply because the lineage below deg is already truncated).
     deg = arcs.groupBy("u").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
-    xy = (
-        arcs.join(deg.select("u", F.col("deg").alias("dx")), "u")
-        .join(
-            deg.select(F.col("u").alias("v"), F.col("deg").alias("dy")),
-            "v",
+    dd = F.col("deg").cast("decimal(38,0)")
+    # Per-node sum of neighbor degrees: the ONLY arc-sized operation.
+    nbr = (
+        arcs.join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
         )
-        .select(
-            F.col("dx").cast("decimal(38,0)").alias("dx"),
-            F.col("dy").cast("decimal(38,0)").alias("dy"),
-        )
+        .groupBy("u")
+        .agg(F.sum(F.col("dv").cast("decimal(38,0)")).alias("nbr_deg_sum"))
     )
-    nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    sums = xy.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
-        F.sum("dx").alias("sx"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    moments = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(dd).alias("m"),
+        F.sum(dd * dd).alias("sx"),
+        F.sum(dd * dd * dd).alias("sxx"),
     )
-    return sums.crossJoin(F.broadcast(nodes)).select(
+    sxy = deg.join(nbr, "u").agg(
+        F.sum(dd * F.col("nbr_deg_sum")).alias("sxy")
+    )
+    return moments.crossJoin(F.broadcast(sxy)).select(
         "n_nodes",
         F.col("m").cast("bigint").alias("n_arcs"),
         F.expr(
