@@ -225,9 +225,14 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. each sequence lands in a training shard (``seq_id % N_SHARDS`` —
        at 100 TB this column is the write partitionBy).
 
-    Catalyst keeps the whole thing one job: the dedup semi-join shuffles
-    16-byte hashes of only gate-surviving docs, the packing reuses the
-    range partitioning, and nothing ever collects.
+    Catalyst keeps the whole thing one job: the dedup is ONE map-side-
+    combinable aggregation (min struct(doc_id, n_tok) per fingerprint —
+    "keep the lowest surviving doc_id" needs no semi-join back against
+    the gated scan, because the kept doc's token count rides along in
+    the struct), the packing reuses the range partitioning, and nothing
+    ever collects. Round 14: the former keep-list + left_semi shape
+    scanned/split the documents twice and shuffled doc_ids a second
+    time; this shape scans once and shuffles only (fp, doc_id, n_tok).
     """
     from .corpus import PACK_BUDGET, _exclusive_cumsum
 
@@ -239,14 +244,17 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_words >= 20) & (n_words <= 2000) & (diversity >= 0.08)
     )
     normalized = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
-    keep = (
-        quality.withColumn("fp", F.md5(normalized.cast("binary")))
+    # doc_id is unique, so the lexicographic struct min picks the lowest
+    # doc_id per fingerprint together with ITS n_tok — value-identical to
+    # the min-doc_id keep list semi-joined back (the oracle's shape).
+    survivors = (
+        quality.select(
+            F.md5(normalized.cast("binary")).alias("fp"),
+            F.struct(F.col("doc_id"), n_words.alias("n_tok")).alias("dt"),
+        )
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    survivors = quality.join(keep, "doc_id", "left_semi").select(
-        "doc_id", n_words.alias("n_tok")
+        .agg(F.min("dt").alias("dt"))
+        .select(F.col("dt.doc_id").alias("doc_id"), F.col("dt.n_tok").alias("n_tok"))
     )
     packed = _exclusive_cumsum(survivors, "doc_id", "n_tok").withColumn(
         "seq_id", F.floor(F.col("cum_before") / PACK_BUDGET)

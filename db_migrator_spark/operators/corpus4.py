@@ -196,22 +196,39 @@ def semantic_dup_flags(members: DataFrame) -> DataFrame:
     the cell count halves the total pair work (per-cell pairs quarter,
     cell count doubles) with identical downstream semantics
     (demonstrated in tests/test_llm_ops.py)."""
-    a = members.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("i"),
-        F.col("embedding").alias("ea"),
+    # Round 14 (guide §2.4 remove shuffles outright): within-cell pairs
+    # are generated ROW-LOCALLY — one groupBy on the cell key collects the
+    # vec_id-sorted member structs (cells are ~TARGET_CELL-bounded by the
+    # adaptive refinement), then the C(k,2) strictly-later slice explode
+    # emits each i < j pair once inside codegen. This replaces the cluster
+    # self-join that shuffled the embedding payload TWICE (both pair
+    # sides) with ONE cell-keyed shuffle; the r10b win condition holds
+    # (bounded groups, E[cell]^2 >> 1). The cosine is the IDENTICAL
+    # pinned fold on the exploded struct fields — same IEEE ops in the
+    # same order, so values hash-match the join formulation (the DuckDB
+    # oracle keeps its self-join; the contract is on values). vec_id is
+    # unique, so sorting by the struct's leading field is a total order
+    # and "strictly later in the sorted list" == "i < j".
+    grouped = members.groupBy("cluster").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("i"), F.col("embedding").alias("e"))
+            )
+        ).alias("ms")
     )
-    b = members.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("j"),
-        F.col("embedding").alias("eb"),
-    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), "
+                "y -> struct(y.i AS j, x.e AS ea, y.e AS eb))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.j").alias("j"), F.col("p.ea").alias("ea"), F.col("p.eb").alias("eb"))
     da, db_ = _as_double(F.col("ea")), _as_double(F.col("eb"))
     cos = _dot(da, db_) / F.sqrt(_dot(da, da) * _dot(db_, db_))
     pair_max = (
-        a.join(b, ["cluster"])
-        .filter(F.col("i") < F.col("j"))
-        .select("j", cos.alias("cos"))
+        pairs.select("j", cos.alias("cos"))
         .groupBy("j")
         .agg(F.max("cos").alias("max_cos_lower"))
     )
