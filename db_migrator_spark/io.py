@@ -58,6 +58,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Guarantee at least the cluster's parallelism ahead of CPU-heavy
+    map work (guide §2.5 input parallelism).
+
+    A fixture-scale base table arrives as ONE scan task (one small
+    parquet file holding one row group — no file-split config can break
+    a single row group apart), so everything fused into the scan stage
+    (word/shingle explodes, per-word md5, vectorized-UDF matmuls,
+    decode) runs serially regardless of core count. One hash
+    repartition on the table's unique key spreads the narrow base rows
+    across ``defaultParallelism`` partitions for the price of shuffling
+    the (small) base table once. Scale-adaptive by construction: when
+    the scan already carries >= defaultParallelism partitions — any
+    production-sized input — this is the identity and adds nothing to
+    the plan. Callers apply it ONLY where the pre-shuffle map work is
+    the measured wall (see OPTIMIZATION_r14.md); a cheap scan->filter->
+    aggregate pipeline is faster without the extra exchange."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *keys) if keys else df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
-from ..io import load_table
+from ..io import fan_out, load_table
 
 SIMHASH2_BANDS = 4
 SIMHASH2_BUCKET_CAP = 64
@@ -49,7 +49,10 @@ def dedup_simhash_portable(
 ) -> DataFrame:
     """Banded 64-bit SimHash near-dup pairs, fully value-hash-proven
     (module doc). Output: pair, Hamming distance, exact Jaccard ppm."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the word explode + per-word md5 + 64-sum partial agg all
+    # fuse into the scan stage, which is ONE task at fixture scale
+    # (round-14 probe: votes noop 2.66s serial -> 0.85s fanned, -68%).
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     words = (
         docs.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
