@@ -646,6 +646,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     keyed = _cap_buckets(bucketed, ["t", "bucket"], MAX_LSH_BUCKET)
+    # Round 14: the shared row-local C(k,2) explode (_bucket_pairs) was
+    # A/B'd here and LOST 3/3 (2.3-2.9s -> 3.1-5.7s): sign-band buckets
+    # average ~1 member (16k rows over ~16k buckets), so collect_list +
+    # sort_array + explode over millions of near-singleton groups costs
+    # more than the slim self-join — the same anti-regime documented on
+    # _bucket_pairs for the shingle inverted index. The self-join stays.
     l, r = keyed.alias("el"), keyed.alias("er")
     cand = (
         l.join(

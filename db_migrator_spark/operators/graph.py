@@ -75,6 +75,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregation-order-free (see module docstring). Output: every
     node with its type, degree, and final integer rank, highest first.
     """
+    # Round 14 negative: hash-partitioning the edge list on src before
+    # the checkpoint (so the per-iteration edges⋈ranks join could reuse
+    # the layout, guide §2.4) does NOT work under AQE — the eager
+    # localCheckpoint captures outputPartitioning from the
+    # AdaptiveSparkPlanExec wrapper, which reports Unknown, so every
+    # iteration still re-exchanged the ExistingRDD and the repartition
+    # was a pure extra shuffle in the checkpoint build. Plan-verified
+    # (22 Exchanges both ways) and reverted.
     edges = _order_edges(spark, sf_dir).localCheckpoint()
     # degrees feeds every iteration's rebase join (PR_ITERATIONS
     # consumers): one eager materialization of |V| rows beats re-running
