@@ -75,14 +75,33 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregation-order-free (see module docstring). Output: every
     node with its type, degree, and final integer rank, highest first.
     """
-    # Round 14 negative: hash-partitioning the edge list on src before
-    # the checkpoint (so the per-iteration edges⋈ranks join could reuse
-    # the layout, guide §2.4) does NOT work under AQE — the eager
-    # localCheckpoint captures outputPartitioning from the
-    # AdaptiveSparkPlanExec wrapper, which reports Unknown, so every
-    # iteration still re-exchanged the ExistingRDD and the repartition
-    # was a pure extra shuffle in the checkpoint build. Plan-verified
-    # (22 Exchanges both ways) and reverted.
+    # Round 14 negatives on pre-partitioning the static relations, both
+    # plan-verified then A/B-REVERTED:
+    # (a) repartition("src") before the eager localCheckpoint under AQE
+    #     is a silent no-op — the checkpoint captures outputPartitioning
+    #     from the AdaptiveSparkPlanExec wrapper, which reports Unknown,
+    #     so every iteration re-exchanged the ExistingRDD anyway (22
+    #     Exchanges before AND after) and the repartition was a pure
+    #     extra shuffle in the checkpoint build.
+    # (b) building repartition("src") + sortWithinPartitions("src") +
+    #     localCheckpoint inside an AQE-OFF window DOES carry
+    #     hashpartitioning+ordering into the LogicalRDD and collapses
+    #     the plan to ONE exchange+sort per iteration (the contrib
+    #     groupBy; plans/r14/graph_pagerank_after_rejected.txt: 22 -> 8
+    #     Exchange mentions, all edges/degrees join sides exchange- and
+    #     sort-free) — but it LOSES on wall time at fixture scale
+    #     (interleaved fresh-JVM A/Bs: 4/4 pairs calm-box old {2.73,
+    #     2.29, 2.49, 2.79} vs new {2.94, 2.91, 2.77, 3.91}, repeat
+    #     run's settled pairs agree). Cause: with every side flowing
+    #     through an exchange, AQE converts these joins to broadcast at
+    #     runtime (|V| ranks is tiny locally), so the baseline never
+    #     shuffles the edge payload either — the "saved" exchanges were
+    #     already free, and pinning the layout forces a SortMergeJoin
+    #     merge walk where a broadcast hash probe ran before. On a
+    #     cluster where |V| exceeds the broadcast cap the co-partitioned
+    #     shape wins (it removes PR_ITERATIONS edge-sized exchanges);
+    #     locally it is a measured regression on a benched query, so the
+    #     AQE-decided plan stays.
     edges = _order_edges(spark, sf_dir).localCheckpoint()
     # degrees feeds every iteration's rebase join (PR_ITERATIONS
     # consumers): one eager materialization of |V| rows beats re-running
