@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import load_table
+from ..io import fan_out, load_table
 
 BOOT_B = 100  # replicates
 # floor(2^32 * P[Poisson(1) <= k]) for k = 0..7 — multiplicity m is the
@@ -63,7 +63,14 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint").alias("v"),
     )
-    reps = base.select(
+    # fan_out (round 14, guide §2.5): the B-fold replicate explode and
+    # its per-(row, replicate) md5 lottery fuse into the SCAN stage, so
+    # the heaviest map work in this module ran at the input's row-group
+    # parallelism — 1 task at sf0.1, 6 at sf1 (measured 103s Spark-side
+    # at sf1 with 26 idle cores; the sweep's one Spark-side outlier).
+    # One shuffle of the narrow (priority, key, v) base rows unlocks
+    # full parallelism; identity on any production-sized input.
+    reps = fan_out(base, "o_orderkey").select(
         "*",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
     )
