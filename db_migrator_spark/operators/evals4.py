@@ -37,14 +37,61 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import load_table
+from ..io import fan_out, load_table
 
 NGRAM_MAX = 4
 
 
-def _grams(docs: DataFrame, n_max: int) -> DataFrame:
-    """(doc_id, n, g, c) multiset counts for n = 1..n_max, one pass."""
-    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+def _pair_overlap(
+    spark: SparkSession, sf_dir: str, n_max: int
+) -> DataFrame:
+    """Per (ref, cand, lang, n): clipped match count + both totals.
+
+    Round 14 rewrite (guide §2.3 shuffle-fewer-bytes / §2.4 remove the
+    join). The old shape materialized an eager (doc, n, gram, count)
+    checkpoint, then JOINED it against itself on (pair, n, gram) to
+    clip — the gram STRINGS crossed a shuffle three times (the count
+    groupBy + both join sides) and the join paid SortMergeJoin sorts
+    over gram-string keys (sf1 Spark-side probe: 103s -> 34s was
+    fan_out alone; the join remained the wall). Because the pairing is
+    ADJACENT-ID (ref = d, cand = d+1), the join key is a function of
+    the row's own doc_id, so the clip is expressible as ONE aggregate:
+    each gram occurrence is emitted twice — once for the pair it
+    references (pid = doc_id, role ref) and once for the pair it is
+    candidate of (pid = doc_id - 1, role cand) — and per (pid, n, g)
+    the clipped count is LEAST(ref-occurrences, cand-occurrences).
+    Gram strings now cross the wire exactly once (map-side combined),
+    no join, no sort, no checkpoint. Invalid pids (lang mismatch,
+    boundary ids) fold to zero overlap and are dropped by the grid
+    join, which now runs at doc grain on slim (id, lang, len) rows;
+    per-doc gram totals are the closed form max(len - n + 1, 0) —
+    identical to counting the generated grams, so no totals relation
+    is materialized at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (guide §2.5): the gram build is heavy per-row map work
+    # (split + n_max gram-array transforms + array_join per gram +
+    # double explode) fused into the documents SCAN stage, which
+    # carries row-group parallelism (1 task at sf0.1, ~6 at sf1).
+    ws = fan_out(docs.select("doc_id", "lang", "text"), "doc_id").select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
+    )
+    meta = ws.select("doc_id", "lang", F.size("ws").alias("len"))
+    pairs = (
+        meta.alias("a")
+        .join(
+            meta.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("b.lang") == F.col("a.lang")),
+        )
+        .select(
+            F.col("a.doc_id").alias("ref_id"),
+            F.col("b.doc_id").alias("cand_id"),
+            F.col("a.lang").alias("lang"),
+            F.col("a.len").alias("ref_len"),
+            F.col("b.len").alias("cand_len"),
+        )
+    )
     per_n = [
         F.when(
             F.size("ws") >= n,
@@ -55,95 +102,51 @@ def _grams(docs: DataFrame, n_max: int) -> DataFrame:
         ).otherwise(F.array().cast("array<string>"))
         for n in range(1, n_max + 1)
     ]
-    return (
-        ws.select(
-            "doc_id", F.posexplode(F.array(*per_n)).alias("n0", "gs")
-        )
-        .select(
-            "doc_id",
-            (F.col("n0") + 1).alias("n"),
-            F.explode("gs").alias("g"),
-        )
-        .groupBy("doc_id", "n", "g")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    occ = ws.select(
+        "doc_id", F.posexplode(F.array(*per_n)).alias("n0", "gs")
+    ).select(
+        "doc_id", (F.col("n0") + 1).alias("n"), F.explode("gs").alias("g")
     )
-
-
-def _pair_overlap(
-    spark: SparkSession, sf_dir: str, n_max: int
-) -> DataFrame:
-    """Per (ref, cand, lang, n): clipped match count + both totals."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang"
-    )
-    pairs = (
-        docs.alias("a")
-        .join(
-            docs.alias("b"),
-            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
-            & (F.col("b.lang") == F.col("a.lang")),
-        )
-        .select(
-            F.col("a.doc_id").alias("ref_id"),
-            F.col("b.doc_id").alias("cand_id"),
-            F.col("a.lang").alias("lang"),
-        )
-    )
-    gc = _grams(
-        load_table(spark, sf_dir, "documents"), n_max
-    ).localCheckpoint()  # entity-grain: consumed by 3 joins below
-    tot = gc.groupBy("doc_id", "n").agg(
-        F.sum("c").cast("bigint").alias("tot")
-    )
-    ov = (
-        gc.withColumnRenamed("doc_id", "ref_id")
-        .withColumnRenamed("c", "cref")
-        .join(pairs, "ref_id")
-        .join(
-            gc.select(
-                F.col("doc_id").alias("cand_id"),
-                "n",
-                "g",
-                F.col("c").alias("ccand"),
-            ),
-            ["cand_id", "n", "g"],
-        )
-        .groupBy("ref_id", "cand_id", "lang", "n")
+    roled = occ.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").alias("pid"), F.lit(1).alias("ir")
+                ),
+                F.struct(
+                    (F.col("doc_id") - 1).alias("pid"),
+                    F.lit(0).alias("ir"),
+                ),
+            )
+        ).alias("r"),
+        "n",
+        "g",
+    ).select(F.col("r.pid").alias("ref_id"), F.col("r.ir").alias("ir"), "n", "g")
+    num = (
+        roled.groupBy("ref_id", "n", "g")
         .agg(
-            F.sum(F.least("cref", "ccand")).cast("bigint").alias("num")
+            F.sum("ir").alias("cr"),
+            F.sum(F.lit(1) - F.col("ir")).alias("cc"),
         )
+        .groupBy("ref_id", "n")
+        .agg(F.sum(F.least("cr", "cc")).cast("bigint").alias("num"))
     )
     grid = pairs.crossJoin(
         pairs.sparkSession.range(1, n_max + 1).select(
             F.col("id").cast("int").alias("n")
         )
     )
-    return (
-        grid.join(
-            tot.select(
-                F.col("doc_id").alias("ref_id"), "n",
-                F.col("tot").alias("ref_tot"),
-            ),
-            ["ref_id", "n"],
-            "left",
-        )
-        .join(
-            tot.select(
-                F.col("doc_id").alias("cand_id"), "n",
-                F.col("tot").alias("cand_tot"),
-            ),
-            ["cand_id", "n"],
-            "left",
-        )
-        .join(ov, ["ref_id", "cand_id", "lang", "n"], "left")
-        .select(
-            "lang",
-            "n",
-            "ref_id",
-            F.coalesce("ref_tot", F.lit(0)).alias("ref_tot"),
-            F.coalesce("cand_tot", F.lit(0)).alias("cand_tot"),
-            F.coalesce("num", F.lit(0)).alias("num"),
-        )
+    return grid.join(num, ["ref_id", "n"], "left").select(
+        "lang",
+        "n",
+        "ref_id",
+        F.greatest(F.col("ref_len") - F.col("n") + 1, F.lit(0))
+        .cast("bigint")
+        .alias("ref_tot"),
+        F.greatest(F.col("cand_len") - F.col("n") + 1, F.lit(0))
+        .cast("bigint")
+        .alias("cand_tot"),
+        F.coalesce("num", F.lit(0)).alias("num"),
     )
 
 

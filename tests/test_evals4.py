@@ -99,3 +99,55 @@ def test_bleu_precisions_and_geo_mean(spark):
         # geometric mean never exceeds the max precision
         assert row.bleu_nbp_ppm <= max(ps)
         assert row.bp_is_one == (row.cand_tokens >= row.ref_tokens)
+
+
+def test_pair_overlap_roled_aggregate_edges(spark, tmp_path):
+    """Focused r14 test: the roled-aggregate clip (one shuffle, no
+    gram join) must equal the direct per-pair clipped count on a
+    crafted corpus exercising the rewrite's edge cases — repeated
+    grams (multiplicity clipping via LEAST of role counts), short docs
+    (len < n => closed-form total 0), a lang break in the id chain,
+    and boundary ids whose phantom pairs must fold away."""
+    from db_migrator_spark.operators.evals4 import _pair_overlap
+
+    rows = [
+        (1, "en", "a a b a"),        # repeated grams
+        (2, "en", "a b a a a"),      # pair (1,2): clip multiplicities
+        (3, "de", "a b"),            # lang break: (2,3) invalid
+        (4, "de", "x"),              # len 1: n>=2 totals are 0
+        (5, "de", "x y z w v"),      # pair (4,5) valid
+        (7, "en", "q q"),            # id gap: no pair (6,7)/(7,8)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    n_max = 3
+    got = {
+        (r.ref_id, r.n): (r.ref_tot, r.cand_tot, r.num)
+        for r in _pair_overlap(spark, sf_dir, n_max).collect()
+    }
+
+    from collections import Counter
+
+    def grams(text, n):
+        ws = text.split(" ")
+        return Counter(
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        )
+
+    docs = {d: (lang, text) for d, lang, text in rows}
+    expect = {}
+    for d, (lang, text) in docs.items():
+        c = docs.get(d + 1)
+        if c is None or c[0] != lang:
+            continue
+        for n in range(1, n_max + 1):
+            gr, gc = grams(text, n), grams(c[1], n)
+            expect[(d, n)] = (
+                max(len(text.split(" ")) - n + 1, 0),
+                max(len(c[1].split(" ")) - n + 1, 0),
+                sum(min(k, gc[g]) for g, k in gr.items() if g in gc),
+            )
+    assert got == expect
