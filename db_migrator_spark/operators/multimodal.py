@@ -29,7 +29,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import load_table
+from ..io import fan_out, load_table
 
 try:  # real decoders, absent in this container
     from PIL import Image  # noqa: F401
@@ -186,8 +186,27 @@ def _ascii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ppm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ppm_payloads(
+    spark: SparkSession, sf_dir: str, fan: bool = False
+) -> DataFrame:
+    # fan=True (round 14, guide §2.5): payload synthesis (repeat +
+    # substring + encode to ~48 KB/row) and the consumer's Arrow decode
+    # fuse into the documents SCAN stage, which carries row-group
+    # parallelism (1 task at sf0.1, ~6 at sf1) — the sf1 noop probes
+    # read 7.9-9.6s for the HEAVY image passes (sobel conv, SSIM
+    # windows, patchify) with 26+ cores idle; fan_out moved those to
+    # 2.0-2.9s (-74%). The shuffle carries only the NARROW source text
+    # (the payload does not exist yet) — the cheap-proxy side of the
+    # guide-§8 rule; identity on production-sized inputs. It is OPT-IN
+    # per consumer because the cheap decodes measurably LOSE with it at
+    # fixture scale (interleaved sf0.1 A/B, 3/3 pairs: decode_ppm
+    # 0.46 -> 0.72s, image_phash 0.55 -> 0.64s, image_neardup
+    # 0.90 -> 1.19s — the extra exchange + lost scan fusion outweigh
+    # their light per-image work), the same win condition io.fan_out
+    # documents.
     docs = _ascii_docs(spark, sf_dir)
+    if fan:
+        docs = fan_out(docs, "doc_id")
     tiled = F.expr(
         f"substring(repeat(text, CAST(ceil({_PPM_PIXELS} / CAST(length(text) AS DOUBLE)) AS INT)), 1, {_PPM_PIXELS})"
     )
@@ -533,7 +552,7 @@ def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel by raster index, so the whole reshape path is hash-checked.
     """
     return (
-        _ppm_payloads(spark, sf_dir)
+        _ppm_payloads(spark, sf_dir, fan=True)
         .mapInPandas(_patchify, schema=_PATCH_SCHEMA)
         .orderBy("doc_id", "patch_r", "patch_c")
     )
@@ -1729,7 +1748,7 @@ def multimodal_image_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong-edge pixels (module comment). Same Arrow-batched
     mapInPandas shape as the other image ops."""
     return (
-        _ppm_payloads(spark, sf_dir)
+        _ppm_payloads(spark, sf_dir, fan=True)
         .mapInPandas(_sobel_energy, schema=_SOBEL_SCHEMA)
         .orderBy("doc_id")
     )
@@ -2131,7 +2150,7 @@ def multimodal_image_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): one payload self-join keyed doc_id+1 (the
     BLEU pairing shape), one Arrow pass per pair, constant-size
     algebra per row. No window, no explode."""
-    pl = _ppm_payloads(spark, sf_dir)
+    pl = _ppm_payloads(spark, sf_dir, fan=True)
     pairs = (
         pl.alias("a")
         .join(
