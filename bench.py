@@ -151,6 +151,111 @@ TOP_COST_R12: list[str] = [
     "q_basket_triples",
 ]
 
+# ----------------------------------------------------------------------
+# sf1 heavy group (round 15, VERDICT r14 #1): the sf0.1 bench is
+# fixed-cost bound — all 54 of PERF_r14's 8-vs-32-core scaling ratios
+# read ~1, so a genuine parallelism/shuffle regression is invisible to
+# the headline artifact, and r14's three biggest real wins
+# (eval_bootstrap_ci -84%, eval_bleu_corpus -63%, text_ngram_vocab
+# -74% at sf1) never appeared in BENCH_rN. This group times the
+# heaviest data-proportional representatives at sf1 (10x sf0.1) so
+# scale IS visible in the artifact:
+#
+# - Input: $SPARK_GRAFT_SF1_DIR if set ("" / "skip" disables the
+#   group); otherwise /tmp/db_migrator_sf1_staging, STAGED by
+#   tools/make_sf1.py from the main $SPARK_GRAFT_SF_DIR input when
+#   absent (pure input re-arrangement — FK-consistent 10x replication
+#   of the fixture parquet; no query result or intermediate is ever
+#   persisted, and every timed run recomputes from the staged parquet).
+# - Action: noop sink (guide §1.4 — computes every column, no sink
+#   cost), min-of-2, first pass cold-included. This differs from the
+#   headline's min-of-5 .count() ON PURPOSE and is reported under
+#   separate sf1_* keys; no legacy key changes meaning.
+# - The group only runs when the main bench sf is 0.1 (the driver's
+#   bench SF), so correctness-SF invocations stay cheap.
+# Members: the top of the r14 sf0.1 cost table that is data-
+# proportional (graph/dedup/basket/rank shapes) + the three r14
+# sweep-mined non-bench fixes. Stream-stream joins are excluded: their
+# sf1 wall is state-store commit cadence (measured separately in
+# docs/BENCH_NOTES.md), which the sf0.1 bench already prices.
+SF1_GROUP: list[str] = [
+    "graph_triangle_counts",
+    "dedup_simhash_portable",
+    "graph_kcore",
+    "q_basket_triples",
+    "similarity_lsh_pairs",
+    "graph_label_propagation",
+    "q_customer_rfm",
+    "graph_degree_assortativity",
+    "graph_jaccard_linkpred",
+    "dedup_minhash_lsh",
+    "eval_bootstrap_ci",
+    "eval_bleu_corpus",
+    "text_ngram_vocab",
+]
+
+_SF1_DEFAULT_STAGING = "/tmp/db_migrator_sf1_staging"
+
+
+def _resolve_sf1_dir(sf_dir: str, sf: float | None) -> str | None:
+    """Return the sf1 input dir for the heavy group, staging it from the
+    main input if needed; None disables the group."""
+    env = os.environ.get("SPARK_GRAFT_SF1_DIR")
+    if env is not None:
+        env = env.strip()
+        if env in ("", "0", "skip"):
+            return None
+        return env if os.path.isdir(env) else None
+    if sf != 0.1:
+        return None  # group is defined relative to the driver bench SF
+    dst = _SF1_DEFAULT_STAGING
+    if os.path.isdir(dst):
+        return dst
+    import subprocess
+    import tempfile
+
+    tools = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "make_sf1.py")
+    build = tempfile.mkdtemp(prefix="db_migrator_sf1_build_",
+                             dir=os.path.dirname(dst) or "/tmp")
+    try:
+        print("# staging sf1 input (tools/make_sf1.py, one-time)...",
+              file=sys.stderr)
+        subprocess.run(
+            [sys.executable, tools, sf_dir, build, "10"],
+            check=True, capture_output=True, timeout=1800,
+        )
+        os.rename(build, dst)  # atomic: never expose a partial staging
+        return dst
+    except Exception as exc:  # staging failure must not kill the bench
+        print(f"# WARNING: sf1 staging failed ({exc}); skipping sf1 group",
+              file=sys.stderr)
+        import shutil
+
+        shutil.rmtree(build, ignore_errors=True)
+        return None
+
+
+def _run_sf1_group(qs, spark, sf1_dir: str) -> dict[str, float]:
+    """min-of-2 noop-sink wall per SF1_GROUP query (first pass cold)."""
+    out: dict[str, float] = {}
+    for name in SF1_GROUP:
+        fn = qs.get(name)
+        if fn is None:
+            print(f"# WARNING: SF1_GROUP entry {name!r} not in registry",
+                  file=sys.stderr)
+            continue
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+        print(f"# sf1 {name}: {best:.3f}s", file=sys.stderr)
+    return out
+
+
 # A/A canary: three cheap fixed queries timed (min of 3) BEFORE and
 # AFTER the suite. Identical code on an idle box reads ~equal bands;
 # a skewed or drifting band flags box-state noise INSIDE the artifact,
@@ -245,6 +350,13 @@ def main() -> None:
     ITERS = 5
     timings: dict[str, float] = {}
     total = 0.0
+    # q_bucketed_join_revenue phase split (VERDICT r14 #4): the query
+    # rebuilds its bucketed layout inside every invocation (honest, no
+    # cross-run reuse) — report layout vs join sub-phases of the SAME
+    # invocation that produced the min, as extra `queries` entries.
+    from db_migrator_spark.operators import bucketed as _bucketed
+
+    bucketed_layout_at_best: float | None = None
     for name in HEADLINE:
         fn = qs[name]
         best = None
@@ -254,10 +366,19 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best = dt
+                if name == "q_bucketed_join_revenue":
+                    bucketed_layout_at_best = _bucketed.LAST_LAYOUT_SECONDS
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+    if bucketed_layout_at_best is not None:
+        lay = min(bucketed_layout_at_best, timings["q_bucketed_join_revenue"])
+        timings["q_bucketed_join_revenue_layout"] = round(lay, 3)
+        timings["q_bucketed_join_revenue_join"] = round(
+            timings["q_bucketed_join_revenue"] - lay, 3
+        )
 
     # Top-cost group extras (not part of the legacy totals): one untimed
     # warm pass, then min-of-2 timed (see TOP_COST_R12 note above).
@@ -286,6 +407,16 @@ def main() -> None:
     canary_after = _run_canary(qs, spark, sf_dir)
     box_after = _box_state()
 
+    # sf1 heavy group LAST (after canary_after, so the legacy sf0.1
+    # portion stays bracketed exactly as in r14's artifacts).
+    sf1_dir = _resolve_sf1_dir(sf_dir, sf)
+    sf1_queries: dict[str, float] = {}
+    if sf1_dir:
+        try:
+            sf1_queries = _run_sf1_group(qs, spark, sf1_dir)
+        except Exception as exc:
+            print(f"# WARNING: sf1 group aborted: {exc}", file=sys.stderr)
+
     out = {
         "metric": "headline_query_wall_time",
         "value": round(total, 3),
@@ -310,6 +441,11 @@ def main() -> None:
         "canary_before": canary_before,
         "canary_after": canary_after,
     }
+    if sf1_queries:
+        out["sf1_queries"] = sf1_queries
+        out["sf1_value"] = round(sum(sf1_queries.values()), 3)
+        out["sf1_dir"] = sf1_dir
+        out["sf1_action"] = "noop_write_min_of_2"
     print(json.dumps(out))
     spark.stop()
 

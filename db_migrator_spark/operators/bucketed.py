@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -45,6 +46,15 @@ N_BUCKETS = 8
 # ever served from it): each invocation drops its predecessor's catalog
 # tables and scratch dir, so at most one set lingers per process.
 _LIVE: list[tuple[str, str, str]] = []
+
+# Wall seconds of the most recent invocation's layout write (the two
+# bucketed saveAsTable actions + predecessor cleanup). VERDICT r14 #4:
+# the per-invocation layout rebuild dominates q_bucketed_join_revenue's
+# timed number and hides the exchange-free join it exists to
+# demonstrate — bench.py reads this stamp after timing the query and
+# reports layout/join sub-phases of the SAME honest invocation (nothing
+# is reused across runs; this is a timing observation, not a cache).
+LAST_LAYOUT_SECONDS: float | None = None
 
 
 def _drop_previous(spark: SparkSession) -> None:
@@ -73,6 +83,8 @@ def create_bucketed_tables(
     keeps the columns its query family needs, and the write shuffle +
     parquet encode then carry only those. Pruning lineitem to the 3-of-16
     columns this module's query reads is most of the layout cost."""
+    global LAST_LAYOUT_SECONDS
+    t0 = time.perf_counter()
     _drop_previous(spark)
     tag = uuid.uuid4().hex[:10]
     base = tempfile.mkdtemp(prefix="db_migrator_spark_buckets_run_")
@@ -93,6 +105,7 @@ def create_bucketed_tables(
             .saveAsTable(name)
         )
     _LIVE.append((orders_tbl, lineitem_tbl, base))
+    LAST_LAYOUT_SECONDS = time.perf_counter() - t0
     return orders_tbl, lineitem_tbl
 
 

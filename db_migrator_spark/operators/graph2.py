@@ -52,19 +52,30 @@ def _copair_explode(li: DataFrame) -> DataFrame:
     so the per-row explode is constant work at any corpus size. The
     DuckDB oracles keep their self-join formulation — the cross-engine
     contract is on VALUES, and DuckDB's hash self-join is its fast
-    plan."""
+    plan.
+
+    Round 15 (guide §1.2 per-task work): the C(k,2) generation is two
+    chained Generate operators (posexplode + explode over the
+    strictly-later slice) instead of the r9-r14 ``flatten(transform(
+    ..., filter(...)))`` lambda expression — higher-order-function
+    lambdas are evaluated INTERPRETED per element (no codegen), while
+    Generate + ``slice`` run codegen'd with native array copies.
+    Identical pair multiset (probe checksum + oracle): positions after
+    i in the sorted list with ``v > u`` are exactly the lambda form's
+    strictly-greater later elements. A/B at sf0.1: explode+distinct
+    1.1 -> 0.8s (-27%); the same rewrite measured -3.3x on the
+    triangle wedge stage (probe_triangle2_r15)."""
     ps = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_partkey")).alias("ps")
     )
-    return ps.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                "transform(filter(slice(ps, i + 2, size(ps)), y -> y > x), "
-                "y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
+    return (
+        ps.select("ps", F.posexplode("ps").alias("i", "u"))
+        .select(
+            "u", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v")
+        )
+        .filter(F.col("v") > F.col("u"))
+        .select("u", "v")
+    )
 
 
 # Edge-count ceiling for broadcasting the closing-edge set in
@@ -99,42 +110,94 @@ def _oriented_triangle_credits(oriented: DataFrame) -> DataFrame:
     degrades to the plain shuffle join on (x, y), the standard MR
     formulation.
     """
-    nbrs = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list(F.struct("deg_dst", "dst"))).alias("ns")
-    )
-    wedges = nbrs.select(
-        "src",
-        F.explode(
-            F.expr(
-                "flatten(transform(ns, (a, i) -> "
-                "transform(slice(ns, i + 2, size(ns)), "
-                "b -> struct(a.dst AS x, b.dst AS y))))"
-            )
-        ).alias("p"),
-    ).select("src", "p.x", "p.y")
     stats = oriented.agg(
         F.count(F.lit(1)).alias("m"),
         F.max(F.greatest("src", "dst")).alias("max_id"),
     ).first()
+    m32 = F.lit(4294967295)
     if stats.m <= TRIANGLE_BROADCAST_EDGES and (stats.max_id or 0) < 2**31:
-        xy = F.shiftleft(F.col("x"), 32) + F.col("y")
+        # Packed regime (round 15): neighbor lists collect as ONE packed
+        # bigint per neighbor (deg_dst << 32 | dst — numeric order ==
+        # the struct's (deg_dst, dst) order since both fields are
+        # non-negative and < 2^31: ids by the branch condition, degrees
+        # by m <= 50M < 2^31), and the wedge C(k,2) generation is two
+        # chained codegen'd Generate operators (posexplode + explode
+        # over the strictly-later slice) emitting the packed probe key
+        # directly. This replaces the r14 ``flatten(transform(...))``
+        # form, whose higher-order-function lambdas are evaluated
+        # INTERPRETED per wedge and whose 41M intermediate structs were
+        # the stage's real wall (probe_triangle2_r15: wedge+probe+
+        # credits 4.4 -> 1.3s at sf0.1, -3.3x, identical credit
+        # checksums; a packed-key LAMBDA variant measured WORSE than
+        # the struct baseline — the interpreter, not the struct, is
+        # the cost).
+        nbrs = oriented.groupBy("src").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.shiftleft(F.col("deg_dst"), 32) + F.col("dst")
+                )
+            ).alias("ns")
+        )
+        wedges = (
+            nbrs.select("src", "ns", F.posexplode("ns").alias("i", "a"))
+            .select(
+                "src",
+                "a",
+                F.explode(F.expr("slice(ns, i + 2, size(ns))")).alias("b"),
+            )
+            .select(
+                "src",
+                (
+                    F.shiftleft(F.col("a").bitwiseAND(m32), 32)
+                    + F.col("b").bitwiseAND(m32)
+                ).alias("xy"),
+            )
+        )
         closing = F.broadcast(
             oriented.select(
                 (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("xy")
             )
         )
-        triangles = wedges.withColumn("xy", xy).join(closing, "xy")
+        triangles = wedges.join(closing, "xy")
+        corners = triangles.select(
+            F.explode(
+                F.array(
+                    F.col("src"),
+                    F.shiftright(F.col("xy"), 32),
+                    F.col("xy").bitwiseAND(m32),
+                )
+            ).alias("node")
+        )
     else:
+        # General regime (ids past 2^31 or edge set past the broadcast
+        # cap): struct neighbor lists, same double-Generate wedge
+        # generation, plain (x, y) closing join (broadcast under the
+        # cap, standard shuffle join past it — the MR formulation).
+        nbrs = oriented.groupBy("src").agg(
+            F.sort_array(F.collect_list(F.struct("deg_dst", "dst"))).alias(
+                "ns"
+            )
+        )
+        wedges = (
+            nbrs.select("src", "ns", F.posexplode("ns").alias("i", "a"))
+            .select(
+                "src",
+                F.col("a.dst").alias("x"),
+                F.explode(F.expr("slice(ns, i + 2, size(ns))")).alias("b"),
+            )
+            .select("src", "x", F.col("b.dst").alias("y"))
+        )
         closing = oriented.select(
             F.col("src").alias("x"), F.col("dst").alias("y")
         )
         if stats.m <= TRIANGLE_BROADCAST_EDGES:
             closing = F.broadcast(closing)
         triangles = wedges.join(closing, ["x", "y"])
-    return (
-        triangles.select(F.explode(F.array("src", "x", "y")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("tri_count"))
+        corners = triangles.select(
+            F.explode(F.array("src", "x", "y")).alias("node")
+        )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("tri_count")
     )
 
 
@@ -413,15 +476,16 @@ def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_partkey")).alias("ps")
     ).localCheckpoint()
-    pair_rows = ps.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                "transform(slice(ps, i + 2, size(ps)), "
-                "y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
+    # Round 15: C(k,2)/C(k,3) generation via chained codegen'd Generate
+    # operators instead of interpreted flatten/transform lambdas — same
+    # tuple multisets (strictly-later slices of the sorted distinct
+    # list), see _copair_explode.
+    pair_rows = (
+        ps.select("ps", F.posexplode("ps").alias("i", "u"))
+        .select(
+            "u", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v")
+        )
+    )
     pairs = (
         pair_rows
         .groupBy(F.col("u").alias("p1"), F.col("v").alias("p2"))
@@ -429,16 +493,22 @@ def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n12") >= TRIPLE_MIN_SUPPORT)
         .localCheckpoint()  # three leave-one-out consumers below
     )
-    triple_rows = ps.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                "flatten(transform(slice(ps, i + 2, size(ps)), (y, j) -> "
-                "transform(slice(ps, i + j + 3, size(ps)), "
-                "z -> struct(x AS p1, y AS p2, z AS p3))))))"
-            )
-        ).alias("t")
-    ).select("t.p1", "t.p2", "t.p3")
+    triple_rows = (
+        ps.select("ps", F.posexplode("ps").alias("i", "p1"))
+        .select(
+            "ps",
+            "i",
+            "p1",
+            F.posexplode(F.expr("slice(ps, i + 2, size(ps))")).alias(
+                "j", "p2"
+            ),
+        )
+        .select(
+            "p1",
+            "p2",
+            F.explode(F.expr("slice(ps, i + j + 3, size(ps))")).alias("p3"),
+        )
+    )
     triples = (
         triple_rows.groupBy("p1", "p2", "p3")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
