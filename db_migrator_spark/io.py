@@ -82,6 +82,38 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(target, *keys) if keys else df.repartition(target)
 
 
+def ngram_explode(
+    df: DataFrame, ws_col: str, n: int, out: str, *keep: str
+) -> DataFrame:
+    """One row per word n-gram POSITION (duplicates kept): ``(keep...,
+    out)`` where ``out`` is the space-joined length-``n`` window of the
+    array column ``ws_col``; rows with fewer than ``n`` words emit
+    nothing.
+
+    Round 15 (guide §1.2 per-task work): built with ``arrays_zip`` over
+    ``n`` shifted ``slice``s + one codegen'd Generate — NOT a
+    higher-order ``transform`` lambda, which Spark evaluates INTERPRETED
+    per element (and which re-evaluates non-trivial child expressions
+    like ``split(text)`` per element when referenced inside the lambda).
+    Identical value multiset to the lambda form (probe_shingle_r15:
+    count + checksum parity, -30% wall at sf0.1 on the 3-gram build)."""
+    size = F.size(F.col(ws_col))
+    zipped = F.arrays_zip(
+        *[
+            F.slice(F.col(ws_col), k + 1, size - (n - 1)).alias(f"w{k}")
+            for k in range(n)
+        ]
+    )
+    return (
+        df.filter(size >= n)
+        .select(*keep, F.explode(zipped).alias("_zg"))
+        .select(
+            *keep,
+            F.concat_ws(" ", *[f"_zg.w{k}" for k in range(n)]).alias(out),
+        )
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
-from ..io import load_table
+from ..io import load_table, ngram_explode
 
 # Chunking geometry: model-window chunks of CHUNK_CHARS with
 # CHUNK_STRIDE < CHUNK_CHARS giving (CHUNK_CHARS - CHUNK_STRIDE) overlap,
@@ -95,11 +95,7 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "n_words")
         .agg(F.max("c").alias("top_word_cnt"))
     )
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size("w") - 2),
-        lambda i: F.concat_ws(" ", F.get("w", i), F.get("w", i + 1)),
-    )
-    bg = arr.select("doc_id", F.explode(bigrams).alias("bg"))
+    bg = ngram_explode(arr, "w", 2, "bg", "doc_id")
     bg_stats = (
         bg.groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))

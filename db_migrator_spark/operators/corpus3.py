@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import fan_out, load_table
+from ..io import fan_out, load_table, ngram_explode
 from .similarity import _as_double, _dot
 
 NGRAM_VOCAB_K = 50
@@ -67,22 +67,21 @@ def text_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic in both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
     # fan_out (round 14, guide §2.5): the bigram explode + the partial
     # (ngram, doc_id) hash aggregate fuse into the documents SCAN
     # stage, which carries row-group parallelism (1 task at sf0.1, ~6
     # at sf1) — the stage builds per-task hash tables over tens of
     # millions of bigram strings, the heaviest work in the query. One
     # narrow (doc_id, text) shuffle unlocks full width; identity on
-    # production-sized inputs.
+    # production-sized inputs. Round 15: bigram generation through the
+    # codegen'd zip-explode (io.ngram_explode) instead of the
+    # interpreted sequence/element_at lambda (which additionally
+    # re-evaluated split(text) per element).
+    arr = fan_out(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
     return (
-        fan_out(docs.select("doc_id", "text"), "doc_id")
-        .filter(F.size(w) >= 2)
-        .select("doc_id", F.explode(bigrams).alias("ngram"))
+        ngram_explode(arr, "w", 2, "ngram", "doc_id")
         .groupBy("ngram")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import load_table
+from ..io import load_table, ngram_explode
 
 CORRUPT_BLOCK = 20  # tokens per block, one span masked per full block
 SPAN_LEN = 3  # masked span length (T5 mean-3 recipe, fixed)
@@ -95,21 +95,7 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct bigrams, first-seen-here bigrams, novelty share ppm."""
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-    bigrams = (
-        ws.filter(F.size("ws") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
-                    lambda w, i: F.concat_ws(
-                        " ", w, F.col("ws")[i + 1]
-                    ),
-                )
-            ).alias("bg"),
-        )
-        .distinct()
-    )
+    bigrams = ngram_explode(ws, "ws", 2, "bg", "doc_id").distinct()
     first_doc = bigrams.groupBy("bg").agg(
         F.min("doc_id").alias("first_doc")
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..io import load_table
+from ..io import load_table, ngram_explode
 
 # Every "group then pair" operator needs a cap because within-group pairing
 # is QUADRATIC in group size. The caps are derived from per-group pair
@@ -989,18 +989,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
     shingles = (
-        ws.filter(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.slice(F.col("ws"), 1, F.size("ws") - 2),
-                    lambda w, i: F.concat_ws(
-                        " ", w, F.col("ws")[i + 1], F.col("ws")[i + 2]
-                    ),
-                )
-            ).alias("s"),
-        )
+        ngram_explode(ws, "ws", 3, "s", "doc_id")
         .distinct()
         .localCheckpoint()  # feeds signatures, sizes, and both verify sides
     )

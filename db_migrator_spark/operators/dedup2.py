@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
-from ..io import fan_out, load_table
+from ..io import fan_out, load_table, ngram_explode
 
 SIMHASH2_BANDS = 4
 SIMHASH2_BUCKET_CAP = 64
@@ -184,18 +184,7 @@ def dedup_simhash_portable(
         "doc_id", F.split(F.col("text"), " ").alias("ws")
     )
     shingles = (
-        ws.filter(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.slice(F.col("ws"), 1, F.size("ws") - 2),
-                    lambda w, i: F.concat_ws(
-                        " ", w, F.col("ws")[i + 1], F.col("ws")[i + 2]
-                    ),
-                )
-            ).alias("s"),
-        )
+        ngram_explode(ws, "ws", 3, "s", "doc_id")
         .distinct()
         .localCheckpoint()
     )
@@ -342,18 +331,7 @@ def dedup_minhash_estimator_audit(
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
     shingles = (
-        ws.filter(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.slice(F.col("ws"), 1, F.size("ws") - 2),
-                    lambda w, i: F.concat_ws(
-                        " ", w, F.col("ws")[i + 1], F.col("ws")[i + 2]
-                    ),
-                )
-            ).alias("s"),
-        )
+        ngram_explode(ws, "ws", 3, "s", "doc_id")
         .distinct()
         .localCheckpoint()
     )
@@ -524,18 +502,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
     shingles = (
-        ws.filter(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.slice(F.col("ws"), 1, F.size("ws") - 2),
-                    lambda w, i: F.concat_ws(
-                        " ", w, F.col("ws")[i + 1], F.col("ws")[i + 2]
-                    ),
-                )
-            ).alias("s"),
-        )
+        ngram_explode(ws, "ws", 3, "s", "doc_id")
         .distinct()
         .localCheckpoint()
     )
