@@ -60,56 +60,93 @@ def dedup_simhash_portable(
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    # 16 hex digit values of md5(w) -> 64 bits, 4 per digit
+    # Round 15 (VERDICT r14 #3 — full-pipeline packed votes): the r8c-r14
+    # pipeline extracted 16 hex digits per word (16 conv+substring), ran
+    # 64 per-bit vote SUMs, concatenated a 64-char '0'/'1' fingerprint
+    # string through 64 CASE branches, and re-parsed it into the two
+    # packed 32-bit halves — ~10s of one-time planning/codegen per fresh
+    # JVM (cold first pass 12.9s vs 3.0s warm, measured r15). The packed
+    # form computes the SAME w1/w2 words end-to-end:
+    #
+    # - per word: the 64 md5 bits as TWO 32-bit halves (hi = hex chars
+    #   1-8, lo = chars 9-16); bit j (j//4 = hex char k, j%4 = bit s of
+    #   that digit) is (hi >> (4*(7-k) + s)) & 1 for k <= 7, same on lo
+    #   for k >= 8 — exactly conv(substring(md5(w), k+1, 1), 16, 10)'s
+    #   bit s.
+    # - votes: positive counts t_j = SUM(cnt * bit_j) packed TWO per
+    #   64-bit lane word (t_{2p} << 32 | t_{2p+1} — 32 aggregate sums
+    #   instead of 64) plus the doc word count W = SUM(cnt). The signed
+    #   vote s_j = 2*t_j - W, so sign(s_j) >= 0 <=> 2*t_j >= W.
+    #   Lane safety: each lane accumulates at most W < 2^31, so the low
+    #   lane never carries and the packed sum stays under 2^63; W >= 2^31
+    #   (a >=2 GiB single document — beyond a Spark string cell anyway)
+    #   raises LOUDLY via the guard below instead of corrupting lanes
+    #   (the r14 objection to 16-bit lanes).
+    # - w1/w2: bit j of the fingerprint ('1' iff s_j >= 0) lands at
+    #   position 31-j of w1 (j < 32) / 63-j of w2 — bit-identical to
+    #   conv(substring(fp, 1|33, 32), 2, 10) over the string form (the
+    #   DuckDB oracle keeps the string pipeline; pinned by
+    #   tests/test_llm_ops.py::test_simhash_packed_votes_bit_equality).
+    # - band keys: the 4 x 16-char fp substrings become the 4 x 16-bit
+    #   integer slices of w1/w2 — same bucket partition, and the capping
+    #   window orders by doc_id only, so buckets, capping, candidates and
+    #   every surfaced value are unchanged.
+    m16 = F.lit(0xFFFF)
+
+    def _bit(j: int):
+        k, s = j // 4, j % 4
+        src = F.col("hi") if k <= 7 else F.col("lo")
+        off = 4 * (7 - k) + s if k <= 7 else 4 * (15 - k) + s
+        return F.shiftright(src, off).bitwiseAND(F.lit(1))
+
     digs = words.select(
         "doc_id",
         "cnt",
-        *[
-            F.expr(
-                f"CAST(conv(substring(md5(w), {k + 1}, 1), 16, 10)"
-                " AS INT)"
-            ).alias(f"v{k}")
-            for k in range(16)
-        ],
+        F.expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)").alias("hi"),
+        F.expr("CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT)").alias("lo"),
     )
     votes = digs.groupBy("doc_id").agg(
+        F.sum("cnt").alias("W"),
         *[
             F.sum(
-                F.col("cnt")
-                * (
-                    2 * F.shiftright(F.col(f"v{j // 4}"), j % 4).bitwiseAND(F.lit(1))
-                    - 1
-                )
-            ).alias(f"s{j}")
-            for j in range(64)
-        ]
+                F.shiftleft(F.col("cnt") * _bit(2 * p), 32)
+                + F.col("cnt") * _bit(2 * p + 1)
+            ).alias(f"t{p}")
+            for p in range(32)
+        ],
     )
-    # w1/w2 pack the same 64 '0'/'1' chars into two 32-bit halves
-    # (round 13): the Hamming gate then runs as TWO xor+bit_count terms
-    # instead of 64 substring comparisons, and the pair payload shrinks
-    # from a 64-char string to 16 bytes. Values are identical by
-    # construction — bit_count(xor) over the packed halves counts
-    # exactly the differing fingerprint positions — so the candidate
-    # set and the surfaced hamming are bit-equal to the string form the
-    # oracle keeps. The win is mostly DRIVER-side: the unrolled 64-term
-    # expression trees dominated this query's wall at fixture scale
-    # (planning + codegen, BENCH_NOTES round-13c).
-    fp = votes.select(
-        "doc_id",
-        F.concat(
-            *[
-                F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(
-                    F.lit("0")
+    w_guarded = F.expr(
+        "CASE WHEN W < 2147483648 THEN W ELSE"
+        " CAST(raise_error('dedup_simhash_portable: packed vote lanes"
+        " require < 2^31 words per document') AS BIGINT) END"
+    )
+
+    def _t(j: int):
+        lane = F.col(f"t{j // 2}")
+        return (
+            F.shiftright(lane, 32)
+            if j % 2 == 0
+            else lane.bitwiseAND(F.lit(0xFFFFFFFF))
+        )
+
+    def _word(bits: range):
+        # bit j contributes at position (31 - (j % 32)) of its word
+        return sum(
+            (
+                F.shiftleft(
+                    (2 * _t(j) >= F.col("Wg")).cast("bigint"),
+                    31 - (j % 32),
                 )
-                for j in range(64)
-            ]
-        ).alias("fp"),
-    ).select(
+                for j in bits
+            ),
+            F.lit(0).cast("bigint"),
+        )
+
+    fp = votes.withColumn("Wg", w_guarded).select(
         "doc_id",
-        "fp",
-        F.expr("CAST(conv(substring(fp, 1, 32), 2, 10) AS BIGINT)").alias("w1"),
-        F.expr("CAST(conv(substring(fp, 33, 32), 2, 10) AS BIGINT)").alias("w2"),
-    ).localCheckpoint()  # feeds banding + both Hamming sides
+        _word(range(0, 32)).alias("w1"),
+        _word(range(32, 64)).alias("w2"),
+    )
     bands = fp.select(
         "doc_id",
         "w1",
@@ -119,9 +156,12 @@ def dedup_simhash_portable(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.substring(F.col("fp"), 16 * b + 1, 16).alias(
-                            "key"
-                        ),
+                        F.shiftright(
+                            F.col("w1") if b < 2 else F.col("w2"),
+                            16 * (1 - b % 2),
+                        )
+                        .bitwiseAND(m16)
+                        .alias("key"),
                     )
                     for b in range(SIMHASH2_BANDS)
                 ]

@@ -617,3 +617,119 @@ def test_simhash_portable_packed_hamming_matches_string_form(spark):
         .count()
     )
     assert got == 0
+
+
+def test_simhash_packed_votes_bit_equality(spark):
+    """Round 15 (VERDICT r14 #3): the packed-vote simhash pipeline must
+    produce w1/w2 words bit-identical to the r8c-r14 string form (16
+    hex-digit extraction -> 64 signed vote sums -> 64-char '0'/'1'
+    fingerprint -> conv to two 32-bit halves) on every document."""
+    from pyspark.sql import functions as F
+
+    from db_migrator_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+    # --- reference: the retired string pipeline, verbatim ---
+    digs = words.select(
+        "doc_id",
+        "cnt",
+        *[
+            F.expr(
+                f"CAST(conv(substring(md5(w), {k + 1}, 1), 16, 10) AS INT)"
+            ).alias(f"v{k}")
+            for k in range(16)
+        ],
+    )
+    votes = digs.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("cnt")
+                * (
+                    2
+                    * F.shiftright(F.col(f"v{j // 4}"), j % 4).bitwiseAND(
+                        F.lit(1)
+                    )
+                    - 1
+                )
+            ).alias(f"s{j}")
+            for j in range(64)
+        ]
+    )
+    ref = votes.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(64)
+            ]
+        ).alias("fp"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(conv(substring(fp, 1, 32), 2, 10) AS BIGINT)").alias("rw1"),
+        F.expr("CAST(conv(substring(fp, 33, 32), 2, 10) AS BIGINT)").alias("rw2"),
+    )
+
+    # --- packed pipeline, as dedup_simhash_portable builds it ---
+    def _bit(j: int):
+        k, s = j // 4, j % 4
+        src = F.col("hi") if k <= 7 else F.col("lo")
+        off = 4 * (7 - k) + s if k <= 7 else 4 * (15 - k) + s
+        return F.shiftright(src, off).bitwiseAND(F.lit(1))
+
+    pdigs = words.select(
+        "doc_id",
+        "cnt",
+        F.expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)").alias("hi"),
+        F.expr("CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT)").alias("lo"),
+    )
+    pvotes = pdigs.groupBy("doc_id").agg(
+        F.sum("cnt").alias("W"),
+        *[
+            F.sum(
+                F.shiftleft(F.col("cnt") * _bit(2 * p), 32)
+                + F.col("cnt") * _bit(2 * p + 1)
+            ).alias(f"t{p}")
+            for p in range(32)
+        ],
+    )
+
+    def _t(j: int):
+        lane = F.col(f"t{j // 2}")
+        return (
+            F.shiftright(lane, 32)
+            if j % 2 == 0
+            else lane.bitwiseAND(F.lit(0xFFFFFFFF))
+        )
+
+    def _word(bits):
+        return sum(
+            (
+                F.shiftleft(
+                    (2 * _t(j) >= F.col("W")).cast("bigint"), 31 - (j % 32)
+                )
+                for j in bits
+            ),
+            F.lit(0).cast("bigint"),
+        )
+
+    packed = pvotes.select(
+        "doc_id",
+        _word(range(0, 32)).alias("pw1"),
+        _word(range(32, 64)).alias("pw2"),
+    )
+
+    mismatches = (
+        ref.join(packed, "doc_id")
+        .filter(
+            (F.col("rw1") != F.col("pw1")) | (F.col("rw2") != F.col("pw2"))
+        )
+        .count()
+    )
+    assert mismatches == 0
+    assert ref.count() == packed.count() > 0
