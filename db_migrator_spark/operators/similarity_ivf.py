@@ -63,6 +63,52 @@ def derived_k_cells(n: int) -> int:
 TRAIN_SAMPLE_MAX = 100_000
 
 
+def _fit_spherical_kmeans(
+    unit: np.ndarray, k: int, iters: int = 20
+) -> np.ndarray:
+    """Seeded spherical k-means over L2-normalized rows: kmeans++ init
+    (cosine-distance D^2 weighting), Lloyd updates assigning by argmax
+    dot with the normalized centroids — the same ranking the IVF query
+    path probes with. Empty cells re-seed from the point farthest from
+    its centroid, so exactly k non-degenerate directions come back.
+    Bounded work: rows <= TRAIN_SAMPLE_MAX by the caller's contract."""
+    rng = np.random.RandomState(_SEED)
+    n = len(unit)
+    # kmeans++ over 1 - cos distance
+    first = int(rng.randint(n))
+    cent = [unit[first]]
+    d2 = np.maximum(1.0 - unit @ cent[0], 0.0) ** 2
+    for _ in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 0.0:
+            cent.append(unit[int(rng.randint(n))])
+            continue
+        nxt = int(np.searchsorted(np.cumsum(d2), rng.random_sample() * tot))
+        nxt = min(nxt, n - 1)
+        cent.append(unit[nxt])
+        d2 = np.minimum(d2, np.maximum(1.0 - unit @ cent[-1], 0.0) ** 2)
+    c = np.stack(cent)
+    for _ in range(iters):
+        sims = unit @ c.T
+        assign = np.argmax(sims, axis=1)
+        newc = np.zeros_like(c)
+        np.add.at(newc, assign, unit)
+        norms = np.linalg.norm(newc, axis=1)
+        empty = norms < 1e-12
+        if empty.any():
+            # re-seed each empty cell from the worst-served point
+            worst = np.argsort(sims[np.arange(n), assign])
+            for slot, pt in zip(np.flatnonzero(empty), worst):
+                newc[slot] = unit[pt]
+                norms[slot] = 1.0
+        newc /= norms[:, None] + 1e-30
+        if np.allclose(newc, c, atol=1e-9):
+            c = newc
+            break
+        c = newc
+    return c
+
+
 def build_ivf_index(
     spark: SparkSession, sf_dir: str, k_cells: int | None = None
 ) -> tuple[DataFrame, np.ndarray]:
@@ -72,7 +118,7 @@ def build_ivf_index(
     fits on a seeded bounded sample; assignment (the Arrow-batched
     argmax-cosine pass below) is the only full-corpus pass, map-side.
 
-    The index metric is COSINE, so KMeans runs on L2-NORMALIZED vectors
+    The index metric is COSINE, so k-means runs on L2-NORMALIZED vectors
     (spherical partitioning): on raw vectors, Euclidean cells split by
     norm as well as direction, and a query's angular neighbors scatter
     across norm shells whenever norms vary. ``k_cells=None`` (the
@@ -83,32 +129,37 @@ def build_ivf_index(
     corpora with cluster structure, which real embedding corpora have
     and the synthetic fixture deliberately lacks.
 
-    Metric consistency: KMeans' own transform assigns unit vectors by
-    Euclidean distance to the UNNORMALIZED centroid means (argmin
-    |c|^2 - 2u.c — biased by centroid norm), while the query path ranks
-    cells by cosine; a boundary vector would be stored in a cell the
-    query never probes at low nprobe. So the fitted centroids are only
-    the DIRECTIONS: they are re-normalized here, and the corpus is
-    assigned by argmax u.c-hat — the exact ranking the query uses —
-    via one Arrow-batched matmul pass (same pattern as the LSH
-    bucketer; K x dim ships once per executor as a closure constant).
+    Metric consistency: the fit (``_fit_spherical_kmeans``), the corpus
+    assignment (the Arrow-batched argmax u.c-hat pass below — K x dim
+    ships once per executor as a closure constant), and the query-time
+    cell ranking all use the SAME argmax-cosine criterion, so no vector
+    is stored in a cell the query ranks differently.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     emb = load_table(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
-    nrm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    unit = F.transform(vec, lambda x: x / nrm)
-    vecs = emb.withColumn("features", array_to_vector(unit))
-    n = vecs.count()  # parquet-footer metadata read, not a data scan
+    n = emb.count()  # parquet-footer metadata read, not a data scan
     k = k_cells if k_cells is not None else derived_k_cells(n)
-    train = vecs if n <= TRAIN_SAMPLE_MAX else vecs.sample(TRAIN_SAMPLE_MAX / n, seed=_SEED)
-    model = KMeans(k=k, seed=_SEED, featuresCol="features", predictionCol="cell").fit(train)
-    raw = np.array(
-        [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
+    # Round 15 (guide §1.2 measure-first + the PQ module's precedent):
+    # pyspark.ml KMeans on the bounded sample was ~25 distributed jobs
+    # (kmeans|| init rounds + 20 Lloyd iterations) over <= 100k rows —
+    # 31.9s of the 36s sf1 wall was the fit, pure job-scheduling floor
+    # at any corpus size because the sample is bounded BY DESIGN. The
+    # fit now runs driver-side (one sample collect, <= 100k x dim
+    # doubles ~ 50 MB) as seeded spherical k-means: kmeans++ init and
+    # Lloyd updates under the argmax u.c-hat metric — the EXACT ranking
+    # the query path and the assignment pass use, removing the
+    # Euclidean-fit/cosine-query mismatch the renormalization note
+    # below used to paper over. Recall gates unchanged
+    # (tests/test_ivf.py: >= 0.4 isotropic, >= 0.9 clustered).
+    train = emb if n <= TRAIN_SAMPLE_MAX else emb.sample(TRAIN_SAMPLE_MAX / n, seed=_SEED)
+    sample = np.array(
+        [list(r.embedding) for r in train.select("embedding").collect()],
+        dtype=np.float64,
     )
-    centroids = raw / (np.linalg.norm(raw, axis=1, keepdims=True) + 1e-30)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True) + 1e-30
+    centroids = _fit_spherical_kmeans(sample, min(k, len(sample)))
+    if len(centroids) < k:  # degenerate tiny sample: pad to the k contract
+        pad = np.zeros((k - len(centroids), sample.shape[1]))
+        centroids = np.vstack([centroids, pad])
 
     @F.pandas_udf("int")
     def assign_cell(embeddings: pd.Series) -> pd.Series:
@@ -137,8 +188,17 @@ def write_ivf_index(
     """
     indexed, centroids = build_ivf_index(spark, sf_dir, k_cells)
     write_partitioned(indexed, os.path.join(index_path, "cells"), ["cell"])
+    # Arrow path: createDataFrame from a pandas frame serializes the
+    # K x dim sidecar as one Arrow batch; the list-of-tuples form ran a
+    # pickled-RDD Python worker per partition (measured r15: 4.4s -> 0.2s
+    # for the 141-row write at sf1).
     cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        pd.DataFrame(
+            {
+                "cell": range(len(centroids)),
+                "centroid": [[float(x) for x in c] for c in centroids],
+            }
+        ),
         "cell int, centroid array<double>",
     )
     cent.coalesce(1).write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))

@@ -97,11 +97,19 @@ def write_pq_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     emb.select("vec_id", encode("embedding").alias("code")).write.mode(
         "overwrite"
     ).parquet(os.path.join(index_path, "codes"))
-    flat = [
-        (m, k, [float(x) for x in books[m, k]])
-        for m in range(PQ_M)
-        for k in range(PQ_K)
-    ]
+    # Arrow path (r15): pandas createDataFrame ships the 128-row codebook
+    # sidecar as one Arrow batch instead of a pickled-RDD Python job.
+    flat = pd.DataFrame(
+        {
+            "m": [m for m in range(PQ_M) for _ in range(PQ_K)],
+            "k": [k for _ in range(PQ_M) for k in range(PQ_K)],
+            "centroid": [
+                [float(x) for x in books[m, k]]
+                for m in range(PQ_M)
+                for k in range(PQ_K)
+            ],
+        }
+    )
     spark.createDataFrame(
         flat, "m int, k int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
