@@ -25,7 +25,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import load_table
+from ..io import fan_out, load_table
 
 CHUNK_WORDS = 20
 
@@ -53,7 +53,14 @@ def text_word_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("word_chunks_udtf", chunker)
     import uuid
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: the per-row Python UDTF fuses into the scan stage, which
+    # has as many tasks as the parquet has file splits (2 at sf1 — 5s/task
+    # while 30 cores idle, measured r15); spreading the narrow projection
+    # to defaultParallelism bounds the Python wall by cores, not splits.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     # unique view name: concurrent driver harnesses share one session
     view = f"__udtf_docs_src_{uuid.uuid4().hex[:8]}"
     docs.createOrReplaceTempView(view)
@@ -147,7 +154,12 @@ def text_top_words_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     spark.udtf.register("top_words_udtf", _make_top_words_udtf())
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out ahead of the per-row Python stage — same reasoning as
+    # text_word_chunks_udtf above.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     view = f"__udtf_topw_src_{uuid.uuid4().hex[:8]}"
     docs.createOrReplaceTempView(view)
     return spark.sql(
