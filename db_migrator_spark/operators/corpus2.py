@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
-from ..io import load_table
+from ..io import fan_out, load_table
 from .similarity import _as_double, _dot
 
 # Segment width for boilerplate dedup. Real pipelines use lines or
@@ -209,7 +209,12 @@ def nearest_centroid_assignment(emb: DataFrame, cent: DataFrame | None = None) -
     a = _as_double(F.col("embedding"))
     c = F.col("cvec")
     dist2 = (_dot(a, a) - F.lit(2.0) * _dot(a, c)) + _dot(c, c)
-    scored = emb.crossJoin(F.broadcast(cent)).select(
+    # fan_out: the corpus x k dist2 evaluation (3 interpreted lambda
+    # folds per pair) fuses into the embeddings scan, which carries as
+    # many tasks as the parquet has splits (2 at sf1 — measured r15,
+    # ~5s/task serial). Every current caller passes a scan-only
+    # projection, the helper's documented input contract.
+    scored = fan_out(emb, "vec_id").crossJoin(F.broadcast(cent)).select(
         "vec_id", "label", "c_label", dist2.alias("dist2")
     )
     rn = F.row_number().over(W.partitionBy("vec_id").orderBy("dist2", "c_label"))

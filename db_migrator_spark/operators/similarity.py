@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
-from ..io import load_table
+from ..io import fan_out, load_table
 
 EMBEDDING_DIM = 64
 # Multi-table sign-LSH (OR-of-ANDs): T tables of r hyperplanes each. A pair
@@ -248,7 +248,9 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform/aggregate), zero Python in the loop. The quantized payload
     is 4x smaller on the wire, which at 100 TB is the difference between a
     shuffle that fits and one that spills."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: three interpreted array-lambda passes per row fuse into
+    # the scan stage (2 tasks at sf1); spread first (measured r15).
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
     vec = _as_double(F.col("embedding"))
     norm = F.sqrt(_dot(vec, vec))
     absmax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
