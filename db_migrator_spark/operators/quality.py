@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import load_table
+from ..io import fan_out, load_table
 
 Z_SCALE = 1_000_000
 Z_SIGMA = 3.0
@@ -296,7 +296,10 @@ def q_column_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count_distinct is the only distinct agg and it is per-group), and
     a final column-count-sized pivot. Nothing driver-side.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    # fan_out: the 9-column unpivot explode + canonical-string exprs +
+    # count_distinct partial agg fuse into the scan stage (6 tasks at
+    # sf1, ~3s/task — measured r15); spread the scan first.
+    orders = fan_out(load_table(spark, sf_dir, "orders"), "o_orderkey")
     half = F.when(
         F.col("o_orderdate") < F.lit(DRIFT_PIVOT).cast("timestamp"), "old"
     ).otherwise("new")

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import itertools
 import math
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -211,7 +212,10 @@ def _milestones_fn(
                 rows.append({"user_id": user_id, "milestone": total // MILESTONE_STEP,
                              "at_count": total})
     state.update((total,))
-    yield pd.DataFrame(rows, columns=["user_id", "milestone", "at_count"])
+    # Empty per-group DataFrames are pure overhead (one pandas
+    # construction per non-emitting group per batch) — yield nothing.
+    if rows:
+        yield pd.DataFrame(rows, columns=["user_id", "milestone", "at_count"])
 
 
 def user_milestones(events: DataFrame) -> DataFrame:
@@ -237,8 +241,26 @@ _ROCKSDB_PROVIDER = (
 )
 
 
+def _replay_input_bytes(path: str) -> int:
+    """On-disk size of a bounded replay input (file or directory) — a
+    pure os.stat read (no Spark job), used to size state partitions."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fn in os.walk(path)
+            for f in fn
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def run_bounded(
-    df: DataFrame, output_mode: str = "complete", state_store: str | None = None
+    df: DataFrame,
+    output_mode: str = "complete",
+    state_store: str | None = None,
+    input_bytes: int | None = None,
 ) -> DataFrame:
     """Run a streaming frame to exhaustion into a memory sink; return the
     result as a static DataFrame. File streams over a finite directory
@@ -274,10 +296,28 @@ def run_bounded(
         restore[key] = prev
         spark.conf.set(key, value)
 
+    # Scale-adaptive state sizing (round 15): with ``input_bytes`` the
+    # pin grows with the replay input — ~400 KB of parquet per state
+    # partition, floored at the r13-measured sf0.1 optimum (8) and
+    # capped at defaultParallelism. At sf0.1 (2 MB events) this derives
+    # 8, identical to the old constant, so the driver's bench stays
+    # comparable; at sf1 (12 MB) it derives 30 and the Python-state
+    # stage parallelizes (conversions: 73s of per-group pandas CPU sat
+    # on 8 tasks). A production deployment still sizes by state volume
+    # (the count is baked into the checkpoint at first run).
     try:
         cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        if cur > 8:
-            _override("spark.sql.shuffle.partitions", "8")
+        target = 8
+        if input_bytes:
+            target = max(
+                8,
+                min(
+                    spark.sparkContext.defaultParallelism,
+                    int(input_bytes) // 400_000,
+                ),
+            )
+        if cur > target:
+            _override("spark.sql.shuffle.partitions", str(target))
     except Exception:
         pass
     if state_store == "rocksdb":
@@ -317,8 +357,10 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: the tumbling agg executed AS A STREAM over
     the fixture directory, complete mode — must equal the batch twin
     (events_tumbling_hourly), and is oracle-checked by the same SQL."""
-    ev = stream_events(spark, f"{sf_dir}/events.parquet")
-    out = run_bounded(tumbling_counts(ev), "complete")
+    src_path = f"{sf_dir}/events.parquet"
+    ev = stream_events(spark, src_path)
+    out = run_bounded(tumbling_counts(ev), "complete",
+                      input_bytes=_replay_input_bytes(src_path))
     return out.orderBy("w_start", "event_type")
 
 
@@ -331,8 +373,10 @@ def streaming_user_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(n/10) times, with at_count = milestone*10 — whatever order
     batches arrive in. The oracle pins that closed form, giving the
     custom stateful operator a full hash check instead of rows-only."""
-    ev = stream_events(spark, f"{sf_dir}/events.parquet")
-    out = run_bounded(user_milestones(ev), "append")
+    src_path = f"{sf_dir}/events.parquet"
+    ev = stream_events(spark, src_path)
+    out = run_bounded(user_milestones(ev), "append",
+                      input_bytes=_replay_input_bytes(src_path))
     return out.orderBy("user_id", "milestone")
 
 
@@ -366,7 +410,8 @@ def streaming_dedup_events(
             if not os.path.exists(dst):
                 os.link(src, dst)
     ev = stream_events(spark, replay)
-    out = run_bounded(dedup_stream(ev), "append", state_store=state_store)
+    out = run_bounded(dedup_stream(ev), "append", state_store=state_store,
+                      input_bytes=_replay_input_bytes(replay))
     return out.orderBy("event_id")
 
 
@@ -512,8 +557,10 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch operator row-for-row (same integer fold, same constants), so
     it gets the batch twin's FULL SQL oracle — not a rows-only check —
     like streaming_user_milestones before it."""
-    ev = stream_events(spark, f"{sf_dir}/events.parquet")
-    out = run_bounded(ewma_stream(ev), "append")
+    src_path = f"{sf_dir}/events.parquet"
+    ev = stream_events(spark, src_path)
+    out = run_bounded(ewma_stream(ev), "append",
+                      input_bytes=_replay_input_bytes(src_path))
     return out.orderBy("user_id", "event_id")
 
 
@@ -596,8 +643,10 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: the transformWithState totals over the
     bounded replay equal plain per-user purchase aggregation, so the
     new-API operator carries a full SQL oracle."""
-    ev = stream_events(spark, f"{sf_dir}/events.parquet")
-    out = run_bounded(running_totals_stream(ev), "update")
+    src_path = f"{sf_dir}/events.parquet"
+    ev = stream_events(spark, src_path)
+    out = run_bounded(running_totals_stream(ev), "update",
+                      input_bytes=_replay_input_bytes(src_path))
     # Update mode re-emits a key's row per micro-batch; the bounded
     # replay is one batch, but keep only each user's LAST emission so
     # the contract survives a multi-file replay too.
@@ -660,9 +709,13 @@ def _conversion_fn(
                 out["lag_us"].append(us - signup_us)
                 done = True
     state.update((signup_us, done))
-    yield pd.DataFrame(
-        out, columns=["user_id", "signup_us", "purchase_us", "lag_us"]
-    )
+    # Most groups never convert in a given batch: skip the per-group
+    # empty-DataFrame construction (measured r15: the Python-state stage
+    # is per-group-machinery bound, not logic bound).
+    if out["user_id"]:
+        yield pd.DataFrame(
+            out, columns=["user_id", "signup_us", "purchase_us", "lag_us"]
+        )
 
 
 def conversion_stream(events: DataFrame) -> DataFrame:
@@ -686,8 +739,10 @@ def streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: the streaming detector must equal the
     batch conditional-MIN form user-for-user (ordered replay), so it
     carries a full SQL oracle."""
-    ev = stream_events(spark, f"{sf_dir}/events.parquet")
-    out = run_bounded(conversion_stream(ev), "append")
+    src_path = f"{sf_dir}/events.parquet"
+    ev = stream_events(spark, src_path)
+    out = run_bounded(conversion_stream(ev), "append",
+                      input_bytes=_replay_input_bytes(src_path))
     return out.orderBy("user_id")
 
 
