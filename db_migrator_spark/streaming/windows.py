@@ -303,8 +303,14 @@ def run_bounded(
     # 8, identical to the old constant, so the driver's bench stays
     # comparable; at sf1 (12 MB) it derives 30 and the Python-state
     # stage parallelizes (conversions: 73s of per-group pandas CPU sat
-    # on 8 tasks). A production deployment still sizes by state volume
-    # (the count is baked into the checkpoint at first run).
+    # on 8 tasks). ONLY the applyInPandasWithState entries pass
+    # input_bytes: their per-group Python CPU parallelizes with
+    # partitions, while JVM windowed aggs have trivial per-row CPU and
+    # extra partitions only add state-commit fixed cost (measured r15
+    # sf1 sweep: conversions/ewma/milestones -39..-46% vs
+    # sliding/dedup/tumbling +14..+21% under the same rule — reverted
+    # there). A production deployment still sizes by state volume (the
+    # count is baked into the checkpoint at first run).
     try:
         cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
         target = 8
@@ -357,10 +363,8 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: the tumbling agg executed AS A STREAM over
     the fixture directory, complete mode — must equal the batch twin
     (events_tumbling_hourly), and is oracle-checked by the same SQL."""
-    src_path = f"{sf_dir}/events.parquet"
-    ev = stream_events(spark, src_path)
-    out = run_bounded(tumbling_counts(ev), "complete",
-                      input_bytes=_replay_input_bytes(src_path))
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    out = run_bounded(tumbling_counts(ev), "complete")
     return out.orderBy("w_start", "event_type")
 
 
@@ -410,8 +414,7 @@ def streaming_dedup_events(
             if not os.path.exists(dst):
                 os.link(src, dst)
     ev = stream_events(spark, replay)
-    out = run_bounded(dedup_stream(ev), "append", state_store=state_store,
-                      input_bytes=_replay_input_bytes(replay))
+    out = run_bounded(dedup_stream(ev), "append", state_store=state_store)
     return out.orderBy("event_id")
 
 
