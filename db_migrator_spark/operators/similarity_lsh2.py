@@ -139,16 +139,41 @@ def similarity_lsh_portable(
     cand = _bucket_pairs(capped, ["band", "key"], "vec_id").select(
         F.col("d1").alias("v1"), F.col("d2").alias("v2")
     )
-    norms = comps.groupBy("vec_id").agg(
-        F.sum(F.col("q") * F.col("q")).alias("nsq")
+    # Verify side in ARRAY form (round 15): the r8c verify joined the
+    # exploded components back per pair — cand x 64 rows per side, a
+    # (v2, i)-keyed join whose tiny shuffles AQE coalesced to 1 task
+    # (~6s of the 14s sf1 wall serialized). The quantized vector as one
+    # array row makes dot and norm row-local integer folds: BIGINT sums
+    # are order-independent, so dot/nsq are bit-identical to the
+    # exploded SUMs and the oracle is untouched.
+    qvec = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1_000).cast("bigint"),
+        ).alias("qs"),
+    ).localCheckpoint()  # feeds both pair sides + norms
+    zl = F.lit(0).cast("bigint")
+    norms = qvec.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(F.col("qs"), lambda x: x * x), zl, lambda a, x: a + x
+        ).alias("nsq"),
     )
-    ca = comps.select(F.col("vec_id").alias("v1"), "i", F.col("q").alias("qa"))
-    cb = comps.select(F.col("vec_id").alias("v2"), "i", F.col("q").alias("qb"))
+    qa = qvec.select(F.col("vec_id").alias("v1"), F.col("qs").alias("qsa"))
+    qb = qvec.select(F.col("vec_id").alias("v2"), F.col("qs").alias("qsb"))
     dots = (
-        cand.join(ca, "v1")
-        .join(cb, ["v2", "i"])
-        .groupBy("v1", "v2")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+        cand.join(qa, "v1")
+        .join(qb, "v2")
+        .select(
+            "v1",
+            "v2",
+            F.aggregate(
+                F.zip_with(F.col("qsa"), F.col("qsb"), lambda x, y: x * y),
+                zl,
+                lambda a, x: a + x,
+            ).alias("dot"),
+        )
     )
     n1 = norms.select(F.col("vec_id").alias("v1"), F.col("nsq").alias("na"))
     n2 = norms.select(F.col("vec_id").alias("v2"), F.col("nsq").alias("nb"))
